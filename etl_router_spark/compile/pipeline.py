@@ -1,0 +1,180 @@
+"""DAG -> DataFrame compiler: the engine's query lifecycle.
+
+Replaces the reference's runtime routing engine
+(``routing/src/engine.rs:55-104``) with plan construction: stages become
+DataFrame transformations, conditional edges become filters (broadcast
+routing: a record flows down *every* matching edge, engine.rs:79-95),
+fan-in becomes unionByName, fan-out + multiple sinks share one persisted
+upstream (the reference optimizer's shared-prefix reuse,
+``dsl/src/optimizer.rs:57-237``, done here by construction).
+
+Catalyst then owns what the reference never had: predicate pushdown,
+column pruning, join planning, AQE. Whole-stage codegen replaces the
+per-record interpreted condition matcher.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_router_spark.compile.conditions import compile_condition
+from etl_router_spark.compile.fan import apply_fan_in
+from etl_router_spark.compile.lookup import apply_lookup
+from etl_router_spark.compile import transforms as T
+from etl_router_spark.model.manifest import FieldMapping, Pipeline, Stage, StageType
+from etl_router_spark.model.validation import validate_pipeline
+from etl_router_spark.sources.registry import read_source
+from etl_router_spark.sinks.registry import write_sink
+
+
+def _mappings(cfg: dict[str, Any]) -> list[FieldMapping]:
+    return [FieldMapping.from_dict(m) for m in cfg.get("mappings", [])]
+
+
+def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> DataFrame:
+    """Dispatch one transform stage config to the operator library."""
+    cfg = stage.config
+    tt = stage.transform_type
+    if tt == "filter":
+        return T.apply_filter(df, cfg["condition"], negate=bool(cfg.get("negate", False)))
+    if tt == "map":
+        return T.apply_map(df, _mappings(cfg), drop_unmapped=bool(cfg.get("drop_unmapped", False)))
+    if tt == "project":
+        return T.apply_project(df, cfg["fields"], exclude=bool(cfg.get("exclude", False)))
+    if tt == "rename":
+        return T.apply_rename(df, cfg["renames"])
+    if tt == "cast":
+        return T.apply_cast(df, cfg["casts"])
+    if tt == "mask":
+        return T.apply_mask(df, cfg["rules"])
+    if tt == "validate":
+        res = T.apply_validate(df, cfg.get("rules", []), cfg.get("on_invalid", "drop"),
+                               cfg.get("tag_field", "valid"))
+        # route mode: valid side continues; invalid side is attached for
+        # the caller to wire to the DLQ sink
+        if isinstance(res, tuple):
+            valid, invalid = res
+            valid._etl_dlq_side = invalid  # noqa: SLF001
+            return valid
+        return res
+    if tt == "flatmap":
+        return T.apply_flatmap(df, cfg["field"], cfg.get("target_field"),
+                               keep_parent=bool(cfg.get("keep_parent", False)),
+                               outer=bool(cfg.get("outer", False)))
+    if tt == "dedupe":
+        return T.apply_dedupe(df, cfg["key_fields"], cfg.get("keep", "first"),
+                              cfg.get("order_field", "event_time"),
+                              cfg.get("tiebreak_fields"))
+    if tt == "ratelimit":
+        return T.apply_ratelimit(df, cfg["key_fields"], int(cfg["max_rate"]),
+                                 cfg.get("window", "1 hour"), cfg.get("ts_field", "event_time"),
+                                 cfg.get("on_exceed", "drop"), cfg.get("tiebreak_fields"))
+    if tt == "aggregate":
+        return T.apply_aggregate(df, cfg.get("group_by", []), cfg["aggregations"],
+                                 cfg.get("window"), cfg.get("ts_field", "event_time"))
+    if tt == "sessionize":
+        return T.apply_sessionize(df, cfg["key_fields"], cfg["gap"], cfg.get("aggregations"),
+                                  cfg.get("ts_field", "event_time"), cfg.get("max_duration"))
+    raise ValueError(f"stage {stage.id!r}: transform {tt!r} not dispatchable in a linear DAG")
+
+
+class CompiledPipeline:
+    """Result of compiling a Pipeline: one DataFrame per sink stage."""
+
+    def __init__(self, pipeline: Pipeline, sink_frames: dict[str, DataFrame],
+                 dlq_frames: dict[str, DataFrame]):
+        self.pipeline = pipeline
+        self.sink_frames = sink_frames
+        self.dlq_frames = dlq_frames
+
+    def run(self) -> None:
+        """Write every sink (batch mode)."""
+        for sink_id, df in self.sink_frames.items():
+            write_sink(df, self.pipeline.stages[sink_id].config)
+
+
+def compile_pipeline(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    streaming: bool = False,
+    source_overrides: dict[str, DataFrame] | None = None,
+) -> CompiledPipeline:
+    """Compile a validated Pipeline DAG into per-sink DataFrames.
+
+    ``source_overrides`` lets tests/callers inject DataFrames for named
+    source stages (the memory-source pattern).
+    """
+    validate_pipeline(pipeline)
+    order = pipeline.topological_order()
+    outputs: dict[str, DataFrame] = {}
+    dlq_frames: dict[str, DataFrame] = {}
+    sink_frames: dict[str, DataFrame] = {}
+    overrides = source_overrides or {}
+
+    for sid in order:
+        stage = pipeline.stages[sid]
+        in_edges = pipeline.incoming(sid)
+
+        # gather inputs, applying per-edge routing conditions (broadcast
+        # semantics: independent filter per edge)
+        inputs: list[DataFrame] = []
+        for e in in_edges:
+            up = outputs[e.from_stage]
+            if e.condition is not None:
+                up = up.filter(compile_condition(e.condition))
+            inputs.append(up)
+
+        if stage.stage_type == StageType.SOURCE:
+            df = overrides.get(sid) or read_source(spark, stage.config, streaming)
+        elif stage.stage_type == StageType.FAN_IN:
+            per_input = stage.config.get("inputs") or [{}] * len(inputs)
+            maps = [
+                [FieldMapping.from_dict(m) for m in (i.get("mappings") or [])] or None
+                for i in per_input
+            ]
+            df = apply_fan_in(inputs, maps)
+        elif stage.stage_type == StageType.FAN_OUT:
+            # pass-through node; per-sink mappings applied on outgoing edges
+            df = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
+            if not streaming and len(pipeline.outgoing(sid)) > 1:
+                df = df.persist()  # shared scan across sinks
+        elif stage.stage_type == StageType.LOOKUP:
+            cfg = stage.config
+            dim = overrides.get(f"{sid}.dim") or read_source(spark, cfg["dim"], streaming=False)
+            df = apply_lookup(
+                inputs[0], dim, cfg["key_mappings"],
+                merge_strategy=cfg.get("merge_strategy", "merge"),
+                on_miss=cfg.get("on_miss", "pass_through"),
+                prefix=cfg.get("prefix"),
+                lookup_fields=cfg.get("lookup_fields"),
+                broadcast_dim=bool(cfg.get("broadcast", True)),
+            )
+        elif stage.stage_type == StageType.TRANSFORM:
+            if stage.transform_type == "join":
+                cfg = stage.config
+                right_id = cfg["right"]
+                df = T.apply_join(
+                    inputs[0], outputs[right_id], cfg["conditions"], cfg.get("join_type", "inner"),
+                    cfg.get("left_prefix"), cfg.get("right_prefix"),
+                    cfg.get("include"), cfg.get("exclude"),
+                    broadcast_right=bool(cfg.get("broadcast", False)),
+                )
+            else:
+                base = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
+                df = apply_transform_stage(base, stage, spark)
+                side = getattr(df, "_etl_dlq_side", None)
+                if side is not None:
+                    dlq_frames[sid] = side
+        elif stage.stage_type == StageType.SINK:
+            base = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
+            ms = _mappings(stage.config)
+            df = T.apply_map(base, ms, drop_unmapped=True) if ms else base
+            sink_frames[sid] = df
+        else:
+            raise ValueError(f"unhandled stage type: {stage.stage_type}")
+
+        outputs[sid] = df
+
+    return CompiledPipeline(pipeline, sink_frames, dlq_frames)

@@ -1,0 +1,43 @@
+"""Canonical table loading for the synthetic test fixtures.
+
+``/root/testdata/sf*/`` parquet files mostly use µs/ms timestamps, but
+``events.ts`` is TIMESTAMP(NANOS) which Spark's vectorized parquet reader
+rejects. With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
+arrives as BIGINT nanoseconds; ``load_table`` converts it back to a
+proper TimestampType in-plan (``timestamp_micros(ns div 1000)``) —
+distributed, no driver materialization, floor semantics identical to
+DuckDB's ns->µs cast so oracle comparisons stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# columns known to be event-time nanos in the fixtures
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

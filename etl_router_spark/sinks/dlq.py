@@ -1,0 +1,93 @@
+"""Dead-letter-queue side-output.
+
+Reproduces the reference's DLQ record model
+(``conveyor-etl-dlq/src/record.rs:96-180``): a failed record is the
+original row plus error context in reserved ``_dlq_*`` columns and a
+``dlq.``-prefixed record_type. Error codes mirror ``record.rs:8-19``.
+
+In Spark the DLQ is a side-output DataFrame: a validate/route condition
+splits the stream, the failing side is enriched here and written to the
+DLQ sink. Retry = re-drive the DLQ table through the pipeline with
+``_dlq_retry_count`` incremented (policy semantics
+``dlq/src/policy.rs:12-47``: max_retries default 3, exponential backoff
+100ms*2^n capped 30s — backoff applies to the re-drive scheduler, not
+inside the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# record.rs:8-19 error codes
+ERROR_CODES = (
+    "UNKNOWN", "DESERIALIZATION", "VALIDATION", "TRANSFORM", "TIMEOUT",
+    "RESOURCE_EXHAUSTED", "PERMISSION_DENIED", "UNAVAILABLE", "INTERNAL",
+    "SCHEMA_MISMATCH",
+)
+
+DLQ_COLUMNS = (
+    "_dlq_error_code",
+    "_dlq_error_message",
+    "_dlq_failed_stage",
+    "_dlq_failed_stage_type",
+    "_dlq_retry_count",
+    "_dlq_first_failure",
+    "_dlq_last_failure",
+    "_dlq_pipeline",
+    "_dlq_source",
+    "_dlq_timestamp",
+)
+
+
+def to_dlq(
+    df: DataFrame,
+    *,
+    error_code: str = "VALIDATION",
+    error_message: str = "",
+    failed_stage: str = "",
+    failed_stage_type: str = "transform",
+    pipeline: str = "",
+    source: str = "",
+    record_type_col: str | None = "record_type",
+) -> DataFrame:
+    """Enrich a failing side-output with the reference's DLQ metadata."""
+    if error_code not in ERROR_CODES:
+        raise ValueError(f"unknown DLQ error code: {error_code!r}")
+    now = F.current_timestamp()
+    retry = (
+        F.coalesce(F.col("_dlq_retry_count") + 1, F.lit(0))
+        if "_dlq_retry_count" in df.columns
+        else F.lit(0)
+    )
+    first_failure = (
+        F.coalesce(F.col("_dlq_first_failure"), now)
+        if "_dlq_first_failure" in df.columns
+        else now
+    )
+    out = df
+    if record_type_col and record_type_col in df.columns:
+        # dlq.-prefixed record_type (record.rs:101-108)
+        out = out.withColumn(
+            record_type_col,
+            F.when(
+                F.col(record_type_col).startswith("dlq."), F.col(record_type_col)
+            ).otherwise(F.concat(F.lit("dlq."), F.col(record_type_col))),
+        )
+    return (
+        out.withColumn("_dlq_error_code", F.lit(error_code))
+        .withColumn("_dlq_error_message", F.lit(error_message))
+        .withColumn("_dlq_failed_stage", F.lit(failed_stage))
+        .withColumn("_dlq_failed_stage_type", F.lit(failed_stage_type))
+        .withColumn("_dlq_retry_count", retry)
+        .withColumn("_dlq_first_failure", first_failure)
+        .withColumn("_dlq_last_failure", now)
+        .withColumn("_dlq_pipeline", F.lit(pipeline))
+        .withColumn("_dlq_source", F.lit(source))
+        .withColumn("_dlq_timestamp", now)
+    )
+
+
+def backoff_ms(retry_count: int, initial_ms: int = 100, multiplier: float = 2.0, max_ms: int = 30_000) -> int:
+    """Exponential backoff for DLQ re-drive (policy.rs:33-47)."""
+    return int(min(initial_ms * (multiplier ** retry_count), max_ms))

@@ -1,0 +1,66 @@
+"""Sink registry: file/parquet sinks, console, memory, kafka, jdbc.
+
+The reference types only one sink config (gRPC, ``types.rs:703-720``)
+plus named sink manifests (e.g. the S3 parquet archive,
+``examples/manifests/sinks/s3-archive.yaml``). Our engine exposes Spark's
+writer surface under the same config shape. Delivery guarantees
+(``proto/sink.proto:26-30``): batch parquet writes are atomic per job;
+streaming exactly-once comes from checkpoint + idempotent epoch handling
+in ``foreachBatch`` (see streaming module).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
+    """Batch write dispatch on sink_type/format."""
+    stype = (cfg.get("sink_type") or cfg.get("type") or "file").lower()
+    if stype in ("file", "s3", "gcs"):
+        path = cfg.get("path")
+        if stype == "s3":
+            path = f"s3a://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
+        elif stype == "gcs":
+            path = f"gs://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
+        fmt = (cfg.get("format") or "parquet").lower()
+        writer = df.write.format(fmt).mode(cfg.get("mode", "append"))
+        # scale: partition the sink by natural keys -> partition pruning
+        # for downstream readers
+        if cfg.get("partition_by"):
+            writer = writer.partitionBy(*cfg["partition_by"])
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        if cfg.get("compression"):
+            writer = writer.option("compression", cfg["compression"])
+        writer.save(path)
+        return
+    if stype == "console":
+        df.show(int(cfg.get("num_rows", 20)), truncate=False)
+        return
+    if stype == "noop":
+        df.write.format("noop").mode("overwrite").save()
+        return
+    if stype == "jdbc":
+        writer = (
+            df.write.format("jdbc")
+            .option("url", cfg["url"])
+            .option("dbtable", cfg["table"])
+            .mode(cfg.get("mode", "append"))
+        )
+        for k in ("user", "password", "driver"):
+            if cfg.get(k):
+                writer = writer.option(k, cfg[k])
+        writer.save()
+        return
+    if stype == "kafka":
+        (
+            df.write.format("kafka")
+            .option("kafka.bootstrap.servers", cfg["brokers"])
+            .option("topic", cfg["topic"])
+            .save()
+        )
+        return
+    raise ValueError(f"unknown sink_type: {stype!r}")

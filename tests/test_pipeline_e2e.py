@@ -1,0 +1,211 @@
+"""Manifest -> parse -> validate -> compile -> execute, end to end.
+
+Models the reference's flagship example
+(``examples/manifests/pipelines/user-analytics.yaml``): source ->
+filter -> validate(route to DLQ) -> mask -> sink, plus fan-out and
+conditional-edge routing shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_router_spark.compile.pipeline import compile_pipeline
+from etl_router_spark.model.parser import parse_manifest, parse_duration
+from etl_router_spark.model.validation import ValidationError, validate_pipeline
+
+FLAGSHIP = """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata:
+  name: user-analytics
+spec:
+  stages:
+    - id: user-events
+      type: source
+      config:
+        source_type: file
+        path: "{sf_dir}/events.parquet"
+        format: parquet
+    - id: only-purchases
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase, signup]}}
+    - id: validated
+      type: transform
+      config:
+        transform_type: validate
+        on_invalid: route
+        rules:
+          - {{field: value, required: true, min: 0}}
+          - {{field: user_id, required: true}}
+    - id: masked
+      type: transform
+      config:
+        transform_type: mask
+        rules:
+          - {{field: props, strategy: hash}}
+    - id: archive
+      type: sink
+      config: {{sink_type: file, format: parquet, path: "{out}/archive"}}
+"""
+
+
+def test_flagship_pipeline(spark, sf_dir, tmp_path):
+    manifest = FLAGSHIP.format(sf_dir=sf_dir, out=tmp_path)
+    pipeline = parse_manifest(manifest)
+    validate_pipeline(pipeline)
+    compiled = compile_pipeline(spark, pipeline)
+    assert set(compiled.sink_frames) == {"archive"}
+    result = compiled.sink_frames["archive"]
+    rows = result.count()
+    assert rows > 0
+    # all rows are purchases/signups, props hashed to 64-char sha256
+    types = {r.event_type for r in result.select("event_type").distinct().collect()}
+    assert types <= {"purchase", "signup"}
+    assert len(result.first().props) == 64
+    # DLQ side captured by the validate route stage
+    assert "validated" in compiled.dlq_frames
+    # run() writes the parquet sink
+    compiled.run()
+    assert spark.read.parquet(f"{tmp_path}/archive").count() == rows
+
+
+CONDITIONAL_EDGES = """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: routed}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {source_type: memory, rows: [[1, 'error', 9.0], [2, 'error', 2.0], [3, 'view', 5.0]], schema: 'id bigint, record_type string, sev double'}
+    - id: all-sink
+      type: sink
+      config: {sink_type: noop}
+    - id: errors-sink
+      type: sink
+      config: {sink_type: noop}
+    - id: critical-sink
+      type: sink
+      config: {sink_type: noop}
+  edges:
+    - {from: src, to: all-sink}
+    - from: src
+      to: errors-sink
+      condition: {type: record_type, value: error}
+    - from: src
+      to: critical-sink
+      condition:
+        type: and
+        conditions:
+          - {type: record_type, value: error}
+          - {type: expression, expression: "sev > 5"}
+"""
+
+
+def test_conditional_edge_broadcast_routing(spark):
+    # a record goes to EVERY matching edge (engine.rs:79-95; tests.rs:651-738)
+    pipeline = parse_manifest(CONDITIONAL_EDGES)
+    compiled = compile_pipeline(spark, pipeline)
+    counts = {k: df.count() for k, df in compiled.sink_frames.items()}
+    assert counts == {"all-sink": 3, "errors-sink": 2, "critical-sink": 1}
+
+
+FAN_SHAPES = """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: fan}
+spec:
+  stages:
+    - id: a
+      type: source
+      config: {source_type: memory, rows: [[1, 'x']], schema: 'id bigint, v string'}
+    - id: b
+      type: source
+      config: {source_type: memory, rows: [[2.5, 'y']], schema: 'amount double, v string'}
+    - id: merge
+      type: fan_in
+      config:
+        inputs:
+          - mappings: [{target: id, source: id}, {target: v, source: v}]
+          - mappings: [{target: id, expression: 'cast(amount as bigint)'}, {target: v, source: v}]
+    - id: out
+      type: sink
+      config: {sink_type: noop}
+  edges:
+    - {from: a, to: merge}
+    - {from: b, to: merge}
+    - {from: merge, to: out}
+"""
+
+
+def test_fan_in_with_mappings(spark):
+    pipeline = parse_manifest(FAN_SHAPES)
+    compiled = compile_pipeline(spark, pipeline)
+    out = compiled.sink_frames["out"]
+    assert out.columns == ["id", "v"]
+    assert {r.id for r in out.collect()} == {1, 2}
+
+
+def test_validation_rejects_bad_shapes():
+    bad = parse_manifest(
+        """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: broken}
+spec:
+  stages:
+    - id: only-transform
+      type: transform
+      config: {transform_type: filter, condition: {type: always}}
+"""
+    )
+    with pytest.raises(ValidationError, match="must start with a source"):
+        validate_pipeline(bad)
+
+
+def test_validation_detects_cycle():
+    p = parse_manifest(
+        """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: cyclic}
+spec:
+  stages:
+    - id: s
+      type: source
+      config: {source_type: memory, rows: [[1]], schema: 'id bigint'}
+    - id: t1
+      type: transform
+      config: {transform_type: filter, condition: {type: always}}
+    - id: t2
+      type: transform
+      config: {transform_type: filter, condition: {type: always}}
+    - id: k
+      type: sink
+      config: {sink_type: noop}
+  edges:
+    - {from: s, to: t1}
+    - {from: t1, to: t2}
+    - {from: t2, to: t1}
+    - {from: t2, to: k}
+"""
+    )
+    with pytest.raises(ValidationError, match="cycle"):
+        validate_pipeline(p)
+
+
+def test_parse_duration_grammar():
+    assert parse_duration("100ms") == 0.1
+    assert parse_duration("30s") == 30
+    assert parse_duration("5m") == 300
+    assert parse_duration("2h") == 7200
+    with pytest.raises(ValueError):
+        parse_duration("5 fortnights")
+
+
+def test_unsupported_api_version():
+    with pytest.raises(ValueError, match="apiVersion"):
+        parse_manifest("apiVersion: bogus/v9\nkind: Pipeline\nmetadata: {name: x}\nspec: {}")
