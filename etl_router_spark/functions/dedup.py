@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine.
+
+Scale design notes (the point of each variant):
+
+- ``exact_dedup``: one hash-groupBy shuffle; the canonical key is a
+  digest so wide text never shuffles.
+- ``ngram_jaccard_pairs``: exact Jaccard via a shingle-postings
+  self-join. Quadratic in the worst case — the ``max_df`` document-
+  frequency cap drops stop-shingles that only produce noise pairs,
+  which is what keeps the join from exploding on skewed shingles.
+- ``minhash_lsh_pairs``: the 100 TB path. Signatures in one shuffle,
+  banding turns all-pairs into per-bucket joins; only candidate pairs
+  (same band hash) are ever materialized.
+- ``simhash``: 64-bit fingerprint; near-dups = small hamming distance.
+  Bit arithmetic only, fully codegen'd.
+- ``embedding_cosine_pairs``: brute-force exact baseline; bucket it
+  with the LSH variant in ``similarity.py`` at scale.
+
+All hashing uses the engine-portable ``h60`` (md5-derived 60-bit) so
+results are reproducible across engines and test oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.text import h60, shingles, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min id) per distinct text.
+
+    The groupBy key is ``md5(normalized_text)`` — a fixed-width digest —
+    so the shuffle moves 32-byte keys, not document bodies.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    key = F.md5(text)
+    keep = (
+        df.select(key.alias("__k"), F.col(id_col))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # semi join back: representatives keep their full row
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram-set Jaccard >= threshold.
+
+    posting-list self-join: explode distinct shingles, join on shingle,
+    count shared shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+    ``max_df`` drops shingles appearing in more than max_df docs
+    (stop-shingle pruning) — at high corpus scale this is mandatory.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+    )
+    if max_df is not None:
+        sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+        sh = sh.filter(F.col("__df") <= max_df).drop("__df")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    h60(str(i) || '|' || shingle).
+
+    One explode + one groupBy shuffle; k mins computed map-side in the
+    partial aggregation, so the shuffle carries k longs per doc, not
+    the shingle stream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    mins = [
+        F.min(h60(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, scored by signature agreement.
+
+    bands x rows layout: band b's key = md5 of its signature slice.
+    Docs sharing any band key become candidates (per-bucket join — the
+    only join — never all-pairs). Estimated Jaccard = fraction of the
+    num_hashes signature positions that agree; pairs >= threshold kept.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(",", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    buckets = sig.withColumn("band_key", F.explode(band_keys))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    agree = sum(
+        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in sig_cols
+    )
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """60-bit SimHash over token hashes.
+
+    bit i of the fingerprint = 1 iff sum over tokens of
+    (token_hash bit i ? +1 : -1) > 0. Computed as ``bits`` independent
+    conditional sums in one groupBy — wide but fully codegen'd, no UDF.
+    (h60 is 60 bits; bits must be <= 60.)
+    """
+    if bits > 60:
+        raise ValueError("h60 provides 60 usable bits")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("h", h60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(2 ** i).cast("bigint"))
+        for i in range(bits)
+    )
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into ``blocks`` chunks;
+    any pair within distance max_hamming < blocks agrees on at least one
+    full chunk, so candidates come from equality joins on chunk values —
+    never an all-pairs scan (the standard SimHash sharding trick).
+    """
+    if max_hamming >= blocks:
+        raise ValueError("need max_hamming < blocks for pigeonhole blocking")
+    fps = simhash(df, id_col, text_col, bits)
+    chunk_bits = bits // blocks
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(*[
+        F.concat_ws(":", F.lit(str(i)),
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"))
+        for i in range(blocks)
+    ])
+    blocked = fps.withColumn("blk", F.explode(chunks))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact near-dup pairs by cosine >= threshold (brute-force).
+
+    The baseline/verification path: O(n²) compare but only upper
+    triangle, arrays cast to double once. For the scale path see
+    ``similarity.lsh_bucketed_topk`` (same math, bucketed candidates).
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_cols(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is built-in Column expressions (JVM-side, codegen'd) —
+no Python UDFs in the hot path. Each operator is deterministic and has
+an exact ANSI-SQL oracle (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The 60-bit deterministic hash shared with the DuckDB oracle:
+# Spark: conv(substr(md5(s),1,15),16,10)::bigint
+# DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+def h60(col: Column | str) -> Column:
+    """Deterministic 60-bit hash of a string column (engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+WORD_SPLIT_PATTERN = r"\s+"
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real deployments would swap in fastText/CLD3 behind the same column
+# contract; the heuristic keeps language-id fully SQL-expressible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), WORD_SPLIT_PATTERN)
+
+
+def _isin_pred(markers: tuple[str, ...]):
+    # single-arg closure: PySpark passes (element, index) to two-arg
+    # lambdas, so a `m=markers` default would capture the index Column
+    def pred(t: Column) -> Column:
+        return t.isin(*markers)
+
+    return pred
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """Whitespace tokenization + token count (BPE-ish subword count is
+    approximated by ceil(chars/4), the common LLM heuristic)."""
+    toks = tokens_col(text_col)
+    return (
+        df.withColumn(out_col, toks)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_subwords_est", F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint"))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, word stats, punct/stopword/
+    uniqueness ratios. One projection, no shuffle."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, _isin_pred(LANG_MARKERS["en"])))
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("avg_word_len", (n_chars - n_words + 1) / n_words)
+        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("stopword_ratio", stop_hits / n_words)
+        .withColumn("uniq_word_ratio", uniq / n_words)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Composite 0-1 quality heuristic over the text_stats features."""
+    stats = text_stats(df, text_col)
+    score = (
+        F.least(F.col("n_words") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.col("uniq_word_ratio") * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5) * 0.2
+    )
+    return stats.withColumn(out_col, F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language heuristic: score = count of language marker
+    tokens; argmax with deterministic alphabetical tie-break."""
+    toks = tokens_col(text_col)
+    scores = [
+        F.size(F.filter(toks, _isin_pred(markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("*", *scores)
+    # argmax over a fixed language order (alphabetical => deterministic)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    out = scored.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
+    return out.drop(*[f"score_{l}" for l in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — canonical form for exact-dup detection robust to token
+    order."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text_col))))
+    return df.withColumn(out_col, F.md5(canon))
+
+
+def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles as an array<string> (for Jaccard/MinHash).
+
+    Expressed with transform over token indexes — stays in codegen.
+    """
+    toks = tokens_col(text) if isinstance(text, str) else F.split(F.trim(text), WORD_SPLIT_PATTERN)
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(0, -k) would generate a DESCENDING range in Spark
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

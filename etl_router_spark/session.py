@@ -26,6 +26,17 @@ def get_spark(
     promotion, skew splitting) and coalesces post-shuffle partitions at
     runtime; these matter far more at 100 TB than any static setting.
     """
+    # Python workers (pandas UDFs / mapInPandas) import this package by
+    # module name; make sure they inherit its location even when the
+    # driver script runs from elsewhere. On a real cluster this is the
+    # job of --py-files / the image; locally PYTHONPATH covers it.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
