@@ -1,0 +1,659 @@
+"""The engine's correctness-gate query registry.
+
+Every operator from SURVEY §2 (plus the large-scale data-pipeline
+extensions) has an entry here: a Spark implementation built from the
+engine's operator library, and an exact ANSI-SQL oracle that DuckDB
+runs on the same parquet tables. The driver compares row counts,
+schemas and value hashes at sf=0.01 — so every computed column is
+aliased identically on both sides, every double is rounded on both
+sides (FP summation order differs between engines), and event-time
+nanoseconds are floored to microseconds on both sides.
+
+Implementation style: the Spark side goes through
+``etl_router_spark``'s public operators (conditions, transforms,
+lookup, fan, functions) so the gate exercises the engine, not ad-hoc
+DataFrame code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_router_spark.compile import transforms as T
+from etl_router_spark.compile.fan import apply_fan_in
+from etl_router_spark.compile.lookup import apply_lookup
+from etl_router_spark.compile.transforms import apply_filter
+from etl_router_spark.io import load_table
+from etl_router_spark.model.conditions import Condition as C
+from etl_router_spark.model.manifest import FieldMapping as M
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# The events oracle base: DuckDB keeps TIMESTAMP_NS from the parquet
+# while Spark floors to microseconds; CAST(ts AS TIMESTAMP) floors the
+# oracle identically.
+EVENTS_US = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+# ===========================================================================
+# Headline analytics (TPC-H-shaped on the fixture star schema)
+# ===========================================================================
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, one partial-aggregated shuffle on the
+    two low-cardinality flags. The shipdate filter pushes to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_revenue_by_priority",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey)                          AS n_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q3_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join on the natural key; both sides pre-filtered
+    before the shuffle, AQE picks the join strategy."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the dimension chain (supplier/customer/nation/
+    region) broadcasts; only the two fact tables shuffle, on the
+    orderkey join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_top_parts_by_revenue",
+    """
+    WITH part_rev AS (
+      SELECT p.p_partkey, p.p_name, p.p_brand,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_partkey, p.p_name, p.p_brand)
+    SELECT p_partkey, p_name, p_brand, revenue,
+           rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, p_partkey) AS rnk
+      FROM part_rev) t
+    WHERE rnk <= 10
+    """,
+)
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + global top-k (rank window); Catalyst turns
+    the limit-like filter into TakeOrdered at execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return rev.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+@query(
+    "q_customer_segment_stats",
+    """
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             count(o.o_orderkey)            AS n_orders,
+             coalesce(sum(o.o_totalprice),0) AS spend
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey)
+    SELECT c_mktsegment,
+           count(*)                    AS n_customers,
+           sum(n_orders)               AS total_orders,
+           round(sum(spend), 2)        AS total_spend,
+           round(avg(spend), 6)        AS avg_spend
+    FROM per_cust
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("total_orders"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+        F.round(F.avg("spend"), 6).alias("avg_spend"),
+    )
+
+
+# ===========================================================================
+# Stateless transform surface (T1-T9)
+# ===========================================================================
+@query(
+    "t1_filter_condition",
+    f"""
+    SELECT * FROM {EVENTS_US}
+    WHERE event_type IN ('purchase', 'signup')
+      AND NOT coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50, FALSE)
+    """,
+)
+def t1_filter_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition AST incl. the two-valued Not-on-missing semantics: the
+    metadata map is built from the props JSON, then metadata_gt + not."""
+    ev = _t(spark, sf_dir, "events")
+    with_meta = ev.withColumn(
+        "metadata", F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
+    )
+    cond = C.and_(
+        C.field_in("event_type", ["purchase", "signup"]),
+        C.not_(C.metadata_gt("k", 50)),
+    )
+    return apply_filter(with_meta, cond).drop("metadata")
+
+
+@query(
+    "t2_map_expression",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           CAST(l_quantity AS BIGINT)                   AS qty,
+           'lineitem'                                   AS src,
+           coalesce(l_returnflag, '?')                  AS flag
+    FROM lineitem
+    """,
+)
+def t2_map_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map transform: expression/source/literal/default mappings with
+    drop_unmapped (authoritative select, engine.rs:294-321)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return T.apply_map(
+        li,
+        [
+            M(target="l_orderkey", source="l_orderkey"),
+            M(target="l_linenumber", source="l_linenumber"),
+            M(target="net_price", expression="round(l_extendedprice * (1 - l_discount), 4)"),
+            M(target="qty", expression="CAST(l_quantity AS BIGINT)"),
+            M(target="src", literal="lineitem"),
+            M(target="flag", source="l_returnflag", default="?"),
+        ],
+        drop_unmapped=True,
+    )
+
+
+@query(
+    "t3_project",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def t3_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.apply_project(_t(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "t4_rename",
+    "SELECT s_suppkey AS supplier_id, s_name AS supplier_name, s_nationkey, s_acctbal FROM supplier",
+)
+def t4_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.apply_rename(
+        _t(spark, sf_dir, "supplier"),
+        {"s_suppkey": "supplier_id", "s_name": "supplier_name"},
+    )
+
+
+@query(
+    "t5_cast",
+    f"""
+    SELECT event_id,
+           CAST(event_id AS VARCHAR)                     AS event_id_str,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d')        AS day,
+           CAST(user_id AS INTEGER)                      AS user_id,
+           value
+    FROM {EVENTS_US}
+    """,
+)
+def t5_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast transform: bigint->string, timestamp->date, bigint->int.
+    The date is emitted as a formatted string because pandas/arrow
+    round-trips of DATE differ between engines (midnight-datetime vs
+    date object) even when values agree."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.withColumn("event_id_str", F.col("event_id"))
+    out = out.withColumn("day", F.col("ts"))
+    out = T.apply_cast(out, {"event_id_str": "string", "day": "date", "user_id": "int"})
+    return out.select(
+        "event_id", "event_id_str",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "user_id", "value",
+    )
+
+
+@query(
+    "t6_mask",
+    """
+    SELECT c_custkey,
+           sha256(c_name)                                                     AS name_hashed,
+           substr(c_mktsegment, 1, 2) || repeat('*', greatest(length(c_mktsegment) - 2, 0)) AS segment_partial,
+           repeat('*', length(c_name))                                        AS name_redacted
+    FROM customer
+    """,
+)
+def t6_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask transform, 3 strategies side by side (hash/partial/redact
+    with preserve_length)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name_hashed"),
+        F.col("c_mktsegment").alias("segment_partial"),
+        F.col("c_name").alias("name_redacted"),
+    )
+    return T.apply_mask(cust, [
+        {"field": "name_hashed", "strategy": "hash"},
+        {"field": "segment_partial", "strategy": "partial", "show_first": 2},
+        {"field": "name_redacted", "strategy": "redact", "preserve_length": True},
+    ])
+
+
+@query(
+    "t7_validate_tag",
+    f"""
+    SELECT event_id, user_id, value,
+           (value IS NOT NULL AND coalesce(value >= 0, FALSE) AND coalesce(value <= 1000, FALSE)
+            AND user_id IS NOT NULL) AS valid
+    FROM {EVENTS_US}
+    """,
+)
+def t7_validate_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return T.apply_validate(
+        ev,
+        [{"field": "value", "required": True, "min": 0, "max": 1000},
+         {"field": "user_id", "required": True}],
+        on_invalid="tag",
+    )
+
+
+@query(
+    "t8_flatmap",
+    """
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def t8_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens"))
+    return T.apply_flatmap(toks, "tokens", "token")
+
+
+@query(
+    "t9_split_route",
+    f"""
+    SELECT 'big_purchase' AS route, event_id, event_type, value FROM {EVENTS_US}
+      WHERE event_type = 'purchase' AND coalesce(value > 100, FALSE)
+    UNION ALL
+    SELECT 'error' AS route, event_id, event_type, value FROM {EVENTS_US}
+      WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'rest' AS route, event_id, event_type, value FROM {EVENTS_US}
+      WHERE NOT (event_type = 'purchase' AND coalesce(value > 100, FALSE))
+        AND NOT (event_type = 'error')
+    """,
+)
+def t9_split_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/routing with broadcast semantics: the three routes as one
+    tagged union (a row may appear under several routes)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    parts = T.apply_split(
+        ev,
+        [
+            {"name": "big_purchase",
+             "condition": C.and_(C.field_equals("event_type", "purchase"), C.expression("value > 100"))},
+            {"name": "error", "condition": C.field_equals("event_type", "error")},
+        ],
+        default_output="rest",
+    )
+    tagged = [df.select(F.lit(n).alias("route"), "*") for n, df in parts.items()]
+    return apply_fan_in(tagged, None)
+
+
+# ===========================================================================
+# Stateful transform surface (T10-T14)
+# ===========================================================================
+@query(
+    "t10_dedupe_keep_last",
+    f"""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EVENTS_US}) t
+    WHERE rn = 1
+    """,
+)
+def t10_dedupe_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_dedupe(ev, ["user_id", "event_type"], keep="last",
+                         order_field="ts", tiebreak_fields=["event_id"])
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@query(
+    "t11_ratelimit",
+    f"""
+    SELECT event_id, user_id, ts FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_US}) t
+    WHERE rn <= 5
+    """,
+)
+def t11_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratelimit drop-mode: <=5 events per user per tumbling hour
+    (epoch-aligned windows == date_trunc)."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_ratelimit(ev, ["user_id"], 5, "1 hour", "ts", "drop", ["event_id"])
+    return out.select("event_id", "user_id", "ts")
+
+
+@query(
+    "t12_aggregate_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS total,
+           round(min(value), 2)   AS vmin,
+           round(max(value), 2)   AS vmax,
+           count(DISTINCT user_id) AS users
+    FROM {EVENTS_US}
+    GROUP BY 1, 2
+    """,
+)
+def t12_aggregate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n"},
+            {"function": "sum", "field": "value", "output_field": "total"},
+            {"function": "min", "field": "value", "output_field": "vmin"},
+            {"function": "max", "field": "value", "output_field": "vmax"},
+            {"function": "countdistinct", "field": "user_id", "output_field": "users"},
+        ],
+        window_config={"type": "tumbling", "size": "1h"},
+        ts_field="ts",
+    )
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+        "users",
+    )
+
+
+@query(
+    "t12_aggregate_sliding",
+    f"""
+    -- every event belongs to exactly two epoch-aligned 1h/30m windows:
+    -- starts time_bucket(30m, ts) and that minus 30m
+    SELECT time_bucket(INTERVAL 30 MINUTES, e.ts) - (k.j * INTERVAL 30 MINUTES) AS window_start,
+           e.event_type,
+           count(*)             AS n,
+           round(sum(e.value), 2) AS total
+    FROM {EVENTS_US} e
+    CROSS JOIN (SELECT unnest([0, 1]) AS j) k
+    GROUP BY 1, 2
+    """,
+)
+def t12_aggregate_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding window 1h/30m: every event lands in exactly two windows."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n"},
+            {"function": "sum", "field": "value", "output_field": "total"},
+        ],
+        window_config={"type": "sliding", "size": "1h", "slide": "30m"},
+        ts_field="ts",
+    )
+    return out.select("window_start", "event_type", "n", F.round("total", 2).alias("total"))
+
+
+@query(
+    "t14_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last_event,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def t14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize gap=30m via native session_window; oracle is the
+    classic lag/cumsum formulation — identical session boundaries."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_sessionize(
+        ev, ["user_id"], gap="30m",
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n_events"},
+            {"function": "sum", "field": "value", "output_field": "total_value"},
+        ],
+        ts_field="ts",
+    )
+    return out.select("user_id", "session_start", "session_last_event",
+                      "n_events", F.round("total_value", 2).alias("total_value"))
+
+
+@query(
+    "t13_join_shaped",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           c.c_custkey   AS cust_c_custkey,
+           c.c_name      AS cust_c_name,
+           c.c_mktsegment AS cust_c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def t13_join_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join transform with right-prefix output shaping + include list."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return T.apply_join(
+        orders, cust,
+        conditions=[{"left_key": "o_custkey", "right_key": "c_custkey"}],
+        how="inner", right_prefix="cust", broadcast_right=True,
+        include=["o_orderkey", "o_totalprice", "cust_c_custkey", "cust_c_name", "cust_c_mktsegment"],
+    )
+
+
+# ===========================================================================
+# Lookup / fan-in
+# ===========================================================================
+@query(
+    "lookup_merge",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+           p.p_name  AS part_p_name,
+           p.p_brand AS part_p_brand,
+           p.p_retailprice AS part_p_retailprice
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def lookup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    part = _t(spark, sf_dir, "part")
+    return apply_lookup(
+        li, part, {"l_partkey": "p_partkey"},
+        merge_strategy="merge", on_miss="pass_through", prefix="part",
+        lookup_fields=["p_name", "p_brand", "p_retailprice"],
+    )
+
+
+@query(
+    "lookup_replace",
+    """
+    SELECT l.l_suppkey, s.s_name, s.s_nationkey
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def lookup_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return apply_lookup(
+        li, supp, {"l_suppkey": "s_suppkey"},
+        merge_strategy="replace", on_miss="drop",
+        lookup_fields=["s_name", "s_nationkey"],
+    )
+
+
+@query(
+    "fanin_union",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS kind FROM orders
+    UNION ALL
+    SELECT l_orderkey AS id, l_extendedprice AS amount, 'line' AS kind FROM lineitem
+    """,
+)
+def fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return apply_fan_in(
+        [orders, li],
+        [
+            [M(target="id", source="o_orderkey"), M(target="amount", source="o_totalprice"),
+             M(target="kind", literal="order")],
+            [M(target="id", source="l_orderkey"), M(target="amount", source="l_extendedprice"),
+             M(target="kind", literal="line")],
+        ],
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # late import so registration in other modules can extend QUERIES
+    from etl_router_spark import queries_llm  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from etl_router_spark import queries_llm  # noqa: F401
+
+    return dict(ORACLES)
