@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is forced with a noop sink write (full materialization of
+every output column — no count() short-circuits), timed after a small
+warm-up query so JVM/codegen startup is not billed to the first entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    # headline analytics
+    "q1_pricing_summary",
+    "q3_revenue_by_priority",
+    "q5_nation_revenue",
+    "q_top_parts_by_revenue",
+    "q_customer_segment_stats",
+    # stateful transform surface
+    "t10_dedupe_keep_last",
+    "t11_ratelimit",
+    "t12_aggregate_tumbling",
+    "t12_aggregate_sliding",
+    "t14_sessionize",
+    "t13_join_shaped",
+    "lookup_merge",
+    "fanin_union",
+    # data-pipeline operators
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_lsh_ann",
+    "text_quality_stats",
+    "text_fingerprint",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from etl_router_spark.queries import all_queries
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("etl_router_spark_bench")
+    queries = all_queries()
+
+    # warm-up: JVM, parquet footers, codegen
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,407 @@
 """Correctness-gate queries for the large-scale data-pipeline operators
-(dedup / similarity / text analysis / multimodal). Batch 2 — filled in
-alongside ``etl_router_spark.queries``."""
+(dedup / similarity / text analysis / multimodal plumbing).
+
+Oracle strategy: everything that can be expressed in ANSI SQL gets an
+exact DuckDB twin — including MinHash/SimHash, whose oracle SQL is
+*generated* here from the same parameters as the Spark implementation,
+sharing the engine-portable ``h60`` hash
+(Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``).
+The multi-table LSH ANN also gets an exact oracle: its hyperplanes are
+deterministic md5-derived constants embedded as literals in both plans.
+"""
 
 from __future__ import annotations
 
-from etl_router_spark.queries import query  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from etl_router_spark.functions.multimodal import attach_fake_media, extract_media_features
+from etl_router_spark.functions.similarity import _hyperplane, brute_force_topk, lsh_bucketed_topk
+from etl_router_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    text_stats,
+    tokenize,
+)
+from etl_router_spark.io import load_table
+from etl_router_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+# DuckDB twin of functions.text.h60
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# DuckDB twin of functions.text.tokens_col (regex whitespace split on
+# trimmed text)
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+# DuckDB twin of functions.text.shingles(n=3): 1-based inclusive slices
+def _shingles_sql(n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({_WORDS}) >= {n} THEN "
+        f"list_transform(range(1, len({_WORDS}) - {n} + 2), "
+        f"i -> array_to_string({_WORDS}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+@query(
+    "dedup_exact",
+    r"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+    JOIN (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS k
+            FROM documents)
+      GROUP BY k) keep
+    ON d.doc_id = keep.doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; representatives = min doc_id.
+    Output omits the text body (digest-key shuffles only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
+      FROM documents WHERE doc_id < 1000),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.12 (posting-list join)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+
+
+@query("dedup_minhash_signatures", None)  # oracle attached below
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes) for a doc subset — the signature
+    itself is oracle-checked value-for-value."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_signatures(docs, num_hashes=8, shingle_n=3)
+
+
+@query("dedup_minhash_lsh", None)  # oracle attached below
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (8 hashes x 4 bands) candidate pairs with estimated
+    Jaccard >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+
+
+@query("dedup_simhash", None)  # oracle attached below
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return simhash(docs, bits=32).select("id", "simhash")
+
+
+@query("dedup_simhash_pairs", None)  # oracle attached below
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 over 32 bits (pigeonhole
+    blocking == exact all-pairs because max_hamming < blocks)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 1500 AND b.vec_id < 1500
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine >= 0.38, brute-force exact."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    return embedding_cosine_pairs(emb, threshold=0.38)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+@query(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS cosine
+      FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+def _lsh_oracle(planes: int, tables: int, dim: int, k: int, n_queries: int) -> str:
+    """Generated oracle for the multi-table LSH ANN: hyperplanes are the
+    same literals the Spark plan embeds."""
+    key_parts = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            h = _hyperplane(dim, t * planes + p)
+            arr = "[" + ", ".join(f"{x!r}" for x in h) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        key_parts.append(f"'{t}:' || CAST(({' + '.join(bits)}) AS VARCHAR)")
+    keys = "[" + ", ".join(key_parts) + "]"
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    keyed AS (SELECT vec_id, v, unnest({keys}) AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM keyed WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN keyed c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(qq.v, cc.v), 6) AS cosine
+      FROM cand
+      JOIN vecs qq ON qq.vec_id = cand.query_id
+      JOIN vecs cc ON cc.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_lsh_ann", None)  # oracle attached below
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN top-5 (3 planes x 4 tables), exact re-rank
+    inside the candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
+                             dim=64, planes=3, tables=4)
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+@query(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           len({_WORDS})                              AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)   AS n_subwords_est
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize(docs).select("doc_id", "n_tokens", "n_subwords_est")
+
+
+@query(
+    "text_quality_stats",
+    f"""
+    SELECT doc_id,
+           length(text)                                   AS n_chars_calc,
+           len({_WORDS})                                  AS n_words,
+           round((length(text) - len({_WORDS}) + 1) * 1.0 / len({_WORDS}), 6) AS avg_word_len,
+           round(len(list_filter({_WORDS}, w -> list_contains(['the','a','of','and','is'], w)))
+                 * 1.0 / len({_WORDS}), 6)                AS stopword_ratio,
+           round(len(list_distinct({_WORDS})) * 1.0 / len({_WORDS}), 6) AS uniq_word_ratio
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id", "n_chars_calc", "n_words",
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_defs = ",\n           ".join(
+        f"len(list_filter({_WORDS}, w -> list_contains({list(LANG_MARKERS[l])!r}, w))) AS s_{l}"
+        for l in langs
+    )
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pick = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {score_defs}
+      FROM documents),
+    with_best AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN best > 0 THEN (CASE {pick} END) ELSE 'und' END AS lang_pred
+    FROM with_best
+    """
+
+
+@query("text_langid", None)  # oracle attached below
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text)                                     AS content_digest
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> mapInPandas feature extraction (real
+    Arrow/Python plumbing; fake decoder). Deterministic outputs
+    (byte count + content digest) are oracle-checked; the pseudo-
+    embedding column is exercised in tests."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = attach_fake_media(docs)
+    return extract_media_features(media).select("doc_id", "n_bytes", "content_digest")
+
+
+# ===========================================================================
+# generated oracles (attached post-definition: they need helper output)
+# ===========================================================================
+from etl_router_spark.queries import ORACLES  # noqa: E402
+
+
+def _minhash_sig_oracle(num_hashes: int, where: str) -> str:
+    mins = ",\n           ".join(
+        f"min({_h60_sql(repr(str(i) + '|') + ' || shingle')}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
+      FROM documents WHERE {where})
+    SELECT id, {mins}
+    FROM sh GROUP BY id
+    """
+
+
+ORACLES["dedup_minhash_signatures"] = _minhash_sig_oracle(8, "doc_id < 500")
+
+ORACLES["dedup_minhash_lsh"] = f"""
+    WITH sig AS ({_minhash_sig_oracle(8, "doc_id < 2000")}),
+    banded AS (
+      SELECT id, unnest([
+        md5('0,' || CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)),
+        md5('1,' || CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)),
+        md5('2,' || CAST(mh_4 AS VARCHAR) || ',' || CAST(mh_5 AS VARCHAR)),
+        md5('3,' || CAST(mh_6 AS VARCHAR) || ',' || CAST(mh_7 AS VARCHAR))
+      ]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ((sa.mh_0 = sb.mh_0)::INT + (sa.mh_1 = sb.mh_1)::INT +
+              (sa.mh_2 = sb.mh_2)::INT + (sa.mh_3 = sb.mh_3)::INT +
+              (sa.mh_4 = sb.mh_4)::INT + (sa.mh_5 = sb.mh_5)::INT +
+              (sa.mh_6 = sb.mh_6)::INT + (sa.mh_7 = sb.mh_7)::INT) / 8.0 AS est_jaccard
+      FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _simhash_oracle(bits: int, where: str) -> str:
+    tok_hash = _h60_sql("tok")
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {tok_hash} AS h
+      FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents WHERE {where})),
+    sums AS (
+      SELECT id,
+           {bit_sums}
+      FROM toks GROUP BY id)
+    SELECT id, {recon} AS simhash FROM sums
+    """
+
+
+ORACLES["dedup_simhash"] = _simhash_oracle(32, "doc_id < 1000")
+
+ORACLES["dedup_simhash_pairs"] = f"""
+    WITH fp AS ({_simhash_oracle(32, "doc_id < 1000")})
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+ORACLES["similarity_lsh_ann"] = _lsh_oracle(planes=3, tables=4, dim=64, k=5, n_queries=20)
+
+ORACLES["text_langid"] = _langid_oracle()
