@@ -11,6 +11,14 @@ upstream (the reference optimizer's shared-prefix reuse,
 Catalyst then owns what the reference never had: predicate pushdown,
 column pruning, join planning, AQE. Whole-stage codegen replaces the
 per-record interpreted condition matcher.
+
+The same compiler serves batch and streaming: ``streaming=True`` reads
+sources with ``readStream`` and applies declared watermarks
+(``routing/src/watermark.rs:43-156`` semantics via ``withWatermark``);
+``etl_router_spark.streaming.run_streaming`` turns the compiled sinks
+into StreamingQueries. ``compile_stages`` is exposed so the streaming
+fan-out runner can replay the sub-DAG below a fan-out stage inside one
+``foreachBatch`` (the shared-scan optimization).
 """
 
 from __future__ import annotations
@@ -31,6 +39,24 @@ from etl_router_spark.sinks.registry import write_sink
 
 def _mappings(cfg: dict[str, Any]) -> list[FieldMapping]:
     return [FieldMapping.from_dict(m) for m in cfg.get("mappings", [])]
+
+
+def _with_watermark(df: DataFrame, wm_cfg: dict[str, Any] | None,
+                    default_lateness: str | None = None) -> DataFrame:
+    """Apply a declared watermark (streaming only; no-op on batch).
+
+    Reference shape (``convert.rs:108-151``): per-source
+    ``{event_time_field, allowed_lateness?}`` plus a fan-in level
+    ``allowed_lateness``. Spark: ``withWatermark``; the late predicate
+    ``t < wm - lateness`` (watermark.rs:120-128) is identical.
+    """
+    if not wm_cfg or not df.isStreaming:
+        return df
+    field = wm_cfg.get("event_time_field") or wm_cfg.get("field") or "event_time"
+    lateness = wm_cfg.get("allowed_lateness") or default_lateness or "0 seconds"
+    from etl_router_spark.model.parser import duration_to_interval
+
+    return df.withWatermark(field, duration_to_interval(lateness))
 
 
 def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> DataFrame:
@@ -66,7 +92,8 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
     if tt == "dedupe":
         return T.apply_dedupe(df, cfg["key_fields"], cfg.get("keep", "first"),
                               cfg.get("order_field", "event_time"),
-                              cfg.get("tiebreak_fields"))
+                              cfg.get("tiebreak_fields"),
+                              within_watermark=bool(cfg.get("within_watermark", False)))
     if tt == "ratelimit":
         return T.apply_ratelimit(df, cfg["key_fields"], int(cfg["max_rate"]),
                                  cfg.get("window", "1 hour"), cfg.get("ts_field", "event_time"),
@@ -80,40 +107,28 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
     raise ValueError(f"stage {stage.id!r}: transform {tt!r} not dispatchable in a linear DAG")
 
 
-class CompiledPipeline:
-    """Result of compiling a Pipeline: one DataFrame per sink stage."""
-
-    def __init__(self, pipeline: Pipeline, sink_frames: dict[str, DataFrame],
-                 dlq_frames: dict[str, DataFrame]):
-        self.pipeline = pipeline
-        self.sink_frames = sink_frames
-        self.dlq_frames = dlq_frames
-
-    def run(self) -> None:
-        """Write every sink (batch mode)."""
-        for sink_id, df in self.sink_frames.items():
-            write_sink(df, self.pipeline.stages[sink_id].config)
-
-
-def compile_pipeline(
+def compile_stages(
     spark: SparkSession,
     pipeline: Pipeline,
+    order: list[str],
+    outputs: dict[str, DataFrame],
     streaming: bool = False,
     source_overrides: dict[str, DataFrame] | None = None,
-) -> CompiledPipeline:
-    """Compile a validated Pipeline DAG into per-sink DataFrames.
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Compile the given stages (topological ``order``) into ``outputs``.
 
-    ``source_overrides`` lets tests/callers inject DataFrames for named
-    source stages (the memory-source pattern).
+    Pre-seeded entries in ``outputs`` act as sub-DAG roots — the
+    streaming runner seeds a fan-out stage with the per-epoch batch
+    DataFrame and replays only its descendants. Returns
+    ``(sink_frames, dlq_frames)``.
     """
-    validate_pipeline(pipeline)
-    order = pipeline.topological_order()
-    outputs: dict[str, DataFrame] = {}
     dlq_frames: dict[str, DataFrame] = {}
     sink_frames: dict[str, DataFrame] = {}
     overrides = source_overrides or {}
 
     for sid in order:
+        if sid in outputs:  # pre-seeded root
+            continue
         stage = pipeline.stages[sid]
         in_edges = pipeline.incoming(sid)
 
@@ -128,8 +143,14 @@ def compile_pipeline(
 
         if stage.stage_type == StageType.SOURCE:
             df = overrides.get(sid) or read_source(spark, stage.config, streaming)
+            df = _with_watermark(df, stage.config.get("watermark"))
         elif stage.stage_type == StageType.FAN_IN:
             per_input = stage.config.get("inputs") or [{}] * len(inputs)
+            lateness = stage.config.get("allowed_lateness")
+            inputs = [
+                _with_watermark(d, i.get("watermark"), default_lateness=lateness)
+                for d, i in zip(inputs, per_input)
+            ]
             maps = [
                 [FieldMapping.from_dict(m) for m in (i.get("mappings") or [])] or None
                 for i in per_input
@@ -138,7 +159,7 @@ def compile_pipeline(
         elif stage.stage_type == StageType.FAN_OUT:
             # pass-through node; per-sink mappings applied on outgoing edges
             df = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
-            if not streaming and len(pipeline.outgoing(sid)) > 1:
+            if not streaming and not df.isStreaming and len(pipeline.outgoing(sid)) > 1:
                 df = df.persist()  # shared scan across sinks
         elif stage.stage_type == StageType.LOOKUP:
             cfg = stage.config
@@ -177,4 +198,58 @@ def compile_pipeline(
 
         outputs[sid] = df
 
-    return CompiledPipeline(pipeline, sink_frames, dlq_frames)
+    return sink_frames, dlq_frames
+
+
+class CompiledPipeline:
+    """Result of compiling a Pipeline: one DataFrame per sink stage."""
+
+    def __init__(self, pipeline: Pipeline, sink_frames: dict[str, DataFrame],
+                 dlq_frames: dict[str, DataFrame],
+                 stage_frames: dict[str, DataFrame] | None = None,
+                 spark: SparkSession | None = None,
+                 streaming: bool = False):
+        self.pipeline = pipeline
+        self.sink_frames = sink_frames
+        self.dlq_frames = dlq_frames
+        self.stage_frames = stage_frames or {}
+        self.spark = spark
+        self.streaming = streaming
+
+    def run(self) -> None:
+        """Write every sink (batch mode), plus DLQ side-outputs when the
+        pipeline declares a dlq sink."""
+        for sink_id, df in self.sink_frames.items():
+            write_sink(df, self.pipeline.stages[sink_id].config)
+        if self.pipeline.dlq:
+            from etl_router_spark.sinks.dlq import to_dlq
+
+            for sid, df in self.dlq_frames.items():
+                stage = self.pipeline.stages[sid]
+                write_sink(
+                    to_dlq(df, failed_stage=sid,
+                           failed_stage_type=stage.transform_type or "transform",
+                           pipeline=self.pipeline.name),
+                    self.pipeline.dlq,
+                )
+
+
+def compile_pipeline(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    streaming: bool = False,
+    source_overrides: dict[str, DataFrame] | None = None,
+) -> CompiledPipeline:
+    """Compile a validated Pipeline DAG into per-sink DataFrames.
+
+    ``source_overrides`` lets tests/callers inject DataFrames for named
+    source stages (the memory-source pattern).
+    """
+    validate_pipeline(pipeline)
+    order = pipeline.topological_order()
+    outputs: dict[str, DataFrame] = {}
+    sink_frames, dlq_frames = compile_stages(
+        spark, pipeline, order, outputs, streaming, source_overrides
+    )
+    return CompiledPipeline(pipeline, sink_frames, dlq_frames,
+                            stage_frames=outputs, spark=spark, streaming=streaming)

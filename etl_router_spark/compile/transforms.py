@@ -280,15 +280,35 @@ def apply_dedupe(
     keep: str = "first",
     order_field: str = "event_time",
     tiebreak_fields: list[str] | None = None,
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Keep one row per key. ``keep='first'|'last'`` by ``order_field``.
 
     Batch implementation: row_number over a key-partitioned window —
     one shuffle on the keys, no global sort. Tie-break columns make the
     result deterministic (the reference's arrival order does not exist
-    in a parallel engine; SURVEY §7.4). Streaming keep-first maps to
-    ``dropDuplicatesWithinWatermark`` (see streaming module).
+    in a parallel engine; SURVEY §7.4).
+
+    Streaming (dedupe config ``types.rs:542-556``): keep-first maps to
+    ``dropDuplicates`` (unbounded key state) or, with
+    ``within_watermark=True``, ``dropDuplicatesWithinWatermark`` —
+    state is evicted once the watermark passes, the scale-safe mode,
+    matching the reference's windowed dedupe. Keep-last becomes a
+    running ``max_by`` per key over the full row (emit mode: update).
     """
+    if df.isStreaming:
+        if keep == "first":
+            if within_watermark:
+                return df.dropDuplicatesWithinWatermark(key_fields)
+            return df.dropDuplicates(key_fields)
+        if keep == "last":
+            order_cols = [order_field, *(tiebreak_fields or [])]
+            payload = [c for c in df.columns if c not in key_fields]
+            latest = df.groupBy(*key_fields).agg(
+                F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__row")
+            )
+            return latest.select(*key_fields, "__row.*").select(*df.columns)
+        raise ValueError(f"dedupe keep must be first|last, got {keep!r}")
     order = [F.col(order_field)] + [F.col(t) for t in (tiebreak_fields or [])]
     if keep == "last":
         order = [c.desc() for c in order]
@@ -320,9 +340,22 @@ def apply_ratelimit(
     on_exceed: drop -> excess rows removed; tag -> boolean column;
     error -> raise if any excess (batch); delay has no batch analog
     (maps to source-side maxOffsetsPerTrigger in streaming; SURVEY §7.4).
+
+    Streaming: custom stateful operator over ``applyInPandasWithState``
+    (per-(key, window) admitted-count state) — see
+    ``etl_router_spark.streaming.stateful.streaming_ratelimit``.
     """
+    if df.isStreaming:
+        from etl_router_spark.streaming.stateful import streaming_ratelimit
+
+        return streaming_ratelimit(df, key_fields, max_rate, window_duration,
+                                   ts_field, on_exceed, tiebreak_fields)
+    from etl_router_spark.model.parser import duration_to_interval
+
     order = [F.col(ts_field)] + [F.col(t) for t in (tiebreak_fields or [])]
-    w = Window.partitionBy(*key_fields, F.window(F.col(ts_field), window_duration)).orderBy(*order)
+    w = Window.partitionBy(
+        *key_fields, F.window(F.col(ts_field), duration_to_interval(window_duration))
+    ).orderBy(*order)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     if on_exceed == "drop":
         return ranked.filter(F.col("__rn") <= max_rate).drop("__rn")

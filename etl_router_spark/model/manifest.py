@@ -121,6 +121,10 @@ class Pipeline:
     description: str = ""
     enabled: bool = True
     metadata: dict[str, str] = field(default_factory=dict)
+    # pipeline-level dead-letter sink config (named-resource dialect's
+    # dlq reference, manifest.rs:105-149); failed/invalid side-outputs
+    # are enriched with _dlq_* columns and written here
+    dlq: dict[str, Any] | None = None
 
     # -- graph helpers (dag.rs:234-375 equivalents) -------------------
     def outgoing(self, stage_id: str) -> list[Edge]:

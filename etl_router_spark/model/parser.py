@@ -58,8 +58,19 @@ def parse_duration(s: str | int | float) -> float:
     return int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
 
 
+_INTERVAL_RE = re.compile(
+    r"^\d+\s+(millisecond|second|minute|hour|day|week)s?$", re.IGNORECASE
+)
+
+
 def duration_to_interval(s: str | int | float) -> str:
-    """Duration -> Spark interval string ('30 seconds') for window/watermark."""
+    """Duration -> Spark interval string ('30 seconds') for window/watermark.
+
+    Accepts both the reference grammar (``30s``/``5m``/``2h``,
+    convert.rs:212-239) and already-valid Spark interval strings.
+    """
+    if isinstance(s, str) and _INTERVAL_RE.match(s.strip()):
+        return s.strip()
     secs = parse_duration(s)
     if secs < 1:
         return f"{int(secs * 1000)} milliseconds"
@@ -93,6 +104,7 @@ def parse_manifest_dict(doc: dict[str, Any]) -> Pipeline:
         description=meta.get("description", ""),
         enabled=spec.get("enabled", True),
         metadata={k: str(v) for k, v in (meta.get("labels") or {}).items()},
+        dlq=spec.get("dlq"),
     )
 
     raw_stages = spec.get("stages") or []

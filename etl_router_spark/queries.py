@@ -648,12 +648,12 @@ def fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def all_queries() -> dict[str, QueryFn]:
     # late import so registration in other modules can extend QUERIES
-    from etl_router_spark import queries_llm  # noqa: F401
+    from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
 
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from etl_router_spark import queries_llm  # noqa: F401
+    from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
 
     return dict(ORACLES)

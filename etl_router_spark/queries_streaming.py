@@ -1,0 +1,140 @@
+"""Correctness-gate queries for STREAMING mode (SURVEY §2.8).
+
+Each entry compiles the operator over Structured Streaming (file-stream
+source, availableNow trigger), writes a checkpointed sink, reads the
+result back and returns it as a batch DataFrame — so the driver's
+DuckDB oracle can value-check real streaming executions, not just the
+batch twins.
+
+Determinism notes: the fixture parquet is a single file, so availableNow
+processes exactly one epoch — update-mode aggregates emit each window
+once, making results reproducible. Dedup selects only columns
+functionally determined by the key (DISTINCT semantics) so
+first-arrival nondeterminism cannot leak into values.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_router_spark.compile import transforms as T
+from etl_router_spark.io import load_table
+from etl_router_spark.queries import EVENTS_US, query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
+    """File-stream over the fixture events (ns timestamps normalized)."""
+    src = f"{workdir}/in"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_to_parquet(df: DataFrame, workdir: str) -> str:
+    out = f"{workdir}/out"
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def _run_foreach_batch(df: DataFrame, workdir: str, mode: str) -> str:
+    out = f"{workdir}/out"
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        df.writeStream.foreachBatch(write_epoch)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+@query(
+    "stream_filter_project",
+    f"""
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_type = 'purchase'
+    """,
+)
+def stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming slice: filter + project through the native
+    exactly-once file sink."""
+    wd = tempfile.mkdtemp(prefix="etl_stream_q1_")
+    src = _stream_events(spark, sf_dir, wd)
+    out = src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    path = _run_to_parquet(out, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_dedupe_distinct",
+    f"SELECT DISTINCT user_id, event_type FROM {EVENTS_US}",
+)
+def stream_dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedupe (dropDuplicatesWithinWatermark) on key columns —
+    output is functionally determined by the key, so the oracle is
+    SELECT DISTINCT."""
+    wd = tempfile.mkdtemp(prefix="etl_stream_q2_")
+    src = _stream_events(spark, sf_dir, wd).withWatermark("ts", "1 hour")
+    deduped = T.apply_dedupe(
+        src.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"], keep="first", within_watermark=True,
+    ).select("user_id", "event_type")
+    path = _run_to_parquet(deduped, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_windowed_agg",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM {EVENTS_US}
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate, emit on_update (update mode
+    via foreachBatch); single-epoch availableNow => one final row per
+    window, value-identical to the batch oracle."""
+    wd = tempfile.mkdtemp(prefix="etl_stream_q3_")
+    src = _stream_events(spark, sf_dir, wd).withWatermark("ts", "0 seconds")
+    agg = T.apply_aggregate(
+        src,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n"},
+            {"function": "sum", "field": "value", "output_field": "total"},
+        ],
+        window_config={"type": "tumbling", "size": "1h"},
+        ts_field="ts",
+    ).select(
+        "window_start", "event_type", "n", F.round("total", 2).alias("total")
+    )
+    path = _run_foreach_batch(agg, wd, "update")
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result

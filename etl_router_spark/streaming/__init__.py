@@ -1,0 +1,21 @@
+"""Streaming mode: the same compiled DAG over Structured Streaming.
+
+``compile_pipeline(spark, pipeline, streaming=True)`` reads sources via
+``readStream`` and applies declared watermarks; ``run_streaming`` turns
+the compiled sinks into checkpointed StreamingQueries (SURVEY §2.8
+mapping table).
+"""
+
+from etl_router_spark.streaming.runner import (
+    StreamingExecution,
+    infer_output_mode,
+    run_streaming,
+)
+from etl_router_spark.streaming.stateful import streaming_ratelimit
+
+__all__ = [
+    "StreamingExecution",
+    "infer_output_mode",
+    "run_streaming",
+    "streaming_ratelimit",
+]

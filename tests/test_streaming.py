@@ -1,0 +1,251 @@
+"""Streaming mode: same DAG over Structured Streaming (SURVEY §2.8).
+
+Every test runs a real StreamingQuery (availableNow trigger, file-stream
+source over the fixture events) and cross-checks the result against the
+batch compilation of the identical pipeline/operator — the engine's
+"one compiler, two execution modes" invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_router_spark.compile.pipeline import compile_pipeline
+from etl_router_spark.compile import transforms as T
+from etl_router_spark.model.parser import parse_manifest_dict
+from etl_router_spark.streaming import infer_output_mode, run_streaming
+
+
+@pytest.fixture(scope="module")
+def events_in(spark, events, tmp_path_factory):
+    """Fixture events re-written to a plain-timestamp parquet dir the
+    file-stream source can tail."""
+    d = str(tmp_path_factory.mktemp("stream") / "events_in")
+    events.write.mode("overwrite").parquet(d)
+    return d
+
+
+def stream_events(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _manifest(events_in, out, sink_extra=None, transforms=(), dlq=None):
+    stages = [
+        {"id": "src", "type": "source",
+         "config": {"source_type": "file", "path": events_in, "format": "parquet"}},
+        *transforms,
+        {"id": "out", "type": "sink",
+         "config": {"sink_type": "file", "format": "parquet", "path": out,
+                    **(sink_extra or {})}},
+    ]
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "stream-test"},
+           "spec": {"stages": stages, **({"dlq": dlq} if dlq else {})}}
+    return parse_manifest_dict(doc)
+
+
+def test_stream_filter_mask_matches_batch(spark, events_in, tmp_path):
+    transforms = (
+        {"id": "purchases", "type": "transform",
+         "config": {"transform_type": "filter",
+                    "condition": {"type": "field_in", "key": "event_type",
+                                  "values": ["purchase"]}}},
+        {"id": "masked", "type": "transform",
+         "config": {"transform_type": "mask",
+                    "rules": [{"field": "props", "strategy": "hash"}]}},
+    )
+    out = str(tmp_path / "out")
+    pipeline = _manifest(events_in, out, transforms=transforms)
+
+    compiled = compile_pipeline(spark, pipeline, streaming=True,
+                                source_overrides={"src": stream_events(spark, events_in)})
+    assert compiled.sink_frames["out"].isStreaming
+    execu = run_streaming(compiled, str(tmp_path / "ckpt"))
+    execu.await_termination()
+
+    got = spark.read.parquet(out)
+    batch = compile_pipeline(spark, pipeline).sink_frames["out"]
+    assert got.count() == batch.count() > 0
+    assert {r.event_type for r in got.select("event_type").distinct().collect()} == {"purchase"}
+    assert len(got.first().props) == 64  # sha256 mask applied
+    # exactly-once restart: re-running from the same checkpoint adds nothing
+    execu2 = run_streaming(compiled, str(tmp_path / "ckpt"))
+    execu2.await_termination()
+    assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_fanout_shared_scan(spark, events_in, tmp_path):
+    """Fan-out: 2 sinks, ONE streaming query (shared scan per epoch),
+    per-edge routing conditions applied inside the replayed sub-DAG."""
+    doc = {
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "stream-fanout"},
+        "spec": {
+            "stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "path": events_in, "format": "parquet"}},
+                {"id": "split", "type": "fan_out", "config": {}},
+                {"id": "purchases", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "purchases")}},
+                {"id": "clicks", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "clicks")}},
+            ],
+            "edges": [
+                {"from": "src", "to": "split"},
+                {"from": "split", "to": "purchases",
+                 "condition": {"type": "field_in", "key": "event_type", "values": ["purchase"]}},
+                {"from": "split", "to": "clicks",
+                 "condition": {"type": "field_in", "key": "event_type", "values": ["click"]}},
+            ],
+        },
+    }
+    pipeline = parse_manifest_dict(doc)
+    compiled = compile_pipeline(spark, pipeline, streaming=True,
+                                source_overrides={"src": stream_events(spark, events_in)})
+    execu = run_streaming(compiled, str(tmp_path / "ckpt"))
+    assert list(execu.queries) == ["fanout:split"]  # one shared query
+    execu.await_termination()
+
+    ev = spark.read.parquet(events_in)
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    n_click = ev.filter("event_type = 'click'").count()
+    assert spark.read.parquet(str(tmp_path / "purchases")).count() == n_purch > 0
+    assert spark.read.parquet(str(tmp_path / "clicks")).count() == n_click > 0
+
+
+def test_stream_windowed_aggregate_matches_batch(spark, events_in, tmp_path):
+    """Tumbling-window aggregate, emit on_update -> update mode via
+    foreachBatch; single epoch => final values equal the batch agg."""
+    agg_cfg = {
+        "transform_type": "aggregate",
+        "group_by": ["event_type"],
+        "window": {"type": "tumbling", "size": "1h"},
+        "ts_field": "ts",
+        "emit": "on_update",
+        "aggregations": [
+            {"function": "count", "field": "*", "output_field": "n"},
+            {"function": "sum", "field": "value", "output_field": "total"},
+        ],
+    }
+    out = str(tmp_path / "agg_out")
+    pipeline = _manifest(events_in, out,
+                         transforms=({"id": "agg", "type": "transform", "config": agg_cfg},))
+    assert infer_output_mode(pipeline, "out") == "update"
+
+    src = stream_events(spark, events_in).withWatermark("ts", "0 seconds")
+    compiled = compile_pipeline(spark, pipeline, streaming=True,
+                                source_overrides={"src": src})
+    run_streaming(compiled, str(tmp_path / "ckpt")).await_termination()
+
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(events_in)
+    want = T.apply_aggregate(ev, ["event_type"], agg_cfg["aggregations"],
+                             agg_cfg["window"], "ts")
+    assert got.count() == want.count()
+    assert got.selectExpr("sum(n) n").first().n == want.selectExpr("sum(n) n").first().n
+
+
+def test_stream_dedupe_keep_first(spark, events_in, tmp_path):
+    """Streaming dedupe: dropDuplicatesWithinWatermark, one row per key,
+    watermark-scoped state."""
+    src = (stream_events(spark, events_in)
+           .selectExpr("user_id", "event_type", "ts")
+           .withWatermark("ts", "1 hour"))
+    deduped = T.apply_dedupe(src, ["user_id", "event_type"], keep="first",
+                             within_watermark=True).select("user_id", "event_type")
+    out = str(tmp_path / "dedup_out")
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(events_in).select("user_id", "event_type").distinct()
+    assert got.count() == want.count()
+    assert got.distinct().count() == got.count()
+
+
+def test_stream_dedupe_keep_last_matches_batch(spark, events_in, tmp_path):
+    """Keep-last is a running max_by per key (update mode); final state
+    equals the batch keep-last."""
+    src = stream_events(spark, events_in).selectExpr("user_id", "event_type", "ts", "event_id")
+    latest = T.apply_dedupe(src, ["user_id"], keep="last", order_field="ts",
+                            tiebreak_fields=["event_id"])
+    q = (latest.writeStream.format("memory").queryName("keep_last_tbl")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.table("keep_last_tbl")
+    batch = T.apply_dedupe(
+        spark.read.parquet(events_in).selectExpr("user_id", "event_type", "ts", "event_id"),
+        ["user_id"], keep="last", order_field="ts", tiebreak_fields=["event_id"])
+    assert got.count() == batch.count()
+    g = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
+    b = {(r.user_id, r.event_id) for r in batch.select("user_id", "event_id").collect()}
+    assert g == b
+
+
+def test_stream_ratelimit_drop_matches_batch(spark, events_in, tmp_path):
+    """applyInPandasWithState rate limiter == batch row_number limiter
+    (same admit order: ts + event_id tiebreak)."""
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    src = stream_events(spark, events_in).selectExpr(*cols)
+    limited = T.apply_ratelimit(src, ["user_id"], max_rate=2, window_duration="1h",
+                                ts_field="ts", on_exceed="drop", tiebreak_fields=["event_id"])
+    out = str(tmp_path / "rl_out")
+    q = (limited.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch = T.apply_ratelimit(spark.read.parquet(events_in).selectExpr(*cols),
+                              ["user_id"], max_rate=2, window_duration="1h",
+                              ts_field="ts", on_exceed="drop", tiebreak_fields=["event_id"])
+    assert got.count() == batch.count() > 0
+    g = {r.event_id for r in got.select("event_id").collect()}
+    b = {r.event_id for r in batch.select("event_id").collect()}
+    assert g == b
+
+
+def test_stream_dlq_route(spark, events_in, tmp_path):
+    """validate(on_invalid=route) in streaming: failing rows land in the
+    pipeline-level DLQ sink with _dlq_* metadata."""
+    transforms = (
+        {"id": "checked", "type": "transform",
+         "config": {"transform_type": "validate", "on_invalid": "route",
+                    "rules": [{"field": "value", "required": True, "min": 0.5}]}},
+    )
+    out = str(tmp_path / "good")
+    dlq_path = str(tmp_path / "dlq")
+    pipeline = _manifest(events_in, out, transforms=transforms,
+                         dlq={"sink_type": "file", "format": "parquet", "path": dlq_path})
+    compiled = compile_pipeline(spark, pipeline, streaming=True,
+                                source_overrides={"src": stream_events(spark, events_in)})
+    execu = run_streaming(compiled, str(tmp_path / "ckpt"))
+    assert "dlq:checked" in execu.queries
+    execu.await_termination()
+
+    good = spark.read.parquet(out)
+    bad = spark.read.parquet(dlq_path)
+    total = spark.read.parquet(events_in).count()
+    assert good.count() + bad.count() == total
+    assert good.filter("value < 0.5 OR value IS NULL").count() == 0
+    assert {"_dlq_error_code", "_dlq_failed_stage", "_dlq_retry_count"} <= set(bad.columns)
+    assert bad.filter("_dlq_failed_stage = 'checked'").count() == bad.count()
+
+
+def test_infer_output_mode_defaults(spark, events_in, tmp_path):
+    pipeline = _manifest(events_in, str(tmp_path / "x"))
+    assert infer_output_mode(pipeline, "out") == "append"
+    agg = {"id": "agg", "type": "transform",
+           "config": {"transform_type": "aggregate", "group_by": ["event_type"],
+                      "emit": "on_window_close",
+                      "aggregations": [{"function": "count", "field": "*"}]}}
+    pipeline2 = _manifest(events_in, str(tmp_path / "y"), transforms=(agg,))
+    assert infer_output_mode(pipeline2, "out") == "append"
