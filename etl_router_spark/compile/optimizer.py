@@ -1,0 +1,263 @@
+"""Cross-pipeline shared-prefix optimizer (``dsl/src/optimizer.rs:57-237``).
+
+The one rewrite the reference performs that Catalyst cannot do for us:
+N pipelines reading the same source share one scan plus their longest
+common *stateless* transform prefix (whitelist ``optimizer.rs:223-237``:
+filter, map, project, rename, cast, mask, validate). Catalyst optimizes
+within one query; sharing across independently-submitted pipelines is a
+compiler-level concern, so we mirror the reference: group by source,
+find the longest shared prefix by config equality, build the merged DAG
+— and, beyond the reference, actually *execute* it shared:
+``compile_group`` materializes the prefix once (``persist``) and every
+pipeline tail reuses it (one scan + one prefix compute for N sinks).
+
+At 100 TB this is the difference between N full-table scans and one:
+the persisted prefix lives in executor storage memory/disk and each
+tail is a narrow continuation.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_router_spark.compile.pipeline import CompiledPipeline, compile_stages
+from etl_router_spark.model.conditions import Condition
+from etl_router_spark.model.manifest import Pipeline, StageType
+
+# optimizer.rs:223-237 — transforms safe to share (no state, no
+# cardinality coupling between pipelines)
+STATELESS_TRANSFORMS = frozenset(
+    {"filter", "map", "project", "rename", "cast", "mask", "validate"}
+)
+
+
+def _canonical(cfg: dict[str, Any]) -> str:
+    """Order-insensitive config fingerprint (Condition-aware)."""
+
+    def norm(v: Any) -> Any:
+        if isinstance(v, Condition):
+            return v.to_dict()
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in sorted(v.items())}
+        if isinstance(v, (list, tuple)):
+            return [norm(x) for x in v]
+        return v
+
+    return json.dumps(norm(cfg), sort_keys=True, default=str)
+
+
+def _linear_chain(pipeline: Pipeline) -> list[str] | None:
+    """Stage ids source->sink if the pipeline is a straight line."""
+    sources = pipeline.sources()
+    if len(sources) != 1:
+        return None
+    chain = [sources[0].id]
+    while True:
+        out = pipeline.outgoing(chain[-1])
+        if not out:
+            break
+        if len(out) != 1 or out[0].condition is not None:
+            return None
+        chain.append(out[0].to_stage)
+    return chain
+
+
+@dataclass
+class SharedStage:
+    """One node of the merged DAG (optimizer.rs OptimizedDag stages)."""
+
+    key: str  # config fingerprint
+    label: str
+    pipelines: list[str] = field(default_factory=list)
+
+    @property
+    def is_shared(self) -> bool:
+        return len(self.pipelines) > 1
+
+
+@dataclass
+class OptimizedGroup:
+    """Pipelines sharing one source: scan + longest stateless prefix."""
+
+    source_key: str
+    source_label: str
+    pipelines: list[Pipeline] = field(default_factory=list)
+    # per-pipeline stage-id chains; prefix_len counts shared transform
+    # stages AFTER the source stage
+    chains: dict[str, list[str]] = field(default_factory=dict)
+    prefix_len: int = 0
+
+    def prefix_stage_ids(self, pipeline_id: str) -> list[str]:
+        return self.chains[pipeline_id][1 : 1 + self.prefix_len]
+
+
+@dataclass
+class OptimizedDag:
+    groups: list[OptimizedGroup] = field(default_factory=list)
+
+    def shared_stage_count(self) -> int:
+        return sum(g.prefix_len for g in self.groups if len(g.pipelines) > 1)
+
+
+def optimize(pipelines: list[Pipeline]) -> OptimizedDag:
+    """Group linear pipelines by source config; find the longest common
+    stateless transform prefix per group (optimizer.rs:57-237).
+
+    Non-linear pipelines (fan-in/out, conditional edges) form their own
+    singleton groups — their sharing already happens inside one plan.
+    """
+    groups: dict[str, OptimizedGroup] = {}
+    singletons: list[OptimizedGroup] = []
+
+    for p in pipelines:
+        chain = _linear_chain(p)
+        src = p.sources()[0] if len(p.sources()) == 1 else None
+        if chain is None or src is None:
+            label = src.id if src else "multi-source"
+            g = OptimizedGroup(source_key=f"!{p.id}", source_label=label, pipelines=[p])
+            if chain is not None:
+                g.chains[p.id] = chain
+            singletons.append(g)
+            continue
+        key = _canonical(src.config)
+        g = groups.setdefault(key, OptimizedGroup(source_key=key, source_label=src.id))
+        g.pipelines.append(p)
+        g.chains[p.id] = chain
+
+    for g in groups.values():
+        if len(g.pipelines) < 2:
+            continue
+        # longest common prefix of transform configs, stateless-only
+        depth = 0
+        while True:
+            fps: set[str] = set()
+            ok = True
+            for p in g.pipelines:
+                chain = g.chains[p.id]
+                idx = 1 + depth
+                if idx >= len(chain):
+                    ok = False
+                    break
+                stage = p.stages[chain[idx]]
+                if (
+                    stage.stage_type != StageType.TRANSFORM
+                    or stage.transform_type not in STATELESS_TRANSFORMS
+                ):
+                    ok = False
+                    break
+                fps.add(_canonical(stage.config))
+            if not ok or len(fps) != 1:
+                break
+            depth += 1
+        g.prefix_len = depth
+
+    return OptimizedDag(groups=list(groups.values()) + singletons)
+
+
+def compile_group(
+    spark: SparkSession,
+    pipelines: list[Pipeline],
+    streaming: bool = False,
+    source_overrides: dict[str, DataFrame] | None = None,
+) -> dict[str, CompiledPipeline]:
+    """Compile pipelines with shared-prefix reuse: one scan + one prefix
+    compute per group, persisted, then per-pipeline tails.
+
+    Batch only for the persist (streaming groups fall back to
+    independent queries — cross-query sharing in streaming means one
+    foreachBatch, which changes sink lifecycle; see streaming module).
+    """
+    dag = optimize(pipelines)
+    out: dict[str, CompiledPipeline] = {}
+    for g in dag.groups:
+        shareable = len(g.pipelines) > 1 and not streaming
+        if not shareable:
+            for p in g.pipelines:
+                from etl_router_spark.compile.pipeline import compile_pipeline
+
+                out[p.id] = compile_pipeline(spark, p, streaming, source_overrides)
+            continue
+        # build source + shared prefix ONCE using the first pipeline's
+        # stage ids (configs are identical across the group by construction)
+        rep = g.pipelines[0]
+        rep_chain = g.chains[rep.id]
+        shared_ids = rep_chain[: 1 + g.prefix_len]
+        shared_outputs: dict[str, DataFrame] = {}
+        compile_stages(spark, rep, shared_ids, shared_outputs, streaming, source_overrides)
+        shared_df = shared_outputs[shared_ids[-1]].persist()
+
+        for p in g.pipelines:
+            chain = g.chains[p.id]
+            seed_id = chain[g.prefix_len]  # this pipeline's last shared stage id
+            outputs = {seed_id: shared_df}
+            tail_ids = chain[1 + g.prefix_len :]
+            sink_frames, dlq_frames = compile_stages(
+                spark, p, tail_ids, outputs, streaming, source_overrides
+            )
+            out[p.id] = CompiledPipeline(
+                p, sink_frames, dlq_frames, stage_frames=outputs,
+                spark=spark, streaming=streaming,
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# graph rendering (cli/src/commands/graph.rs)
+# ---------------------------------------------------------------------------
+def render_dot(pipelines: list[Pipeline]) -> str:
+    """Graphviz dot of the merged DAG; shared prefix stages double-boxed."""
+    dag = optimize(pipelines)
+    lines = ["digraph pipelines {", "  rankdir=LR;", "  node [shape=box];"]
+    for gi, g in enumerate(dag.groups):
+        shared = len(g.pipelines) > 1
+        src_node = f"g{gi}_src"
+        lines.append(f'  {src_node} [label="{g.source_label}" shape=cylinder];')
+        prev = src_node
+        if shared:
+            rep = g.pipelines[0]
+            for d, sid in enumerate(g.prefix_stage_ids(rep.id)):
+                node = f"g{gi}_shared{d}"
+                tt = rep.stages[sid].transform_type
+                lines.append(f'  {node} [label="{sid}\\n({tt})" peripheries=2];')
+                lines.append(f"  {prev} -> {node};")
+                prev = node
+        for p in g.pipelines:
+            chain = g.chains.get(p.id)
+            if chain is None:
+                continue
+            tail = chain[1 + (g.prefix_len if shared else 0) :]
+            pprev = prev
+            for sid in tail:
+                node = f"{p.id}_{sid}".replace("-", "_")
+                st = p.stages[sid]
+                shape = "cds" if st.stage_type == StageType.SINK else "box"
+                lines.append(f'  {node} [label="{p.id}:{sid}" shape={shape}];')
+                lines.append(f"  {pprev} -> {node};")
+                pprev = node
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def render_ascii(pipelines: list[Pipeline]) -> str:
+    """Compact text rendering (one line per pipeline, shared prefix marked)."""
+    dag = optimize(pipelines)
+    out: list[str] = []
+    for g in dag.groups:
+        shared = len(g.pipelines) > 1
+        for p in g.pipelines:
+            chain = g.chains.get(p.id)
+            if chain is None:
+                out.append(f"{p.id}: <non-linear: {len(p.stages)} stages>")
+                continue
+            parts = []
+            for i, sid in enumerate(chain):
+                mark = "*" if shared and 1 <= i <= g.prefix_len else ""
+                parts.append(f"{sid}{mark}")
+            out.append(f"{p.id}: " + " -> ".join(parts))
+        if shared and g.prefix_len:
+            out.append(f"  (* shared across {len(g.pipelines)} pipelines)")
+    return "\n".join(out)

@@ -1,0 +1,93 @@
+"""CLI surface: apply/get/describe/delete/validate/graph/backup
+(mirrors ``cli/src/commands/*.rs`` over the local file registry)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_router_spark.cli import main
+
+MANIFEST = """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: cli-demo}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {source_type: file, path: /data/events, format: parquet}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {type: field_in, key: event_type, values: [purchase]}
+    - id: out
+      type: sink
+      config: {sink_type: file, format: parquet, path: /data/out}
+"""
+
+BAD_MANIFEST = """
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {name: broken}
+spec:
+  stages:
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {type: always}
+"""
+
+
+@pytest.fixture
+def reg(tmp_path):
+    return str(tmp_path / "registry")
+
+
+def test_apply_get_describe_delete(tmp_path, reg, capsys):
+    f = tmp_path / "p.yaml"
+    f.write_text(MANIFEST)
+    assert main(["--registry", reg, "apply", "-f", str(f)]) == 0
+    assert "pipeline/cli-demo applied" in capsys.readouterr().out
+
+    assert main(["--registry", reg, "get"]) == 0
+    assert "cli-demo" in capsys.readouterr().out
+
+    assert main(["--registry", reg, "describe", "cli-demo"]) == 0
+    out = capsys.readouterr().out
+    assert "src" in out and "filter" in out and "src -> keep" in out
+
+    assert main(["--registry", reg, "delete", "cli-demo"]) == 0
+    capsys.readouterr()
+    assert main(["--registry", reg, "describe", "cli-demo"]) == 1
+
+
+def test_validate(tmp_path, reg, capsys):
+    good = tmp_path / "good.yaml"
+    good.write_text(MANIFEST)
+    assert main(["--registry", reg, "validate", "-f", str(good)]) == 0
+    assert "OK" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(BAD_MANIFEST)
+    assert main(["--registry", reg, "validate", "-f", str(bad)]) == 1
+    assert "INVALID" in capsys.readouterr().out
+
+
+def test_graph(tmp_path, reg, capsys):
+    f = tmp_path / "p.yaml"
+    f.write_text(MANIFEST)
+    assert main(["--registry", reg, "graph", "-f", str(f)]) == 0
+    assert "src -> keep -> out" in capsys.readouterr().out
+    assert main(["--registry", reg, "graph", "-f", str(f), "--format", "dot"]) == 0
+    assert "digraph" in capsys.readouterr().out
+
+
+def test_backup(tmp_path, reg, capsys):
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("{}")
+    dest = tmp_path / "snap"
+    assert main(["--registry", reg, "backup", str(ckpt), "-o", str(dest)]) == 0
+    assert (dest / "offsets" / "0").exists()

@@ -240,6 +240,33 @@ def test_stream_dlq_route(spark, events_in, tmp_path):
     assert bad.filter("_dlq_failed_stage = 'checked'").count() == bad.count()
 
 
+def test_metrics_listener(spark, events_in, tmp_path):
+    """StreamingQueryListener -> the reference's Prometheus counter names
+    (conveyor-etl-metrics/README.md)."""
+    from etl_router_spark.metrics import MetricsListener
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = stream_events(spark, events_in)
+        q = (src.writeStream.format("noop").queryName("metrics_probe")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        import time
+        for _ in range(50):
+            if listener.counters["conveyor_router_records_received_total"].get("metrics_probe"):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    got = listener.counters["conveyor_router_records_received_total"]["metrics_probe"]
+    assert got == spark.read.parquet(events_in).count()
+    rendered = listener.render_prometheus()
+    assert 'conveyor_router_records_received_total{pipeline="metrics_probe"}' in rendered
+
+
 def test_infer_output_mode_defaults(spark, events_in, tmp_path):
     pipeline = _manifest(events_in, str(tmp_path / "x"))
     assert infer_output_mode(pipeline, "out") == "append"
