@@ -625,6 +625,27 @@ def lookup_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lookup_nest",
+    """
+    SELECT c.c_custkey, c.c_name,
+           to_json(struct_pack(n_name := n.n_name, n_regionkey := n.n_regionkey))::VARCHAR AS nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def lookup_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup merge_strategy=nest: the dimension row serialized to JSON
+    under one field (engine.rs:171-183); byte-identical JSON across
+    engines (same key order, same number formatting)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    return apply_lookup(
+        cust, nat, {"c_nationkey": "n_nationkey"},
+        merge_strategy="nest", prefix="nation",
+        lookup_fields=["n_name", "n_regionkey"],
+    ).select("c_custkey", "c_name", "nation")
+
+
+@query(
     "fanin_union",
     """
     SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS kind FROM orders

@@ -91,3 +91,64 @@ def to_dlq(
 def backoff_ms(retry_count: int, initial_ms: int = 100, multiplier: float = 2.0, max_ms: int = 30_000) -> int:
     """Exponential backoff for DLQ re-drive (policy.rs:33-47)."""
     return int(min(initial_ms * (multiplier ** retry_count), max_ms))
+
+
+# policy.rs:12-21 / 62-72 defaults
+DEFAULT_MAX_RETRIES = 3
+DEFAULT_MAX_AGE_DAYS = 7
+
+
+def redrive_eligible(
+    dlq_df: DataFrame,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    max_age_days: int = DEFAULT_MAX_AGE_DAYS,
+) -> DataFrame:
+    """Rows still retryable: under the retry cap and not expired
+    (age-based expiry, ``dlq/src/manager.rs:38-52``)."""
+    return dlq_df.filter(
+        (F.col("_dlq_retry_count") < max_retries)
+        & (F.col("_dlq_first_failure")
+           >= F.current_timestamp() - F.expr(f"INTERVAL {int(max_age_days)} DAYS"))
+    )
+
+
+def strip_dlq(df: DataFrame, keep_retry_state: bool = True) -> DataFrame:
+    """Restore a DLQ row to its original shape for re-driving.
+
+    ``keep_retry_state=True`` keeps ``_dlq_retry_count`` and
+    ``_dlq_first_failure`` so a repeat failure increments the count and
+    preserves first-failure time (``record.rs:96-180`` enrichment reads
+    them); the pipeline's transforms ignore the two extra columns.
+    """
+    keep = {"_dlq_retry_count", "_dlq_first_failure"} if keep_retry_state else set()
+    out = df.drop(*[c for c in df.columns if c.startswith("_dlq_") and c not in keep])
+    if "record_type" in out.columns:
+        out = out.withColumn(
+            "record_type",
+            F.when(
+                F.col("record_type").startswith("dlq."),
+                F.expr("substring(record_type, 5)"),
+            ).otherwise(F.col("record_type")),
+        )
+    return out
+
+
+def redrive(
+    spark,
+    pipeline,
+    dlq_df: DataFrame,
+    source_stage: str | None = None,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    max_age_days: int = DEFAULT_MAX_AGE_DAYS,
+) -> "object":
+    """Re-drive eligible DLQ rows through the pipeline (retry loop of
+    ``dlq/src/manager.rs:87-105``): strip the ``_dlq_*`` envelope, feed
+    the rows back in as the source, recompile. Rows that fail again are
+    re-enriched with ``_dlq_retry_count + 1``. Returns the
+    CompiledPipeline — caller runs it (and schedules the next attempt
+    with ``backoff_ms``)."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+
+    eligible = strip_dlq(redrive_eligible(dlq_df, max_retries, max_age_days))
+    src = source_stage or pipeline.sources()[0].id
+    return compile_pipeline(spark, pipeline, source_overrides={src: eligible})

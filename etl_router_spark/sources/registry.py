@@ -34,14 +34,22 @@ def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path
         raise ValueError(f"unsupported file format: {fmt!r}")
     watch = bool(cfg.get("watch", False))
     reader = spark.readStream if (streaming or watch) else spark.read
-    if cfg.get("schema"):
-        reader = reader.schema(cfg["schema"])
     opts: dict[str, str] = {}
     if fmt == "csv":
         opts["header"] = str(cfg.get("header", True)).lower()
         opts["inferSchema"] = str(cfg.get("infer_schema", not cfg.get("schema"))).lower()
     if cfg.get("pattern"):
         opts["pathGlobFilter"] = cfg["pattern"]
+    schema = cfg.get("schema")
+    if schema is None and (streaming or watch):
+        # file streams require a schema; bootstrap it from the files
+        # already present (a one-time driver-side footer read)
+        try:
+            schema = spark.read.options(**opts).format(fmt).load(path).schema
+        except Exception:
+            schema = None
+    if schema is not None:
+        reader = reader.schema(schema)
     if streaming or watch:
         opts["maxFilesPerTrigger"] = str(cfg.get("max_files_per_trigger", 64))
     return reader.options(**opts).format(fmt).load(path)
