@@ -20,10 +20,33 @@ import sys
 import time
 from pathlib import Path
 
-from etl_router_spark.model.parser import parse_manifest, parse_manifests
+import yaml
+
+from etl_router_spark.model.parser import (
+    SUPPORTED_API_VERSIONS,
+    parse_manifest_dict,
+)
+from etl_router_spark.model.registry import (
+    NAMED_API_VERSIONS,
+    Registry,
+    parse_resource,
+    resolve,
+)
 from etl_router_spark.model.validation import ValidationError, validate_pipeline
 
 DEFAULT_REGISTRY = os.environ.get("ETL_ROUTER_SPARK_REGISTRY", ".etl_registry")
+
+# a Pipeline in the named dialect has a string `source:`; the stage-list
+# dialect has `stages:` — both share apiVersion conveyor.etl/v1, so
+# disambiguate on spec shape
+def _is_named_doc(doc: dict) -> bool:
+    api = doc.get("apiVersion")
+    spec = doc.get("spec") or {}
+    if api in NAMED_API_VERSIONS - SUPPORTED_API_VERSIONS:
+        return True
+    if doc.get("kind") in ("Source", "Transform", "Sink"):
+        return True
+    return doc.get("kind") == "Pipeline" and "stages" not in spec and "source" in spec
 
 
 def _registry(args) -> Path:
@@ -33,21 +56,58 @@ def _registry(args) -> Path:
 
 
 def _load_registry(reg: Path):
-    out = []
+    """Both dialects: stage-list pipelines directly; named resources are
+    collected into a Registry and their pipelines resolved."""
+    pipelines = []
+    named = Registry()
+    named_pipelines = []
     for f in sorted(reg.glob("*.yaml")):
-        out.extend(parse_manifests(f.read_text()))
-    return out
+        for doc in yaml.safe_load_all(f.read_text()):
+            if not doc:
+                continue
+            if _is_named_doc(doc):
+                res = parse_resource(doc)
+                named.apply(res)
+                if res.kind == "Pipeline":
+                    named_pipelines.append(res)
+            else:
+                pipelines.append(parse_manifest_dict(doc))
+    pipelines.extend(resolve(named, r) for r in named_pipelines)
+    return pipelines
+
+
+def _parse_any(text: str):
+    """Parse a YAML stream of either dialect into runtime Pipelines,
+    plus a per-document (kind, name) list for registry storage."""
+    docs = [d for d in yaml.safe_load_all(text) if d]
+    named = Registry()
+    named_pipeline_res = []
+    pipelines = []
+    stored = []
+    for d in docs:
+        if _is_named_doc(d):
+            r = parse_resource(d)
+            named.apply(r)
+            stored.append((r.kind.lower(), r.name))
+            if r.kind == "Pipeline":
+                named_pipeline_res.append(r)
+        else:
+            p = parse_manifest_dict(d)
+            pipelines.append(p)
+            stored.append(("pipeline", p.id))
+    pipelines += [resolve(named, r) for r in named_pipeline_res]
+    return pipelines, docs, stored
 
 
 def cmd_apply(args) -> int:
     text = Path(args.file).read_text()
-    pipelines = parse_manifests(text)
+    pipelines, docs, stored = _parse_any(text)
     for p in pipelines:
         validate_pipeline(p)
     reg = _registry(args)
-    for p, doc in zip(pipelines, text.split("\n---")):
-        (reg / f"{p.id}.yaml").write_text(doc.strip() + "\n")
-        print(f"pipeline/{p.id} applied")
+    for (kind, name), doc in zip(stored, docs):
+        (reg / f"{kind}_{name}.yaml").write_text(yaml.safe_dump(doc, sort_keys=False))
+        print(f"{kind}/{name} applied")
     return 0
 
 
@@ -81,19 +141,24 @@ def cmd_describe(args) -> int:
 
 
 def cmd_delete(args) -> int:
-    f = _registry(args) / f"{args.name}.yaml"
-    if not f.exists():
-        print(f"pipeline {args.name!r} not found", file=sys.stderr)
-        return 1
-    f.unlink()
-    print(f"pipeline/{args.name} deleted")
-    return 0
+    reg = _registry(args)
+    kind, _, name = args.name.rpartition("/")
+    candidates = [reg / f"{kind or 'pipeline'}_{name}.yaml", reg / f"{name}.yaml"]
+    if not kind:
+        candidates += sorted(reg.glob(f"*_{name}.yaml"))
+    for f in candidates:
+        if f.exists():
+            f.unlink()
+            print(f"{f.stem.replace('_', '/', 1)} deleted")
+            return 0
+    print(f"resource {args.name!r} not found", file=sys.stderr)
+    return 1
 
 
 def cmd_validate(args) -> int:
-    text = Path(args.file).read_text()
+    pipelines, _, _ = _parse_any(Path(args.file).read_text())
     rc = 0
-    for p in parse_manifests(text):
+    for p in pipelines:
         try:
             validate_pipeline(p)
             print(f"{p.id}: OK")
@@ -107,7 +172,7 @@ def cmd_graph(args) -> int:
     from etl_router_spark.compile.optimizer import render_ascii, render_dot
 
     if args.file:
-        pipelines = parse_manifests(Path(args.file).read_text())
+        pipelines, _, _ = _parse_any(Path(args.file).read_text())
     else:
         pipelines = _load_registry(_registry(args))
     print(render_dot(pipelines) if args.format == "dot" else render_ascii(pipelines))
@@ -118,7 +183,20 @@ def cmd_run(args) -> int:
     from etl_router_spark.compile.pipeline import compile_pipeline
     from etl_router_spark.session import get_spark
 
-    pipeline = parse_manifest(Path(args.file).read_text())
+    if args.file:
+        pipelines, _, _ = _parse_any(Path(args.file).read_text())
+    else:
+        pipelines = _load_registry(_registry(args))
+    if args.name:
+        pipeline = next((p for p in pipelines if p.id == args.name), None)
+        if pipeline is None:
+            print(f"pipeline {args.name!r} not found", file=sys.stderr)
+            return 1
+    elif len(pipelines) == 1:
+        pipeline = pipelines[0]
+    else:
+        print("multiple pipelines; pick one with --name", file=sys.stderr)
+        return 1
     spark = get_spark(f"etl_router_spark.{pipeline.id}")
     compiled = compile_pipeline(spark, pipeline, streaming=args.streaming)
     if args.streaming:
@@ -177,7 +255,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser("run", help="compile + execute a manifest")
-    p.add_argument("-f", "--file", required=True)
+    p.add_argument("-f", "--file")
+    p.add_argument("--name", help="pipeline id (when file/registry has several)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--once", action="store_true",
                    help="streaming: availableNow then exit")

@@ -84,6 +84,56 @@ def test_graph(tmp_path, reg, capsys):
     assert "digraph" in capsys.readouterr().out
 
 
+NAMED = """
+apiVersion: conveyor.router/v1
+kind: Source
+metadata: {name: ev}
+spec:
+  config: {path: /data/events, format: parquet}
+---
+apiVersion: conveyor.router/v1
+kind: Transform
+metadata: {name: keep}
+spec:
+  config:
+    type: filter
+    condition:
+      fieldIn: {key: event_type, values: [purchase]}
+---
+apiVersion: conveyor.router/v1
+kind: Sink
+metadata: {name: archive}
+spec:
+  config: {path: /data/out, format: parquet}
+---
+apiVersion: conveyor.router/v1
+kind: Pipeline
+metadata: {name: named-demo}
+spec:
+  source: ev
+  steps: [keep]
+  sink: archive
+"""
+
+
+def test_named_dialect_apply_get_describe(tmp_path, reg, capsys):
+    f = tmp_path / "named.yaml"
+    f.write_text(NAMED)
+    assert main(["--registry", reg, "apply", "-f", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "source/ev applied" in out and "pipeline/named-demo applied" in out
+
+    assert main(["--registry", reg, "get"]) == 0
+    assert "named-demo" in capsys.readouterr().out
+
+    assert main(["--registry", reg, "describe", "named-demo"]) == 0
+    out = capsys.readouterr().out
+    assert "ev" in out and "filter" in out and "keep -> archive" in out
+
+    assert main(["--registry", reg, "validate", "-f", str(f)]) == 0
+    assert "named-demo: OK" in capsys.readouterr().out
+
+
 def test_backup(tmp_path, reg, capsys):
     ckpt = tmp_path / "ckpt"
     (ckpt / "offsets").mkdir(parents=True)
