@@ -104,7 +104,80 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
     if tt == "sessionize":
         return T.apply_sessionize(df, cfg["key_fields"], cfg["gap"], cfg.get("aggregations"),
                                   cfg.get("ts_field", "event_time"), cfg.get("max_duration"))
+    llm = _apply_llm_transform(df, tt, cfg)
+    if llm is not None:
+        return llm
     raise ValueError(f"stage {stage.id!r}: transform {tt!r} not dispatchable in a linear DAG")
+
+
+def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFrame | None:
+    """The large-scale data-pipeline operators as first-class
+    transform_types (SURVEY §7.3 M6). Returns None for unknown types."""
+    if tt == "dedup_exact":
+        from etl_router_spark.functions.dedup import exact_dedup
+
+        return exact_dedup(df, cfg.get("text_field", "text"),
+                           cfg.get("id_field", "doc_id"),
+                           normalize=bool(cfg.get("normalize", True)))
+    if tt == "dedup_minhash":
+        from etl_router_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(df, num_hashes=int(cfg.get("num_hashes", 128)),
+                                 bands=int(cfg.get("bands", 32)),
+                                 threshold=float(cfg.get("threshold", 0.8)),
+                                 text_col=cfg.get("text_field", "text"),
+                                 id_col=cfg.get("id_field", "doc_id"))
+    if tt == "dedup_simhash":
+        from etl_router_spark.functions.dedup import simhash_pairs
+
+        return simhash_pairs(df, max_hamming=int(cfg.get("max_hamming", 3)),
+                             bits=int(cfg.get("bits", 64)),
+                             text_col=cfg.get("text_field", "text"),
+                             id_col=cfg.get("id_field", "doc_id"))
+    if tt == "dedup_embedding":
+        from etl_router_spark.functions.dedup import embedding_cosine_pairs
+
+        return embedding_cosine_pairs(df, id_col=cfg.get("id_field", "vec_id"),
+                                      vec_col=cfg.get("vec_field", "embedding"),
+                                      threshold=float(cfg.get("threshold", 0.95)))
+    if tt == "similarity_topk":
+        from etl_router_spark.compile.conditions import compile_condition
+        from etl_router_spark.functions.similarity import brute_force_topk
+        from etl_router_spark.model.conditions import Condition
+
+        queries = df
+        qcond = cfg.get("query_condition")
+        if qcond is not None:
+            if isinstance(qcond, dict):
+                qcond = Condition.from_dict(qcond)
+            queries = df.filter(compile_condition(qcond))
+        return brute_force_topk(queries, df, k=int(cfg.get("k", 5)),
+                                id_col=cfg.get("id_field", "vec_id"),
+                                vec_col=cfg.get("vec_field", "embedding"))
+    if tt == "text_stats":
+        from etl_router_spark.functions.text import text_stats
+
+        return text_stats(df, cfg.get("text_field", "text"))
+    if tt == "langid":
+        from etl_router_spark.functions.text import language_id
+
+        return language_id(df, cfg.get("text_field", "text"))
+    if tt == "fingerprint":
+        from etl_router_spark.functions.text import fingerprint
+
+        return fingerprint(df, cfg.get("text_field", "text"))
+    if tt == "tokenize":
+        from etl_router_spark.functions.text import tokenize
+
+        return tokenize(df, cfg.get("text_field", "text"))
+    if tt == "multimodal_extract":
+        from etl_router_spark.functions.multimodal import extract_media_features
+
+        return extract_media_features(df, media_col=cfg.get("media_field", "media"),
+                                      id_col=cfg.get("id_field", "doc_id"),
+                                      decoder=cfg.get("decoder", "fake"),
+                                      feature_dim=int(cfg.get("feature_dim", 8)))
+    return None
 
 
 def compile_stages(
