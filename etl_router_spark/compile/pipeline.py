@@ -103,7 +103,8 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
                                  cfg.get("window"), cfg.get("ts_field", "event_time"))
     if tt == "sessionize":
         return T.apply_sessionize(df, cfg["key_fields"], cfg["gap"], cfg.get("aggregations"),
-                                  cfg.get("ts_field", "event_time"), cfg.get("max_duration"))
+                                  cfg.get("ts_field", "event_time"), cfg.get("max_duration"),
+                                  emit=cfg.get("emit", "on_close"))
     llm = _apply_llm_transform(df, tt, cfg)
     if llm is not None:
         return llm

@@ -520,6 +520,7 @@ def apply_sessionize(
     aggregations: list[dict[str, Any]] | None = None,
     ts_field: str = "event_time",
     max_duration: str | None = None,
+    emit: str = "on_close",
 ) -> DataFrame:
     """Group rows into sessions split by inactivity ``gap``.
 
@@ -528,8 +529,17 @@ def apply_sessionize(
     no native Spark support, implemented by sub-splitting on the session
     relative time (batch) — sessions longer than max_duration become
     multiple sessions.
+
+    Streaming with ``emit=on_event|both`` or ``max_duration`` uses the
+    custom stateful operator (``streaming.stateful.streaming_sessionize``,
+    per-event emission the native operator can't express).
     """
     from etl_router_spark.model.parser import duration_to_interval, parse_duration
+
+    if df.isStreaming and (emit in ("on_event", "both") or max_duration is not None):
+        from etl_router_spark.streaming.stateful import streaming_sessionize
+
+        return streaming_sessionize(df, key_fields, gap, ts_field, max_duration, emit)
 
     aggs = build_aggregations(
         aggregations or [{"function": "count", "field": "*", "output_field": "n_events"}],

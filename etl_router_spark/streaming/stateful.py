@@ -76,3 +76,106 @@ def streaming_ratelimit(
     return grouped.applyInPandasWithState(
         limit_group, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    key_fields: list[str],
+    gap: str,
+    ts_field: str = "event_time",
+    max_duration: str | None = None,
+    emit: str = "on_close",
+) -> DataFrame:
+    """Sessionize with the emit modes native ``session_window`` can't
+    express (``types.rs:690-697``): ``on_event`` emits the running
+    session after every event, ``both`` additionally emits the closed
+    row; ``max_duration`` splits over-long sessions into chunks the way
+    the batch operator does (chunk k = events in
+    [start + k*max, start + (k+1)*max)).
+
+    State per key = (session_start, chunk_start, last_ts, n_events) —
+    four scalars, evicted on session close; an event-time timeout closes
+    idle sessions once the watermark passes last_ts + gap.
+
+    Output: key fields + session_start, session_last_event,
+    n_events, closed.
+    """
+    if emit not in ("on_close", "on_event", "both"):
+        raise ValueError(f"emit must be on_close|on_event|both, got {emit!r}")
+    from etl_router_spark.model.parser import parse_duration
+
+    gap_s = parse_duration(gap)
+    max_s = parse_duration(max_duration) if max_duration else None
+
+    key_struct = [df.schema[k] for k in key_fields]
+    out_schema = T.StructType(
+        key_struct
+        + [
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_last_event", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    # timestamps as epoch-micros longs: pandas<->Arrow round trips of
+    # tz-naive timestamps are lossier than integers
+    state_schema = T.StructType([
+        T.StructField("session_start", T.LongType()),
+        T.StructField("chunk_start", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def _row(key, chunk_start, last, n, closed):
+        return (*key, pd.Timestamp(chunk_start, unit="us"),
+                pd.Timestamp(last, unit="us"), n, closed)
+
+    def sessionize_group(key, pdfs, state):
+        if state.exists:
+            session_start, chunk_start, last, n = state.get
+        else:
+            session_start = chunk_start = last = None
+            n = 0
+        rows = []
+
+        if state.hasTimedOut:
+            if n:
+                rows.append(_row(key, chunk_start, last, n, True))
+            state.remove()
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            return
+
+        for pdf in pdfs:
+            ts = pdf[ts_field].sort_values()
+            for t in ts:
+                te = int(t.value // 1000)  # ns -> us
+                if session_start is None:
+                    session_start = chunk_start = last = te
+                    n = 1
+                elif (te - last) / 1e6 > gap_s:
+                    rows.append(_row(key, chunk_start, last, n, True))
+                    session_start = chunk_start = last = te
+                    n = 1
+                elif max_s is not None and (
+                    (te - session_start) // int(max_s * 1e6)
+                    != (chunk_start - session_start) // int(max_s * 1e6)
+                ):
+                    # event falls into the next max_duration chunk
+                    # (batch parity: chunk k = floor((ts - start)/max))
+                    rows.append(_row(key, chunk_start, last, n, True))
+                    chunk_start = last = te
+                    n = 1
+                else:
+                    last = te
+                    n += 1
+                if emit in ("on_event", "both"):
+                    rows.append(_row(key, chunk_start, last, n, False))
+        state.update((session_start, chunk_start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + int(gap_s * 1000))  # epoch millis
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*key_fields).applyInPandasWithState(
+        sessionize_group, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -240,6 +240,41 @@ def test_stream_dlq_route(spark, events_in, tmp_path):
     assert bad.filter("_dlq_failed_stage = 'checked'").count() == bad.count()
 
 
+def test_stream_stream_windowed_join(spark, events_in, tmp_path):
+    """T13 streaming: stream-stream equi-join with watermarks on both
+    sides and a time-range bound (types.rs:643-678 windowed join)."""
+    purchases = (stream_events(spark, events_in)
+                 .filter("event_type = 'purchase'")
+                 .selectExpr("user_id", "ts AS p_ts", "event_id AS p_id")
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (stream_events(spark, events_in)
+              .filter("event_type = 'click'")
+              .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
+              .withWatermark("c_ts", "1 hour"))
+    joined = T.apply_join(
+        purchases, clicks,
+        conditions=[{"left_key": "user_id", "right_key": "c_user"}],
+        how="inner",
+        time_bound=("p_ts", "c_ts", "30 minutes"),
+    ).select("user_id", "p_id", "c_id")
+    out = str(tmp_path / "joined")
+    q = (joined.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(events_in)
+    p = ev.filter("event_type = 'purchase'").selectExpr("user_id", "ts AS p_ts", "event_id AS p_id")
+    c = ev.filter("event_type = 'click'").selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
+    want = T.apply_join(p, c, [{"left_key": "user_id", "right_key": "c_user"}],
+                        time_bound=("p_ts", "c_ts", "30 minutes")).select("user_id", "p_id", "c_id")
+    assert got.count() == want.count() > 0
+    g = {(r.p_id, r.c_id) for r in got.collect()}
+    w = {(r.p_id, r.c_id) for r in want.collect()}
+    assert g == w
+
+
 def test_metrics_listener(spark, events_in, tmp_path):
     """StreamingQueryListener -> the reference's Prometheus counter names
     (conveyor-etl-metrics/README.md)."""
@@ -265,6 +300,46 @@ def test_metrics_listener(spark, events_in, tmp_path):
     assert got == spark.read.parquet(events_in).count()
     rendered = listener.render_prometheus()
     assert 'conveyor_router_records_received_total{pipeline="metrics_probe"}' in rendered
+
+
+def test_streaming_sessionize_on_event_and_max_duration(spark, tmp_path):
+    """Custom stateful sessionizer: gap splits + max_duration chunking
+    + per-event emission (types.rs:680-697 on_event/both modes)."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at 0s,10s,20s (one session), then 2000s gap -> new session
+        (1, base), (1, base + dt.timedelta(seconds=10)), (1, base + dt.timedelta(seconds=20)),
+        (1, base + dt.timedelta(seconds=2020)),
+        # user 2: long session crossing max_duration=60s: 0,30,70 -> chunks [0,30] and [70]
+        (2, base), (2, base + dt.timedelta(seconds=30)), (2, base + dt.timedelta(seconds=70)),
+    ]
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withWatermark("ts", "0 seconds"))
+
+    from etl_router_spark.compile.transforms import apply_sessionize
+
+    sessions = apply_sessionize(stream, ["user_id"], gap="5m", ts_field="ts",
+                                max_duration="1m", emit="both")
+    out = str(tmp_path / "out")
+    q = (sessions.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    closed = {(r.user_id, r.n_events) for r in got.filter("closed").collect()}
+    # user 1 session 1 closes via the 2000s gap (3 events); user 2 chunk 1
+    # closes via max_duration (2 events); user 2's open tail (1 event at
+    # 70s) closes via the event-time TIMEOUT once the global watermark
+    # (2020s) passes its gap deadline. user 1's tail at 2020s stays open.
+    assert closed == {(1, 3), (2, 2), (2, 1)}
+    # on_event rows: one running emission per event
+    assert got.filter("NOT closed").count() == len(rows)
 
 
 def test_infer_output_mode_defaults(spark, events_in, tmp_path):
