@@ -460,6 +460,101 @@ def t11_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t6_mask_tokenize",
+    """
+    SELECT c_custkey,
+           'tok_' || sha256('etl' || c_name) AS name_token,
+           CAST(NULL AS VARCHAR)             AS segment_nullified,
+           'REDACTED'                        AS name_replaced
+    FROM customer
+    """,
+)
+def t6_mask_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask strategies batch 2: tokenize (deterministic keyed token),
+    nullify, redact with custom replacement."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name_token"),
+        F.col("c_mktsegment").alias("segment_nullified"),
+        F.col("c_name").alias("name_replaced"),
+    )
+    return T.apply_mask(cust, [
+        {"field": "name_token", "strategy": "tokenize", "salt": "etl"},
+        {"field": "segment_nullified", "strategy": "nullify"},
+        {"field": "name_replaced", "strategy": "redact", "replacement": "REDACTED"},
+    ])
+
+
+@query(
+    "t7_validate_drop",
+    f"""
+    SELECT event_id, user_id, round(value, 6) AS value, event_type
+    FROM {EVENTS_US}
+    WHERE value IS NOT NULL AND value >= 0.25
+      AND event_type IN ('purchase', 'click', 'view')
+    """,
+)
+def t7_validate_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate on_invalid=drop: required + min + one_of rules."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_validate(
+        ev,
+        [{"field": "value", "required": True, "min": 0.25},
+         {"field": "event_type", "one_of": ["purchase", "click", "view"]}],
+        on_invalid="drop",
+    )
+    return out.select("event_id", "user_id", F.round("value", 6).alias("value"), "event_type")
+
+
+@query(
+    "t11_ratelimit_tag",
+    f"""
+    SELECT event_id, user_id, (rn > 5) AS rate_limited FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_US}) t
+    """,
+)
+def t11_ratelimit_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratelimit tag-mode: excess rows kept, flagged."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_ratelimit(ev, ["user_id"], 5, "1 hour", "ts", "tag", ["event_id"])
+    return out.select("event_id", "user_id", "rate_limited")
+
+
+@query(
+    "t12_aggregate_stats",
+    f"""
+    SELECT event_type,
+           round(stddev(value), 6)   AS value_stddev,
+           round(var_samp(value), 6) AS value_variance,
+           round(median(value), 6)   AS value_median
+    FROM {EVENTS_US}
+    GROUP BY event_type
+    """,
+)
+def t12_aggregate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate functions batch 2: stddev / variance / median."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "stddev", "field": "value", "output_field": "value_stddev"},
+            {"function": "variance", "field": "value", "output_field": "value_variance"},
+            {"function": "median", "field": "value", "output_field": "value_median"},
+        ],
+    )
+    return out.select(
+        "event_type",
+        F.round("value_stddev", 6).alias("value_stddev"),
+        F.round("value_variance", 6).alias("value_variance"),
+        F.round("value_median", 6).alias("value_median"),
+    )
+
+
+@query(
     "t12_aggregate_tumbling",
     f"""
     SELECT date_trunc('hour', ts) AS window_start,
