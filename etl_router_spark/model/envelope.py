@@ -98,3 +98,38 @@ def demote(df: DataFrame, data_fields: list[str]) -> DataFrame:
     return df.select(
         *env, F.to_json(F.struct(*data_fields)).alias("payload")
     ).select(*[c for c in ENVELOPE_COLUMNS if c in env or c == "payload"])
+
+
+def from_kafka(df: DataFrame, record_type: str | None = None,
+               source_id: str | None = None) -> DataFrame:
+    """Kafka wire shape -> envelope records.
+
+    Input is the Kafka source's fixed schema (key/value binary, topic,
+    partition, offset, timestamp, headers). Mapping mirrors how the
+    reference fills RecordId from the consumer position
+    (``common.proto:8-13``): offset -> sequence_number,
+    topic:partition:offset -> idempotency_key (exactly the replay-safe
+    dedup key), headers -> the string metadata map, Kafka timestamp ->
+    event_time. Compose with ``promote(...)`` to reach typed columns.
+    """
+    has_headers = "headers" in df.columns
+    meta = (
+        F.map_from_entries(
+            F.transform("headers", lambda h: F.struct(
+                h["key"].alias("key"), h["value"].cast("string").alias("value")))
+        )
+        if has_headers
+        else F.lit(None).cast(ENVELOPE_SCHEMA["metadata"].dataType)
+    )
+    return df.select(
+        (F.lit(source_id) if source_id is not None else F.col("topic")).alias("source_id"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("sequence_number"),
+        F.concat_ws(":", "topic", "partition", "offset").alias("idempotency_key"),
+        (F.lit(record_type) if record_type is not None else F.col("topic")).alias("record_type"),
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("string").alias("payload"),
+        meta.alias("metadata"),
+        F.col("timestamp").alias("event_time"),
+        F.current_timestamp().alias("ingestion_time"),
+    )

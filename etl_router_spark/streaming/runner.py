@@ -193,6 +193,20 @@ def run_streaming(
     pipeline = compiled.pipeline
     spark = compiled.spark
     trig = trigger or dict(DEFAULT_TRIGGER)
+
+    # idle-source handling (watermark.rs:130-147): the reference advances
+    # an idle source's watermark to processing time so it can't stall the
+    # combined minimum. Spark's nearest mapping: multipleWatermarkPolicy=
+    # max lets the combined watermark follow the most advanced input
+    # instead of waiting on the idle one. Applied when any fan-in input
+    # declares idle_timeout (documented approximation, SURVEY §7.4).
+    for stage in pipeline.stages.values():
+        if stage.stage_type == StageType.FAN_IN and any(
+            (i.get("watermark") or {}).get("idle_timeout")
+            for i in stage.config.get("inputs") or []
+        ):
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+            break
     queries: dict[str, StreamingQuery] = {}
     handled: set[str] = set()
 
