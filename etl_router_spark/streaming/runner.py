@@ -180,6 +180,7 @@ def run_streaming(
     trigger: dict[str, Any] | None = None,
     shared_fanout: bool = True,
     dlq_sink: dict[str, Any] | None = None,
+    exactly_once: bool = False,
 ) -> StreamingExecution:
     """Start every sink of a streaming-compiled pipeline.
 
@@ -187,6 +188,11 @@ def run_streaming(
     and one upstream scan per epoch (foreachBatch replays the sub-DAG on
     the persisted batch). Each query checkpoints independently under
     ``checkpoint_root``.
+
+    ``exactly_once=True``: fan-out epochs commit a marker after writing
+    all sinks (``streaming.exactly_once``); a replayed epoch that
+    already carries a marker is skipped — CommitMarker semantics
+    (``proto/sink.proto:67-70``).
     """
     if not compiled.streaming:
         raise ValueError("pipeline was compiled with streaming=False")
@@ -216,7 +222,17 @@ def run_streaming(
             src_df = compiled.stage_frames[fid]
 
             def make_writer(fid: str, order: list[str], sink_ids: list[str]):
+                marker_dir = f"{checkpoint_root}/markers_{fid}"
+
                 def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+                    if exactly_once:
+                        from etl_router_spark.streaming.exactly_once import (
+                            epoch_committed,
+                            mark_epoch,
+                        )
+
+                        if epoch_committed(marker_dir, epoch_id):
+                            return
                     batch_df.persist()
                     try:
                         sinks, dlqs = compile_stages(
@@ -235,6 +251,8 @@ def run_streaming(
                                 )
                     finally:
                         batch_df.unpersist()
+                    if exactly_once:
+                        mark_epoch(marker_dir, epoch_id)
 
                 return write_epoch
 

@@ -1,0 +1,97 @@
+"""Exactly-once foreachBatch helpers (``proto/sink.proto`` delivery
+guarantees + ``CommitMarker`` semantics)."""
+
+from __future__ import annotations
+
+from etl_router_spark.streaming.exactly_once import (
+    dedupe_idempotency,
+    epoch_committed,
+    epoch_partitioned_writer,
+    idempotent_writer,
+)
+
+
+def test_idempotent_writer_skips_replayed_epoch(spark, events, tmp_path):
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    write = idempotent_writer({"sink_type": "file", "format": "parquet", "path": out},
+                              markers)
+    batch = events.limit(50)
+    write(batch, 0)
+    assert epoch_committed(markers, 0)
+    n1 = spark.read.parquet(out).count()
+    write(batch, 0)  # replay of the same epoch: must be a no-op
+    assert spark.read.parquet(out).count() == n1 == 50
+    write(batch, 1)  # a new epoch appends
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_epoch_partitioned_writer_is_idempotent(spark, events, tmp_path):
+    out = str(tmp_path / "out")
+    write = epoch_partitioned_writer(out)
+    batch = events.limit(30)
+    write(batch, 5)
+    write(batch, 5)  # replay overwrites the same epoch dir
+    assert spark.read.parquet(f"{out}/_epoch=5").count() == 30
+
+
+def test_fanout_exactly_once_markers(spark, events, tmp_path):
+    """Checkpoint lost but markers intact -> replayed epoch 0 is skipped,
+    sinks are not duplicated (CommitMarker semantics)."""
+    import shutil
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming import run_streaming
+
+    src_dir = str(tmp_path / "in")
+    events.limit(100).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    doc = {
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "eo-fanout"},
+        "spec": {
+            "stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "path": src_dir, "format": "parquet"}},
+                {"id": "split", "type": "fan_out", "config": {}},
+                {"id": "s1", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "s1")}},
+                {"id": "s2", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "s2")}},
+            ],
+            "edges": [
+                {"from": "src", "to": "split"},
+                {"from": "split", "to": "s1"},
+                {"from": "split", "to": "s2"},
+            ],
+        },
+    }
+    pipeline = parse_manifest_dict(doc)
+
+    def _go():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        compiled = compile_pipeline(spark, pipeline, streaming=True,
+                                    source_overrides={"src": stream})
+        run_streaming(compiled, str(tmp_path / "ckpt"),
+                      exactly_once=True).await_termination()
+
+    _go()
+    assert spark.read.parquet(str(tmp_path / "s1")).count() == 100
+    # lose the checkpoint (epoch ids restart at 0) but keep the markers:
+    # the replayed epoch must be skipped
+    shutil.rmtree(str(tmp_path / "ckpt" / "fanout_split"))
+    _go()
+    assert spark.read.parquet(str(tmp_path / "s1")).count() == 100
+    assert spark.read.parquet(str(tmp_path / "s2")).count() == 100
+
+
+def test_dedupe_idempotency(spark, events):
+    from etl_router_spark.model.envelope import wrap
+
+    env = wrap(events.limit(20), record_type="t", event_time_field="ts")
+    doubled = env.unionAll(env)  # simulate a replayed batch
+    assert dedupe_idempotency(doubled).count() == env.count()
