@@ -103,3 +103,104 @@ def extract_media_features(
 
     narrowed = df.select(id_col, media_col)  # column-prune before Python
     return narrowed.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize an image column via mapInPandas (decode -> resize ->
+    re-encode per Arrow batch).
+
+    ``decoder="fake"``: deterministic stand-in — output bytes =
+    sha256-stretched payload of exactly width*height bytes, so the
+    Spark-side plumbing (schema, batching, binary round-trip, output
+    dimensions) is fully testable without PIL. ``decoder="real"`` is
+    the PIL.Image seam (not installed in this container).
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize requires PIL; on the cluster image: "
+                    "Image.open(BytesIO(b)).resize((width, height)).tobytes()"
+                )
+            n = width * height
+
+            def stretch(b: bytes) -> bytes:
+                out = bytearray()
+                seed = bytes(b)
+                while len(out) < n:
+                    seed = hashlib.sha256(seed).digest()
+                    out.extend(seed)
+                return bytes(out[:n])
+
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "media": pdf[media_col].map(lambda b: stretch(bytes(b))),
+                "width": width,
+                "height": height,
+            })
+
+    return df.select(id_col, media_col).mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Sample frames from a video column: 1 input row -> N frame rows
+    (the flatMap shape of ``TransformService.ProcessBatch`` 1->N,
+    ``proto/transform.proto:24-29``).
+
+    ``decoder="fake"`` emits deterministic 64-byte pseudo-frames keyed
+    by (payload digest, frame index); ``decoder="real"`` is the pyav
+    seam. The Arrow batch path and the row-explosion schema are real.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame sampling requires pyav: open the container, "
+                    "decode every_n-th frame, cap at max_frames"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                digest = hashlib.sha256(bytes(payload)).digest()
+                n_frames = min(max_frames, 1 + len(payload) // max(every_n, 1) % max_frames)
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(digest + i.to_bytes(4, "big")).digest()[:64])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return df.select(id_col, media_col).mapInPandas(process, schema=FRAME_SCHEMA)

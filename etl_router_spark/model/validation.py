@@ -29,7 +29,7 @@ KNOWN_TRANSFORMS = {
 KNOWN_SOURCES = {
     "kafka", "kinesis", "pulsar", "rabbitmq", "sqs", "redis", "nats",
     "file", "s3", "gcs", "http", "websocket", "postgres_cdc", "mysql_cdc",
-    "mongodb", "grpc", "jdbc", "memory", "rate",
+    "mongodb", "grpc", "jdbc", "memory", "rate", "jsonl_queue",
 }
 
 

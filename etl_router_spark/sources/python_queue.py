@@ -1,0 +1,116 @@
+"""Custom Python data source for queue-style ingestion (SURVEY §2.1
+S4–S7: the "custom Python data source" path for RabbitMQ/SQS/Redis/NATS
+when no first-party Spark connector exists).
+
+``JsonlQueueDataSource`` implements the PySpark 4 DataSource API over a
+drained-queue directory: a consumer daemon appends complete ``*.jsonl``
+files (one JSON message per line) and the source streams them with real
+offset tracking — ``{"count": N}`` over the lexicographically sorted
+file list, one InputPartition per new file, committed through the
+checkpoint like any Spark source. This is the same pull-model bridge as
+the ``staging_path`` file stream, but demonstrates the full custom-
+connector seam: a socket/AMQP/SDK consumer replaces ``_read_file`` in
+``read()`` and everything else (offsets, partitions, recovery) stays.
+
+Register once per session, then::
+
+    spark.readStream.format("jsonl_queue")
+         .option("path", staging_dir).option("schema", ddl).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+def _list_files(path: str) -> list[str]:
+    try:
+        return sorted(
+            f for f in os.listdir(path) if f.endswith(".jsonl") and not f.startswith(".")
+        )
+    except FileNotFoundError:
+        return []
+
+
+def _read_file(path: str, schema: StructType):
+    names = [f.name for f in schema.fields]
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            yield tuple(obj.get(n) for n in names)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlQueueStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema = schema
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"count": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"count": len(_list_files(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_files(self.path)[start["count"]:end["count"]]
+        return [_FilePartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path, self.schema)
+
+    def commit(self, end: dict) -> None:
+        # the queue analog would ack messages up to `end` here
+        pass
+
+
+class JsonlQueueBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema = schema
+
+    def partitions(self):
+        return [_FilePartition(os.path.join(self.path, f))
+                for f in _list_files(self.path)]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path, self.schema)
+
+
+class JsonlQueueDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_queue"
+
+    def schema(self):
+        s = self.options.get("schema")
+        if not s:
+            raise ValueError("jsonl_queue requires .option('schema', '<DDL>')")
+        return s
+
+    def reader(self, schema: StructType) -> JsonlQueueBatchReader:
+        return JsonlQueueBatchReader(self.options["path"], schema)
+
+    def streamReader(self, schema: StructType) -> JsonlQueueStreamReader:  # noqa: N802
+        return JsonlQueueStreamReader(self.options["path"], schema)
+
+
+def register(spark) -> None:
+    """Idempotent session registration."""
+    spark.dataSource.register(JsonlQueueDataSource)

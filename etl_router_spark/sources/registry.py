@@ -155,6 +155,21 @@ def _read_rate(spark, cfg, streaming):
     return reader.option("rowsPerSecond", str(cfg.get("rows_per_second", 10))).load()
 
 
+def _read_jsonl_queue(spark, cfg, streaming):
+    """Custom Python data source (PySpark 4 DataSource API) over a
+    drained-queue directory — see ``sources.python_queue``."""
+    from etl_router_spark.sources.python_queue import register
+
+    register(spark)
+    reader = (spark.readStream if streaming else spark.read).format("jsonl_queue")
+    path = cfg.get("path") or cfg.get("staging_path")
+    if not path:
+        raise ValueError("jsonl_queue requires path (or staging_path)")
+    if not cfg.get("schema"):
+        raise ValueError("jsonl_queue requires an explicit schema (DDL string)")
+    return reader.option("path", path).option("schema", cfg["schema"]).load()
+
+
 def _queue_source(kind: str, requirement: str):
     def _reader(spark, cfg, streaming):
         # Full config surface accepted (types.rs queue sources); execution
@@ -183,6 +198,7 @@ SOURCE_REGISTRY = {
     "mongodb": _read_mongodb,
     "memory": _read_memory,
     "rate": _read_rate,
+    "jsonl_queue": _read_jsonl_queue,
     "kinesis": _queue_source("kinesis", "the spark-sql-kinesis connector"),
     "pulsar": _queue_source("pulsar", "the pulsar-spark connector"),
     "rabbitmq": _queue_source("rabbitmq", "a RabbitMQ->file/Kafka bridge"),

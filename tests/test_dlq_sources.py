@@ -125,6 +125,42 @@ def test_queue_source_staging_pattern(spark, sf_dir, tmp_path):
     assert df.isStreaming  # watch=True tails the staging dir
 
 
+def test_jsonl_queue_python_datasource(spark, tmp_path):
+    """PySpark 4 custom DataSource: offset tracking across restarts —
+    a second availableNow run from the same checkpoint reads only the
+    file that arrived in between."""
+    import json
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "000.jsonl").write_text("\n".join(
+        json.dumps({"msg_id": i, "body": f"m{i}"}) for i in range(5)))
+    (qdir / "001.jsonl").write_text(json.dumps({"msg_id": 5, "body": "m5"}))
+
+    cfg = {"source_type": "jsonl_queue", "path": str(qdir),
+           "schema": "msg_id bigint, body string"}
+    # batch read sees everything
+    assert read_source(spark, cfg).count() == 6
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (read_source(spark, cfg, streaming=True)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 6
+    # a new message file arrives; restart consumes ONLY the delta
+    (qdir / "002.jsonl").write_text(json.dumps({"msg_id": 6, "body": "m6"}))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert got.filter("msg_id = 6").count() == 1
+
+
 def test_jdbc_streaming_rejected(spark):
     with pytest.raises(ConnectorUnavailable):
         read_source(spark, {"source_type": "jdbc", "url": "jdbc:postgresql://x/db",

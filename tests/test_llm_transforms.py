@@ -63,6 +63,36 @@ def test_text_ops_manifest(spark, sf_dir, tmp_path):
     assert "fingerprint" in fp.columns
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from etl_router_spark.functions.multimodal import (
+        attach_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = attach_fake_media(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20))
+    resized = resize_images(docs, width=16, height=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r.media) == 16 * 8 for r in rows)
+    assert all((r.width, r.height) == (16, 8) for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r.doc_id: r.media for r in resize_images(docs, 16, 8).collect()}
+    assert all(again[r.doc_id] == r.media for r in rows)
+
+    frames = sample_frames(docs, every_n=10, max_frames=4)
+    fr = frames.collect()
+    assert {r.doc_id for r in fr} <= {r.doc_id for r in rows}
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_index)
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|real image"):
+        resize_images(docs, 4, 4, decoder="real").collect()
+
+
 def test_multimodal_extract_manifest(spark, sf_dir, tmp_path):
     from etl_router_spark.functions.multimodal import attach_fake_media
 
