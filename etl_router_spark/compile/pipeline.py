@@ -198,6 +198,8 @@ def compile_stages(
     """
     dlq_frames: dict[str, DataFrame] = {}
     sink_frames: dict[str, DataFrame] = {}
+    # split stage id -> {target stage id: routed frame}
+    split_routes: dict[str, dict[str, DataFrame]] = {}
     overrides = source_overrides or {}
 
     for sid in order:
@@ -207,10 +209,11 @@ def compile_stages(
         in_edges = pipeline.incoming(sid)
 
         # gather inputs, applying per-edge routing conditions (broadcast
-        # semantics: independent filter per edge)
+        # semantics: independent filter per edge) and split-stage routes
         inputs: list[DataFrame] = []
         for e in in_edges:
-            up = outputs[e.from_stage]
+            routed = split_routes.get(e.from_stage, {}).get(sid)
+            up = routed if routed is not None else outputs[e.from_stage]
             if e.condition is not None:
                 up = up.filter(compile_condition(e.condition))
             inputs.append(up)
@@ -247,7 +250,26 @@ def compile_stages(
                 broadcast_dim=bool(cfg.get("broadcast", True)),
             )
         elif stage.stage_type == StageType.TRANSFORM:
-            if stage.transform_type == "join":
+            if stage.transform_type == "split":
+                # T9: named outputs by condition, optional first-match
+                # exclusivity and default_output (types.rs:527-538);
+                # downstream edges consume the route whose output name
+                # (or explicit `to`) equals their stage id
+                cfg = stage.config
+                base = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
+                routes = T.apply_split(
+                    base, cfg["outputs"], cfg.get("default_output"),
+                    first_match=bool(cfg.get("first_match", False)),
+                )
+                targets: dict[str, DataFrame] = {}
+                for o in cfg["outputs"]:
+                    targets[o.get("to") or o["name"]] = routes[o["name"]]
+                d = cfg.get("default_output")
+                if d:
+                    targets.setdefault(d, routes[d])
+                split_routes[sid] = targets
+                df = base  # pass-through for unrouted edges
+            elif stage.transform_type == "join":
                 cfg = stage.config
                 right_id = cfg["right"]
                 df = T.apply_join(

@@ -72,6 +72,66 @@ def test_flagship_pipeline(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{tmp_path}/archive").count() == rows
 
 
+def test_split_stage_first_match_with_default(spark, sf_dir, tmp_path):
+    """T9 split as a DAG stage: named outputs, first-match exclusivity,
+    default_output — rows partition exactly across the three sinks."""
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    doc = {
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "split-stage"},
+        "spec": {
+            "stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet",
+                            "path": f"{sf_dir}/events.parquet"}},
+                {"id": "route", "type": "transform",
+                 "config": {
+                     "transform_type": "split",
+                     "first_match": True,
+                     "outputs": [
+                         {"name": "purchases",
+                          "condition": {"type": "field_in", "key": "event_type",
+                                        "values": ["purchase"]}},
+                         {"name": "big",
+                          "condition": {"type": "field_gt", "key": "value",
+                                        "value": 100}},
+                     ],
+                     "default_output": "rest",
+                 }},
+                {"id": "purchases", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "purchases")}},
+                {"id": "big", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "big")}},
+                {"id": "rest", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / "rest")}},
+            ],
+            "edges": [
+                {"from": "src", "to": "route"},
+                {"from": "route", "to": "purchases"},
+                {"from": "route", "to": "big"},
+                {"from": "route", "to": "rest"},
+            ],
+        },
+    }
+    pipeline = parse_manifest_dict(doc)
+    compiled = compile_pipeline(spark, pipeline)
+    n = {k: df.count() for k, df in compiled.sink_frames.items()}
+    from etl_router_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    n_big = ev.filter("event_type <> 'purchase' AND coalesce(value > 100, false)").count()
+    # first-match: exclusive partition, default catches the rest
+    assert n["purchases"] == n_purch
+    assert n["big"] == n_big
+    assert n["purchases"] + n["big"] + n["rest"] == total
+
+
 CONDITIONAL_EDGES = """
 apiVersion: etl.dev/v1
 kind: Pipeline
