@@ -720,6 +720,118 @@ def lookup_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13_join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def t13_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join transform, left-outer: customers without orders keep a null
+    order side (types.rs:653-660 join_type=left)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = T.apply_join(
+        cust, orders, [{"left_key": "c_custkey", "right_key": "o_custkey"}], "left",
+    )
+    return out.select("c_custkey", "c_name", "o_orderkey",
+                      F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "t13_join_anti",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def t13_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (our superset of the reference's 4 join types,
+    SURVEY §2.9): customers with no large orders."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 200000).select("o_custkey"))
+    return T.apply_join(
+        cust, big, [{"left_key": "c_custkey", "right_key": "o_custkey"}], "left_anti",
+    )
+
+
+@query(
+    "t9_split_first_match",
+    f"""
+    SELECT 'big_purchase' AS route, event_id FROM {EVENTS_US}
+      WHERE event_type = 'purchase' AND coalesce(value > 100, FALSE)
+    UNION ALL
+    SELECT 'any_purchase' AS route, event_id FROM {EVENTS_US}
+      WHERE event_type = 'purchase'
+        AND NOT (event_type = 'purchase' AND coalesce(value > 100, FALSE))
+    UNION ALL
+    SELECT 'rest' AS route, event_id FROM {EVENTS_US}
+      WHERE NOT (event_type = 'purchase')
+    """,
+)
+def t9_split_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split with first-match exclusivity + default: each row lands in
+    exactly one route (types.rs:527-538 semantics)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    parts = T.apply_split(
+        ev,
+        [
+            {"name": "big_purchase",
+             "condition": C.and_(C.field_equals("event_type", "purchase"),
+                                 C.from_dict({"type": "field_gt", "key": "value",
+                                              "value": 100}))},
+            {"name": "any_purchase",
+             "condition": C.field_equals("event_type", "purchase")},
+        ],
+        default_output="rest",
+        first_match=True,
+    )
+    tagged = [df.select(F.lit(name).alias("route"), "event_id")
+              for name, df in parts.items()]
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), tagged)
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue —
+    3 joins + agg + top-k (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
     "lookup_nest",
     """
     SELECT c.c_custkey, c.c_name,
