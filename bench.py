@@ -52,6 +52,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
 
     from etl_router_spark.queries import all_queries
     from etl_router_spark.session import get_spark
@@ -59,8 +60,15 @@ def main() -> None:
     spark = get_spark("etl_router_spark_bench")
     queries = all_queries()
 
-    # warm-up: JVM, parquet footers, codegen
+    # warm-up: run every query once at the smallest SF so JVM startup,
+    # plan codegen and JIT are excluded from the timed runs (steady-state
+    # measurement); data volume there is negligible (~0.1% of target)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+    for name in BENCH_QUERIES:
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

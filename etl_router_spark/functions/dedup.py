@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with n-gram-set Jaccard >= threshold.
 
@@ -82,6 +83,11 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
         sh = sh.filter(F.col("__df") <= max_df).drop("__df")
+    if cache:
+        # the posting list feeds the self-join (both sides) and the size
+        # table; Catalyst does not reuse the exchange across a self-join,
+        # so persist it - one shingling pass instead of three (LRU-evicted)
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    cache: bool = False,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
@@ -148,7 +155,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    # both sides of the band-key self-join read the signatures; with
+    # cache=True the shingle->minhash aggregation runs once instead of
+    # twice. Off by default: at small corpus sizes the cache fill costs
+    # more than the second pass; at real scale (expensive shingling,
+    # wide corpus) turn it on - or better, write signatures to a table.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if cache:
+        sig = sig.persist()
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     band_keys = F.array(*[
@@ -215,6 +229,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     blocks: int = 4,
+    cache: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -225,7 +240,12 @@ def simhash_pairs(
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole blocking")
+    # fingerprints feed both sides of the block-key self-join; cache=True
+    # computes them once instead of twice (see minhash_lsh_pairs note on
+    # the fill-cost tradeoff)
     fps = simhash(df, id_col, text_col, bits)
+    if cache:
+        fps = fps.persist()
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunks = F.array(*[
