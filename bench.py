@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q5_nation_revenue",
     "q_top_parts_by_revenue",
     "q_customer_segment_stats",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     # stateful transform surface
     "t10_dedupe_keep_last",
     "t11_ratelimit",

@@ -874,6 +874,222 @@ def fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Join-type breadth (SURVEY §2.9: inner/left/right/full + semi/anti superset)
+# ===========================================================================
+@query(
+    "t13_join_right",
+    """
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def t13_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join transform, right-outer: every customer survives, orderless
+    customers keep a null left side (types.rs:653-660 join_type=right)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = T.apply_join(
+        orders, cust, [{"left_key": "o_custkey", "right_key": "c_custkey"}], "right",
+    )
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+                      "c_custkey", "c_name")
+
+
+@query(
+    "t13_join_full",
+    """
+    SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+           o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+               FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def t13_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join transform, full-outer: both sides pre-filtered so each has
+    unmatched rows; nulls appear on either side (join_type=full)."""
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 400000)
+              .select("o_custkey", "o_orderkey", "o_totalprice"))
+    out = T.apply_join(
+        cust, orders, [{"left_key": "c_custkey", "right_key": "o_custkey"}], "full",
+    )
+    return out.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "t13_join_semi",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def t13_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (our superset, SURVEY §2.9): customers with at least
+    one urgent order; right side never duplicates the left."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+    return T.apply_join(
+        cust, urgent, [{"left_key": "c_custkey", "right_key": "o_custkey"}], "left_semi",
+    )
+
+
+@query(
+    "t10_dedupe_keep_first",
+    f"""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts ASC, event_id ASC) AS rn
+      FROM {EVENTS_US}) t
+    WHERE rn = 1
+    """,
+)
+def t10_dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupe keep=first (types.rs:542-556): earliest event per
+    (user, type) key, event_id as the deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_dedupe(ev, ["user_id", "event_type"], keep="first",
+                         order_field="ts", tiebreak_fields=["event_id"])
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ===========================================================================
+# More TPC-H shapes (scan-heavy / conditional-agg / having patterns)
+# ===========================================================================
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + filter + global agg. All four
+    predicates push to the parquet reader (PushedFilters), the agg is
+    a two-phase partial; zero shuffle of row data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT o.o_orderstatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with a non-equi residual filter
+    plus conditional aggregation (CASE inside sum)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + ratio-of-sums conditional
+    aggregate; the shipdate range prunes the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)) / F.sum(net), 4
+        ).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.sum_qty, 2)      AS sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — agg with HAVING, then a
+    key join back to orders and a broadcastable customer dim, top-k
+    (TakeOrderedAndProject caps the sort at 100 rows per partition)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("sum_qty", 2).alias("sum_qty"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     # late import so registration in other modules can extend QUERIES
     from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
