@@ -109,18 +109,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact equi-join on the natural key; both sides pre-filtered
-    before the shuffle, AQE picks the join strategy."""
+    """Fact-fact equi-join on the natural key. lineitem is partially
+    aggregated to one row per orderkey BEFORE the join, so (a) the join
+    input shrinks ~4x, (b) countDistinct(orderkey) becomes a plain
+    count over already-unique keys (no expand/distinct shuffle), and
+    (c) the groupBy-orderkey shuffle and the join shuffle share the
+    same hash partitioning — AQE reuses the exchange."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev"))
     )
-    li = _t(spark, sf_dir, "lineitem")
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 

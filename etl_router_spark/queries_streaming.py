@@ -106,6 +106,99 @@ def stream_dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last_event,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionize (native session_window state merging, gap
+    30m): one availableNow epoch means each final session is emitted
+    exactly once — value-identical to the batch lag/cumsum oracle.
+
+    Session-window streaming rejects update mode (only append/complete);
+    append would withhold each user's final session (its end = last
+    event + gap always sits past the global watermark), so the gate
+    runs complete mode, where the single epoch emits final state."""
+    wd = tempfile.mkdtemp(prefix="etl_stream_q4_")
+    src = _stream_events(spark, sf_dir, wd).withWatermark("ts", "0 seconds")
+    sess = T.apply_sessionize(
+        src, ["user_id"], gap="30m",
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n_events"},
+            {"function": "sum", "field": "value", "output_field": "total_value"},
+        ],
+        ts_field="ts",
+    ).select("user_id", "session_start", "session_last_event",
+             "n_events", F.round("total_value", 2).alias("total_value"))
+    path = _run_foreach_batch(sess, wd, "complete")
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_join",
+    f"""
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+           l.user_id
+    FROM {EVENTS_US} l JOIN {EVENTS_US} r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stream-stream inner join (T13 windowed join,
+    types.rs:643-678): purchases matched to the same user's clicks in
+    the preceding 2h. Both sides watermarked; the time-range condition
+    bounds the join state so old rows age out of the state store."""
+    wd = tempfile.mkdtemp(prefix="etl_stream_q5_")
+    src = _stream_events(spark, sf_dir, wd)
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("l_user_id"),
+                F.col("ts").alias("l_ts"))
+        .withWatermark("l_ts", "1 hour")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir, wd + "/c2")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"))
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("""
+            l_user_id = r_user_id
+            AND r_ts >= l_ts - INTERVAL 2 HOURS
+            AND r_ts <= l_ts
+        """),
+    ).select("purchase_id", "click_id", F.col("l_user_id").alias("user_id"))
+    path = _run_to_parquet(joined, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    shutil.rmtree(f"{wd}/c2", ignore_errors=True)
+    return result
+
+
+@query(
     "stream_windowed_agg",
     f"""
     SELECT date_trunc('hour', ts) AS window_start,
