@@ -113,6 +113,80 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer = the ``n_centroids`` lowest-id corpus vectors (a
+    deterministic stand-in for k-means; at production scale the
+    centroids come from an offline training job). The centroid set is
+    the tiny "model": it is collected to the driver once and embedded
+    as literal arrays, so cluster assignment is a pure map-side
+    expression — the 100 TB corpus is never shuffled to be assigned.
+
+    Query side probes its ``nprobe`` nearest centroids; candidates are
+    corpus vectors assigned to any probed centroid (equi-join on
+    centroid id with the probe side broadcast — again no corpus
+    shuffle), then exact cosine re-ranks. Recall < 1 by construction;
+    ties broken on (rounded score, centroid id) identically on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .collect()
+    )
+    cents = [(int(r["cid"]), list(r["cv"])) for r in cent_rows]
+
+    def scored_structs(vec_sql: str) -> Column:
+        # array< struct<s: rounded cosine, cid> > — lexicographic struct
+        # ordering makes max/sort give (score DESC, cid DESC) ranking
+        entries = []
+        for cid, cv in cents:
+            arr = "array(" + ",".join(f"{x!r}D" for x in cv) + ")"
+            s = F.round(cosine_cols(F.expr(vec_sql), F.expr(arr)), 6)
+            entries.append(F.struct(s.alias("s"), F.lit(cid).alias("cid")))
+        return F.array(*entries)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cid", F.array_max(scored_structs("cv"))["cid"])
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("__probes", F.slice(F.reverse(F.array_sort(scored_structs("qv"))), 1, nprobe))
+        .withColumn("cid", F.explode(F.transform("__probes", lambda e: e["cid"])))
+        .drop("__probes")
+    )
+
+    cand = (
+        F.broadcast(q)
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cos = F.round(cosine_cols(F.col("qv"), F.col("cv")), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

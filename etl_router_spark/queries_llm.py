@@ -26,7 +26,12 @@ from etl_router_spark.functions.dedup import (
     simhash_pairs,
 )
 from etl_router_spark.functions.multimodal import attach_fake_media, extract_media_features
-from etl_router_spark.functions.similarity import _hyperplane, brute_force_topk, lsh_bucketed_topk
+from etl_router_spark.functions.similarity import (
+    _hyperplane,
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from etl_router_spark.functions.text import (
     LANG_MARKERS,
     fingerprint,
@@ -220,6 +225,49 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
                              dim=64, planes=3, tables=4)
+
+
+@query(
+    "similarity_ivf_ann",
+    """
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 8),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT c.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC,
+                            ct.cid DESC) AS rn
+        FROM corp c CROSS JOIN cent ct) t WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC,
+                            ct.cid DESC) AS rn
+        FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 20) t WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id FROM probe p JOIN assign a USING (cid)
+      WHERE a.neighbor_id <> p.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+      FROM cand cd
+      JOIN corp q ON q.vec_id = cd.query_id
+      JOIN corp n ON n.vec_id = cd.neighbor_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) r WHERE rank <= 5
+    """,
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: 8 deterministic centroids, nprobe=2, map-side
+    cluster assignment (no corpus shuffle), exact cosine re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb,
+                    k=5, nprobe=2, n_centroids=8)
 
 
 # ===========================================================================

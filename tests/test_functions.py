@@ -170,3 +170,22 @@ def test_multimodal_real_decoder_is_stubbed(documents):
     media = attach_fake_media(documents.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_media_features(media, decoder="real").collect()
+
+
+def test_ivf_topk_recall(embeddings):
+    from etl_router_spark.functions.similarity import ivf_topk
+
+    k = 5
+    exact = brute_force_topk(embeddings.limit(20), embeddings, k=k)
+    approx = ivf_topk(embeddings.limit(20), embeddings, k=k, nprobe=3, n_centroids=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # candidate lists are bounded by the probed clusters
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    recall = len(e & a) / len(e)
+    # nprobe=3 of 8 clusters over clustered fixture data: decent recall
+    assert recall > 0.5, f"IVF recall too low: {recall}"
