@@ -143,11 +143,15 @@ def resize_images(
             n = width * height
 
             def stretch(b: bytes) -> bytes:
+                # hex-string hash chain (not raw-digest chain) so the
+                # DuckDB oracle can rebuild it — duckdb's sha256 only
+                # hashes VARCHARs, and sha256(hex) == sha256 of the
+                # ASCII hex bytes on both engines
                 out = bytearray()
-                seed = bytes(b)
+                seed = hashlib.sha256(bytes(b)).hexdigest()
                 while len(out) < n:
-                    seed = hashlib.sha256(seed).digest()
-                    out.extend(seed)
+                    out.extend(bytes.fromhex(seed))
+                    seed = hashlib.sha256(seed.encode()).hexdigest()
                 return bytes(out[:n])
 
             yield pd.DataFrame({
@@ -195,12 +199,16 @@ def sample_frames(
                 )
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
-                digest = hashlib.sha256(bytes(payload)).digest()
+                # hex-string keyed frames (digest_hex:index) so the
+                # DuckDB oracle can rebuild frame bytes with its
+                # VARCHAR-only sha256
+                digest = hashlib.sha256(bytes(payload)).hexdigest()
                 n_frames = min(max_frames, 1 + len(payload) // max(every_n, 1) % max_frames)
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    frames.append(hashlib.sha256(digest + i.to_bytes(4, "big")).digest()[:64])
+                    frames.append(bytes.fromhex(
+                        hashlib.sha256(f"{digest}:{i}".encode()).hexdigest()))
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(process, schema=FRAME_SCHEMA)

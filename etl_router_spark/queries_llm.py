@@ -372,6 +372,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).select("doc_id", "n_bytes", "content_digest")
 
 
+@query(
+    "multimodal_resize",
+    """
+    WITH c1 AS (SELECT doc_id, sha256(text) AS h1
+                FROM documents WHERE doc_id < 300),
+    c2 AS (SELECT *, sha256(h1) AS h2 FROM c1),
+    c3 AS (SELECT *, sha256(h2) AS h3 FROM c2),
+    c4 AS (SELECT *, sha256(h3) AS h4 FROM c3),
+    c5 AS (SELECT *, sha256(h4) AS h5 FROM c4),
+    c6 AS (SELECT *, sha256(h5) AS h6 FROM c5)
+    SELECT doc_id,
+           CAST(192 AS BIGINT)                  AS n_bytes,
+           h1 || h2 || h3 || h4 || h5 || h6     AS media_hex,
+           16 AS width, 12 AS height
+    FROM c6
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (mapInPandas, fake decoder): output is the
+    hex-chain stretch of the payload to width*height bytes — the oracle
+    rebuilds the identical chain in SQL, so the whole Arrow round-trip
+    (binary in, binary out) is value-checked byte-for-byte."""
+    from etl_router_spark.functions.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = attach_fake_media(docs)
+    out = resize_images(media, width=16, height=12)
+    return out.select(
+        "doc_id",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.lower(F.hex("media")).alias("media_hex"),
+        "width", "height",
+    )
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH n AS (SELECT doc_id, sha256(text) AS digest,
+                      least(8, 1 + (octet_length(CAST(text AS BLOB)) // 10) % 8) AS n_frames
+               FROM documents WHERE doc_id < 300),
+    idx AS (SELECT doc_id, digest, unnest(range(n_frames)) AS frame_index FROM n)
+    SELECT doc_id,
+           CAST(frame_index AS BIGINT) AS frame_index,
+           CAST(32 AS BIGINT)          AS frame_len,
+           sha256(digest || ':' || CAST(frame_index AS VARCHAR)) AS frame_hex
+    FROM idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (1 row -> N frame rows, the
+    ProcessBatch 1->N shape): fake frames are sha256('digest:index'),
+    so count, indices, sizes AND frame bytes are all oracle-checked."""
+    from etl_router_spark.functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = attach_fake_media(docs)
+    out = sample_frames(media, every_n=10, max_frames=8)
+    return out.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 # ===========================================================================
 # generated oracles (attached post-definition: they need helper output)
 # ===========================================================================
