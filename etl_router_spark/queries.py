@@ -882,6 +882,50 @@ def fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t7_validate_route_dlq",
+    f"""
+    SELECT event_id,
+           'dlq.' || event_type    AS record_type,
+           'VALIDATION'            AS _dlq_error_code,
+           'value out of range'    AS _dlq_error_message,
+           'validate-values'       AS _dlq_failed_stage,
+           'transform'             AS _dlq_failed_stage_type,
+           0                       AS _dlq_retry_count,
+           'gate'                  AS _dlq_pipeline
+    FROM {EVENTS_US}
+    WHERE NOT (value IS NOT NULL AND coalesce(value >= 0, FALSE)
+               AND coalesce(value <= 1, FALSE))
+    """,
+)
+def t7_validate_route_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate on_invalid=route: the failing side-output enriched with
+    the reference's DLQ record model (dlq.-prefixed record_type +
+    _dlq_* metadata, record.rs:96-180). Timestamp columns are excluded
+    from the gate (current_timestamp is nondeterministic by design)."""
+    from etl_router_spark.sinks.dlq import to_dlq
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", F.col("event_type").alias("record_type"), "value"))
+    _valid, invalid = T.apply_validate(
+        ev, [{"field": "value", "required": True, "min": 0, "max": 1}],
+        on_invalid="route",
+    )
+    dlq = to_dlq(
+        invalid,
+        error_code="VALIDATION",
+        error_message="value out of range",
+        failed_stage="validate-values",
+        failed_stage_type="transform",
+        pipeline="gate",
+    )
+    return dlq.select(
+        "event_id", "record_type", "_dlq_error_code", "_dlq_error_message",
+        "_dlq_failed_stage", "_dlq_failed_stage_type", "_dlq_retry_count",
+        "_dlq_pipeline",
+    )
+
+
 # ===========================================================================
 # Join-type breadth (SURVEY §2.9: inner/left/right/full + semi/anti superset)
 # ===========================================================================
