@@ -563,6 +563,41 @@ def t12_aggregate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_aggregate_first_last",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)      AS rn_first,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM {EVENTS_US})
+    SELECT user_id,
+           max(CASE WHEN rn_first = 1 THEN round(value, 6) END) AS first_value,
+           max(CASE WHEN rn_last  = 1 THEN round(value, 6) END) AS last_value,
+           count(*)                                             AS n,
+           list_sort(list(round(value, 6)) FILTER (value IS NOT NULL)) AS all_values
+    FROM ranked GROUP BY user_id
+    """,
+)
+def t12_aggregate_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate functions first/last/collect (types.rs:620-632). The
+    reference's first/last = arrival order; ours is the deterministic
+    redefinition (SURVEY §7.4): min_by/max_by over (event_time,
+    sequence) — order-stable under any partitioning. collect is
+    emitted sorted for the same reason."""
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.min_by("value", order), 6).alias("first_value"),
+            F.round(F.max_by("value", order), 6).alias("last_value"),
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list(F.round("value", 6))).alias("all_values"),
+        )
+    )
+
+
+@query(
     "t12_aggregate_tumbling",
     f"""
     SELECT date_trunc('hour', ts) AS window_start,
