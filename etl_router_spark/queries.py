@@ -264,6 +264,40 @@ def t1_filter_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t1_filter_regex_numeric",
+    f"""
+    SELECT event_id, event_type, props FROM {EVENTS_US}
+    WHERE (coalesce(regexp_matches(event_type, '^(purch.se|click)$'), FALSE)
+           OR json_extract_string(props, '$.k') IS NULL)
+      AND NOT coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 10, FALSE)
+      AND NOT (event_type = 'error')
+    """,
+)
+def t1_filter_regex_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition AST batch 2 (matcher.rs:24-82): metadata_match (regex),
+    metadata_exists, metadata_gte, or_/not_ nesting — all under the
+    reference's two-valued logic (missing/unparsable keys => false,
+    §2.4 caveat: compiled conditions wrap in coalesce(expr, false))."""
+    ev = _t(spark, sf_dir, "events")
+    with_meta = ev.withColumn(
+        "metadata",
+        F.create_map(
+            F.lit("et"), F.col("event_type"),
+            F.lit("k"), F.get_json_object("props", "$.k"),
+        ),
+    )
+    cond = C.and_(
+        C.or_(
+            C.metadata_match("et", "^(purch.se|click)$"),
+            C.not_(C.metadata_exists("k")),
+        ),
+        C.not_(C.metadata_gte("k", 10)),
+        C.not_(C.field_equals("event_type", "error")),
+    )
+    return apply_filter(with_meta, cond).select("event_id", "event_type", "props")
+
+
+@query(
     "t2_map_expression",
     """
     SELECT l_orderkey, l_linenumber,
