@@ -1211,6 +1211,346 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# More TPC-H shapes, batch 2 (correlated-subquery rewrites, anti joins,
+# scalar-aggregate broadcasts). The fixtures lack l_commitdate /
+# l_receiptdate / c_phone / p_container, so the classic predicates are
+# adapted: "late line" = l_shipdate > o_orderdate (as in q12),
+# phone-prefix = c_mktsegment membership.
+# ===========================================================================
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual. The date filter prunes the orders scan before
+    the shuffle; the semi join never duplicates orders rows, so the
+    count stays per-order regardless of lineitem fan-out."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q7_nation_trade",
+    """
+    SELECT cust_nation, supp_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+          JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two nations by year.
+    The nation filter is applied to each (broadcast) dim *before* its
+    join, so only the two nations' customers/suppliers reach the fact
+    shuffle — at 100 TB this prunes ~92% of both join inputs."""
+    pair = ("NATION_1", "NATION_2")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    cross = (F.col("cust_nation") != F.col("supp_nation"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(cross)
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two stacked aggregations over a filtered left
+    outer join. The order-side filter lives in the join condition (not
+    a WHERE) so no-order customers still count as c_count=0. The second
+    groupBy re-shuffles only ~|customer| pre-aggregated rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated to a
+    per-part window average. The brand dim filter broadcasts and
+    prunes the fact FIRST, so the window only sees the brand's
+    lineitems — the correlated average is per-part, hence unaffected
+    by the pruning."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#12").select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pruned = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicate. The
+    part-only disjunction (brand ∈ {12,13,14}) is factored out and
+    applied to the broadcast side pre-join; the quantity bound
+    (1..30) is factored onto the fact side — both prune before the
+    join, the full OR evaluates as the residual."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14"))
+            .select("p_partkey", "p_brand", "p_size"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity").between(1, 30))
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
+    cases = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cases)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier query. Both correlated
+    EXISTS are rewritten as per-order distinct-supplier aggregates
+    (one extra scan, zero correlated loops): EXISTS(other supplier) ⇔
+    n_suppliers ≥ 2; NOT EXISTS(other LATE supplier) ⇔ n_late_suppliers
+    = 1 (l1 itself is late). At scale this is two shuffles on
+    l_orderkey instead of two per-row subquery probes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lates = li.join(orders, (li.l_orderkey == orders.o_orderkey)
+                    & (li.l_shipdate > orders.o_orderdate))
+    n_supp = (li.groupBy("l_orderkey")
+              .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+              .filter(F.col("n_suppliers") >= 2)
+              .select(F.col("l_orderkey").alias("ns_orderkey")))
+    n_late = (lates.groupBy(F.col("l_orderkey").alias("nl_orderkey"))
+              .agg(F.countDistinct("l_suppkey").alias("n_late_suppliers"))
+              .filter(F.col("n_late_suppliers") == 1))
+    return (
+        lates
+        .join(n_supp, F.col("l_orderkey") == F.col("ns_orderkey"), "left_semi")
+        .join(n_late, F.col("l_orderkey") == F.col("nl_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer
+      WHERE c_acctbal > 0.0
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (mktsegment standing in for phone prefix; "no
+    orders" tightened to "no urgent orders" because the fixture has
+    orders for every customer): above-average-balance customers with
+    no urgent orders. The scalar average is computed once and
+    broadcast as a 1-row cross join (not collected to the driver);
+    the NOT EXISTS is a left-anti join against orders pre-filtered to
+    the urgent slice and pruned to its custkey column."""
+    seg = F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    cust = _t(spark, sf_dir, "customer").filter(seg).select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab"))
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+# ===========================================================================
+# Lookup on_miss=error (engine.rs:196-203) + exact count-distinct agg
+# ===========================================================================
+@query(
+    "lookup_error_covered",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           n.n_name      AS nation_n_name,
+           n.n_regionkey AS nation_n_regionkey
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def lookup_error_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup on_miss=error (engine.rs:196-203): every c_nationkey is
+    covered by nation, so the miss-probe (an eager limit-1 count over
+    the null-keyed side) passes and the result equals the plain
+    enrichment join. A genuinely missing key raises instead of
+    silently nulling — the error path is unit-tested; this gate pins
+    the pass-through path."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    return apply_lookup(
+        cust, nat, {"c_nationkey": "n_nationkey"},
+        merge_strategy="merge", on_miss="error", prefix="nation",
+        lookup_fields=["n_name", "n_regionkey"],
+    )
+
+
+@query(
+    "t12_aggregate_countdistinct",
+    f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS unique_users,
+           count(*)                AS n_events
+    FROM {EVENTS_US}
+    GROUP BY event_type
+    """,
+)
+def t12_aggregate_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate countdistinct (types.rs:620-632): exact distinct via
+    Spark's expand+two-phase rewrite (partial distinct per partition,
+    then merge). approx_count_distinct is the documented 100 TB path
+    (±2% HLL, one pass, no expand) — gated rows-only since DuckDB's
+    HLL sketches differ."""
+    ev = _t(spark, sf_dir, "events")
+    return T.apply_aggregate(
+        ev, ["event_type"],
+        [
+            {"function": "countdistinct", "field": "user_id", "output_field": "unique_users"},
+            {"function": "count", "output_field": "n_events"},
+        ],
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     # late import so registration in other modules can extend QUERIES
     from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
