@@ -188,8 +188,12 @@ def minhash_lsh_pairs(
             F.col("b.id").alias("id_b"),
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
-        .distinct()  # a pair can collide in several bands
+        # threshold BEFORE distinct: est_jaccard is a pure function of
+        # the pair, so the order is semantics-free, but sub-threshold
+        # candidates (the majority at scale) never reach the dedup
+        # shuffle this way
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()  # a pair can collide in several bands
     )
 
 
@@ -272,8 +276,11 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
+        # hamming is pair-deterministic: filtering before the distinct
+        # keeps far-apart candidates (the bulk at scale) out of the
+        # dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
