@@ -1551,6 +1551,125 @@ def t12_aggregate_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t12_aggregate_approx_distinct",
+    # no oracle: DuckDB's HLL sketch differs from Spark's, so approx
+    # counts are engine-specific by construction. Rows-only gate; the
+    # exact twin (t12_aggregate_countdistinct) pins the semantics.
+)
+def t12_aggregate_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate approxcountdistinct — the documented 100 TB path for
+    distinct counting (types.rs:620-632 countdistinct at scale): one
+    pass, fixed-size HLL sketch per group, no expand. rsd=0.02 ⇒
+    ±2% at 95% confidence."""
+    ev = _t(spark, sf_dir, "events")
+    return T.apply_aggregate(
+        ev, ["event_type"],
+        [{"function": "approxcountdistinct", "field": "user_id",
+          "output_field": "approx_unique_users"}],
+    )
+
+
+@query(
+    "fanout_mapped",
+    f"""
+    SELECT 'metrics' AS sink, user_id, event_type, value FROM {EVENTS_US}
+    UNION ALL
+    SELECT 'audit' AS sink, user_id, 'evt:' || event_type AS event_type,
+           CAST(NULL AS DOUBLE) AS value
+    FROM {EVENTS_US}
+    """,
+)
+def fanout_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fan-out (types.rs:822-831, engine.rs:324-352): one stream, two
+    sinks, each with its own authoritative field mapping. The shared
+    upstream is persisted once so both sink views reuse one
+    scan/compute (the reference's shared-source optimization); the
+    gate unions the views with a sink tag so both mappings are
+    value-checked."""
+    from etl_router_spark.compile.fan import apply_fan_out
+
+    ev = _t(spark, sf_dir, "events")
+    views = apply_fan_out(
+        ev,
+        {
+            "metrics": [
+                M(target="user_id", source="user_id"),
+                M(target="event_type", source="event_type"),
+                M(target="value", source="value"),
+            ],
+            "audit": [
+                M(target="user_id", source="user_id"),
+                M(target="event_type", expression="'evt:' || event_type"),
+                M(target="value", expression="CAST(NULL AS DOUBLE)"),
+            ],
+        },
+    )
+    tagged = [
+        views[name].select(F.lit(name).alias("sink"), "user_id", "event_type", "value")
+        for name in ("metrics", "audit")
+    ]
+    return tagged[0].unionByName(tagged[1])
+
+
+@query(
+    "t7_validate_error_clean",
+    f"""
+    SELECT event_id, user_id, event_type, value FROM {EVENTS_US}
+    WHERE event_id IS NOT NULL
+    """,
+)
+def t7_validate_error_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate on_invalid=error (types.rs:507-516): rules that every
+    fixture row satisfies, so the eager invalid-probe (limit-1 count)
+    passes and the input flows through unchanged. A failing rule
+    raises instead of dropping rows silently — that path is
+    unit-tested; this gate pins the clean pass-through."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    out = T.apply_validate(
+        ev,
+        [
+            {"field": "event_id", "required": True},
+            {"field": "event_type", "pattern": "^[a-z_]+$"},
+            {"field": "value", "type": "float"},
+        ],
+        on_invalid="error",
+    )
+    return out
+
+
+@query(
+    "dlq_redrive_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, value,
+           0 AS _dlq_retry_count
+    FROM {EVENTS_US}
+    WHERE value > 90
+    """,
+)
+def dlq_redrive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ re-drive eligibility + envelope strip (dlq/src/manager.rs:
+    38-52, record.rs:96-180): rows failed into the DLQ envelope, then
+    selected back for retry (retry_count < max, not expired) and
+    restored to their original shape with retry state preserved.
+    Timestamps are runtime-stamped, hence excluded from the gate; the
+    full recompile-and-rerun loop is covered in test_dlq_sources."""
+    from etl_router_spark.sinks.dlq import redrive_eligible, strip_dlq, to_dlq
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    failed = ev.filter(F.col("value") > 90)
+    dlq = to_dlq(
+        failed,
+        error_code="TIMEOUT",
+        error_message="downstream sink timed out",
+        failed_stage="sink-metrics",
+        failed_stage_type="sink",
+        pipeline="gate",
+    )
+    restored = strip_dlq(redrive_eligible(dlq), keep_retry_state=True)
+    return restored.select("event_id", "user_id", "event_type", "value", "_dlq_retry_count")
+
+
 def all_queries() -> dict[str, QueryFn]:
     # late import so registration in other modules can extend QUERIES
     from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
