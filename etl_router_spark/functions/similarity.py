@@ -89,25 +89,101 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "blas",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
 
     Self-matches (same id) are excluded. Deterministic ordering:
     cosine rounded to 1e-6 desc, neighbor id asc as tie-break.
+
+    ``method="blas"`` (default): the query set (the small side — same
+    precondition as broadcasting it) is collected, L2-normalized and
+    broadcast as one matrix; each corpus partition streams through a
+    single GEMM per Arrow batch and emits only its per-batch top-k per
+    query. The global window then re-ranks ~n_queries*k*n_batches rows
+    instead of n_queries*|corpus| — the all-pairs score matrix never
+    materializes. Same shape at 100 TB: corpus stays partitioned, the
+    reduce side is tiny.
+
+    ``method="sql"``: pure Column-expression scoring (zip_with /
+    aggregate), engine-portable cross-check path.
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
-    cos = F.round(cosine_cols(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    if method == "sql":
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+        cos = F.round(cosine_cols(F.col("qv"), F.col("cv")), 6)
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
+    if method != "blas":
+        raise ValueError("method must be 'blas' or 'sql'")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = q_mat / np.where(q_norms == 0, 1.0, q_norms)
+    sc = corpus.sparkSession.sparkContext
+    b_qids = sc.broadcast(q_ids)
+    b_qmat = sc.broadcast(q_mat)
+
+    partial_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def topk_block(batches):
+        qi_ids, qm = b_qids.value, b_qmat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            cn = np.linalg.norm(c, axis=1, keepdims=True)
+            c = c / np.where(cn == 0, 1.0, cn)
+            sims = np.round(qm @ c.T, 6)
+            sims[qi_ids[:, None] == c_ids[None, :]] = -np.inf  # self-exclude
+            out_q, out_n, out_s = [], [], []
+            for row_i in range(len(qi_ids)):
+                row = sims[row_i]
+                # batch-local top-k under the global order
+                # (cosine desc, neighbor asc); the union of batch-local
+                # winners is a superset of the global winners
+                order = np.lexsort((c_ids, -row))[:k]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), qi_ids[row_i]))
+                out_n.append(c_ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
+            })
+
+    c_rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    partial = c_rows.mapInPandas(topk_block, schema=partial_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -216,14 +292,18 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("bucket", F.explode(lsh_bucket_keys("cv", dim, planes, tables)))
-    candidates = (
+    cos = F.round(cosine_cols(F.col("qv"), F.col("cv")), 6)
+    scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        # score BEFORE the cross-table dedup: a pair colliding in m
+        # tables is scored m times (map-side, cheap), but the dedup
+        # shuffle then carries one double per pair instead of two
+        # dim-length vectors — at 100 TB the exchange, not the dot
+        # product, is the bottleneck
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
     )
-    cos = F.round(cosine_cols(F.col("qv"), F.col("cv")), 6)
-    scored = candidates.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
