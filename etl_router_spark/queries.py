@@ -193,8 +193,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim join + global top-k (rank window); Catalyst turns
-    the limit-like filter into TakeOrdered at execution."""
+    """Broadcast dim join + global top-k. The top-k is orderBy+limit —
+    TakeOrderedAndProject keeps a 10-row heap per partition and merges
+    on the driver — NOT a row_number over an unpartitioned window,
+    which would drag every part's row into a single task. The rank
+    column is attached by a window over the 10 surviving rows only."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = (
@@ -202,8 +205,9 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+    top = rev.orderBy(F.col("revenue").desc(), "p_partkey").limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey"))
-    return rev.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @query(
@@ -225,21 +229,24 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_mktsegment", "c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
-        )
+    """Orders are pre-aggregated to one row per custkey BEFORE the
+    join (map-side partial agg shrinks the shuffle), so the join output
+    is |customer| rows and the per-(segment,custkey) re-shuffle of
+    joined fact rows disappears; the segment rollup is then a tiny
+    second aggregate."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("spend"),
     )
-    return per_cust.groupBy("c_mktsegment").agg(
+    joined = cust.join(per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left")
+    spend = F.coalesce(F.col("spend"), F.lit(0.0))
+    return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.sum("n_orders").alias("total_orders"),
-        F.round(F.sum("spend"), 2).alias("total_spend"),
-        F.round(F.avg("spend"), 6).alias("avg_spend"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("total_orders"),
+        F.round(F.sum(spend), 2).alias("total_spend"),
+        F.round(F.avg(spend), 6).alias("avg_spend"),
     )
 
 
