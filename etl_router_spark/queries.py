@@ -443,6 +443,28 @@ def t8_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t8_flatmap_outer",
+    r"""
+    SELECT d.doc_id, u.token
+    FROM (SELECT doc_id,
+                 CASE WHEN lang = 'en'
+                      THEN string_split_regex(trim(text), '\s+') END AS arr
+          FROM documents WHERE doc_id < 200) d
+    LEFT JOIN LATERAL (SELECT unnest(d.arr) AS token) u ON TRUE
+    """,
+)
+def t8_flatmap_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatmap null-safety (SURVEY §2.2 T8): explode_outer keeps rows
+    whose array is null/empty with a null element instead of silently
+    dropping them — the reference emits 0..N records per input but a
+    pipeline auditing coverage needs the parent row to survive."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    arr = F.when(F.col("lang") == "en", F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.select("doc_id", arr.alias("arr"))
+    return T.apply_flatmap(toks, "arr", "token", outer=True).select("doc_id", "token")
+
+
+@query(
     "t9_split_route",
     f"""
     SELECT 'big_purchase' AS route, event_id, event_type, value FROM {EVENTS_US}
