@@ -443,6 +443,34 @@ def t8_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t5_cast_json_payload",
+    f"""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM {EVENTS_US}
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def t5_cast_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The untyped-payload fallback (SURVEY §7.1): JSON-string payload
+    fields promoted to typed columns via get_json_object + cast, with
+    absent keys yielding null (cast json, types.rs:449-467). This is
+    the path an untyped queue source takes before a schema is
+    declared; with one, ``from_json`` promotes whole structs instead."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select(
+            "event_id", "event_type",
+            k.alias("k"),
+            F.get_json_object("props", "$.missing").cast("bigint").alias("missing"),
+        )
+        .filter(F.col("k") >= 50)
+    )
+
+
+@query(
     "t8_flatmap_outer",
     r"""
     SELECT d.doc_id, u.token
