@@ -24,12 +24,25 @@ TABLES = (
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+# (application id, sf_dir, table) -> DataFrame. DataFrames are
+# immutable plan handles, so sharing one per table is safe; the win is
+# skipping the per-read parquet footer/schema job that every query
+# otherwise pays at plan-construction time. Keyed by applicationId so
+# a restarted session never sees plans bound to a dead context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
