@@ -46,6 +46,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str] | None = None,
+    buckets: int = 8,
+    sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table, optionally hash-bucketed on join keys.
+
+    Bucketing is the repeat-join answer at 100 TB: two tables bucketed
+    on the same keys with the same bucket count join with **zero
+    exchange** — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on those keys. ``sort_by``
+    (defaults to the bucket keys) additionally pre-sorts each bucket
+    so sort-merge joins skip their per-task sort.
+
+    ``path`` makes the table external (data at ``path``, metadata in
+    the catalog); without it the data lands in the warehouse dir.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if path:
+        writer = writer.option("path", path)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        writer = writer.bucketBy(buckets, *bucket_by)
+        writer = writer.sortBy(*(sort_by or bucket_by))
+    writer.saveAsTable(table)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -443,6 +443,26 @@ def t8_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t1_filter_expression",
+    f"""
+    SELECT event_id, event_type, value FROM {EVENTS_US}
+    WHERE coalesce((value > 100 AND event_type IN ('purchase', 'signup'))
+                   OR user_id % 100 = 0, FALSE)
+    """,
+)
+def t1_filter_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The free-form ``expression`` condition kind (router.proto:76-85):
+    a Spark-SQL boolean expression compiled through the same two-valued
+    wrapper as the structured kinds, so null comparisons route to
+    'no match' exactly like the reference matcher."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "user_id")
+    cond = C.expression(
+        "(value > 100 AND event_type IN ('purchase', 'signup')) OR user_id % 100 = 0"
+    )
+    return apply_filter(ev, cond).select("event_id", "event_type", "value")
+
+
+@query(
     "t5_cast_json_payload",
     f"""
     SELECT event_id, event_type,

@@ -55,6 +55,21 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
                 writer = writer.option(k, cfg[k])
         writer.save()
         return
+    if stype == "table":
+        from etl_router_spark.io import write_bucketed
+
+        write_bucketed(
+            df,
+            cfg["table"],
+            bucket_by=cfg.get("bucket_by"),
+            buckets=int(cfg.get("buckets", 8)),
+            sort_by=cfg.get("sort_by"),
+            partition_by=cfg.get("partition_by"),
+            path=cfg.get("path"),
+            fmt=cfg.get("format", "parquet"),
+            mode=cfg.get("mode", "overwrite"),
+        )
+        return
     if stype == "kafka":
         (
             df.write.format("kafka")
