@@ -510,6 +510,52 @@ def apply_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    conditions: list[dict[str, str]],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with manual skew salting.
+
+    For hot join keys that overwhelm single reducers when the right
+    side can't broadcast: the left (skewed) side gets a deterministic
+    salt in [0, salt_buckets), the right side is replicated once per
+    salt value, and the join runs on (key, salt) — one hot key now
+    spreads over ``salt_buckets`` reducers. Output rows are identical
+    to the unsalted join; only the exchange distribution changes.
+
+    The salt is a hash of the left row's join keys *plus* a uniform
+    spreader over the monotonic row id, so identical keys still spread.
+    AQE's skew-join handles sort-merge skew automatically when stats
+    see it (spark.sql.adaptive.skewJoin); this is the explicit knob for
+    when it can't — e.g. a skewed key known at authoring time.
+
+    Supported for ``inner`` and ``left`` joins (the replicated side
+    must be the lookup side; other join types would double-count).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    lk = [c["left_key"] for c in conditions]
+    rk = [c["right_key"] for c in conditions]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in lk], F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    pred = reduce(
+        lambda a, b: a & b,
+        [l_salted[a] == r_salted[b] for a, b in zip(lk, rk)]
+        + [l_salted["__salt"] == r_salted["__salt"]],
+    )
+    out = l_salted.join(r_salted, pred, how)
+    return out.drop(l_salted["__salt"]).drop(r_salted["__salt"])
+
+
 # ---------------------------------------------------------------------------
 # T14 sessionize (types.rs:680-697)
 # ---------------------------------------------------------------------------

@@ -201,3 +201,50 @@ def test_sessionize_max_duration_splits(spark):
     assert one.count() == 1  # all one session without max_duration
     split = T.apply_sessionize(df, ["user"], "15m", ts_field="ts", max_duration="30m")
     assert split.count() > 1
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark, sf_dir):
+        from etl_router_spark.compile.transforms import apply_join, salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand")
+        conds = [{"left_key": "l_partkey", "right_key": "p_partkey"}]
+        plain = apply_join(li, part, conds, "inner")
+        salted = salted_join(li, part, conds, "inner", salt_buckets=8)
+        assert salted.columns == plain.columns
+        assert salted.count() == plain.count()
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b
+
+    def test_left_keeps_unmatched(self, spark, sf_dir):
+        from etl_router_spark.compile.transforms import salted_join
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey")
+        # dimension missing some keys -> left join must null-fill, once
+        part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+                .filter(F.col("p_partkey") % 2 == 0)
+                .select("p_partkey", "p_brand"))
+        out = salted_join(
+            li, part, [{"left_key": "l_partkey", "right_key": "p_partkey"}],
+            "left", salt_buckets=4)
+        assert out.count() == li.count()
+        assert out.filter(F.col("p_brand").isNull()).count() == \
+            li.filter(F.col("l_partkey") % 2 == 1).count()
+
+    def test_rejects_replicating_join_types(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from etl_router_spark.compile.transforms import salted_join
+
+        df = spark.range(10)
+        with _pytest.raises(ValueError):
+            salted_join(df, df, [{"left_key": "id", "right_key": "id"}], "full")
