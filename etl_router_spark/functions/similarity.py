@@ -263,6 +263,15 @@ def ivf_topk(
     )
 
 
+def _hyperplane_matrix(dim: int, planes: int, tables: int):
+    """dim x (planes*tables) matrix of the deterministic hyperplanes."""
+    import numpy as np
+
+    return np.array(
+        [_hyperplane(dim, i) for i in range(planes * tables)], dtype=np.float64
+    ).T
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -272,16 +281,35 @@ def lsh_bucketed_topk(
     dim: int = 64,
     planes: int = 4,
     tables: int = 4,
+    method: str = "blas",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket in ANY
     of ``tables`` independent hash tables, then exact cosine re-rank.
 
-    At 100 TB the bucket join replaces the all-pairs cross join with an
-    equi-join on bucket key (shuffle co-partitioned on key). ``planes``
-    tunes bucket granularity (2^planes buckets/table); ``tables`` buys
-    recall — a neighbor is missed only if it lands in a different
-    bucket in *every* table.
+    ``method="blas"`` (default): query ids, normalized vectors and
+    bucket sets are computed driver-side (queries ≪ corpus — the same
+    precondition as broadcasting them) and shipped once; each corpus
+    partition then computes its own buckets with ONE GEMM per Arrow
+    batch, probes the bucket→queries index, scores only the probed
+    pairs vectorized, and emits its batch-local top-k per query. No
+    explode, no bucket join, no cross-table distinct — the only
+    shuffle is the tiny final re-rank, and the corpus never moves.
+
+    ``method="sql"``: pure Column-expression path (bucket explode +
+    equi-join + distinct) — engine-portable, mirrors the DuckDB oracle.
+
+    ``planes`` tunes bucket granularity (2^planes buckets/table);
+    ``tables`` buys recall — a neighbor is missed only if it lands in
+    a different bucket in *every* table.
     """
+    if method == "blas":
+        return _lsh_topk_blas(queries, corpus, k, id_col, vec_col, dim, planes, tables)
+    if method != "sql":
+        raise ValueError("method must be 'blas' or 'sql'")
+    return _lsh_topk_sql(queries, corpus, k, id_col, vec_col, dim, planes, tables)
+
+
+def _lsh_topk_sql(queries, corpus, k, id_col, vec_col, dim, planes, tables):
     from pyspark.sql import Window
 
     q = queries.select(
@@ -307,6 +335,88 @@ def lsh_bucketed_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _lsh_topk_blas(queries, corpus, k, id_col, vec_col, dim, planes, tables):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    H = _hyperplane_matrix(dim, planes, tables)  # dim x (planes*tables)
+    pw = (2 ** np.arange(planes)).astype(np.int64)
+
+    def buckets_of(mat):
+        """n x tables int bucket ids from sign bits of mat @ H."""
+        bits = (mat @ H) > 0  # n x planes*tables
+        return np.stack(
+            [bits[:, t * planes:(t + 1) * planes] @ pw for t in range(tables)],
+            axis=1,
+        )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_matn = q_mat / np.where(qn == 0, 1.0, qn)
+    # buckets from the RAW vectors: normalization preserves projection
+    # signs mathematically, but the un-normalized product is what the
+    # SQL/oracle path computes — stay on the same floats
+    q_buckets = buckets_of(q_mat)  # n_q x tables
+
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((q_ids, q_matn, q_buckets))
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def probe_block(batches):
+        qi, qm, qb = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            cb = buckets_of(c)  # n_c x tables
+            # candidate mask: share a bucket in ANY table (the
+            # cross-table union that needed a distinct in the SQL path)
+            match = np.zeros((len(qi), len(c_ids)), dtype=bool)
+            for t in range(tables):
+                match |= qb[:, t][:, None] == cb[:, t][None, :]
+            match &= qi[:, None] != c_ids[None, :]  # self-exclude
+            cn = np.linalg.norm(c, axis=1, keepdims=True)
+            cm = c / np.where(cn == 0, 1.0, cn)
+            sims = np.round(qm @ cm.T, 6)
+            sims[~match] = -np.inf
+            out_q, out_n, out_s = [], [], []
+            for row_i in range(len(qi)):
+                row = sims[row_i]
+                order = np.lexsort((c_ids, -row))[:k]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), qi[row_i]))
+                out_n.append(c_ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
+            })
+
+    c_rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    partial = c_rows.mapInPandas(probe_block, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
