@@ -231,3 +231,57 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(path)
     shutil.rmtree(f"{wd}/in", ignore_errors=True)
     return result
+
+
+@query(
+    "stream_fanout_mapped",
+    f"""
+    SELECT 'metrics' AS sink, user_id, event_type, value FROM {EVENTS_US}
+    UNION ALL
+    SELECT 'audit' AS sink, user_id, 'evt:' || event_type AS event_type,
+           CAST(NULL AS DOUBLE) AS value
+    FROM {EVENTS_US}
+    """,
+)
+def stream_fanout_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fan-out (engine.rs:324-352 under Structured Streaming):
+    ONE foreachBatch writes both per-sink mapped views from a persisted
+    shared batch — the scan/compute runs once per epoch, not once per
+    sink (the reference's shared-source optimization). The gate reads
+    both sinks back and value-checks each mapping."""
+    from etl_router_spark.compile.transforms import apply_map
+    from etl_router_spark.model.manifest import FieldMapping as M
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_fanout_")
+    src = _stream_events(spark, sf_dir, wd)
+    out_m, out_a = f"{wd}/metrics", f"{wd}/audit"
+    metrics_map = [
+        M(target="user_id", source="user_id"),
+        M(target="event_type", source="event_type"),
+        M(target="value", source="value"),
+    ]
+    audit_map = [
+        M(target="user_id", source="user_id"),
+        M(target="event_type", expression="'evt:' || event_type"),
+        M(target="value", expression="CAST(NULL AS DOUBLE)"),
+    ]
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        shared = batch_df.persist()
+        apply_map(shared, metrics_map, drop_unmapped=True).write.mode("append").parquet(out_m)
+        apply_map(shared, audit_map, drop_unmapped=True).write.mode("append").parquet(out_a)
+        shared.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = spark.read.parquet(out_m).select(
+        F.lit("metrics").alias("sink"), "user_id", "event_type", "value")
+    audit = spark.read.parquet(out_a).select(
+        F.lit("audit").alias("sink"), "user_id", "event_type", "value")
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return metrics.unionByName(audit)
