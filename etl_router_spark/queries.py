@@ -1858,6 +1858,73 @@ def dlq_redrive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restored.select("event_id", "user_id", "event_type", "value", "_dlq_retry_count")
 
 
+# ===========================================================================
+# Connector round trips: the source/sink registry inside the oracle gate
+# ===========================================================================
+@query(
+    "source_jsonl_queue_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US}
+    """,
+)
+def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom PySpark DataSource for queue ingestion (SURVEY §2.1
+    S4-S7), batch path: fixture events staged as drained-queue *.jsonl
+    files (two, to force multiple input partitions), read back through
+    the registered ``jsonl_queue`` format, value-checked against the
+    parquet original."""
+    import json
+    import os
+    import tempfile
+
+    from etl_router_spark.sources.registry import read_source
+
+    rows = (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+            .collect())
+    stage = tempfile.mkdtemp(prefix="etl_queue_stage_")
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(stage, f"batch_{i:04d}.jsonl"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                     "event_type": r.event_type, "value": r.value}) + "\n")
+    return read_source(spark, {
+        "source_type": "jsonl_queue",
+        "path": stage,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
+    "sink_csv_roundtrip",
+    f"""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File sink + source in csv format (S8 format breadth): write via
+    the sink registry, read back via the source registry with an
+    explicit schema (no inference drift), proving the text round trip
+    preserves values bit-for-bit at 6-decimal rounding."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    out = tempfile.mkdtemp(prefix="etl_csv_rt_") + "/events_csv"
+    df = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("purchase", "signup"))
+          .select("event_id", "event_type", F.round("value", 6).alias("value")))
+    write_sink(df, {"sink_type": "file", "format": "csv", "path": out, "mode": "overwrite"})
+    return read_source(spark, {
+        "source_type": "file", "format": "csv", "path": out,
+        "schema": "event_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
 def all_queries() -> dict[str, QueryFn]:
     # late import so registration in other modules can extend QUERIES
     from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
