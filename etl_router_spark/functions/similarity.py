@@ -197,6 +197,7 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "blas",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -213,8 +214,19 @@ def ivf_topk(
     shuffle), then exact cosine re-ranks. Recall < 1 by construction;
     ties broken on (rounded score, centroid id) identically on both
     engines.
+
+    ``method="blas"`` mirrors the LSH probe path: centroid assignment
+    is one GEMM against the (tiny) centroid matrix per Arrow batch,
+    the probe mask replaces the candidate join, scoring is vectorized,
+    and each partition emits only batch-local top-k. ``method="sql"``
+    keeps the Column-expression path (oracle twin).
     """
     from pyspark.sql import Window
+
+    if method == "blas":
+        return _ivf_topk_blas(queries, corpus, k, nprobe, n_centroids, id_col, vec_col)
+    if method != "sql":
+        raise ValueError("method must be 'blas' or 'sql'")
 
     cent_rows = (
         corpus.filter(F.col(id_col) < n_centroids)
@@ -394,6 +406,103 @@ def _lsh_topk_blas(queries, corpus, k, id_col, vec_col, dim, planes, tables):
             match &= qi[:, None] != c_ids[None, :]  # self-exclude
             cn = np.linalg.norm(c, axis=1, keepdims=True)
             cm = c / np.where(cn == 0, 1.0, cn)
+            sims = np.round(qm @ cm.T, 6)
+            sims[~match] = -np.inf
+            out_q, out_n, out_s = [], [], []
+            for row_i in range(len(qi)):
+                row = sims[row_i]
+                order = np.lexsort((c_ids, -row))[:k]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), qi[row_i]))
+                out_n.append(c_ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
+            })
+
+    c_rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    partial = c_rows.mapInPandas(probe_block, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _ivf_topk_blas(queries, corpus, k, nprobe, n_centroids, id_col, vec_col):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .collect()
+    )
+    # ascending cid order matters for the >=-wins tie-break below
+    cent_rows = sorted(cent_rows, key=lambda r: int(r.cid))
+    cent_ids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cent = np.array([r.cv for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_n = cent / np.where(cn == 0, 1.0, cn)
+
+    def assign(mat_n):
+        """Per row: centroid maximizing (rounded cosine, cid) — the
+        same lexicographic-struct max as the SQL path."""
+        sims = np.round(mat_n @ cent_n.T, 6)
+        best_s = np.full(len(mat_n), -np.inf)
+        out = np.full(len(mat_n), -1, dtype=np.int64)
+        for j in range(len(cent_ids)):  # ascending cid: ties -> higher cid
+            take = sims[:, j] >= best_s
+            out[take] = cent_ids[j]
+            best_s[take] = sims[take, j]
+        return out, sims
+
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_matn = q_mat / np.where(qn == 0, 1.0, qn)
+    # query probes: top-nprobe centroids by (score desc, cid desc) —
+    # identical to reverse(array_sort(struct(s, cid)))[:nprobe]
+    _, q_sims = assign(q_matn)
+    probe_sets = []
+    for row in q_sims:
+        order = np.lexsort((-cent_ids, -row))[:nprobe]
+        probe_sets.append(cent_ids[order])
+    q_probes = np.array(probe_sets, dtype=np.int64)  # n_q x nprobe
+
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((q_ids, q_matn, q_probes))
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def probe_block(batches):
+        qi, qm, qp = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            nrm = np.linalg.norm(c, axis=1, keepdims=True)
+            cm = c / np.where(nrm == 0, 1.0, nrm)
+            assigned, _ = assign(cm)
+            match = np.zeros((len(qi), len(c_ids)), dtype=bool)
+            for p in range(qp.shape[1]):
+                match |= qp[:, p][:, None] == assigned[None, :]
+            match &= qi[:, None] != c_ids[None, :]
             sims = np.round(qm @ cm.T, 6)
             sims[~match] = -np.inf
             out_q, out_n, out_s = [], [], []
