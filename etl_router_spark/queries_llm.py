@@ -523,3 +523,57 @@ ORACLES["dedup_simhash_pairs"] = f"""
 ORACLES["similarity_lsh_ann"] = _lsh_oracle(planes=3, tables=4, dim=64, k=5, n_queries=20)
 
 ORACLES["text_langid"] = _langid_oracle()
+
+
+def _corpus_clean_oracle() -> str:
+    """Composite pipeline oracle: langid -> quality filter -> exact-dedup
+    representatives, mirroring the Spark composition operator-for-
+    operator (same tie-breaks, same normalization)."""
+    langs = sorted(LANG_MARKERS)
+    score_defs = ",\n           ".join(
+        f"len(list_filter({_WORDS}, w -> list_contains({list(LANG_MARKERS[l])!r}, w))) AS s_{l}"
+        for l in langs
+    )
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pick = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    stop = "len(list_filter({w}, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len({w})".format(w=_WORDS)
+    norm = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+           {score_defs}
+      FROM documents),
+    with_best AS (SELECT *, {best} AS best FROM scored),
+    pred AS (
+      SELECT doc_id, text,
+             CASE WHEN best > 0 THEN (CASE {pick} END) ELSE 'und' END AS lang_pred
+      FROM with_best),
+    kept AS (
+      SELECT doc_id, text, lang_pred FROM pred
+      WHERE lang_pred = 'en'
+        AND len({_WORDS}) >= 30
+        AND {stop} >= 0.02),
+    reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY {norm})
+    SELECT k.doc_id, k.lang_pred FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+    """
+
+
+@query("corpus_clean", None)  # oracle attached below
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus cleaning composition, end to end in
+    one plan: language-ID (keep predicted en) -> quality thresholds
+    (length + stopword ratio) -> exact dedup keeping the min-id
+    representative. All three stages are narrow column expressions plus
+    one digest-keyed groupBy — at 100 TB the only shuffle is the
+    32-byte-key dedup exchange over the already-filtered survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(language_id(docs))
+    kept = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("n_words") >= 30)
+        & (F.col("stopword_ratio") >= 0.02)
+    )
+    return exact_dedup(kept, text_col="text", id_col="doc_id").select("doc_id", "lang_pred")
+
+
+ORACLES["corpus_clean"] = _corpus_clean_oracle()
