@@ -1865,7 +1865,7 @@ def dlq_redrive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_jsonl_queue_roundtrip",
     f"""
     SELECT event_id, user_id, event_type, round(value, 6) AS value
-    FROM {EVENTS_US}
+    FROM {EVENTS_US} WHERE event_id % 5 = 0
     """,
 )
 def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,6 +1881,7 @@ def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.sources.registry import read_source
 
     rows = (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 5 == 0)
             .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
             .collect())
     stage = tempfile.mkdtemp(prefix="etl_queue_stage_")
