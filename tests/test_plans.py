@@ -1,0 +1,67 @@
+"""Physical-plan assertions for the scale claims in SCALE.md.
+
+Correctness gates prove values; these tests prove the SHAPE — filters
+reach the parquet scan, dimension joins broadcast, global top-k runs as
+a bounded heap, and column pruning trims the read schema. A regression
+here means a query got slower at scale even if its values still match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    from etl_router_spark.queries import all_queries
+
+    qs = all_queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q6_filters_push_to_scan(plans):
+    plan = plans("q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:400]
+
+
+def test_q6_reads_only_needed_columns(plans):
+    plan = plans("q6_forecast_revenue")
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q5_dimension_chain_broadcasts(plans):
+    plan = plans("q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_parts_is_a_bounded_heap(plans):
+    plan = plans("q_top_parts_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lookup_prunes_dimension_before_broadcast(plans):
+    plan = plans("lookup_merge")
+    part_scan = plan.split("part.parquet", 1)[0]
+    schema = part_scan.rsplit("ReadSchema:", 1)[-1].splitlines()[0]
+    assert "p_size" not in schema, schema  # un-merged column never read
+
+
+def test_q4_semi_join_not_inner(plans):
+    plan = plans("q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_no_driver_scalar(plans):
+    plan = plans("q22_idle_customers")
+    assert "LeftAnti" in plan
+    # the scalar average is a broadcast join, not a collected literal
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
