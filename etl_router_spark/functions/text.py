@@ -46,13 +46,27 @@ def _isin_pred(markers: tuple[str, ...]):
     return pred
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric symbols — the simplified (ASCII, lookahead-free)
+# form of the GPT-2 split pattern, chosen to evaluate identically
+# under Java regex and RE2 so token counts are engine-portable.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
-    """Whitespace tokenization + token count (BPE-ish subword count is
-    approximated by ceil(chars/4), the common LLM heuristic)."""
+    """Whitespace tokenization + token counts.
+
+    ``n_bpe_tokens`` counts BPE-style pre-tokens via
+    ``BPE_SPLIT_PATTERN`` (a real subword proxy: merges only shrink it);
+    ``n_subwords_est`` keeps the ceil(chars/4) LLM rule of thumb."""
     toks = tokens_col(text_col)
     return (
         df.withColumn(out_col, toks)
         .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)).cast("bigint"),
+        )
         .withColumn("n_subwords_est", F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint"))
     )
 

@@ -282,13 +282,15 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            len({_WORDS})                              AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT)                            AS n_bpe_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT)   AS n_subwords_est
     FROM documents
     """,
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return tokenize(docs).select("doc_id", "n_tokens", "n_subwords_est")
+    return tokenize(docs).select("doc_id", "n_tokens", "n_bpe_tokens", "n_subwords_est")
 
 
 @query(
