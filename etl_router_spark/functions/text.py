@@ -129,6 +129,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     return df.withColumn(out_col, F.md5(canon))
 
 
+ROLLING_FP_MOD = 1_000_000_007
+ROLLING_FP_BASE = 131
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        out_col: str = "rolling_fp") -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    (Rabin-Karp style) folded over the per-token h60 values, mod
+    1e9+7. Complements ``fingerprint`` (order-insensitive set digest):
+    two docs with the same words in different order collide there but
+    not here. Pure column expression — the fold runs JVM-side; the
+    modulus keeps every intermediate < 2^38 so ANSI-mode bigint
+    arithmetic can't overflow."""
+    expr = (
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {ROLLING_FP_MOD}L), "
+        f"0L, (acc, x) -> (acc * {ROLLING_FP_BASE}L + x) % {ROLLING_FP_MOD}L)"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
 def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles as an array<string> (for Jaccard/MinHash).
 

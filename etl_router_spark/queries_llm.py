@@ -356,6 +356,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query(
+    "text_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_WORDS},
+                 t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp rolling fingerprint over token h60s
+    (the prompt-level complement of the set-digest fingerprint)."""
+    from etl_router_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs).select("doc_id", "rolling_fp")
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================
