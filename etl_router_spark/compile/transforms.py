@@ -397,15 +397,29 @@ def build_aggregations(
     """[{function, field, output_field?}] -> agg Columns.
 
     Default output name ``{field}_{function}`` (types.rs:612-618).
+    ``percentile``/``approxpercentile`` additionally read ``p``
+    (default 0.5): exact interpolated (= SQL percentile_cont) vs
+    bounded-memory sketch for the 100 TB path.
     """
     cols = []
     for a in aggregations:
         fn = a["function"].lower().replace("_", "")
         field_name = a.get("field", "*")
+        out_name = a.get("output_field") or f"{field_name}_{fn}".replace("*", "all")
+        if fn == "percentile":
+            cols.append(F.percentile(field_name, F.lit(float(a.get("p", 0.5)))).alias(out_name))
+            continue
+        if fn == "approxpercentile":
+            cols.append(
+                F.percentile_approx(
+                    field_name, F.lit(float(a.get("p", 0.5))),
+                    F.lit(int(a.get("accuracy", 10_000))),
+                ).alias(out_name)
+            )
+            continue
         builder = _AGG_BUILDERS.get(fn)
         if builder is None:
             raise ValueError(f"unknown aggregate function: {a['function']!r}")
-        out_name = a.get("output_field") or f"{field_name}_{fn}".replace("*", "all")
         cols.append(builder(field_name, order_field).alias(out_name))
     return cols
 

@@ -1740,6 +1740,39 @@ def t12_aggregate_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_aggregate_percentile",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM {EVENTS_US}
+    GROUP BY event_type
+    """,
+)
+def t12_aggregate_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics on
+    both engines). The approx twin (approxpercentile: bounded-memory
+    Greenwald-Khanna sketch) is the documented 100 TB path — exact
+    percentile buffers the group's values."""
+    ev = _t(spark, sf_dir, "events")
+    out = T.apply_aggregate(
+        ev, ["event_type"],
+        [
+            {"function": "percentile", "field": "value", "p": 0.5, "output_field": "p50"},
+            {"function": "percentile", "field": "value", "p": 0.9, "output_field": "p90"},
+            {"function": "percentile", "field": "value", "p": 0.99, "output_field": "p99"},
+        ],
+    )
+    return out.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+@query(
     "t12_aggregate_approx_distinct",
     # no oracle: DuckDB's HLL sketch differs from Spark's, so approx
     # counts are engine-specific by construction. Rows-only gate; the
