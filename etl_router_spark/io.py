@@ -24,6 +24,51 @@ TABLES = (
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session.
+
+    Runtime-settable, so call sites (not session factories) own this:
+    code paths that read arbitrary parquet must work on a session they
+    did not construct. UTC rendering keeps timestamp output identical
+    across sessions (and matches the tz-naive test oracles).
+    """
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # locked conf: let the read surface the error
+
+
+def nano_ts_columns(path: str) -> list[str]:
+    """Names of timestamp[ns] columns per the parquet footer (pyarrow),
+    so readers can restore TimestampType after nanosAsLong turns them
+    into raw BIGINT nanoseconds. Best-effort: unreadable/remote paths
+    return []."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+        ]
+    except Exception:
+        return []
+
+
+def restore_nano_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """BIGINT-nanos -> TimestampType, in-plan (floor to µs, same as a
+    DuckDB ns->µs cast, so oracle comparisons stay exact)."""
+    for col in cols:
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
 # (application id, sf_dir, table) -> DataFrame. DataFrames are
 # immutable plan handles, so sharing one per table is safe; the win is
 # skipping the per-read parquet footer/schema job that every query
@@ -37,11 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Must hold on ANY injected session, not just ones built by our own
+    # session factory (the driver injects its own session).
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLUMNS.get(name, []):
-        field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    df = restore_nano_timestamps(df, _NANO_TS_COLUMNS.get(name, []))
     _TABLE_CACHE[key] = df
     return df
 

@@ -32,6 +32,16 @@ def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path
         fmt = "text"
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported file format: {fmt!r}")
+    nano_cols: list[str] = []
+    if fmt == "parquet":
+        # TIMESTAMP(NANOS) parquet: unreadable by Spark without the
+        # nanosAsLong conf, which this reader cannot assume was set at
+        # session construction. Detect ns columns from the footer and
+        # restore TimestampType in-plan after the read.
+        from etl_router_spark.io import ensure_nanos_readable, nano_ts_columns
+
+        ensure_nanos_readable(spark)
+        nano_cols = nano_ts_columns(path)
     watch = bool(cfg.get("watch", False))
     reader = spark.readStream if (streaming or watch) else spark.read
     opts: dict[str, str] = {}
@@ -52,7 +62,12 @@ def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path
         reader = reader.schema(schema)
     if streaming or watch:
         opts["maxFilesPerTrigger"] = str(cfg.get("max_files_per_trigger", 64))
-    return reader.options(**opts).format(fmt).load(path)
+    df = reader.options(**opts).format(fmt).load(path)
+    if nano_cols:
+        from etl_router_spark.io import restore_nano_timestamps
+
+        df = restore_nano_timestamps(df, nano_cols)
+    return df
 
 
 def _read_file(spark, cfg, streaming):

@@ -44,6 +44,17 @@ def norm_cell(v):
     return str(v)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the rendering class the driver's
+    value-hash is sensitive to: int vs float vs everything-else."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
 def frame_to_rows(pdf) -> list[tuple]:
     cols = sorted(pdf.columns)
     rows = [tuple(norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
@@ -56,9 +67,19 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
-    from etl_router_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("correctness")
+    # Deliberately NOT the engine's session factory: the driver injects
+    # its own plain session, so the local gate must prove every query
+    # works without engine-factory confs (the round-1 nanos regression
+    # was invisible precisely because this script used get_spark()).
+    spark = (
+        SparkSession.builder.appName("correctness-driverlike")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = make_duck(sf_dir)
     queries = entry.queries()
     oracles = entry.oracle_sql()
@@ -88,6 +109,23 @@ def main() -> int:
         if s_cols != o_cols:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
+            continue
+        # The driver hashes rendered values, so an int64 4037 vs a
+        # float64 4037.0 (DuckDB HUGEINT via fetchdf) is a hash MISMATCH
+        # even though 9-sig-digit normalization makes them equal.
+        # Reproduce that sensitivity: numeric dtype *kind* must agree.
+        kind_mismatch = [
+            c for c in s_cols
+            if _kind(spdf[c].dtype) != _kind(opdf[c].dtype)
+        ]
+        if kind_mismatch:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: dtype-kind mismatch (driver hash would differ): "
+                + ", ".join(
+                    f"{c} spark={spdf[c].dtype} oracle={opdf[c].dtype}" for c in kind_mismatch
+                )
+            )
             continue
         if len(spdf) != len(opdf):
             failures.append(name)
