@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_frac: float | None = 0.5,
     cache: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with n-gram-set Jaccard >= threshold.
@@ -74,15 +75,34 @@ def ngram_jaccard_pairs(
     posting-list self-join: explode distinct shingles, join on shingle,
     count shared shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
     ``max_df`` drops shingles appearing in more than max_df docs
-    (stop-shingle pruning) — at high corpus scale this is mandatory.
+    (stop-shingle pruning) — at high corpus scale this is mandatory:
+    a single shingle shared by f docs contributes f^2 join rows, so an
+    uncapped stop-shingle turns the self-join quadratic. When ``max_df``
+    is not given, it defaults to ``max_df_frac`` of the corpus size
+    (one cheap count job); pass ``max_df_frac=None`` for the exact
+    uncapped semantics. A shingle above the cap carries ~zero pair
+    signal (it co-occurs with everything) but dominates join cost.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
     )
+    if max_df is None and max_df_frac is not None:
+        # absolute floor of 100: below that a shingle cannot explode
+        # the join anyway, and tiny corpora keep exact semantics
+        max_df = max(100, int(df.count() * max_df_frac))
     if max_df is not None:
-        sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
-        sh = sh.filter(F.col("__df") <= max_df).drop("__df")
+        # stop-shingle pruning as a broadcast anti-join, NOT a window:
+        # the groupBy count partial-aggregates map-side (the shuffle
+        # carries (shingle, count), not the posting list), and shingles
+        # over the cap are by construction few enough to broadcast.
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     if cache:
         # the posting list feeds the self-join (both sides) and the size
         # table; Catalyst does not reuse the exchange across a self-join,
@@ -300,17 +320,25 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "blas",
+    method: str = "block",
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Exact near-dup pairs by cosine >= threshold (brute-force).
 
-    ``method="blas"`` (default): block-matrix path — the corpus matrix
-    is normalized and broadcast once, each partition's rows multiply
-    against it with one BLAS GEMM inside mapInPandas, and only the
-    upper-triangle hits above threshold are emitted. ~50x faster than
-    per-element SQL lambdas and the same shape scales out: at 100 TB
-    the broadcast side becomes LSH/IVF-bucketed blocks
-    (``similarity.lsh_bucketed_topk``), the GEMM stays.
+    ``method="block"`` (default, the scale path): distributed block
+    GEMM. Vectors are hashed into ``num_blocks`` blocks; each of the
+    B*(B+1)/2 unordered block pairs is an independent task that pulls
+    exactly two blocks into memory and runs one BLAS GEMM. No driver
+    collect anywhere in the plan — executor memory is bounded by
+    2*(n/B) vectors per task regardless of corpus size, and the O(n^2)
+    compute (inherent to *exact* all-pairs) spreads over B^2/2 tasks.
+    LSH cannot replace this when the threshold is low (at 0.38 a
+    3-plane/4-table scheme misses ~33% of true pairs); for
+    high-threshold near-dup use the banded paths above.
+
+    ``method="blas"``: single-broadcast GEMM — the whole corpus is
+    collected, normalized and broadcast once; fastest when the corpus
+    fits on the driver (benchmarks, re-rank stages), NOT a 100 TB path.
 
     ``method="sql"``: pure Column-expression path (zip_with/aggregate
     upper-triangle join) — engine-portable, used to cross-check.
@@ -325,8 +353,10 @@ def embedding_cosine_pairs(
                     F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
+    if method == "block":
+        return _block_cosine_pairs(df, id_col, vec_col, threshold, num_blocks)
     if method != "blas":
-        raise ValueError("method must be 'blas' or 'sql'")
+        raise ValueError("method must be 'block', 'blas' or 'sql'")
 
     import numpy as np
     import pandas as pd
@@ -370,3 +400,73 @@ def embedding_cosine_pairs(
             })
 
     return rows.mapInPandas(gemm_block, schema=out_schema)
+
+
+def _block_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_blocks: int,
+) -> DataFrame:
+    """Exact all-pairs cosine via distributed block GEMM.
+
+    Every row lands in block ``pmod(xxhash64(id), B)`` and is replicated
+    into each block pair it participates in — B copies per row, so the
+    shuffle is B*n vectors feeding B*(B+1)/2 independent GEMM tasks.
+    Each unordered row pair occurs in exactly one block-pair group, so
+    no cross-group dedup is needed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
+    )
+    # (bi, bj) with bi <= bj for every block this row's block pairs with
+    pair_structs = F.array(*[
+        F.struct(
+            F.least(F.col("blk"), F.lit(o)).alias("bi"),
+            F.greatest(F.col("blk"), F.lit(o)).alias("bj"),
+        )
+        for o in range(num_blocks)
+    ])
+    exploded = rows.withColumn("bp", F.explode(F.array_distinct(pair_structs)))
+    exploded = exploded.select(
+        "id", "v", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj")
+    )
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def gemm_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.where(norms == 0, 1.0, norms)
+        if bi == bj:
+            sims = np.round(matn @ matn.T, 6)
+            ai, bj_idx = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({
+                "id_a": ids[ai], "id_b": ids[bj_idx], "cosine": sims[ai, bj_idx],
+            })
+        left = pdf["blk"].to_numpy() == bi
+        li, ri = np.nonzero(left)[0], np.nonzero(~left)[0]
+        if not len(li) or not len(ri):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        sims = np.round(matn[li] @ matn[ri].T, 6)
+        l_ids, r_ids = ids[li], ids[ri]
+        ai, bi_idx = np.nonzero(sims >= threshold)
+        id_a = np.minimum(l_ids[ai], r_ids[bi_idx])
+        id_b = np.maximum(l_ids[ai], r_ids[bi_idx])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi_idx]})
+
+    return exploded.groupBy("bi", "bj").applyInPandas(gemm_pair, schema=out_schema)

@@ -90,9 +90,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
+    sh0 AS (
       SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
-      FROM documents WHERE doc_id < 1000),
+      FROM docs),
+    cap AS (SELECT greatest(100, CAST(floor(count(*) * 0.5) AS BIGINT)) AS v FROM docs),
+    sh AS (
+      SELECT id, shingle FROM (
+        SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+      WHERE df <= (SELECT v FROM cap)),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -107,7 +113,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs >= 0.12 (posting-list join)."""
+    """Word-3-gram Jaccard pairs >= 0.12 (posting-list join) with the
+    default stop-shingle cap (df <= 50% of corpus) — the oracle applies
+    the identical cap, so the gate pins the capped semantics."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
 
@@ -158,9 +166,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine >= 0.38, brute-force exact."""
+    """Embedding near-dup pairs, cosine >= 0.38 — exact, via the
+    distributed block-GEMM path (no driver-side corpus collect in the
+    plan; executor memory bounded by two blocks per task)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
-    return embedding_cosine_pairs(emb, threshold=0.38)
+    return embedding_cosine_pairs(emb, threshold=0.38, method="block")
 
 
 # ===========================================================================

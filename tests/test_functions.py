@@ -61,6 +61,44 @@ def test_ngram_jaccard_pairs(dup_docs):
     assert (1, 5) not in pairs
 
 
+def test_ngram_stop_shingle_cap(spark):
+    """The default df-cap drops hot shingles so one stop-shingle cannot
+    turn the posting-list self-join quadratic; an explicit max_df pins
+    the mechanism exactly."""
+    filler = "unique token stream %d alpha beta gamma delta"
+    rows = [(i, ("common anchor phrase here " + filler % i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # "common anchor phrase" has df=8; cap at 4 removes it from every
+    # posting list, so no pair survives even at threshold 0
+    capped = ngram_jaccard_pairs(df, threshold=0.3, max_df=4)
+    assert capped.count() == 0
+    # uncapped exact semantics keep the hot-shingle pairs
+    exact = ngram_jaccard_pairs(df, threshold=0.3, max_df_frac=None)
+    assert exact.count() > 0
+    # default path on a tiny corpus: floor(100) makes the cap a no-op
+    dflt = ngram_jaccard_pairs(df, threshold=0.3)
+    assert dflt.count() == exact.count()
+
+
+def test_embedding_block_pairs_match_sql(spark):
+    """Distributed block-GEMM path == exact SQL path, and its plan has
+    no driver-side collect (the corpus never leaves the cluster)."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.1 * (i % 5)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    block = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_cosine_pairs(df, threshold=0.9, method="block", num_blocks=4).collect()}
+    sql = {(r.id_a, r.id_b): round(r.cosine, 6)
+           for r in embedding_cosine_pairs(df, threshold=0.9, method="sql").collect()}
+    assert set(block) == set(sql)
+    for k, v in sql.items():
+        assert abs(block[k] - v) < 1e-9
+
+
 def test_minhash_estimates_jaccard(dup_docs):
     exact = {(r.id_a, r.id_b): r.jaccard for r in
              ngram_jaccard_pairs(dup_docs, threshold=0.0).collect()}
