@@ -77,7 +77,10 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
         return T.apply_mask(df, cfg["rules"])
     if tt == "validate":
         res = T.apply_validate(df, cfg.get("rules", []), cfg.get("on_invalid", "drop"),
-                               cfg.get("tag_field", "valid"))
+                               cfg.get("tag_field", "valid"),
+                               schema=cfg.get("schema"),
+                               schema_registry_url=cfg.get("schema_registry_url"),
+                               subject=cfg.get("subject"))
         # route mode: valid side continues; invalid side is attached for
         # the caller to wire to the DLQ sink
         if isinstance(res, tuple):

@@ -187,19 +187,114 @@ def validity_column(rules: list[dict[str, Any]]) -> Column:
     return reduce(lambda a, b: a & b, preds)
 
 
+def rules_from_json_schema(schema: dict[str, Any]) -> list[dict[str, Any]]:
+    """JSON-schema subset -> validate rules (the ``schema`` field of
+    ``ValidateTransformConfig``, types.rs:496-506): ``required`` list
+    plus per-property type / minimum / maximum / pattern / enum."""
+    type_map = {
+        "integer": "bigint", "number": "double", "string": "string",
+        "boolean": "boolean",
+    }
+    required = set(schema.get("required") or [])
+    props = schema.get("properties") or {}
+    rules: list[dict[str, Any]] = []
+    for name, prop in props.items():
+        r: dict[str, Any] = {"field": name}
+        if name in required:
+            r["required"] = True
+        if prop.get("type") in type_map:
+            r["type"] = type_map[prop["type"]]
+        if prop.get("minimum") is not None:
+            r["min"] = prop["minimum"]
+        if prop.get("maximum") is not None:
+            r["max"] = prop["maximum"]
+        if prop.get("pattern"):
+            r["pattern"] = prop["pattern"]
+        if prop.get("enum"):
+            r["one_of"] = prop["enum"]
+        if len(r) > 1:
+            rules.append(r)
+    for name in sorted(required - set(props)):
+        rules.append({"field": name, "required": True})
+    return rules
+
+
+def resolve_registry_subject(
+    registry_url: str, subject: str, version: str | int = "latest"
+) -> dict[str, Any]:
+    """Resolve a schema-registry subject from a LOCAL registry.
+
+    ``schema_registry_url`` + ``subject`` (types.rs:496-506) resolve
+    against a directory (plain path or ``file://`` URL) laid out as
+    either ``{subject}.json`` or ``{subject}/{version}.json`` with
+    ``latest`` = highest numeric version — the Confluent subject/
+    version model without a live service. http(s) URLs raise with the
+    deploy-time requirement instead of silently degrading.
+    """
+    import json
+    import os
+
+    if registry_url.startswith(("http://", "https://")):
+        raise ConnectorError(
+            "live schema-registry resolution requires network access at "
+            "deploy time; point schema_registry_url at a file:// export "
+            f"of the registry (got {registry_url!r})"
+        )
+    root = registry_url.removeprefix("file://")
+    flat = os.path.join(root, f"{subject}.json")
+    if os.path.isfile(flat):
+        with open(flat) as fh:
+            return json.load(fh)
+    subj_dir = os.path.join(root, subject)
+    if os.path.isdir(subj_dir):
+        if version == "latest":
+            versions = sorted(
+                (int(f[:-5]) for f in os.listdir(subj_dir)
+                 if f.endswith(".json") and f[:-5].isdigit()),
+                reverse=True,
+            )
+            if not versions:
+                raise FileNotFoundError(f"no versions for subject {subject!r} in {root!r}")
+            version = versions[0]
+        with open(os.path.join(subj_dir, f"{version}.json")) as fh:
+            return json.load(fh)
+    raise FileNotFoundError(f"subject {subject!r} not found in registry {root!r}")
+
+
+class ConnectorError(RuntimeError):
+    """A validate/connector feature needs an external service."""
+
+
 def apply_validate(
     df: DataFrame,
-    rules: list[dict[str, Any]],
+    rules: list[dict[str, Any]] | None = None,
     on_invalid: str = "drop",
     tag_field: str = "valid",
+    schema: dict[str, Any] | None = None,
+    schema_registry_url: str | None = None,
+    subject: str | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """on_invalid ∈ {drop, error, tag, route} (types.rs:507-516).
+
+    Validation sources compose (all become AND-ed rules): inline
+    ``rules``, an inline JSON ``schema``, and a schema-registry
+    ``subject`` resolved from ``schema_registry_url``
+    (types.rs:496-506; local file-registry resolver).
 
     ``route`` returns (valid_df, invalid_df) — the invalid side is the
     DLQ side-output; ``error`` raises on first batch containing invalid
     rows (batch: counted eagerly).
     """
-    valid = validity_column(rules)
+    all_rules = list(rules or [])
+    if schema:
+        all_rules.extend(rules_from_json_schema(schema))
+    if subject:
+        if not schema_registry_url:
+            raise ValueError("validate: subject given without schema_registry_url")
+        all_rules.extend(
+            rules_from_json_schema(resolve_registry_subject(schema_registry_url, subject))
+        )
+    valid = validity_column(all_rules)
     if on_invalid == "drop":
         return df.filter(valid)
     if on_invalid == "tag":

@@ -86,19 +86,37 @@ def _read_gcs(spark, cfg, streaming):
     return _file_reader(spark, cfg, streaming, uri)
 
 
-def _read_kafka(spark, cfg, streaming):
-    # Kafka source (types.rs:164-188): topic/brokers/consumer_group/
-    # auto_offset_reset + SASL/SSL passthrough.
-    reader = (spark.readStream if streaming else spark.read).format("kafka")
-    reader = reader.option("kafka.bootstrap.servers", ",".join(cfg["brokers"]) if isinstance(cfg.get("brokers"), list) else cfg["brokers"])
-    reader = reader.option("subscribe", cfg["topic"])
-    reader = reader.option("startingOffsets", {"earliest": "earliest", "latest": "latest"}.get(cfg.get("auto_offset_reset", "latest"), "latest"))
+def kafka_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """Kafka config (types.rs:164-188) -> Spark reader options.
+
+    Pure mapping so contract tests can pin option names/values without
+    a broker: topic -> ``subscribe``, brokers ->
+    ``kafka.bootstrap.servers``, auto_offset_reset ->
+    ``startingOffsets``, consumer_group -> ``kafka.group.id``,
+    max_offsets_per_trigger -> ``maxOffsetsPerTrigger``, and every
+    ``security`` key passes through under the ``kafka.`` prefix
+    (SASL/SSL)."""
+    opts = {
+        "kafka.bootstrap.servers": (
+            ",".join(cfg["brokers"]) if isinstance(cfg.get("brokers"), list) else cfg["brokers"]
+        ),
+        "subscribe": cfg["topic"],
+        "startingOffsets": {"earliest": "earliest", "latest": "latest"}.get(
+            cfg.get("auto_offset_reset", "latest"), "latest"
+        ),
+    }
     if cfg.get("consumer_group"):
-        reader = reader.option("kafka.group.id", cfg["consumer_group"])
+        opts["kafka.group.id"] = cfg["consumer_group"]
     if cfg.get("max_offsets_per_trigger"):
-        reader = reader.option("maxOffsetsPerTrigger", str(cfg["max_offsets_per_trigger"]))
+        opts["maxOffsetsPerTrigger"] = str(cfg["max_offsets_per_trigger"])
     for k, v in (cfg.get("security") or {}).items():
-        reader = reader.option(f"kafka.{k}", v)
+        opts[f"kafka.{k}"] = v
+    return opts
+
+
+def _read_kafka(spark, cfg, streaming):
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = reader.options(**kafka_reader_options(cfg))
     try:
         return reader.load()
     except Exception as exc:  # connector jar not on classpath in this env
@@ -108,26 +126,33 @@ def _read_kafka(spark, cfg, streaming):
         ) from exc
 
 
+def jdbc_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """JDBC config -> Spark reader options (pure, contract-testable).
+
+    Partitioned reads (the scale path — one task per split of a numeric
+    column) map partition_column/lower_bound/upper_bound/num_partitions
+    onto Spark's partitionColumn quad."""
+    opts = {
+        "url": cfg["url"],
+        "dbtable": cfg.get("table") or cfg.get("dbtable") or f"({cfg['query']}) q",
+    }
+    for k in ("user", "password", "driver"):
+        if cfg.get(k):
+            opts[k] = cfg[k]
+    if cfg.get("partition_column"):
+        opts.update({
+            "partitionColumn": cfg["partition_column"],
+            "lowerBound": str(cfg["lower_bound"]),
+            "upperBound": str(cfg["upper_bound"]),
+            "numPartitions": str(cfg.get("num_partitions", 32)),
+        })
+    return opts
+
+
 def _read_jdbc(spark, cfg, streaming):
     if streaming:
         raise ConnectorUnavailable("jdbc source is batch/snapshot only; CDC streams arrive via Debezium->Kafka")
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", cfg["url"])
-        .option("dbtable", cfg.get("table") or cfg.get("dbtable") or f"({cfg['query']}) q")
-    )
-    for k in ("user", "password", "driver"):
-        if cfg.get(k):
-            reader = reader.option(k, cfg[k])
-    # scale: partitioned reads when a numeric split column is declared
-    if cfg.get("partition_column"):
-        reader = (
-            reader.option("partitionColumn", cfg["partition_column"])
-            .option("lowerBound", str(cfg["lower_bound"]))
-            .option("upperBound", str(cfg["upper_bound"]))
-            .option("numPartitions", str(cfg.get("num_partitions", 32)))
-        )
-    return reader.load()
+    return spark.read.format("jdbc").options(**jdbc_reader_options(cfg)).load()
 
 
 def _read_postgres_cdc(spark, cfg, streaming):
@@ -146,13 +171,19 @@ def _read_mysql_cdc(spark, cfg, streaming):
     return _read_jdbc(spark, {**cfg, "url": url}, streaming)
 
 
+def mongodb_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """MongoDB config -> mongo-spark options (pure, contract-testable)."""
+    opts = {"database": cfg["database"], "collection": cfg["collection"]}
+    if cfg.get("connection_uri"):
+        opts["connection.uri"] = cfg["connection_uri"]
+    if cfg.get("pipeline"):
+        opts["aggregation.pipeline"] = cfg["pipeline"]
+    return opts
+
+
 def _read_mongodb(spark, cfg, streaming):
     reader = (spark.readStream if streaming else spark.read).format("mongodb")
-    reader = reader.option("database", cfg["database"]).option("collection", cfg["collection"])
-    if cfg.get("connection_uri"):
-        reader = reader.option("connection.uri", cfg["connection_uri"])
-    if cfg.get("pipeline"):
-        reader = reader.option("aggregation.pipeline", cfg["pipeline"])
+    reader = reader.options(**mongodb_reader_options(cfg))
     try:
         return reader.load()
     except Exception as exc:

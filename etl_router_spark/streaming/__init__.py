@@ -12,10 +12,16 @@ from etl_router_spark.streaming.runner import (
     run_streaming,
 )
 from etl_router_spark.streaming.stateful import streaming_ratelimit
+from etl_router_spark.streaming.watermark import (
+    SourceWatermarkTracker,
+    track_source_watermarks,
+)
 
 __all__ = [
+    "SourceWatermarkTracker",
     "StreamingExecution",
     "infer_output_mode",
     "run_streaming",
     "streaming_ratelimit",
+    "track_source_watermarks",
 ]

@@ -202,10 +202,12 @@ def run_streaming(
 
     # idle-source handling (watermark.rs:130-147): the reference advances
     # an idle source's watermark to processing time so it can't stall the
-    # combined minimum. Spark's nearest mapping: multipleWatermarkPolicy=
-    # max lets the combined watermark follow the most advanced input
-    # instead of waiting on the idle one. Applied when any fan-in input
-    # declares idle_timeout (documented approximation, SURVEY §7.4).
+    # combined minimum. Two mechanisms here: multipleWatermarkPolicy=max
+    # lets Spark-native stateful operators follow the most advanced
+    # input, and streaming.watermark provides the reference-exact
+    # tracker (SourceWatermarkTracker for foreachBatch epochs;
+    # track_source_watermarks = the applyInPandasWithState timer
+    # variant whose ProcessingTimeTimeout promotes idle sources).
     for stage in pipeline.stages.values():
         if stage.stage_type == StageType.FAN_IN and any(
             (i.get("watermark") or {}).get("idle_timeout")

@@ -35,6 +35,79 @@ def _kafka_frame(spark):
     return spark.createDataFrame(rows, KAFKA_SCHEMA)
 
 
+def test_kafka_option_contract():
+    """Pin the reference-config -> Spark-option mapping (types.rs:164-188)
+    without a broker: these names are the connector's wire contract, so
+    a drifted option name fails here instead of silently at deploy."""
+    from etl_router_spark.sources.registry import kafka_reader_options
+
+    opts = kafka_reader_options({
+        "topic": "user-events",
+        "brokers": ["b1:9092", "b2:9092"],
+        "consumer_group": "etl",
+        "auto_offset_reset": "earliest",
+        "max_offsets_per_trigger": 50_000,
+        "security": {
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "SCRAM-SHA-512",
+            "sasl.jaas.config": "org.apache.kafka.common.security.scram.ScramLoginModule required;",
+        },
+    })
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "user-events",
+        "startingOffsets": "earliest",
+        "kafka.group.id": "etl",
+        "maxOffsetsPerTrigger": "50000",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "SCRAM-SHA-512",
+        "kafka.sasl.jaas.config": "org.apache.kafka.common.security.scram.ScramLoginModule required;",
+    }
+    # defaults: latest offsets, single broker string passes through
+    dflt = kafka_reader_options({"topic": "t", "brokers": "b:9092"})
+    assert dflt["startingOffsets"] == "latest"
+    assert dflt["kafka.bootstrap.servers"] == "b:9092"
+    assert "kafka.group.id" not in dflt and "maxOffsetsPerTrigger" not in dflt
+
+
+def test_jdbc_option_contract():
+    from etl_router_spark.sources.registry import jdbc_reader_options
+
+    opts = jdbc_reader_options({
+        "url": "jdbc:postgresql://db:5432/app",
+        "table": "public.orders",
+        "user": "u", "password": "p", "driver": "org.postgresql.Driver",
+        "partition_column": "o_orderkey",
+        "lower_bound": 0, "upper_bound": 1_000_000, "num_partitions": 64,
+    })
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/app",
+        "dbtable": "public.orders",
+        "user": "u", "password": "p", "driver": "org.postgresql.Driver",
+        "partitionColumn": "o_orderkey",
+        "lowerBound": "0", "upperBound": "1000000", "numPartitions": "64",
+    }
+    # query form wraps as a derived table; no partition opts unless asked
+    q = jdbc_reader_options({"url": "jdbc:mysql://m/d", "query": "SELECT 1 AS x"})
+    assert q["dbtable"] == "(SELECT 1 AS x) q"
+    assert "partitionColumn" not in q
+
+
+def test_mongodb_option_contract():
+    from etl_router_spark.sources.registry import mongodb_reader_options
+
+    opts = mongodb_reader_options({
+        "database": "app", "collection": "events",
+        "connection_uri": "mongodb://m:27017",
+        "pipeline": '[{"$match": {"k": 1}}]',
+    })
+    assert opts == {
+        "database": "app", "collection": "events",
+        "connection.uri": "mongodb://m:27017",
+        "aggregation.pipeline": '[{"$match": {"k": 1}}]',
+    }
+
+
 def test_from_kafka_envelope(spark):
     env = from_kafka(_kafka_frame(spark), record_type="user.event")
     rows = {r.sequence_number: r for r in env.collect()}

@@ -80,6 +80,75 @@ def test_validate_modes(spark):
         T.apply_validate(df, rules, "error")
 
 
+def test_validate_json_schema_and_registry_subject(spark, tmp_path):
+    """ValidateTransformConfig's schema / schema_registry_url / subject
+    fields (types.rs:496-506): inline JSON schema and a local file
+    registry (subject.json and subject/version.json layouts)."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "ok", 10.0), (2, None, 5.0), (3, "ok", -1.0)],
+        "id int, status string, amount double",
+    )
+    schema = {
+        "type": "object",
+        "required": ["status"],
+        "properties": {
+            "status": {"type": "string", "enum": ["ok", "retry"]},
+            "amount": {"type": "number", "minimum": 0},
+        },
+    }
+    assert T.apply_validate(df, on_invalid="drop", schema=schema).count() == 1
+
+    # flat layout: {subject}.json
+    reg = tmp_path / "registry"
+    reg.mkdir()
+    (reg / "orders-value.json").write_text(json.dumps(schema))
+    out = T.apply_validate(
+        df, on_invalid="drop",
+        schema_registry_url=f"file://{reg}", subject="orders-value",
+    )
+    assert out.count() == 1
+
+    # versioned layout: {subject}/{n}.json, latest = highest n
+    subj = reg / "events-value"
+    subj.mkdir()
+    (subj / "1.json").write_text(json.dumps({"required": ["missing_col"]}))
+    (subj / "2.json").write_text(json.dumps(schema))
+    out2 = T.apply_validate(
+        df, on_invalid="drop",
+        schema_registry_url=str(reg), subject="events-value",
+    )
+    assert out2.count() == 1  # v2 (latest) applies, not v1
+
+    # live registries need network: explicit error, not silent degrade
+    with pytest.raises(T.ConnectorError, match="file://"):
+        T.apply_validate(df, on_invalid="drop",
+                         schema_registry_url="https://registry:8081",
+                         subject="orders-value")
+    with pytest.raises(ValueError, match="schema_registry_url"):
+        T.apply_validate(df, on_invalid="drop", subject="orders-value")
+
+    # manifest-level config fidelity: compiles through the pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.model.validation import validate_pipeline
+
+    p = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "registry-validate"},
+        "spec": {"stages": [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "file", "format": "parquet", "path": "/tmp/x"}},
+            {"id": "v", "type": "transform",
+             "config": {"transform_type": "validate", "on_invalid": "drop",
+                        "schema_registry_url": str(reg), "subject": "orders-value"}},
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet", "path": "/tmp/y"}},
+        ]},
+    })
+    validate_pipeline(p)
+
+
 def test_flatmap(spark):
     df = spark.createDataFrame([(1, ["a", "b"]), (2, [])], "id int, tags array<string>")
     out = T.apply_flatmap(df, "tags", "tag")
