@@ -85,11 +85,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # clear BETWEEN reps too: self-join operators persist()
+            # their shared input, and a rep that reuses the previous
+            # rep's cache measures warm-cache re-execution, not
+            # steady-state cost (plan handles stay memoized, so rep 2
+            # still skips the one-time parquet footer read)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        # self-join operators persist() their shared input and hold it
-        # until eviction; drop it so storage pressure from query N
-        # never taxes query N+1
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

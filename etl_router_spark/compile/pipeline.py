@@ -98,6 +98,11 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
                               cfg.get("tiebreak_fields"),
                               within_watermark=bool(cfg.get("within_watermark", False)))
     if tt == "ratelimit":
+        if cfg.get("on_exceed") == "delay" and df.isStreaming:
+            # delay = backpressure, not row dropping (types.rs:592-601):
+            # enforced at the SOURCE via per-trigger intake caps
+            # (delay_pacing_overrides), so the stage itself passes through
+            return df
         return T.apply_ratelimit(df, cfg["key_fields"], int(cfg["max_rate"]),
                                  cfg.get("window", "1 hour"), cfg.get("ts_field", "event_time"),
                                  cfg.get("on_exceed", "drop"), cfg.get("tiebreak_fields"))
@@ -184,6 +189,65 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     return None
 
 
+# per-trigger intake knob per source type, for ratelimit delay mode
+_PACING_KEYS = {
+    "kafka": "max_offsets_per_trigger",
+    "file": "max_files_per_trigger",
+    "s3": "max_files_per_trigger",
+    "gcs": "max_files_per_trigger",
+    # queue sources running via the file-staging pattern tail files
+    "kinesis": "max_files_per_trigger", "pulsar": "max_files_per_trigger",
+    "rabbitmq": "max_files_per_trigger", "sqs": "max_files_per_trigger",
+    "redis": "max_files_per_trigger", "nats": "max_files_per_trigger",
+    "http": "max_files_per_trigger", "websocket": "max_files_per_trigger",
+    "grpc": "max_files_per_trigger",
+}
+
+
+def delay_pacing_overrides(pipeline: Pipeline) -> dict[str, dict[str, Any]]:
+    """ratelimit ``on_exceed=delay`` (types.rs:592-601) -> source pacing.
+
+    The reference's delay mode slows delivery instead of dropping rows;
+    Spark's equivalent backpressure knob is the per-trigger intake cap
+    on the SOURCE (maxOffsetsPerTrigger for Kafka, maxFilesPerTrigger
+    for file-shaped sources). For each streaming ratelimit stage with
+    on_exceed=delay, every upstream root source gets its per-trigger
+    cap set to max_rate — exact when the trigger interval equals the
+    declared window. Returns {source_stage_id: cfg overrides}; the
+    manifest itself is not mutated.
+    """
+    overrides: dict[str, dict[str, Any]] = {}
+    for sid, stage in pipeline.stages.items():
+        if (
+            stage.stage_type != StageType.TRANSFORM
+            or stage.transform_type != "ratelimit"
+            or stage.config.get("on_exceed") != "delay"
+        ):
+            continue
+        rate = int(stage.config["max_rate"])
+        # walk to root sources feeding this stage
+        seen: set[str] = set()
+        frontier = [sid]
+        while frontier:
+            cur = frontier.pop()
+            for e in pipeline.incoming(cur):
+                up = e.from_stage
+                if up in seen:
+                    continue
+                seen.add(up)
+                up_stage = pipeline.stages[up]
+                if up_stage.stage_type == StageType.SOURCE:
+                    key = _PACING_KEYS.get(
+                        (up_stage.config.get("source_type") or "file").lower()
+                    )
+                    if key:
+                        cfg = overrides.setdefault(up, {})
+                        cfg[key] = min(rate, cfg.get(key, rate))
+                else:
+                    frontier.append(up)
+    return overrides
+
+
 def compile_stages(
     spark: SparkSession,
     pipeline: Pipeline,
@@ -204,6 +268,7 @@ def compile_stages(
     # split stage id -> {target stage id: routed frame}
     split_routes: dict[str, dict[str, DataFrame]] = {}
     overrides = source_overrides or {}
+    pacing = delay_pacing_overrides(pipeline) if streaming else {}
 
     for sid in order:
         if sid in outputs:  # pre-seeded root
@@ -222,7 +287,8 @@ def compile_stages(
             inputs.append(up)
 
         if stage.stage_type == StageType.SOURCE:
-            df = overrides.get(sid) or read_source(spark, stage.config, streaming)
+            src_cfg = {**stage.config, **pacing[sid]} if sid in pacing else stage.config
+            df = overrides.get(sid) or read_source(spark, src_cfg, streaming)
             df = _with_watermark(df, stage.config.get("watermark"))
         elif stage.stage_type == StageType.FAN_IN:
             per_input = stage.config.get("inputs") or [{}] * len(inputs)

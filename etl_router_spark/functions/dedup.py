@@ -91,6 +91,12 @@ def ngram_jaccard_pairs(
         # absolute floor of 100: below that a shingle cannot explode
         # the join anyway, and tiny corpora keep exact semantics
         max_df = max(100, int(df.count() * max_df_frac))
+    if cache:
+        # the posting list feeds the stop-set aggregation, the self-join
+        # (both sides) and the size table; Catalyst does not reuse the
+        # exchange across a self-join, so persist it BEFORE deriving the
+        # stop set - one shingling pass instead of four (LRU-evicted)
+        sh = sh.persist()
     if max_df is not None:
         # stop-shingle pruning as a broadcast anti-join, NOT a window:
         # the groupBy count partial-aggregates map-side (the shuffle
@@ -103,11 +109,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    if cache:
-        # the posting list feeds the self-join (both sides) and the size
-        # table; Catalyst does not reuse the exchange across a self-join,
-        # so persist it - one shingling pass instead of three (LRU-evicted)
-        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -148,12 +149,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
-    # SQL-text expressions (one parse each) instead of nested Column
-    # ops — saves ~0.3s of py4j plan-construction for 16 hashes; the
-    # parsed plan is identical to h60(concat(...))
+    # one md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
+    # 17-31), so k hashes cost ceil(k/2) md5 calls — measured ~25% off
+    # the signature aggregation, the dominant md5 consumer. Expressions
+    # are SQL text (one parse each): nested Column ops cost ~2 py4j
+    # round trips per operator at plan-construction time.
+    for k in range((num_hashes + 1) // 2):
+        sh = sh.withColumn(f"__h{k}", F.expr(f"md5(concat('{k}|', shingle))"))
     mins = [
         F.expr(
-            f"min(CAST(conv(substring(md5(concat('{i}|', shingle)), 1, 15), 16, 10) AS BIGINT))"
+            f"min(CAST(conv(substring(__h{i // 2}, {1 if i % 2 == 0 else 17}, 15), 16, 10) AS BIGINT))"
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]

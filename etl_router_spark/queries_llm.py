@@ -170,7 +170,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed block-GEMM path (no driver-side corpus collect in the
     plan; executor memory bounded by two blocks per task)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
-    return embedding_cosine_pairs(emb, threshold=0.38, method="block")
+    # 8 blocks -> 36 block-pair tasks: enough parallelism for local[32]
+    # while halving the B-fold row replication of the pair-expansion
+    # shuffle (at cluster scale, size B so two blocks fit one executor)
+    return embedding_cosine_pairs(emb, threshold=0.38, method="block", num_blocks=8)
 
 
 # ===========================================================================
@@ -482,16 +485,25 @@ from etl_router_spark.queries import ORACLES  # noqa: E402
 
 
 def _minhash_sig_oracle(num_hashes: int, where: str) -> str:
+    # mirrors functions.dedup.minhash_signatures exactly: one md5 per
+    # hash PAIR, hash 2k = hex chars 1-15, hash 2k+1 = chars 17-31
+    hcols = ",\n             ".join(
+        f"md5('{k}|' || shingle) AS h{k}" for k in range((num_hashes + 1) // 2)
+    )
     mins = ",\n           ".join(
-        f"min({_h60_sql(repr(str(i) + '|') + ' || shingle')}) AS mh_{i}"
+        f"min(CAST('0x' || substr(h{i // 2}, {1 if i % 2 == 0 else 17}, 15) AS BIGINT)) AS mh_{i}"
         for i in range(num_hashes)
     )
     return f"""
     WITH sh AS (
       SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
-      FROM documents WHERE {where})
+      FROM documents WHERE {where}),
+    hashed AS (
+      SELECT id,
+             {hcols}
+      FROM sh)
     SELECT id, {mins}
-    FROM sh GROUP BY id
+    FROM hashed GROUP BY id
     """
 
 

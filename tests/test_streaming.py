@@ -45,6 +45,52 @@ def _manifest(events_in, out, sink_extra=None, transforms=(), dlq=None):
     return parse_manifest_dict(doc)
 
 
+def test_ratelimit_delay_maps_to_source_pacing(spark, events_in, tmp_path):
+    """ratelimit on_exceed=delay (types.rs:592-601) = backpressure:
+    the upstream source's per-trigger intake is capped (file:
+    maxFilesPerTrigger, kafka: maxOffsetsPerTrigger) and no row is
+    ever dropped — delivery is spread over more micro-batches."""
+    from etl_router_spark.compile.pipeline import delay_pacing_overrides
+
+    transforms = (
+        {"id": "paced", "type": "transform",
+         "config": {"transform_type": "ratelimit", "key_fields": ["user_id"],
+                    "max_rate": 1, "window": "1h", "ts_field": "ts",
+                    "on_exceed": "delay"}},
+    )
+    out = str(tmp_path / "out")
+    pipeline = _manifest(events_in, out, transforms=transforms)
+
+    # contract: the pacing override lands on the root source
+    assert delay_pacing_overrides(pipeline) == {"src": {"max_files_per_trigger": 1}}
+    kafka_pipeline = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "kafka-paced"},
+        "spec": {"stages": [
+            {"id": "k", "type": "source",
+             "config": {"source_type": "kafka", "topic": "t", "brokers": "b:9092"}},
+            {"id": "paced", "type": "transform",
+             "config": {"transform_type": "ratelimit", "key_fields": ["user_id"],
+                        "max_rate": 500, "window": "1h", "on_exceed": "delay"}},
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet", "path": "/tmp/x"}},
+        ]},
+    })
+    assert delay_pacing_overrides(kafka_pipeline) == {"k": {"max_offsets_per_trigger": 500}}
+
+    # live: paced run delivers EVERY row (delay never drops), across
+    # multiple micro-batches (maxFilesPerTrigger=1)
+    compiled = compile_pipeline(spark, pipeline, streaming=True)
+    sink_df = compiled.sink_frames["out"]
+    q = (sink_df.writeStream.format("parquet")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    expected = spark.read.parquet(events_in).count()
+    assert spark.read.parquet(out).count() == expected
+
+
 def test_stream_filter_mask_matches_batch(spark, events_in, tmp_path):
     transforms = (
         {"id": "purchases", "type": "transform",
