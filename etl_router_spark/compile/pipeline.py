@@ -186,6 +186,30 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                       id_col=cfg.get("id_field", "doc_id"),
                                       decoder=cfg.get("decoder", "fake"),
                                       feature_dim=int(cfg.get("feature_dim", 8)))
+    if tt == "decontaminate":
+        # benchmark side declared like lookup's dim: a source config
+        from etl_router_spark.functions.corpus import decontaminate
+
+        bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
+        return decontaminate(df, bench,
+                             id_col=cfg.get("id_field", "doc_id"),
+                             text_col=cfg.get("text_field", "text"),
+                             n=int(cfg.get("ngram", 8)),
+                             mode=cfg.get("mode", "drop"))
+    if tt == "hash_sample":
+        from etl_router_spark.functions.corpus import hash_sample
+
+        return hash_sample(df, rate=float(cfg.get("rate", 1.0)),
+                           key_col=cfg.get("key_field", "doc_id"),
+                           salt=cfg.get("salt", ""),
+                           strata_col=cfg.get("strata_field"),
+                           strata_rates=cfg.get("strata_rates"))
+    if tt == "pack_sequences":
+        from etl_router_spark.functions.corpus import pack_sequences
+
+        return pack_sequences(df, max_tokens=int(cfg.get("max_tokens", 2048)),
+                              id_col=cfg.get("id_field", "doc_id"),
+                              token_count_col=cfg.get("token_count_field", "n_tokens"))
     return None
 
 

@@ -29,3 +29,9 @@ from etl_router_spark.functions.similarity import (  # noqa: F401
     brute_force_topk,
     lsh_bucketed_topk,
 )
+from etl_router_spark.functions.corpus import (  # noqa: F401
+    contaminated_ids,
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+)

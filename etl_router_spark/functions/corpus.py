@@ -1,0 +1,170 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+deterministic sampling, and sequence packing.
+
+The three stages every LLM pretraining pipeline runs after dedup:
+
+- ``decontaminate``: drop (or tag) documents that share any long word
+  n-gram with an evaluation/benchmark corpus, so test sets never leak
+  into training data. The standard method is exact n-gram overlap with
+  a large n (8-13 words).
+- ``hash_sample``: reproducible sampling by content-independent hash of
+  a key column — the same row set is selected on every engine, every
+  run, any partitioning (unlike ``df.sample``, which is seed- AND
+  partitioning-dependent). Optional per-stratum rates implement domain
+  mixing ("keep 100% of books, 10% of web").
+- ``pack_sequences``: concatenate the corpus token stream in a
+  deterministic document order and cut it into fixed-size training
+  windows — each document gets the index of the window its first token
+  lands in plus its offset inside that window. Distributed as a
+  two-phase prefix sum: partition-local cumulative sums plus a
+  broadcast of per-partition totals (#partitions rows — metadata-sized,
+  never corpus-sized).
+
+All hashing is the engine-portable ``h60`` (md5-derived) so oracle
+twins are exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.text import h60, shingles
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Ids of documents sharing >= 1 word ``n``-gram with ``benchmark``.
+
+    Plan shape: explode distinct n-grams on both sides, semi-join the
+    corpus postings against the benchmark n-gram set. The benchmark
+    side (eval sets — tiny next to a training corpus) broadcasts by
+    default, so the corpus never shuffles; with
+    ``broadcast_benchmark=False`` it degrades to a shuffled semi-join
+    for benchmark sets that genuinely don't fit an executor.
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return doc_grams.join(bench_grams, "gram", "left_semi").select("id").distinct()
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    mode: str = "drop",
+    tag_field: str = "contaminated",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Remove (``mode="drop"``) or mark (``mode="tag"``) documents that
+    leak benchmark n-grams."""
+    bad = contaminated_ids(docs, benchmark, id_col, text_col, n, broadcast_benchmark)
+    bad = bad.withColumnRenamed("id", id_col)
+    if mode == "drop":
+        return docs.join(bad, id_col, "left_anti")
+    if mode == "tag":
+        flagged = bad.withColumn(tag_field, F.lit(True))
+        return docs.join(flagged, id_col, "left").fillna(False, [tag_field])
+    raise ValueError(f"mode must be drop|tag, got {mode!r}")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "",
+    strata_col: str | None = None,
+    strata_rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep rows where
+    ``h60(salt|key) mod 1e6 < rate * 1e6``.
+
+    Pure map-side filter — no shuffle, no RNG, reproducible across
+    engines/partitionings, and monotone in ``rate`` (a 10% sample is a
+    subset of the 20% sample with the same salt — the property that
+    makes staged scale-ups consistent). ``strata_rates`` overrides the
+    base rate per value of ``strata_col`` (domain mixing).
+    """
+    bucket = F.pmod(h60(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))), F.lit(1_000_000))
+    if strata_col and strata_rates:
+        thr: Column = F.lit(int(rate * 1_000_000))
+        for value, r in sorted(strata_rates.items()):
+            thr = F.when(F.col(strata_col) == value, F.lit(int(r * 1_000_000))).otherwise(thr)
+        return df.filter(bucket < thr)
+    return df.filter(bucket < F.lit(int(rate * 1_000_000)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Assign each document its training-window index and offset.
+
+    Documents are laid out in ``id_col`` order as one concatenated
+    token stream split into ``max_tokens`` windows (the standard
+    pretraining packing: documents straddle window boundaries).
+    Output adds ``seq_index`` (window containing the document's first
+    token), ``seq_offset`` (position inside that window) and
+    ``token_start`` (absolute stream position).
+
+    Distributed prefix sum, not a global window: rows are
+    range-partitioned by id, each partition computes a local running
+    sum, and the per-partition totals (#partitions rows — a
+    metadata-sized driver collect, same class as a parquet footer read)
+    are broadcast back as additive offsets. No single-partition sort of
+    the corpus anywhere.
+    """
+    num_shards = num_shards or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_shards, F.col(id_col)).withColumn(
+        "__part", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(token_count_col).over(w_local))
+    local = local.persist()  # feeds both the totals agg and the final join
+
+    # per-partition totals -> absolute start offset of each partition.
+    # Range partitioning makes partition id order == id order.
+    totals = (
+        local.groupBy("__part").agg(F.max("__local_cum").alias("__total"))
+        .orderBy("__part")
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in totals:
+        offsets[row["__part"]] = running
+        running += row["__total"]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__part") == p, F.lit(o)) for p, o in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+
+    start = (F.col("__local_cum") - F.col(token_count_col) + offset_col).alias("token_start")
+    out = local.withColumn("token_start", start)
+    return (
+        out.withColumn("seq_index", (F.col("token_start") / max_tokens).cast("bigint"))
+        .withColumn("seq_offset", F.pmod(F.col("token_start"), F.lit(max_tokens)))
+        .drop("__part", "__local_cum")
+    )

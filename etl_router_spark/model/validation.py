@@ -23,7 +23,7 @@ KNOWN_TRANSFORMS = {
     # large-scale data-pipeline extensions (first-class in this engine)
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
     "similarity_topk", "text_stats", "langid", "fingerprint", "tokenize",
-    "multimodal_extract",
+    "multimodal_extract", "decontaminate", "hash_sample", "pack_sequences",
 }
 
 KNOWN_SOURCES = {

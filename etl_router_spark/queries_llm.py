@@ -622,3 +622,93 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["corpus_clean"] = _corpus_clean_oracle()
+
+
+# ===========================================================================
+# corpus pipeline stages: decontamination, sampling, packing
+# ===========================================================================
+@query(
+    "corpus_decontaminate",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    bench AS (SELECT * FROM documents WHERE doc_id >= 400),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct({_shingles_sql(8)})) AS gram
+      FROM corpus),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles_sql(8)})) AS gram
+      FROM bench),
+    bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram))
+    SELECT c.doc_id, c.lang, c.source
+    FROM corpus c LEFT JOIN bad b ON c.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing any
+    8-word-gram with the benchmark slice. The benchmark n-gram set
+    broadcasts (eval sets are tiny next to a training corpus), so the
+    corpus-side postings never shuffle."""
+    from etl_router_spark.functions.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return decontaminate(corpus, bench, n=8).select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_hash_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000
+          < CASE WHEN lang = 'en' THEN 500000 ELSE 150000 END
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sample: 50% of en, 15% of the rest,
+    selected by content-independent hash — reproducible across engines,
+    runs and partitionings, and monotone in the rate. Pure map-side
+    filter, zero shuffle."""
+    from etl_router_spark.functions.corpus import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_sample(docs, rate=0.15, key_col="doc_id", salt="mix1",
+                      strata_col="lang", strata_rates={"en": 0.5})
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_WORDS}) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS token_start
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, token_start,
+           CAST(floor(token_start / 2048) AS BIGINT) AS seq_index,
+           CAST(token_start % 2048 AS BIGINT)        AS seq_offset
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents concatenate in
+    doc_id order into one token stream cut into 2048-token windows;
+    each document gets its window index and offset. Distributed as a
+    two-phase prefix sum (range partition -> local cumsum -> broadcast
+    partition offsets), never a single-partition global window."""
+    from etl_router_spark.functions.corpus import pack_sequences
+    from etl_router_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(docs, max_tokens=2048, id_col="doc_id",
+                         token_count_col="n_tokens")
+    return out.select("doc_id", "n_tokens", "token_start", "seq_index", "seq_offset")

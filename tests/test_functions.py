@@ -99,6 +99,65 @@ def test_embedding_block_pairs_match_sql(spark):
         assert abs(block[k] - v) < 1e-9
 
 
+def test_decontaminate(spark):
+    """Docs sharing an 8-gram with the benchmark are dropped/tagged;
+    docs with only short overlaps survive."""
+    from etl_router_spark.functions.corpus import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    corpus = spark.createDataFrame([
+        (1, f"prefix words here {leak} suffix tail words"),
+        (2, "totally unrelated content with enough words to shingle fine"),
+        (3, "alpha beta gamma nothing else shared beyond three words here"),
+    ], "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {leak} benchmark answer choices")],
+        "doc_id bigint, text string")
+    kept = decontaminate(corpus, bench, n=8)
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+    tagged = decontaminate(corpus, bench, n=8, mode="tag")
+    flags = {r.doc_id: r.contaminated for r in tagged.collect()}
+    assert flags == {1: True, 2: False, 3: False}
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    from etl_router_spark.functions.corpus import hash_sample
+
+    df = spark.createDataFrame([(i, "en" if i % 3 else "de") for i in range(2000)],
+                               "doc_id bigint, lang string")
+    s10 = {r.doc_id for r in hash_sample(df, 0.1, "doc_id", salt="s").collect()}
+    s20 = {r.doc_id for r in hash_sample(df, 0.2, "doc_id", salt="s").collect()}
+    # deterministic: same call, same rows
+    assert s10 == {r.doc_id for r in hash_sample(df, 0.1, "doc_id", salt="s").collect()}
+    # monotone: smaller sample nests inside larger
+    assert s10 <= s20
+    # rate lands near the target on 2000 keys
+    assert 0.05 < len(s10) / 2000 < 0.15
+    # strata override applies per group
+    mixed = hash_sample(df, 0.0, "doc_id", salt="s",
+                        strata_col="lang", strata_rates={"en": 1.0})
+    rows = mixed.collect()
+    assert rows and all(r.lang == "en" for r in rows)
+
+
+def test_pack_sequences_prefix_sum(spark):
+    """Distributed two-phase prefix sum == the sequential layout."""
+    from etl_router_spark.functions.corpus import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = {r.doc_id: r for r in
+           pack_sequences(df, max_tokens=512, num_shards=7).collect()}
+    running = 0
+    for i, n in rows:  # sequential ground truth
+        r = out[i]
+        assert r.token_start == running
+        assert r.seq_index == running // 512
+        assert r.seq_offset == running % 512
+        running += n
+    assert len(out) == 200
+
+
 def test_minhash_estimates_jaccard(dup_docs):
     exact = {(r.id_a, r.id_b): r.jaccard for r in
              ngram_jaccard_pairs(dup_docs, threshold=0.0).collect()}

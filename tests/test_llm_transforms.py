@@ -114,3 +114,48 @@ def test_multimodal_extract_manifest(spark, sf_dir, tmp_path):
     out = compiled.sink_frames["out"]
     assert {"n_bytes", "content_digest", "feature"} <= set(out.columns)
     assert out.count() == 50
+
+
+def test_corpus_stage_manifests(spark, sf_dir, tmp_path):
+    """decontaminate / hash_sample / pack_sequences as manifest
+    transform_types: the full corpus-prep pipeline is declarable in
+    YAML like any filter or aggregate."""
+    docs_path = f"{sf_dir}/documents.parquet"
+    n_docs = spark.read.parquet(docs_path).count()
+
+    sampled = _run(spark, docs_path,
+                   {"transform_type": "hash_sample", "rate": 0.3,
+                    "key_field": "doc_id", "salt": "m"},
+                   str(tmp_path / "s"))
+    assert 0 < sampled.count() < n_docs
+
+    clean = _run(spark, docs_path,
+                 {"transform_type": "decontaminate", "ngram": 8,
+                  "benchmark": {"source_type": "file", "format": "parquet",
+                                "path": docs_path}},
+                 str(tmp_path / "d"))
+    # benchmark == corpus -> every doc leaks its own 8-grams
+    assert clean.count() == 0
+
+    packed = _run(spark, docs_path,
+                  {"transform_type": "tokenize"},
+                  str(tmp_path / "t"))
+    pipeline2 = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "pack"},
+        "spec": {"stages": [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "memory", "rows": []}},
+            {"id": "op", "type": "transform",
+             "config": {"transform_type": "pack_sequences", "max_tokens": 1024}},
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": str(tmp_path / "p")}},
+        ]},
+    })
+    compiled = compile_pipeline(
+        spark, pipeline2,
+        source_overrides={"src": packed.select("doc_id", "n_tokens")})
+    out = compiled.sink_frames["out"]
+    assert {"seq_index", "seq_offset", "token_start"} <= set(out.columns)
+    assert out.count() == n_docs
