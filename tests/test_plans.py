@@ -65,3 +65,34 @@ def test_q22_anti_join_and_no_driver_scalar(plans):
     assert "LeftAnti" in plan
     # the scalar average is a broadcast join, not a collected literal
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(plans):
+    """The benchmark n-gram set must broadcast: the corpus postings
+    never shuffle for the contamination semi-join."""
+    plan = plans("corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_shuffle_free(plans):
+    """Deterministic sampling is a pure map-side filter — zero
+    Exchange in the plan."""
+    plan = plans("corpus_hash_sample")
+    assert "Exchange" not in plan
+
+
+def test_block_cosine_has_no_driver_collect(spark, sf_dir):
+    """The block-GEMM pair plan contains the corpus only as a scan ->
+    exchange -> applyInPandas pipeline; nothing in the plan (or its
+    construction) collects the corpus to the driver."""
+    from etl_router_spark.io import load_table
+    from etl_router_spark.functions.dedup import embedding_cosine_pairs
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    df = embedding_cosine_pairs(emb, threshold=0.5, method="block", num_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # one shuffle: the block-pair expansion exchange feeding the GEMM
+    assert "CollectLimit" not in plan and "CartesianProduct" not in plan
