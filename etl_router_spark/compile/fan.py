@@ -21,19 +21,28 @@ def apply_fan_in(
     inputs: list[DataFrame],
     mappings_per_input: list[list[FieldMapping] | None] | None = None,
     allow_missing_columns: bool = True,
+    tags: list[str] | None = None,
+    tag_field: str = "__source_id",
 ) -> DataFrame:
     """Normalize each input via its field mappings, then unionByName.
 
     Mapped inputs are authoritative selects (unmapped fields dropped,
     engine.rs:294-321); unmapped inputs pass through and
-    ``allowMissingColumns`` null-fills the difference.
+    ``allowMissingColumns`` null-fills the difference. ``tags`` adds a
+    per-input source-id column (used by the runner's fan-in watermark
+    tracker to attribute rows to sources, watermark.rs:84-98).
     """
     if len(inputs) < 2:
         raise ValueError("fan_in requires >= 2 inputs")
+    from pyspark.sql import functions as F
+
     mapped: list[DataFrame] = []
     for i, df in enumerate(inputs):
         ms = (mappings_per_input or [None] * len(inputs))[i]
-        mapped.append(apply_map(df, ms, drop_unmapped=True) if ms else df)
+        out = apply_map(df, ms, drop_unmapped=True) if ms else df
+        if tags is not None:
+            out = out.withColumn(tag_field, F.lit(tags[i]))
+        mapped.append(out)
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing_columns), mapped
     )

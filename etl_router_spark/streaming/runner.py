@@ -218,6 +218,103 @@ def run_streaming(
     queries: dict[str, StreamingQuery] = {}
     handled: set[str] = set()
 
+    # fan-in stages with a declared late_policy get the reference's
+    # per-source watermark semantics (watermark.rs:84-147): each epoch
+    # updates a SourceWatermarkTracker from per-source max event times
+    # (+ idle promotion), then routes rows older than
+    # combined - allowed_lateness per the policy (route -> DLQ,
+    # drop -> discard, tag -> boolean column).
+    for fid, stage in pipeline.stages.items():
+        policy = (
+            stage.config.get("late_policy")
+            if stage.stage_type == StageType.FAN_IN
+            else None
+        )
+        if policy not in ("route", "drop", "tag"):
+            continue
+        from etl_router_spark.compile.fan import apply_fan_in
+        from etl_router_spark.model.manifest import FieldMapping
+        from etl_router_spark.model.parser import parse_duration
+        from etl_router_spark.streaming.watermark import SourceWatermarkTracker
+
+        in_edges = pipeline.incoming(fid)
+        per_input = stage.config.get("inputs") or [{}] * len(in_edges)
+        source_ids = [e.from_stage for e in in_edges]
+        maps = [
+            [FieldMapping.from_dict(m) for m in (i.get("mappings") or [])] or None
+            for i in per_input
+        ]
+        tagged = apply_fan_in(
+            [compiled.stage_frames[s] for s in source_ids], maps, tags=source_ids
+        )
+        ts_field = next(
+            (
+                (i.get("watermark") or {}).get("event_time_field")
+                for i in per_input
+                if (i.get("watermark") or {}).get("event_time_field")
+            ),
+            "event_time",
+        )
+        lateness = parse_duration(stage.config.get("allowed_lateness") or "0s")
+        tracker = SourceWatermarkTracker(source_ids, allowed_lateness=lateness)
+        for sid_, icfg in zip(source_ids, per_input):
+            idle = (icfg.get("watermark") or {}).get("idle_timeout")
+            if idle:
+                tracker.set_idle_timeout(sid_, parse_duration(idle))
+
+        order = _descendant_order(pipeline, fid)
+        sink_ids = [
+            s for s in order if pipeline.stages[s].stage_type == StageType.SINK
+        ]
+        dlq_cfg_fanin = dlq_sink or pipeline.dlq
+
+        def make_fanin_writer(fid, order, sink_ids, tracker, ts_field, policy, dlq_cfg_fanin):
+            def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+                batch_df.persist()
+                try:
+                    tracker.observe_batch(batch_df, "__source_id", ts_field)
+                    on_time, late = tracker.split_late(batch_df, ts_field)
+                    if policy == "tag":
+                        import pyspark.sql.functions as F
+
+                        combined = tracker.combined_watermark()
+                        on_time = batch_df.withColumn(
+                            "late",
+                            F.lit(False) if combined == float("-inf")
+                            else F.col(ts_field).cast("double")
+                            < F.lit(combined - tracker.allowed_lateness),
+                        )
+                    seed = on_time.drop("__source_id")
+                    sinks2, _ = compile_stages(
+                        compiled.spark, pipeline, order, {fid: seed}, streaming=False
+                    )
+                    for s in sink_ids:
+                        write_sink(sinks2[s], pipeline.stages[s].config)
+                    if policy == "route" and dlq_cfg_fanin is not None:
+                        from etl_router_spark.sinks.dlq import to_dlq
+
+                        late_rows = late.drop("__source_id")
+                        write_sink(
+                            to_dlq(late_rows, failed_stage=fid, pipeline=pipeline.name),
+                            dlq_cfg_fanin,
+                        )
+                finally:
+                    batch_df.unpersist()
+
+            return write_epoch
+
+        q = (
+            tagged.writeStream.foreachBatch(
+                make_fanin_writer(fid, order, sink_ids, tracker, ts_field, policy, dlq_cfg_fanin)
+            )
+            .option("checkpointLocation", f"{checkpoint_root}/fanin_{fid}")
+            .trigger(**trig)
+            .queryName(f"{pipeline.name}.fanin.{fid}")
+            .start()
+        )
+        queries[f"fanin:{fid}"] = q
+        handled.update(sink_ids)
+
     if shared_fanout:
         for fid, sink_ids in _fanout_groups(pipeline).items():
             order = _descendant_order(pipeline, fid)

@@ -147,6 +147,72 @@ def test_track_source_watermarks_stream(spark, tmp_path):
     assert combined == t0 + dt.timedelta(seconds=40)
 
 
+def test_fanin_late_policy_routes_to_dlq(spark, tmp_path):
+    """Runner integration: a fan-in with late_policy=route tracks
+    per-source watermarks (combined = min over sources,
+    watermark.rs:100-107) and routes rows older than
+    combined - allowed_lateness to the DLQ (is_late,
+    watermark.rs:121-128)."""
+    import datetime as dt
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming import run_streaming
+
+    t0 = dt.datetime(2024, 1, 1)
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    # source a: fresh rows up to +100s, plus one LATE row at +10s;
+    # source b: watermark +40s -> combined = 40, lateness 10 -> cutoff 30
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=100)), (2, t0 + dt.timedelta(seconds=10))],
+        "event_id bigint, ts timestamp").write.parquet(a_path)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(seconds=40))],
+        "event_id bigint, ts timestamp").write.parquet(b_path)
+
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+    pipeline = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "fanin-late"},
+        "spec": {
+            "dlq": {"sink_type": "file", "format": "parquet", "path": dlq, "mode": "append"},
+            "stages": [
+                {"id": "a", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet", "path": a_path}},
+                {"id": "b", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet", "path": b_path}},
+                {"id": "both", "type": "fan_in",
+                 "config": {"late_policy": "route", "allowed_lateness": "10s",
+                            "inputs": [
+                                {"watermark": {"event_time_field": "ts"}},
+                                {"watermark": {"event_time_field": "ts"}},
+                            ]}},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet", "path": out,
+                            "mode": "append"}},
+            ],
+            "edges": [
+                {"from": "a", "to": "both"},
+                {"from": "b", "to": "both"},
+                {"from": "both", "to": "out"},
+            ],
+        },
+    })
+    compiled = compile_pipeline(spark, pipeline, streaming=True)
+    execution = run_streaming(
+        compiled, checkpoint_root=str(tmp_path / "ck"),
+        trigger={"availableNow": True})
+    for q in execution.queries.values():
+        q.awaitTermination(120)
+
+    on_time = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert on_time == {1, 3}
+    late = spark.read.parquet(dlq).collect()
+    assert {r.event_id for r in late} == {2}
+    # DLQ envelope attributes the failure to the fan-in stage
+    assert all(r["_dlq_failed_stage"] == "both" for r in late)
+
+
 def test_track_source_watermarks_idle_promotion(spark, tmp_path):
     """Timer path: a source silent for idle_timeout gets promoted to
     processing time (no-data micro-batches fire the timeout)."""
