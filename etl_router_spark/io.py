@@ -24,6 +24,48 @@ TABLES = (
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``etl_router_spark`` importable on executor Python workers
+    regardless of how the session was launched.
+
+    Operators that cross the Python boundary (Python DataSource,
+    module-level classes referenced from pandas UDFs) pickle BY
+    REFERENCE, so workers must import this package. A session built by
+    someone else (the driver harness, a notebook) may have neither
+    PYTHONPATH nor a helpful cwd; ``addPyFile`` is the one mechanism
+    that still works on an already-running context — ship the package
+    as a zip once per application (same job ``--py-files`` does on a
+    real cluster at submit time).
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    app = spark.sparkContext.applicationId
+    if app in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), "etl_router_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added under another name: workers can import
+    _PYFILES_SHIPPED.add(app)
+
+
 def ensure_nanos_readable(spark: SparkSession) -> None:
     """Make TIMESTAMP(NANOS) parquet readable on ANY session.
 
@@ -85,6 +127,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Must hold on ANY injected session, not just ones built by our own
     # session factory (the driver injects its own session).
     ensure_nanos_readable(spark)
+    ensure_worker_imports(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = restore_nano_timestamps(df, _NANO_TS_COLUMNS.get(name, []))
     _TABLE_CACHE[key] = df

@@ -113,4 +113,9 @@ class JsonlQueueDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent session registration."""
+    from etl_router_spark.io import ensure_worker_imports
+
+    # the DataSource class is pickled by reference: executor Python
+    # workers must be able to import this package
+    ensure_worker_imports(spark)
     spark.dataSource.register(JsonlQueueDataSource)
