@@ -83,10 +83,15 @@ def ngram_jaccard_pairs(
     uncapped semantics. A shingle above the cap carries ~zero pair
     signal (it co-occurs with everything) but dominates join cost.
     """
+    # postings carry h60(shingle), not the shingle text: the persisted
+    # list, the df-cap aggregation and the self-join all move/compare
+    # 8-byte longs instead of n-word strings. Oracle twins apply the
+    # same hash, so the (negligible at 60 bits) collision behavior is
+    # engine-identical and results stay exact.
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
-    )
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__shingle_txt"),
+    ).select("id", h60(F.col("__shingle_txt")).alias("shingle"))
     if max_df is None and max_df_frac is not None:
         # absolute floor of 100: below that a shingle cannot explode
         # the join anyway, and tiny corpora keep exact semantics

@@ -91,9 +91,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
-    sh0 AS (
-      SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
+    sh_txt AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle_txt
       FROM docs),
+    sh0 AS (SELECT id, {_h60_sql('shingle_txt')} AS shingle FROM sh_txt),
     cap AS (SELECT greatest(100, CAST(floor(count(*) * 0.5) AS BIGINT)) AS v FROM docs),
     sh AS (
       SELECT id, shingle FROM (
