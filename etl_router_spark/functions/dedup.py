@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_router_spark.functions.text import h60, shingles, tokens_col
+from etl_router_spark.io import spread_small_scan
 
 
 # ---------------------------------------------------------------------------
@@ -88,38 +89,49 @@ def ngram_jaccard_pairs(
     # 8-byte longs instead of n-word strings. Oracle twins apply the
     # same hash, so the (negligible at 60 bits) collision behavior is
     # engine-identical and results stay exact.
-    sh = df.select(
+    sh = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__shingle_txt"),
     ).select("id", h60(F.col("__shingle_txt")).alias("shingle"))
+    cap_col = F.lit(max_df)
     if max_df is None and max_df_frac is not None:
         # absolute floor of 100: below that a shingle cannot explode
-        # the join anyway, and tiny corpora keep exact semantics
-        max_df = max(100, int(df.count() * max_df_frac))
-    if cache:
-        # the posting list feeds the stop-set aggregation, the self-join
-        # (both sides) and the size table; Catalyst does not reuse the
-        # exchange across a self-join, so persist it BEFORE deriving the
-        # stop set - one shingling pass instead of four (LRU-evicted)
-        sh = sh.persist()
-    if max_df is not None:
-        # stop-shingle pruning as a broadcast anti-join, NOT a window:
-        # the groupBy count partial-aggregates map-side (the shuffle
-        # carries (shingle, count), not the posting list), and shingles
-        # over the cap are by construction few enough to broadcast.
-        stop = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
+        # the join anyway, and tiny corpora keep exact semantics. The
+        # corpus count rides along as a broadcast scalar (cross-join of
+        # a 1-row aggregate) instead of a separate .count() job.
+        total = df.select(
+            F.greatest(F.lit(100), F.floor(F.count("*") * F.lit(max_df_frac)).cast("bigint")).alias("__cap")
         )
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        max_df = -1  # sentinel: cap comes from the scalar column
+        cap_col = F.col("__cap")
+    # group postings by shingle ONCE instead of self-joining the posting
+    # list (which shuffles it twice): the grouped form (shingle -> sorted
+    # id list) makes the df-cap a free length filter — no separate count
+    # aggregation, no broadcast anti-join — and ordered pairs come from
+    # two chained explodes over the id list, streamed (memory per task
+    # is bounded by the largest surviving posting list, itself <= the
+    # cap). One task still owns all pairs of one hot shingle — same
+    # placement the self-join would produce for that key.
+    grouped = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    if max_df == -1:
+        grouped = grouped.crossJoin(F.broadcast(total)).filter(F.size("ids") <= cap_col).drop("__cap")
+    elif max_df is not None:
+        grouped = grouped.filter(F.size("ids") <= cap_col)
+    if cache:
+        # the grouped postings feed both the pair counts and the size
+        # table; persisting the (much smaller than exploded) grouped
+        # form runs the shingle+group pipeline once instead of twice
+        grouped = grouped.persist()
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -150,6 +162,7 @@ def minhash_signatures(
     partial aggregation, so the shuffle carries k longs per doc, not
     the shingle stream.
     """
+    df = spread_small_scan(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
@@ -183,39 +196,49 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, scored by signature agreement.
 
     bands x rows layout: band b's key = md5 of its signature slice.
-    Docs sharing any band key become candidates (per-bucket join — the
-    only join — never all-pairs). Estimated Jaccard = fraction of the
-    num_hashes signature positions that agree; pairs >= threshold kept.
+    Docs sharing any band key become candidates. Estimated Jaccard =
+    fraction of the num_hashes signature positions that agree; pairs
+    >= threshold kept.
+
+    Pair generation is bucket-local: one groupBy(band_key) gathers each
+    bucket's (id, signature) members, ordered pairs come from two
+    chained explodes over the member list — never all-pairs, never a
+    self-join. vs the band-key self-join formulation this computes the
+    signatures ONCE and shuffles them once (the join shuffles both
+    sides and re-runs — or forces a persist of — the whole
+    shingle->minhash pipeline for the second side). A hot bucket's
+    pairs land on one task either way (join keys co-locate too); LSH
+    banding keeps buckets small by construction.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # both sides of the band-key self-join read the signatures; with
-    # cache=True the shingle->minhash aggregation runs once instead of
-    # twice. Off by default: at small corpus sizes the cache fill costs
-    # more than the second pass; at real scale (expensive shingling,
-    # wide corpus) turn it on - or better, write signatures to a table.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     if cache:
-        sig = sig.persist()
+        sig = sig.persist()  # useful when several band layouts reuse it
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     band_keys = F.array(*[
         F.md5(F.concat_ws(",", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
     ])
-    buckets = sig.withColumn("band_key", F.explode(band_keys))
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    agree = sum(
-        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in sig_cols
+    buckets = sig.select(
+        F.col("id"), F.array(*sig_cols).alias("sig"), F.explode(band_keys).alias("band_key")
     )
+    members = (
+        buckets.groupBy("band_key")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        members.select(F.explode("ms").alias("x"), F.col("ms"))
+        .select("x", F.explode(F.filter("ms", lambda m: m["id"] > F.col("x.id"))).alias("y"))
+    )
+    agree = F.size(F.filter(F.zip_with("x.sig", "y.sig", lambda p, q: p == q), lambda t: t))
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        pairs.select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         # threshold BEFORE distinct: est_jaccard is a pure function of
@@ -245,6 +268,9 @@ def simhash(
     """
     if bits > 60:
         raise ValueError("h60 provides 60 usable bits")
+    # no spread_small_scan here: one h60 per TOKEN is light enough that
+    # the extra exchange costs more than single-core map time saves
+    # (unlike the per-shingle md5 streams in ngram/minhash above)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(text_col)).alias("tok"),
@@ -277,17 +303,17 @@ def simhash_pairs(
 
     Pigeonhole blocking: split the fingerprint into ``blocks`` chunks;
     any pair within distance max_hamming < blocks agrees on at least one
-    full chunk, so candidates come from equality joins on chunk values —
-    never an all-pairs scan (the standard SimHash sharding trick).
+    full chunk, so candidates only arise between docs sharing a chunk
+    value — never an all-pairs scan (the standard SimHash sharding
+    trick). Pair generation is bucket-local (groupBy chunk value +
+    chained explodes, see ``minhash_lsh_pairs``): the fingerprints are
+    computed once and shuffled once, no self-join.
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole blocking")
-    # fingerprints feed both sides of the block-key self-join; cache=True
-    # computes them once instead of twice (see minhash_lsh_pairs note on
-    # the fill-cost tradeoff)
     fps = simhash(df, id_col, text_col, bits)
     if cache:
-        fps = fps.persist()
+        fps = fps.persist()  # useful when several block layouts reuse it
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunks = F.array(*[
@@ -295,16 +321,21 @@ def simhash_pairs(
                     F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"))
         for i in range(blocks)
     ])
-    blocked = fps.withColumn("blk", F.explode(chunks))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    xor = F.expr("a.simhash ^ b.simhash")
+    blocked = fps.select("id", "simhash", F.explode(chunks).alias("blk"))
+    members = (
+        blocked.groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        members.select(F.explode("ms").alias("x"), F.col("ms"))
+        .select("x", F.explode(F.filter("ms", lambda m: m["id"] > F.col("x.id"))).alias("y"))
+    )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(xor).alias("hamming"),
+        pairs.select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
         # hamming is pair-deterministic: filtering before the distinct
         # keeps far-apart candidates (the bulk at scale) out of the

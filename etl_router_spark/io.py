@@ -119,6 +119,31 @@ def restore_nano_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def spread_small_scan(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Repartition an under-partitioned input UP to session parallelism.
+
+    A single-row-group parquet file scans as ONE partition, so every
+    map-side stage downstream runs on one core no matter how wide the
+    session is. Operators whose per-row work dominates (shingling,
+    signature hashing, Python feature extraction) call this on their
+    input: for small skewed-narrow sources the one tiny shuffle buys
+    full map-side parallelism. At real scale the scan has orders of
+    magnitude more splits than cores and the guard makes this a no-op —
+    the shuffle never enters the 100 TB path. NOT applied to plain
+    relational scans (joins/aggs): their map side is cheap, and the
+    extra exchange costs more than single-core scanning saves.
+    """
+    spark = spark or df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 0 < n < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)

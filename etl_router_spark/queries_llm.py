@@ -134,10 +134,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (8 hashes x 4 bands) candidate pairs with estimated
     Jaccard >= 0.5."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    # cache=True: the signature aggregation feeds BOTH sides of the
-    # band-key self-join; persisting it saves a full shingle+minhash
-    # pass (measured ~15% wall at sf0.1)
-    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5, cache=True)
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
 
 
 @query("dedup_simhash", None)  # oracle attached below
@@ -152,8 +149,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 3 over 32 bits (pigeonhole
     blocking == exact all-pairs because max_hamming < blocks)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    # cache=True: fingerprints feed both sides of the block-key self-join
-    return simhash_pairs(docs, max_hamming=3, bits=32, blocks=4, cache=True)
+    return simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
 
 
 @query(
