@@ -210,6 +210,22 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return pack_sequences(df, max_tokens=int(cfg.get("max_tokens", 2048)),
                               id_col=cfg.get("id_field", "doc_id"),
                               token_count_col=cfg.get("token_count_field", "n_tokens"))
+    if tt == "repetition_stats":
+        from etl_router_spark.functions.text import repetition_stats
+
+        return repetition_stats(df, cfg.get("text_field", "text"))
+    if tt == "pii_redact":
+        from etl_router_spark.functions.text import pii_redact
+
+        return pii_redact(df, cfg.get("text_field", "text"),
+                          out_col=cfg.get("out_field", "clean_text"))
+    if tt == "chunk":
+        from etl_router_spark.functions.corpus import chunk_documents
+
+        return chunk_documents(df, window=int(cfg.get("window", 2048)),
+                               stride=int(cfg.get("stride", 2048)),
+                               id_col=cfg.get("id_field", "doc_id"),
+                               text_col=cfg.get("text_field", "text"))
     return None
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_router_spark.functions.text import h60, shingles
+from etl_router_spark.functions.text import h60, shingles, tokens_col
 
 
 def contaminated_ids(
@@ -107,6 +107,38 @@ def hash_sample(
             thr = F.when(F.col(strata_col) == value, F.lit(int(r * 1_000_000))).otherwise(thr)
         return df.filter(bucket < thr)
     return df.filter(bucket < F.lit(int(rate * 1_000_000)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut each document into overlapping ``window``-token chunks every
+    ``stride`` tokens (context-window preparation: the 1→N shape that
+    feeds tokenizer/embedding stages).
+
+    Chunk i covers tokens [i*stride, i*stride+window); the last chunk
+    starts at the final stride step whose window still adds new tokens,
+    so every token lands in >= 1 chunk. Pure sequence+explode+slice —
+    per-row work, no shuffle, chunk count bounded by doc length.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))).cast("int") + 1
+    )
+    out = df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("chunk_id") * stride + 1  # slice() is 1-based
+    piece = F.slice(tokens_col(text_col), start, window)
+    return (
+        out.withColumn("chunk_text", F.concat_ws(" ", piece))
+        .withColumn("n_chunk_tokens", F.size(piece).cast("bigint"))
+    )
 
 
 def pack_sequences(

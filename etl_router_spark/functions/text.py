@@ -150,6 +150,71 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(expr))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules).
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of word n-grams
+      that are repeats of an earlier occurrence (1 - distinct/total).
+    - ``top_token_frac``: share of the document taken by its single
+      most frequent token.
+
+    Documents with heavy boilerplate or looping generations score high
+    and get filtered before training. Everything is per-row array math
+    — no shuffle, no UDF; cost is O(tokens^2) per doc for the top-token
+    scan, bounded by document length, embarrassingly parallel at any
+    corpus size.
+    """
+    toks = tokens_col(text_col)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, F.round(1.0 - F.size(F.array_distinct(arr)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    # blank text splits to [''] (size 1) — treat as zero tokens
+    n_toks = F.when(F.trim(F.col(text_col)) != "", F.size(toks)).otherwise(F.lit(0))
+    return (
+        df.withColumn("dup_2gram_frac", dup_frac(shingles(F.col(text_col), 2)))
+        .withColumn("dup_3gram_frac", dup_frac(shingles(F.col(text_col), 3)))
+        .withColumn(
+            "top_token_frac",
+            F.when(n_toks > 0, F.round(top_cnt / n_toks, 6)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# PII patterns constrained to the syntax subset that evaluates
+# identically under Java regex (Spark) and RE2 (DuckDB, Go): no
+# backreferences, no lookaround. Replacement order matters: emails
+# before IPs before phones, so an IP inside a hostname-free string is
+# never half-eaten by the phone rule.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped digit runs, with per-kind
+    match counts (``n_email``, ``n_ip``, ``n_phone``) taken from the
+    ORIGINAL text. Pure regexp_replace/extract_all column chain."""
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("bigint"),
+        )
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn(out_col, clean)
+
+
 def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles as an array<string> (for Jaccard/MinHash).
 

@@ -24,6 +24,7 @@ KNOWN_TRANSFORMS = {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
     "similarity_topk", "text_stats", "langid", "fingerprint", "tokenize",
     "multimodal_extract", "decontaminate", "hash_sample", "pack_sequences",
+    "repetition_stats", "pii_redact", "chunk",
 }
 
 KNOWN_SOURCES = {

@@ -709,3 +709,178 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pack_sequences(docs, max_tokens=2048, id_col="doc_id",
                          token_count_col="n_tokens")
     return out.select("doc_id", "n_tokens", "token_start", "seq_index", "seq_offset")
+
+
+# ===========================================================================
+# text quality: repetition + PII
+# ===========================================================================
+@query(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_shingles_sql(2)} AS g2, {_shingles_sql(3)} AS g3,
+                      {_WORDS} AS toks
+               FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN len(g2) > 0
+                 THEN 1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                 ELSE 0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(g3) > 0
+                 THEN 1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                 ELSE 0 END, 6) AS dup_3gram_frac,
+           round(CASE WHEN trim(text) <> '' AND len(toks) > 0
+                 THEN list_max(list_transform(list_distinct(toks),
+                      d -> len(list_filter(toks, t2 -> t2 = d)))) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0 END, 6) AS top_token_frac
+    FROM t
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition stats (duplicate n-gram
+    fractions, top-token share) — per-row array math, no shuffle."""
+    from etl_router_spark.functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_frac"
+    )
+
+
+@query(
+    "text_pii_redact",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 call +1 555-000-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(synth, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(synth, '\+?\d[\d \-]{7,}\d')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(synth,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g')) AS clean_digest
+    FROM s
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a deterministic synthetic contact line appended
+    to each document (the fixtures carry no PII of their own): emails,
+    IPv4s and phone-shaped digit runs are counted then replaced, all in
+    one regexp column chain — patterns restricted to the Java-regex /
+    RE2 common subset so both engines match identically."""
+    from etl_router_spark.functions.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "synth",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = pii_redact(synth, text_col="synth", out_col="clean_text")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("clean_text")).alias("clean_digest"),
+    )
+
+
+@query(
+    "corpus_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents WHERE doc_id < 300),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS nc
+          FROM t),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM c)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+           CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window=32, stride=24): the
+    1->N explode that feeds tokenizer/embedding stages. Per-row
+    sequence+slice, no shuffle."""
+    from etl_router_spark.functions.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_documents(docs, window=32, stride=24).select(
+        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"
+    )
+
+
+# ===========================================================================
+# temporal joins (beyond the reference surface; exact DuckDB oracles)
+# ===========================================================================
+@query(
+    "asof_join_events",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+               FROM events),
+    p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, p.ts, round(p.value, 6) AS value,
+           c.ts AS ts_r, round(c.value, 6) AS value_r
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest click of the
+    same user at or before it (union-marker + keyed window — one
+    shuffle, no range explosion). Oracle: DuckDB ASOF LEFT JOIN."""
+    from etl_router_spark.functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("value"))
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts").select(
+        "user_id", "event_id", "ts", "value", "ts_r", "value_r"
+    )
+
+
+@query(
+    "range_join_events",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase' AND user_id < 50),
+    x AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error' AND user_id < 50)
+    SELECT p.user_id, p.event_id, x.event_id AS event_id_r,
+           epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
+    FROM p JOIN x ON p.user_id = x.user_id
+                 AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL 86400 SECOND
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: errors within 24 hours after a purchase by
+    the same user. Coarse-bucket equi-join + exact interval filter —
+    hash-join machinery (shuffled, AQE-skew-splittable), never a
+    nested-loop theta join."""
+    from etl_router_spark.functions.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50)).select(
+        "event_id", "user_id", "ts")
+    x = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 50)).select(
+        "event_id", "user_id", "ts")
+    out = range_join(p, x, "ts", "ts", 0.0, 86400.0, on="user_id", bucket_sec=86400.0)
+    return out.select(
+        "user_id", "event_id",
+        F.col("event_id_r"),
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("delta_us"),
+    )

@@ -1,0 +1,100 @@
+"""Temporal joins: as-of (union-marker window) and bounded range join
+(coarse-bucket equi-join). Semantics pinned against hand-computed
+micro-fixtures; plan shape pinned to no nested-loop joins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.joins import asof_join, range_join
+
+
+def ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01T10:00:05"), 100.0),
+            (2, "A", ts("2024-01-01T10:00:30"), 101.0),
+            (3, "B", ts("2024-01-01T10:00:10"), 50.0),
+            (4, "C", ts("2024-01-01T10:00:10"), 7.0),  # no quotes for C
+        ],
+        "trade_id long, sym string, ts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T10:00:00"), 99.0),
+            ("A", ts("2024-01-01T10:00:05"), 99.5),   # tie with trade 1 -> inclusive
+            ("A", ts("2024-01-01T10:00:20"), 100.5),
+            ("A", ts("2024-01-01T10:00:31"), 102.0),  # after trade 2 -> never matched
+            ("B", ts("2024-01-01T10:00:11"), 51.0),   # after trade 3 -> no match
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+
+
+def test_asof_backward_inclusive(trades, quotes):
+    out = asof_join(trades, quotes, on="sym", left_ts="ts").orderBy("trade_id")
+    rows = {r.trade_id: r for r in out.collect()}
+    assert rows[1].bid_r == 99.5          # equal-ts quote matches (inclusive)
+    assert rows[2].bid_r == 100.5         # latest at-or-before 10:00:30
+    assert rows[3].bid_r is None          # only later quotes exist for B
+    assert rows[4].bid_r is None          # no quotes at all for C
+    assert rows[2].ts_r == ts("2024-01-01T10:00:20")
+    assert out.count() == 4               # left join: every trade kept
+
+
+def test_asof_tolerance(trades, quotes):
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", tolerance_sec=5)
+    rows = {r.trade_id: r for r in out.collect()}
+    assert rows[1].bid_r == 99.5          # 0s old: inside horizon
+    assert rows[2].bid_r is None          # 10s old: expired
+    assert rows[2].price == 101.0         # left payload intact
+
+
+def test_asof_atomic_match(spark):
+    # right columns with legitimate nulls must not mix rows: the match
+    # is carried as one struct, so a null bid from the latest quote
+    # stays null instead of borrowing an older quote's bid
+    left = spark.createDataFrame([(1, "A", ts("2024-01-01T10:00:10"))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", ts("2024-01-01T10:00:00"), 1.0), ("A", ts("2024-01-01T10:00:05"), None)],
+        "k string, ts timestamp, bid double",
+    )
+    row = asof_join(left, right, on="k", left_ts="ts").collect()[0]
+    assert row.ts_r == ts("2024-01-01T10:00:05") and row.bid_r is None
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01T10:00:00"))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (10, "u", ts("2024-01-01T09:59:59")),  # before window
+            (11, "u", ts("2024-01-01T10:00:00")),  # lower bound inclusive
+            (12, "u", ts("2024-01-01T10:04:00")),  # inside (different bucket)
+            (13, "u", ts("2024-01-01T10:05:00")),  # upper bound inclusive
+            (14, "u", ts("2024-01-01T10:05:01")),  # past upper
+            (15, "v", ts("2024-01-01T10:01:00")),  # wrong key
+        ],
+        "id long, k string, ts timestamp",
+    )
+    out = range_join(left, right, "ts", "ts", 0.0, 300.0, on="k", bucket_sec=60.0)
+    assert sorted(r.id_r for r in out.collect()) == [11, 12, 13]
+
+
+def test_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"))], "id long, ts timestamp")
+    right = spark.createDataFrame([(2, ts("2024-01-01T10:01:00"))], "id long, ts timestamp")
+    plan = range_join(left, right, "ts", "ts", 0.0, 300.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

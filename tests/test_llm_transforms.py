@@ -159,3 +159,65 @@ def test_corpus_stage_manifests(spark, sf_dir, tmp_path):
     out = compiled.sink_frames["out"]
     assert {"seq_index", "seq_offset", "token_start"} <= set(out.columns)
     assert out.count() == n_docs
+
+
+def test_repetition_and_pii_and_chunk_manifests(spark, sf_dir, tmp_path):
+    out = _run(spark, f"{sf_dir}/documents.parquet",
+               {"transform_type": "repetition_stats"}, str(tmp_path / "rep"))
+    assert {"dup_2gram_frac", "dup_3gram_frac", "top_token_frac"} <= set(out.columns)
+
+    out = _run(spark, f"{sf_dir}/documents.parquet",
+               {"transform_type": "pii_redact"}, str(tmp_path / "pii"))
+    assert {"clean_text", "n_email", "n_ip", "n_phone"} <= set(out.columns)
+
+    out = _run(spark, f"{sf_dir}/documents.parquet",
+               {"transform_type": "chunk", "window": 16, "stride": 8},
+               str(tmp_path / "chunk"))
+    assert {"chunk_id", "chunk_text", "n_chunk_tokens"} <= set(out.columns)
+    # overlap: more chunks than documents
+    assert out.count() > out.select("doc_id").distinct().count()
+
+
+def test_repetition_stats_values(spark):
+    from etl_router_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # "a b a b a": 2-grams [ab, ba, ab, ba] -> 2 distinct of 4 = 0.5 dup
+    assert rows[1].dup_2gram_frac == 0.5
+    assert rows[1].top_token_frac == 0.6        # 'a' 3 of 5
+    assert rows[2].dup_2gram_frac == 0.0
+    assert rows[3].top_token_frac == 0.0
+
+
+def test_pii_redact_values(spark):
+    from etl_router_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io and 10.0.0.1 or +1 555-000-1234 end")],
+        "doc_id long, text string",
+    )
+    row = pii_redact(df).collect()[0]
+    assert (row.n_email, row.n_ip, row.n_phone) == (1, 1, 1)
+    assert row.clean_text == "mail <EMAIL> and <IP> or <PHONE> end"
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from etl_router_spark.functions.corpus import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, window 4, stride 3 -> chunks at 0,3,6 -> 3 chunks
+    assert sorted(c.chunk_id for c in by_doc[1]) == [0, 1, 2]
+    texts = {c.chunk_id: c.chunk_text for c in by_doc[1]}
+    assert texts[0] == "t0 t1 t2 t3"
+    assert texts[2] == "t6 t7 t8 t9"
+    # short doc: single chunk, whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
