@@ -482,14 +482,14 @@ from etl_router_spark.queries import ORACLES  # noqa: E402
 
 
 def _minhash_sig_oracle(num_hashes: int, where: str) -> str:
-    # mirrors functions.dedup.minhash_signatures exactly: one md5 per
-    # hash PAIR, hash 2k = hex chars 1-15, hash 2k+1 = chars 17-31
-    hcols = ",\n             ".join(
-        f"md5('{k}|' || shingle) AS h{k}" for k in range((num_hashes + 1) // 2)
-    )
+    # mirrors functions.dedup.minhash_signatures exactly: one 32-bit
+    # md5-derived base hash per shingle (hex chars 1-8), k affine
+    # rehashes (a_i*h + b_i) mod P with the same inlined constants
+    from etl_router_spark.functions.dedup import MINHASH_P, minhash_affine_consts
+
     mins = ",\n           ".join(
-        f"min(CAST('0x' || substr(h{i // 2}, {1 if i % 2 == 0 else 17}, 15) AS BIGINT)) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_affine_consts(num_hashes))
     )
     return f"""
     WITH sh AS (
@@ -497,7 +497,7 @@ def _minhash_sig_oracle(num_hashes: int, where: str) -> str:
       FROM documents WHERE {where}),
     hashed AS (
       SELECT id,
-             {hcols}
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {MINHASH_P} AS h
       FROM sh)
     SELECT id, {mins}
     FROM hashed GROUP BY id
