@@ -226,6 +226,39 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                stride=int(cfg.get("stride", 2048)),
                                id_col=cfg.get("id_field", "doc_id"),
                                text_col=cfg.get("text_field", "text"))
+    if tt == "tfidf":
+        from etl_router_spark.functions.indexing import tfidf_topk
+
+        return tfidf_topk(df, id_col=cfg.get("id_field", "doc_id"),
+                          text_col=cfg.get("text_field", "text"),
+                          k=int(cfg.get("k", 5)))
+    if tt == "heavy_hitters":
+        from etl_router_spark.functions.indexing import heavy_hitters
+
+        return heavy_hitters(df, id_col=cfg.get("id_field", "doc_id"),
+                             text_col=cfg.get("text_field", "text"),
+                             k=int(cfg.get("k", 50)))
+    if tt == "inverted_index":
+        from etl_router_spark.functions.indexing import inverted_index
+
+        return inverted_index(df, id_col=cfg.get("id_field", "doc_id"),
+                              text_col=cfg.get("text_field", "text"),
+                              min_df=int(cfg.get("min_df", 1)),
+                              max_df=cfg.get("max_df"),
+                              max_postings=cfg.get("max_postings"))
+    if tt == "group_topk":
+        from etl_router_spark.functions.corpus import group_topk
+
+        return group_topk(df, group_col=cfg["group_field"],
+                          order_col=cfg["order_field"],
+                          k=int(cfg.get("k", 10)),
+                          ascending=bool(cfg.get("ascending", False)),
+                          tie_col=cfg.get("tie_field", "doc_id"))
+    if tt == "global_shuffle":
+        from etl_router_spark.functions.corpus import global_shuffle
+
+        return global_shuffle(df, seed=int(cfg.get("seed", 0)),
+                              id_col=cfg.get("id_field", "doc_id"))
     return None
 
 

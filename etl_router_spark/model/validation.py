@@ -25,6 +25,7 @@ KNOWN_TRANSFORMS = {
     "similarity_topk", "text_stats", "langid", "fingerprint", "tokenize",
     "multimodal_extract", "decontaminate", "hash_sample", "pack_sequences",
     "repetition_stats", "pii_redact", "chunk",
+    "tfidf", "heavy_hitters", "inverted_index", "group_topk", "global_shuffle",
 }
 
 KNOWN_SOURCES = {

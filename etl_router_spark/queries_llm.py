@@ -884,3 +884,130 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r"),
         (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("delta_us"),
     )
+
+
+# ===========================================================================
+# term statistics / indexing / corpus ordering
+# ===========================================================================
+_TERMS_500 = (
+    "SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS term "
+    "FROM documents WHERE doc_id < 500"
+)
+
+
+@query(
+    "text_tfidf",
+    f"""
+    WITH terms AS ({_TERMS_500}),
+    t AS (SELECT id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY id, term),
+    d AS (SELECT term, COUNT(*) AS df_t FROM t GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 500),
+    s AS (SELECT id, t.term, tf, df_t, round(tf * ln(n / df_t), 6) AS tfidf
+          FROM t JOIN d USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM s)
+    SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+           tfidf, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by TF-IDF (ranked on the
+    ROUNDED score on both engines, term tie-break, so ordering is
+    deterministic). Two map-side-combinable aggregations + a broadcast
+    df join + per-doc window sorts."""
+    from etl_router_spark.functions.indexing import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return tfidf_topk(docs, k=5)
+
+
+@query(
+    "text_heavy_hitters",
+    """
+    WITH terms AS (SELECT doc_id AS id,
+                          unnest(string_split_regex(trim(text), '\\s+')) AS term
+                   FROM documents),
+    c AS (SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT id) AS n_docs
+          FROM terms WHERE term <> '' GROUP BY term)
+    SELECT term, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM c ORDER BY n_occurrences DESC, term ASC LIMIT 50
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 terms (vocabulary / stopword discovery):
+    partial-aggregated term counts ending in a TakeOrdered heap — k
+    rows cross the final stage, no global sort."""
+    from etl_router_spark.functions.indexing import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, k=50)
+
+
+@query(
+    "corpus_inverted_index",
+    f"""
+    WITH terms AS ({_TERMS_500}),
+    p AS (SELECT term, list_sort(list(DISTINCT id)) AS ids
+          FROM terms WHERE term <> '' GROUP BY term)
+    SELECT term, CAST(len(ids) AS BIGINT) AS df_t,
+           array_to_string(ids[1:50], ',') AS doc_ids
+    FROM p WHERE len(ids) BETWEEN 2 AND 450
+    """,
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> sorted posting list (df-capped both sides — the same cap
+    discipline as dedup shingles — and truncated to the first 50 ids,
+    pinning the width bound). Posting lists serialized as comma-joined
+    strings for the value compare."""
+    from etl_router_spark.functions.indexing import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = inverted_index(docs, min_df=2, max_df=450, max_postings=50)
+    return out.select(
+        "term", "df_t",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+@query(
+    "corpus_group_topk",
+    """
+    SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents)
+    WHERE rank <= 5
+    """,
+)
+def corpus_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 largest documents per source (curated-mix selection):
+    per-group window sorts after one hash shuffle on the group key —
+    never a global ordering."""
+    from etl_router_spark.functions.corpus import group_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return group_topk(docs, "source", "n_chars", k=5).select(
+        "doc_id", "source", "n_chars", "rank"
+    )
+
+
+@query(
+    "corpus_global_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus permutation: contiguous shuffle_pos
+    by hash order, computed as a distributed two-pass rank (range
+    partition -> local row_number -> broadcast offsets) — no
+    single-partition window anywhere."""
+    from etl_router_spark.functions.corpus import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, seed=7).select("doc_id", "shuffle_pos")
