@@ -26,8 +26,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_router_spark.functions.text import h60, shingles, tokens_col
+from etl_router_spark.functions.text import (
+    h60,
+    h60_sql,
+    shingles,
+    shingles_sql,
+    tokens_col,
+    tokens_sql,
+)
 from etl_router_spark.io import spread_small_scan
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) postings with h60-hashed distinct word n-grams.
+
+    Built from SQL text end-to-end: the dedup pipelines are the widest
+    plans in the engine and Column-by-Column composition dominated
+    their *driver-side build* time (~0.4 s/plan, measured sf0.1).
+    """
+    return (
+        spread_small_scan(df)
+        .selectExpr(f"{id_col} AS id", f"{tokens_sql(text_col)} AS __toks")
+        .selectExpr(
+            "id",
+            f"explode(array_distinct({shingles_sql('__toks', n)})) AS __st",
+        )
+        .selectExpr("id", f"{h60_sql('__st')} AS shingle")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -89,10 +116,7 @@ def ngram_jaccard_pairs(
     # 8-byte longs instead of n-word strings. Oracle twins apply the
     # same hash, so the (negligible at 60 bits) collision behavior is
     # engine-identical and results stay exact.
-    sh = spread_small_scan(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__shingle_txt"),
-    ).select("id", h60(F.col("__shingle_txt")).alias("shingle"))
+    sh = _shingle_hashes(df, id_col, text_col, n)
     cap_col = F.lit(max_df)
     if max_df is None and max_df_frac is not None:
         # absolute floor of 100: below that a shingle cannot explode
@@ -131,13 +155,16 @@ def ngram_jaccard_pairs(
     )
     inter = (
         grouped.filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"))
+        .selectExpr("explode(ids) AS id_a", "ids")
+        .selectExpr("id_a", "explode(filter(ids, y -> y > id_a)) AS id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint on sizes: it is |docs| rows — tiny here, but at
+    # corpus scale far past the broadcast threshold; AQE picks broadcast
+    # when the runtime size allows and shuffle-join when it doesn't
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -187,13 +214,18 @@ def minhash_signatures(
     map-side in the partial aggregation, so the shuffle carries k longs
     per doc, not the shingle stream.
     """
-    df = spread_small_scan(df)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
-    ).withColumn(
-        "__h",
-        F.expr(f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT) % {MINHASH_P}"),
+    sh = (
+        spread_small_scan(df)
+        .selectExpr(f"{id_col} AS id", f"{tokens_sql(text_col)} AS __toks")
+        .selectExpr(
+            "id",
+            f"explode(array_distinct({shingles_sql('__toks', shingle_n)})) AS shingle",
+        )
+        .selectExpr(
+            "id",
+            f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+            f" % {MINHASH_P} AS __h",
+        )
     )
     mins = [
         F.expr(f"min((__h * {a}L + {b}L) % {MINHASH_P})").alias(f"mh_{i}")
@@ -237,12 +269,15 @@ def minhash_lsh_pairs(
         sig = sig.persist()  # useful when several band layouts reuse it
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
-    band_keys = F.array(*[
-        F.md5(F.concat_ws(",", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
+    band_keys = ", ".join(
+        "md5(concat_ws(',', '%d', %s))"
+        % (b, ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)))
         for b in range(bands)
-    ])
-    buckets = sig.select(
-        F.col("id"), F.array(*sig_cols).alias("sig"), F.explode(band_keys).alias("band_key")
+    )
+    buckets = sig.selectExpr(
+        "id",
+        f"array({', '.join(sig_cols)}) AS sig",
+        f"explode(array({band_keys})) AS band_key",
     )
     members = (
         buckets.groupBy("band_key")
@@ -250,15 +285,17 @@ def minhash_lsh_pairs(
         .filter(F.size("ms") > 1)
     )
     pairs = (
-        members.select(F.explode("ms").alias("x"), F.col("ms"))
-        .select("x", F.explode(F.filter("ms", lambda m: m["id"] > F.col("x.id"))).alias("y"))
+        members.selectExpr("explode(ms) AS x", "ms")
+        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
     )
-    agree = F.size(F.filter(F.zip_with("x.sig", "y.sig", lambda p, q: p == q), lambda t: t))
+    agree = "size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), t -> t))"
     return (
-        pairs.select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        pairs.selectExpr(
+            "x.id AS id_a",
+            "y.id AS id_b",
+            # "D" suffix: a bare 8.0 literal parses as DECIMAL(2,1) in
+            # Spark SQL and would flip the output dtype to decimal
+            f"{agree} / {float(num_hashes)}D AS est_jaccard",
         )
         # threshold BEFORE distinct: est_jaccard is a pure function of
         # the pair, so the order is semantics-free, but sub-threshold
@@ -290,10 +327,9 @@ def simhash(
     # no spread_small_scan here: one h60 per TOKEN is light enough that
     # the extra exchange costs more than single-core map time saves
     # (unlike the per-shingle md5 streams in ngram/minhash above)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens_col(text_col)).alias("tok"),
-    ).withColumn("h", h60(F.col("tok")))
+    toks = df.selectExpr(
+        f"{id_col} AS id", f"explode({tokens_sql(text_col)}) AS tok"
+    ).selectExpr("id", f"{h60_sql('tok')} AS h")
     # the per-bit expressions are built as SQL text and parsed once:
     # composing them from nested Column ops costs ~2 py4j round trips
     # per operator (~1.3s of plan construction for 32 bits, measured) —
@@ -335,26 +371,25 @@ def simhash_pairs(
         fps = fps.persist()  # useful when several block layouts reuse it
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
-    chunks = F.array(*[
-        F.concat_ws(":", F.lit(str(i)),
-                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"))
+    chunks = ", ".join(
+        f"concat_ws(':', '{i}', CAST((shiftright(simhash, {i * chunk_bits}) & {mask}) AS STRING))"
         for i in range(blocks)
-    ])
-    blocked = fps.select("id", "simhash", F.explode(chunks).alias("blk"))
+    )
+    blocked = fps.selectExpr("id", "simhash", f"explode(array({chunks})) AS blk")
     members = (
         blocked.groupBy("blk")
         .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     pairs = (
-        members.select(F.explode("ms").alias("x"), F.col("ms"))
-        .select("x", F.explode(F.filter("ms", lambda m: m["id"] > F.col("x.id"))).alias("y"))
+        members.selectExpr("explode(ms) AS x", "ms")
+        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
     )
     return (
-        pairs.select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        pairs.selectExpr(
+            "x.id AS id_a",
+            "y.id AS id_b",
+            "bit_count(x.simhash ^ y.simhash) AS hamming",
         )
         # hamming is pair-deterministic: filtering before the distinct
         # keeps far-apart candidates (the bulk at scale) out of the

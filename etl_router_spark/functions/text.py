@@ -19,6 +19,30 @@ def h60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def h60_sql(expr: str) -> str:
+    """SQL-text twin of :func:`h60` (one parser round trip; identical plan)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def tokens_sql(text_expr: str) -> str:
+    """SQL-text twin of :func:`tokens_col`."""
+    return f"split(trim({text_expr}), '\\\\s+')"
+
+
+def shingles_sql(toks_expr: str, n: int, sep: str = " ") -> str:
+    """SQL-text twin of :func:`shingles`, over an already-tokenized
+    array column. Building the hot dedup pipelines from parsed SQL text
+    costs ONE py4j round trip instead of dozens of Column-composition
+    calls (~0.3-0.5 s of driver time per plan build, measured at
+    sf0.1) — the parsed plan is identical."""
+    return (
+        f"CASE WHEN size({toks_expr}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_expr}) - {n}), "
+        f"i -> concat_ws('{sep}', slice({toks_expr}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 WORD_SPLIT_PATTERN = r"\s+"
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic.

@@ -103,11 +103,23 @@ def nano_ts_columns(path: str) -> list[str]:
 
 
 def restore_nano_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
-    """BIGINT-nanos -> TimestampType, in-plan (floor to µs, same as a
-    DuckDB ns->µs cast, so oracle comparisons stay exact)."""
+    """Normalize a declared event-time column to TimestampType, in-plan.
+
+    Two fixture generations exist: TIMESTAMP(NANOS) (arrives as BIGINT
+    under ``nanosAsLong``; floored to µs exactly like a DuckDB ns->µs
+    cast) and TIMESTAMP_NTZ µs. Both become TimestampType: streaming
+    ``withWatermark`` rejects NTZ event time, and under the UTC session
+    timezone the NTZ->LTZ cast is value-identical (same wall clock,
+    same collect() rendering), so oracle comparisons are unaffected.
+    """
     for col in cols:
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -136,12 +148,23 @@ def spread_small_scan(df: DataFrame, spark: SparkSession | None = None) -> DataF
     spark = spark or df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        # memoize the probe: ``df.rdd`` converts the analyzed plan to an
+        # RDD driver-side (~100 ms of py4j per call). Bench/driver reps
+        # rebuild byte-identical plans, so key on the semantic hash —
+        # one probe per distinct plan per application.
+        key = (spark.sparkContext.applicationId, df.semanticHash())
+        n = _SPREAD_PROBE_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_CACHE[key] = n
     except Exception:
         return df
     if 0 < n < target:
         return df.repartition(target)
     return df
+
+
+_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
