@@ -400,6 +400,88 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (pairs -> connected components -> canonical docs)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = min id
+    reachable through the pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round every node takes the min label over itself and its neighbors;
+    converged when no label changes. Rounds = graph diameter — near-dup
+    graphs are unions of near-cliques (a cluster of copies pairs up
+    densely), so 2-4 rounds in practice. Each round is one shuffle of
+    the (small) label table against the edge list plus one convergence
+    count; labels persist per round and unpersist after, and lineage is
+    cut by the materialized persist so plans don't grow with rounds.
+    For adversarial long-chain graphs the alternating-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    converges in O(log n) rounds — the escalation path if a corpus
+    ever produces deep chains; ``max_iterations`` guards until then.
+    """
+    edges = (
+        pairs.selectExpr(f"{id_a} AS u", f"{id_b} AS v")
+        .filter("u <> v")
+    )
+    # localCheckpoint (not persist): iterative plans re-embed their full
+    # upstream tree every round — persist short-circuits execution but
+    # Catalyst still re-analyzes the ever-growing logical plan (driver
+    # OOM by round ~5 when the pair generator is itself a big plan).
+    # localCheckpoint truncates lineage to the materialized partitions.
+    # On a fault-tolerant cluster run, swap for checkpoint() with a
+    # checkpoint dir — same shape, recoverable blocks.
+    sym = edges.union(edges.selectExpr("v AS u", "u AS v")).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels.selectExpr("id AS u", "comp AS ucomp"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("ucomp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.join(
+            labels.selectExpr("id", "comp AS old_comp"), "id"
+        ).filter("comp <> old_comp").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, cluster_id) for EVERY row of ``df``: near-dup cluster
+    representative (min id) for paired docs, self for singletons."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 def cosine_cols(a: Column, b: Column) -> Column:

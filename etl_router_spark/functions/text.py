@@ -254,3 +254,44 @@ def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
             lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document average unigram log-probability — the classic
+    cheap LM quality signal (documents scoring far below the corpus
+    average are boilerplate/garbled; far above are repetitive).
+
+    The unigram model is estimated from ``lm_df`` (defaults to ``df``
+    itself): p(tok) = count(tok) / total tokens. Per doc we emit token
+    count and mean over tokens of ln p(tok), rounded to 6 digits.
+
+    Scale shape: term frequencies are one groupBy of 8-byte-hashable
+    tokens with map-side partials; the total rides along as a broadcast
+    scalar; the scoring join shuffles (doc_id, token) pairs against the
+    frequency table — AQE broadcasts the vocab when it fits (natural
+    vocabularies are ~1e6 rows), shuffle-joins when it doesn't. No
+    driver-side vocab collection anywhere.
+    """
+    lm_src = lm_df if lm_df is not None else df
+    lm_toks = lm_src.selectExpr(f"explode({tokens_sql(text_col)}) AS tok")
+    freqs = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = lm_toks.select(F.count("*").alias("__total"))
+    lm = freqs.crossJoin(F.broadcast(total)).selectExpr(
+        "tok", "ln(CAST(c AS DOUBLE) / CAST(__total AS DOUBLE)) AS logp"
+    )
+    doc_toks = df.selectExpr(
+        f"{id_col}", f"explode({tokens_sql(text_col)}) AS tok"
+    )
+    return (
+        doc_toks.join(lm, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

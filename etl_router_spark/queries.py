@@ -1971,6 +1971,35 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, streaming=False)
 
 
+@query(
+    "cdc_apply_events",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EVENTS_US}
+      WHERE user_id < 200)
+    SELECT user_id, event_id, ts, event_type, value, props
+    FROM ranked WHERE rn = 1 AND lower(event_type) <> 'error'
+    """,
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> current state per key (events as the changelog:
+    user_id keys ordered by (ts, event_id); latest 'error' tombstones
+    the key). max_by(struct) aggregation — map-side partials, one
+    candidate row per key per partition in the shuffle; the oracle uses
+    the window formulation to prove equivalence."""
+    from etl_router_spark.functions.cdc import cdc_apply
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    state = cdc_apply(
+        ev, ["user_id"], ["ts", "event_id"],
+        op_col="event_type", delete_values=("error",),
+    )
+    return state.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
 # The driver checks a prefix of the registry (~50 names per round), so
 # dict order decides which gates get a hard correctness signal each
 # round. Order by information value, computed from the accumulated

@@ -1011,3 +1011,65 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_shuffle(docs, seed=7).select("doc_id", "shuffle_pos")
+
+
+# ===========================================================================
+# near-dup clustering + CDC apply + unigram LM scoring
+# ===========================================================================
+@query("dedup_cluster", None)  # oracle attached below (needs simhash pairs SQL)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: SimHash pairs -> connected components ->
+    (doc_id, cluster_id) for every doc (singletons label themselves).
+    Min-label propagation, one shuffle per round, rounds = component
+    diameter (near-dup graphs are unions of near-cliques)."""
+    from etl_router_spark.functions.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+    return dedup_clusters(docs, pairs)
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok
+      FROM documents WHERE doc_id < 500),
+    freqs AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM toks),
+    lm AS (SELECT tok, ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS logp
+           FROM freqs, total)
+    SELECT t.doc_id,
+           count(*)                 AS n_tokens,
+           round(avg(lm.logp), 6)  AS avg_logprob
+    FROM toks t JOIN lm ON t.tok = lm.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the classic cheap quality signal. Vocab never touches
+    the driver; AQE broadcasts it when small."""
+    from etl_router_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return unigram_logprob(docs)
+
+
+ORACLES["dedup_cluster"] = f"""
+    WITH RECURSIVE pairs AS (
+      {ORACLES["dedup_simhash_pairs"]}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN labels l ON l.id = d.doc_id
+    """

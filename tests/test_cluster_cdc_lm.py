@@ -1,0 +1,91 @@
+"""Unit tests: near-dup clustering, CDC apply, unigram LM scoring."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_basic(spark):
+    from etl_router_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path: worst case for label propagation (diameter 11)
+    from etl_router_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    from etl_router_spark.functions.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+
+
+def test_cdc_apply_tombstone_and_reinsert(spark):
+    from etl_router_spark.functions.cdc import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            # key 1: insert -> update (survives with v=20)
+            (1, 1, "insert", 10.0),
+            (1, 2, "update", 20.0),
+            # key 2: insert -> delete (tombstoned)
+            (2, 1, "insert", 1.0),
+            (2, 2, "delete", 0.0),
+            # key 3: delete -> re-insert (survives: later op wins)
+            (3, 1, "delete", 0.0),
+            (3, 2, "insert", 7.0),
+        ],
+        "k long, seq long, op string, v double",
+    )
+    got = {r.k: (r.op, r.v) for r in cdc_apply(log, ["k"], ["seq"], op_col="op").collect()}
+    assert got == {1: ("update", 20.0), 3: ("insert", 7.0)}
+
+
+def test_cdc_snapshot_merge(spark):
+    from etl_router_spark.functions.cdc import cdc_snapshot_merge
+
+    snap = spark.createDataFrame(
+        [(1, 1, "insert", 10.0), (2, 1, "insert", 1.0), (9, 1, "insert", 99.0)],
+        "k long, seq long, op string, v double",
+    )
+    log = spark.createDataFrame(
+        [(1, 5, "update", 11.0), (2, 5, "delete", 0.0), (4, 5, "insert", 4.0)],
+        "k long, seq long, op string, v double",
+    )
+    got = {r.k: r.v for r in cdc_snapshot_merge(snap, log, ["k"], ["seq"], op_col="op").collect()}
+    # 1 updated, 2 deleted, 4 inserted, 9 untouched
+    assert got == {1: 11.0, 4: 4.0, 9: 99.0}
+
+
+def test_unigram_logprob_values(spark):
+    from etl_router_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    # corpus tokens: a a b b c -> p(a)=2/5, p(b)=2/5, p(c)=1/5
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert abs(rows[1].avg_logprob - exp1) < 1e-6
+    assert abs(rows[2].avg_logprob - exp2) < 1e-6
