@@ -579,6 +579,76 @@ def embedding_cosine_pairs(
     return rows.mapInPandas(gemm_block, schema=out_schema)
 
 
+def embedding_cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str = "vec_id",
+    id_right: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    left_blocks: int = 4,
+    right_blocks: int = 4,
+) -> DataFrame:
+    """Exact cross-set cosine join: every (left, right) pair with
+    cosine >= threshold — the incremental-dedup / decontamination
+    shape ("which new docs near-duplicate the existing corpus?").
+
+    Same distributed block-GEMM design as the self-join variant
+    (:func:`embedding_cosine_pairs` ``method="block"``): left rows hash
+    into ``left_blocks``, right rows into ``right_blocks``; each of the
+    Bl*Br block pairs is one task holding exactly one block per side
+    (one GEMM). Row replication is Br per left row / Bl per right row,
+    so executor memory stays bounded by |left|/Bl + |right|/Br vectors
+    per task at any corpus size; no driver collect in the plan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lrows = left.select(
+        F.col(id_left).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit("l").alias("side"),
+        F.pmod(F.xxhash64(F.col(id_left)), F.lit(left_blocks)).cast("int").alias("bi"),
+    ).withColumn("bj", F.explode(F.array(*[F.lit(j) for j in range(right_blocks)])))
+    rrows = right.select(
+        F.col(id_right).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit("r").alias("side"),
+        F.pmod(F.xxhash64(F.col(id_right)), F.lit(right_blocks)).cast("int").alias("bj"),
+    ).withColumn("bi", F.explode(F.array(*[F.lit(i) for i in range(left_blocks)])))
+    both = lrows.unionByName(rrows)
+
+    out_schema = T.StructType([
+        T.StructField("id_left", T.LongType()),
+        T.StructField("id_right", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def gemm_cross(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        is_l = (pdf["side"] == "l").to_numpy()
+        li, ri = np.nonzero(is_l)[0], np.nonzero(~is_l)[0]
+        empty = pd.DataFrame({"id_left": [], "id_right": [], "cosine": []}).astype(
+            {"id_left": "int64", "id_right": "int64", "cosine": "float64"})
+        if not len(li) or not len(ri):
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.where(norms == 0, 1.0, norms)
+        sims = np.round(matn[li] @ matn[ri].T, 6)
+        ai, bi_idx = np.nonzero(sims >= threshold)
+        if not len(ai):
+            return empty
+        return pd.DataFrame({
+            "id_left": ids[li][ai],
+            "id_right": ids[ri][bi_idx],
+            "cosine": sims[ai, bi_idx],
+        })
+
+    return both.groupBy("bi", "bj").applyInPandas(gemm_cross, schema=out_schema)
+
+
 def _block_cosine_pairs(
     df: DataFrame,
     id_col: str,

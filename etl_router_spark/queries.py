@@ -2000,6 +2000,72 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("user_id", "event_id", "ts", "event_type", "value", "props")
 
 
+@query(
+    "q_rollup_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (nation -> region -> grand
+    total) — one shuffle; Spark expands the grouping sets inside the
+    same aggregation, no per-level re-scan."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        l.join(dim, l.l_suppkey == dim.s_suppkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_pivot_event_matrix",
+    f"""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM {EVENTS_US}
+    GROUP BY user_id % 10
+    """,
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide counts) with an EXPLICIT value list: with the
+    values declared, Spark skips the distinct-values pre-job and plans
+    one aggregation; the oracle is the equivalent conditional-sum SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    )
+    out = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot emits nullable longs (missing combination -> null); the
+    # oracle's conditional sums emit 0 — coalesce for exact parity
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
 # The driver checks a prefix of the registry (~50 names per round), so
 # dict order decides which gates get a hard correctness signal each
 # round. Order by information value, computed from the accumulated

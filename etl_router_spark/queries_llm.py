@@ -1073,3 +1073,27 @@ ORACLES["dedup_cluster"] = f"""
     FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
     LEFT JOIN labels l ON l.id = d.doc_id
     """
+
+
+@query(
+    "similarity_cosine_join",
+    """
+    SELECT a.vec_id AS id_left, b.vec_id AS id_right,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < 300 AND b.vec_id >= 300 AND b.vec_id < 1500
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+)
+def similarity_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set exact cosine join (new batch vs existing corpus) via
+    the distributed block-GEMM path: Bl*Br block-pair tasks, executor
+    memory bounded by one block per side, no driver collect."""
+    from etl_router_spark.functions.dedup import embedding_cosine_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") < 300)
+    corpus = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 1500))
+    return embedding_cosine_join(
+        batch, corpus, threshold=0.3, left_blocks=2, right_blocks=4
+    )

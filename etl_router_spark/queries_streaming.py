@@ -285,3 +285,46 @@ def stream_fanout_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("audit").alias("sink"), "user_id", "event_type", "value")
     shutil.rmtree(f"{wd}/in", ignore_errors=True)
     return metrics.unionByName(audit)
+
+
+@query(
+    "stream_lookup_enrich",
+    f"""
+    SELECT e.event_id, e.user_id, c.c_name AS customer_name,
+           c.c_mktsegment AS segment
+    FROM {EVENTS_US} e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: streaming events left-broadcast-joined
+    against the customer dimension (the lookup stage's streaming form —
+    the static side is planned as a broadcast per micro-batch, no state
+    store involved). Inner miss-mode drops unmatched keys, mirroring
+    on_miss=drop."""
+    from etl_router_spark.compile.lookup import apply_lookup
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_q7_")
+    src = _stream_events(spark, sf_dir, wd)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    enriched = apply_lookup(
+        src.filter(F.col("event_type") == "purchase"),
+        dim,
+        key_mappings={"user_id": "c_custkey"},
+        merge_strategy="merge",
+        on_miss="drop",
+        prefix=None,
+    )
+    out = enriched.select(
+        "event_id", "user_id",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    path = _run_to_parquet(out, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result
