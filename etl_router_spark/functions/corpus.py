@@ -278,3 +278,41 @@ def global_shuffle(
         local.withColumn("shuffle_pos", (F.col("__local_rank") - 1 + offset_col).cast("bigint"))
         .drop("__h", "__part", "__local_rank")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split assignment (train/val/test) by
+    salted content hash — the split twin of :func:`hash_sample`.
+
+    Buckets ``h60(salt|key) mod 1e6`` into cumulative fraction ranges
+    (insertion order of ``fractions``). Pure map-side projection: no
+    shuffle, no RNG state, reproducible across engines and reruns, and
+    growth-stable — adding documents never reassigns existing ones,
+    unlike randomSplit whose assignment depends on partitioning.
+    ``fractions`` must sum to ~1; the last named split absorbs rounding.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(
+        h60(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    # build from the last boundary backwards so the first matching
+    # range wins: WHEN b < c1 THEN s1 WHEN b < c2 THEN s2 ... ELSE last
+    conds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        conds.append((int(round(cum * 1_000_000)), name))
+    for threshold, name in reversed(conds):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

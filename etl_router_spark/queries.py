@@ -2001,6 +2001,96 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_orc_roundtrip",
+    f"""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_type IN ('click', 'view')
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File sink + source in ORC format (S8 format breadth; columnar
+    alternative to parquet, same registry code path)."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    out = tempfile.mkdtemp(prefix="etl_orc_rt_") + "/events_orc"
+    df = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "view"))
+          .select("event_id", "event_type", F.round("value", 6).alias("value")))
+    write_sink(df, {"sink_type": "file", "format": "orc", "path": out, "mode": "overwrite"})
+    return read_source(spark, {
+        "source_type": "file", "format": "orc", "path": out,
+    }, streaming=False)
+
+
+@query(
+    "corpus_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS b
+      FROM documents)
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by salted
+    content hash: pure map-side projection, no shuffle, no RNG;
+    reproducible across engines, partitionings and reruns, and stable
+    under corpus growth (a doc never changes split when new docs
+    arrive — the property random splits lack)."""
+    from etl_router_spark.functions.corpus import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(docs, key_col="doc_id", salt="42",
+                         fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@query(
+    "q_window_funcs",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_quartile,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface: lag/lead/row_number/ntile and
+    a running sum, all sharing one partitionBy(custkey) shuffle (two
+    sort orders within it); deterministic tie-break on orderkey."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+    )
+
+
+@query(
     "q_rollup_revenue",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
