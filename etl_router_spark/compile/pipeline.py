@@ -259,6 +259,49 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
 
         return global_shuffle(df, seed=int(cfg.get("seed", 0)),
                               id_col=cfg.get("id_field", "doc_id"))
+    if tt == "dedup_cluster":
+        # pairs -> connected components -> (id, cluster_id) per row;
+        # pair generation method chosen by config
+        from etl_router_spark.functions.dedup import (
+            dedup_clusters,
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+
+        method = cfg.get("method", "simhash")
+        id_col = cfg.get("id_field", "doc_id")
+        text_col = cfg.get("text_field", "text")
+        if method == "simhash":
+            pairs = simhash_pairs(df, id_col=id_col, text_col=text_col,
+                                  max_hamming=int(cfg.get("max_hamming", 3)),
+                                  bits=int(cfg.get("bits", 64)))
+        elif method == "minhash":
+            pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                                      num_hashes=int(cfg.get("num_hashes", 128)),
+                                      bands=int(cfg.get("bands", 32)),
+                                      threshold=float(cfg.get("threshold", 0.8)))
+        else:
+            raise ValueError(f"dedup_cluster: unknown method {method!r}")
+        return dedup_clusters(df, pairs, id_col=id_col)
+    if tt == "cdc_apply":
+        from etl_router_spark.functions.cdc import cdc_apply
+
+        return cdc_apply(df, key_cols=list(cfg["key_fields"]),
+                         order_cols=list(cfg["order_fields"]),
+                         op_col=cfg.get("op_field"),
+                         delete_values=tuple(cfg.get("delete_values", ("delete", "d"))))
+    if tt == "split_assign":
+        from etl_router_spark.functions.corpus import assign_splits
+
+        return assign_splits(df, key_col=cfg.get("key_field", "doc_id"),
+                             fractions=dict(cfg["fractions"]),
+                             salt=str(cfg.get("salt", "")),
+                             out_col=cfg.get("out_field", "split"))
+    if tt == "unigram_logprob":
+        from etl_router_spark.functions.text import unigram_logprob
+
+        return unigram_logprob(df, text_col=cfg.get("text_field", "text"),
+                               id_col=cfg.get("id_field", "doc_id"))
     return None
 
 

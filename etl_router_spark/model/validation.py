@@ -26,6 +26,7 @@ KNOWN_TRANSFORMS = {
     "multimodal_extract", "decontaminate", "hash_sample", "pack_sequences",
     "repetition_stats", "pii_redact", "chunk",
     "tfidf", "heavy_hitters", "inverted_index", "group_topk", "global_shuffle",
+    "dedup_cluster", "cdc_apply", "split_assign", "unigram_logprob",
 }
 
 KNOWN_SOURCES = {

@@ -89,3 +89,51 @@ def test_unigram_logprob_values(spark):
     exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
     assert abs(rows[1].avg_logprob - exp1) < 1e-6
     assert abs(rows[2].avg_logprob - exp2) < 1e-6
+
+
+def test_new_transform_type_manifests(spark, sf_dir, tmp_path):
+    """dedup_cluster / cdc_apply / split_assign / unigram_logprob as
+    manifest transform_types — declarable in YAML like any filter."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    def run(src_path, transform_cfg, out):
+        pipeline = parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": "r3-op"},
+            "spec": {"stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet", "path": src_path}},
+                {"id": "op", "type": "transform", "config": transform_cfg},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet", "path": out}},
+            ]},
+        })
+        return compile_pipeline(spark, pipeline).sink_frames["out"]
+
+    docs = f"{sf_dir}/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+
+    clustered = run(docs, {"transform_type": "dedup_cluster",
+                           "method": "simhash", "bits": 32}, str(tmp_path / "c"))
+    assert clustered.count() == n_docs
+    assert set(clustered.columns) == {"doc_id", "cluster_id"}
+
+    split = run(docs, {"transform_type": "split_assign", "salt": "7",
+                       "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}},
+                str(tmp_path / "s"))
+    counts = {r.split: r.cnt for r in
+              split.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > counts.get("val", 0)
+
+    lm = run(docs, {"transform_type": "unigram_logprob"}, str(tmp_path / "l"))
+    assert lm.count() == n_docs
+    assert lm.filter(F.col("avg_logprob") >= 0).count() == 0
+
+    ev = f"{sf_dir}/events.parquet"
+    state = run(ev, {"transform_type": "cdc_apply",
+                     "key_fields": ["user_id"], "order_fields": ["ts", "event_id"],
+                     "op_field": "event_type", "delete_values": ["error"]},
+                str(tmp_path / "cdc"))
+    assert state.count() == state.select("user_id").distinct().count()
+    assert state.filter(F.col("event_type") == "error").count() == 0
