@@ -126,3 +126,57 @@ def inverted_index(
     if max_postings is not None:
         postings = postings.withColumn("doc_ids", F.slice("doc_ids", 1, max_postings))
     return postings.select("term", "df_t", "doc_ids")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """All document pairs (a < b) with TF-IDF cosine >= threshold —
+    text-native similarity search (no embeddings needed): sparse-vector
+    cosine over the posting lists.
+
+    w(d,t) = tf(d,t) * ln(N / df(t)); cosine = Σ w_a·w_b / (‖a‖‖b‖).
+    Same bucket-local pair generation as the n-gram Jaccard operator:
+    postings group by term once, ordered pairs stream from chained
+    explodes, and terms with df above ``max_df_frac``·N are pruned —
+    they carry ~zero inner-product signal (idf → 0 anyway) but dominate
+    join cost. Norms are per-doc aggregates computed from the same
+    weighted postings (exchange reused), joined back post-pair.
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    # (term -> [(id, w)]) with df-cap as a free length filter
+    grouped = (
+        tf.groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "tf"))).alias("ps"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.size("ps") <= F.floor(F.col("__n") * F.lit(max_df_frac)))
+        .selectExpr(
+            "transform(ps, p -> struct(p.id AS id, "
+            "CAST(p.tf AS DOUBLE) * ln(CAST(__n AS DOUBLE) / size(ps)) AS w)) AS ps"
+        )
+    )
+    weighted = grouped.selectExpr("explode(ps) AS p").selectExpr("p.id AS id", "p.w AS w")
+    norms = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dots = (
+        grouped.filter(F.size("ps") > 1)
+        .selectExpr("explode(ps) AS x", "ps")
+        .selectExpr("x", "explode(filter(ps, y -> y.id > x.id)) AS y")
+        .selectExpr("x.id AS id_a", "y.id AS id_b", "x.w * y.w AS ww")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("ww").alias("dot"))
+    )
+    na = norms.selectExpr("id AS id_a", "nrm AS nrm_a")
+    nb = norms.selectExpr("id AS id_b", "nrm AS nrm_b")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,75 @@
+"""Table profiling: per-column data-quality statistics in one pass.
+
+The validation counterpart of the transform surface (reference's
+``validate`` checks records one at a time against a schema,
+``conveyor-etl-dsl/src/types.rs:496-516``; profiling is the batch-side
+complement that tells you WHAT to validate). One row out per profiled
+column: null count, distinct count, min/max, and mean/stddev for
+numerics.
+
+Scale design: ALL columns profile in a SINGLE aggregation pass — one
+job, no shuffle beyond the one-row global aggregate (map-side partials
+do the work). Distinct counts use HyperLogLog sketches
+(``approx_count_distinct``) by default: exact distinct per column would
+cost one shuffle per column at full width; the sketch keeps the whole
+profile map-side. ``exact_distinct=True`` opts into the exact path for
+oracle parity / small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One profile row per column: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value, mean, stddev).
+
+    min/max are rendered as strings so heterogeneous column types fit
+    one output schema; mean/stddev are NULL for non-numeric columns.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        is_num = isinstance(dt, _NUMERIC)
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+        if is_num:
+            aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"__mean_{c}"))
+            aggs.append(F.round(F.stddev_samp(F.col(c)), 6).alias(f"__std_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mean_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__std_{c}"))
+    wide = df.agg(*aggs)
+    # one wide row -> one row per column, via a literal-built stack
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+            F.col(f"__mean_{c}").alias("mean"),
+            F.col(f"__std_{c}").alias("stddev"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

@@ -2091,6 +2091,52 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_orders",
+    """
+    WITH stats AS (SELECT count(*) AS n FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", n AS n_rows,
+             (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_nulls,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+             (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+             (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders) AS max_value,
+             (SELECT round(avg(o_orderkey), 6) FROM orders) AS mean,
+             (SELECT round(stddev_samp(o_orderkey), 6) FROM orders) AS stddev
+      FROM stats
+      UNION ALL
+      SELECT 'o_totalprice', n,
+             (SELECT CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             (SELECT count(DISTINCT o_totalprice) FROM orders),
+             (SELECT CAST(min(o_totalprice) AS VARCHAR) FROM orders),
+             (SELECT CAST(max(o_totalprice) AS VARCHAR) FROM orders),
+             (SELECT round(avg(o_totalprice), 6) FROM orders),
+             (SELECT round(stddev_samp(o_totalprice), 6) FROM orders)
+      FROM stats
+      UNION ALL
+      SELECT 'o_orderpriority', n,
+             (SELECT CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             (SELECT count(DISTINCT o_orderpriority) FROM orders),
+             (SELECT min(o_orderpriority) FROM orders),
+             (SELECT max(o_orderpriority) FROM orders),
+             CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE)
+      FROM stats)
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls/distinct/min/max/mean/stddev) for three
+    orders columns in ONE aggregation pass — no per-column scans; the
+    gate uses exact distinct for oracle parity (production default is
+    the HLL sketch, fully map-side)."""
+    from etl_router_spark.functions.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_totalprice", "o_orderpriority"], exact_distinct=True
+    )
+
+
+@query(
     "q_rollup_revenue",
     """
     SELECT r.r_name AS region, n.n_name AS nation,

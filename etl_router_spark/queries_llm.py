@@ -1097,3 +1097,41 @@ def similarity_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_join(
         batch, corpus, threshold=0.3, left_blocks=2, right_blocks=4
     )
+
+
+@query(
+    "text_tfidf_cosine",
+    f"""
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+    terms AS (
+      SELECT doc_id AS id, unnest({_WORDS}) AS term FROM docs),
+    tf AS (
+      SELECT id, term, count(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY id, term),
+    n AS (SELECT count(*) AS n FROM docs),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    w AS (
+      SELECT id, term,
+             CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df_t) AS w
+      FROM tf JOIN dfreq USING (term), n
+      WHERE df_t <= floor(n.n * 0.5)),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.2
+    """,
+)
+def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-native similarity pairs: sparse TF-IDF cosine via the
+    bucket-local posting join (no embeddings required); stop terms
+    pruned by document-frequency cap before any pair is generated."""
+    from etl_router_spark.functions.indexing import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return tfidf_cosine_pairs(docs, threshold=0.2)

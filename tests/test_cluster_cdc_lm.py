@@ -137,3 +137,31 @@ def test_new_transform_type_manifests(spark, sf_dir, tmp_path):
                 str(tmp_path / "cdc"))
     assert state.count() == state.select("user_id").distinct().count()
     assert state.filter(F.col("event_type") == "error").count() == 0
+
+
+def test_tfidf_cosine_identical_docs(spark):
+    from etl_router_spark.functions.indexing import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana cherry"),
+         (3, "dog e f g h"), (4, "x y z w q")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, threshold=0.99, max_df_frac=0.6).collect()}
+    # identical docs -> cosine 1.0; disjoint docs produce no pair
+    assert got == {(1, 2): 1.0}
+
+
+def test_profile_table_values(spark):
+    from etl_router_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (3, 6.0, "a")],
+        "k long, v double, s string",
+    )
+    rows = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 0 and rows["k"].n_distinct == 3
+    assert rows["v"].n_nulls == 1 and rows["v"].mean == 4.0
+    assert rows["s"].n_nulls == 1 and rows["s"].min_value == "a" and rows["s"].max_value == "b"
+    assert rows["s"].mean is None
