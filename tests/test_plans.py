@@ -96,3 +96,62 @@ def test_block_cosine_has_no_driver_collect(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     # one shuffle: the block-pair expansion exchange feeding the GEMM
     assert "CollectLimit" not in plan and "CartesianProduct" not in plan
+
+
+def test_cdc_apply_is_aggregation_not_window(plans):
+    """cdc_apply must be the max_by partial-agg shape: no Window sort
+    over the changelog, pushdown intact."""
+    plan = plans("cdc_apply_events")
+    assert "max_by" in plan
+    assert "Window" not in plan
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,200)]" in plan
+
+
+def test_rollup_is_one_expand_aggregation(plans):
+    """ROLLUP = Expand + ONE aggregation over broadcast-joined dims —
+    never per-level re-scans of the fact table."""
+    plan = plans("q_rollup_revenue")
+    assert plan.count("Expand") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact parquet is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_pivot_has_no_distinct_prejob(plans):
+    """Explicit pivot values: the plan is a single aggregation tree;
+    no second scan of events to discover the pivot values."""
+    plan = plans("q_pivot_event_matrix")
+    assert plan.count("events.parquet") == 1
+
+
+def test_window_funcs_share_one_partitioning(plans):
+    """lag/lead/row_number/running-sum share the (custkey) partition
+    shuffle; only the ntile order adds a sort within it."""
+    plan = plans("q_window_funcs")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_is_single_pass(plans):
+    """All columns profile in one Aggregate — one scan of orders, no
+    per-column jobs, no shuffle other than the global aggregate."""
+    plan = plans("profile_orders")
+    assert plan.count("orders.parquet") == 1
+
+
+def test_cosine_join_has_no_driver_collect(spark, sf_dir):
+    """Cross-set GEMM: plan contains the applyInPandas boundary and no
+    broadcast of collected corpus (driver stays out of the data path)."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.dedup import embedding_cosine_join
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_cosine_join(
+        emb.filter(F.col("vec_id") < 100),
+        emb.filter(F.col("vec_id") >= 100),
+        threshold=0.5, left_blocks=2, right_blocks=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
