@@ -2091,6 +2091,40 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_partition_overwrite",
+    f"""
+    SELECT event_id, event_type,
+           round(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END, 6) AS value
+    FROM {EVENTS_US}
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + dynamic partition overwrite (the backfill
+    surface): full write partitioned by event_type, then a corrected
+    batch overwrites ONLY the purchase partition — every other
+    partition survives untouched, proving per-partition replacement
+    (static overwrite would wipe them)."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    out = tempfile.mkdtemp(prefix="etl_dpo_") + "/events_part"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value"))
+    write_sink(ev, {"sink_type": "file", "format": "parquet", "path": out,
+                    "mode": "overwrite", "partition_by": ["event_type"]})
+    corrected = (ev.filter(F.col("event_type") == "purchase")
+                 .withColumn("value", F.round(F.col("value") * 2, 6)))
+    write_sink(corrected, {"sink_type": "file", "format": "parquet", "path": out,
+                           "mode": "overwrite", "partition_by": ["event_type"],
+                           "partition_overwrite": "dynamic"})
+    back = read_source(spark, {"source_type": "file", "format": "parquet", "path": out},
+                       streaming=False)
+    return back.select("event_id", "event_type", "value")
+
+
+@query(
     "profile_orders",
     """
     WITH stats AS (SELECT count(*) AS n FROM orders)

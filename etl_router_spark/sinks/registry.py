@@ -31,6 +31,11 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
         # for downstream readers
         if cfg.get("partition_by"):
             writer = writer.partitionBy(*cfg["partition_by"])
+            # backfill surface: overwrite ONLY the partitions present in
+            # this batch (per-writer option — no session conf mutation);
+            # static overwrite would drop every other partition
+            if (cfg.get("partition_overwrite") or "").lower() == "dynamic":
+                writer = writer.option("partitionOverwriteMode", "dynamic")
         if fmt == "csv":
             writer = writer.option("header", "true")
         if cfg.get("compression"):
