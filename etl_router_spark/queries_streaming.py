@@ -328,3 +328,46 @@ def stream_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(path)
     shutil.rmtree(f"{wd}/in", ignore_errors=True)
     return result
+
+
+@query(
+    "stream_cdc_apply",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EVENTS_US}
+      WHERE user_id < 200)
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1 AND lower(event_type) <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: latest-surviving-row per key via
+    applyInPandasWithState (state = one row per live key, independent
+    of changelog length), fed in multiple micro-batches
+    (maxFilesPerTrigger) so winners genuinely advance across batches.
+    The emission log compacts downstream with the batch cdc_apply —
+    result must equal applying the whole changelog in batch."""
+    from etl_router_spark.functions.cdc import cdc_apply
+    from etl_router_spark.streaming.stateful import streaming_cdc_apply
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_q8_")
+    src = f"{wd}/in"
+    (load_table(spark, sf_dir, "events")
+     .filter(F.col("user_id") < 200)
+     .select("user_id", "event_id", "ts", "event_type", "value")
+     .repartition(8)  # several input files -> several micro-batches
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    updates = streaming_cdc_apply(stream, ["user_id"], ["ts", "event_id"])
+    path = _run_foreach_batch(updates, wd, "append")
+    emitted = spark.read.parquet(path)
+    state = cdc_apply(emitted, ["user_id"], ["ts", "event_id"],
+                      op_col="event_type", delete_values=("error",))
+    result = state.select("user_id", "event_id", "ts", "event_type", "value")
+    shutil.rmtree(src, ignore_errors=True)
+    return result

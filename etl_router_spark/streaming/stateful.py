@@ -179,3 +179,51 @@ def streaming_sessionize(
         sessionize_group, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_cdc_apply(
+    df: DataFrame,
+    key_fields: list[str],
+    order_fields: list[str],
+) -> DataFrame:
+    """Continuously-materialized CDC state: latest-surviving-row per
+    key over an unbounded changelog stream (the streaming twin of
+    ``functions.cdc.cdc_apply``).
+
+    State per key = the current winning row (one row, full width) —
+    bounded by #live keys, independent of changelog length. Each
+    micro-batch emits a key's row ONLY when its winner advances
+    (update-style emission into an append sink); delete ops emit too,
+    so downstream compaction (batch ``cdc_apply`` over the emission
+    log, or an upsert sink) can drop tombstoned keys. Out-of-order
+    changes across batches are resolved by the lexicographic
+    ``order_fields`` comparison against state, exactly like the batch
+    ``max_by(struct(order))``.
+    """
+    out_schema = df.schema
+    state_schema = df.schema
+    out_cols = [f.name for f in df.schema.fields]
+    order_idx = [out_cols.index(c) for c in order_fields]
+
+    def apply_group(key, pdfs, state):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        best_order = tuple(best[i] for i in order_idx) if best else None
+        advanced = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_fields, kind="mergesort")
+            cand = tuple(pdf.iloc[-1][c] for c in out_cols)
+            cand_order = tuple(cand[i] for i in order_idx)
+            if best_order is None or cand_order > best_order:
+                best, best_order, advanced = cand, cand_order, True
+        if advanced:
+            state.update(best)
+            yield pd.DataFrame([dict(zip(out_cols, best))])
+
+    return df.groupBy(*key_fields).applyInPandasWithState(
+        apply_group, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

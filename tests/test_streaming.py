@@ -397,3 +397,34 @@ def test_infer_output_mode_defaults(spark, events_in, tmp_path):
                       "aggregations": [{"function": "count", "field": "*"}]}}
     pipeline2 = _manifest(events_in, str(tmp_path / "y"), transforms=(agg,))
     assert infer_output_mode(pipeline2, "out") == "append"
+
+
+def test_streaming_cdc_apply_emits_only_on_advance(spark, tmp_path):
+    """A key's row is emitted only when its winner advances: stale
+    (out-of-order) changes arriving in a later batch emit nothing."""
+    import pandas as pd
+
+    from etl_router_spark.streaming.stateful import streaming_cdc_apply
+
+    src = str(tmp_path / "in")
+    # file 1: seq 5 (the winner); file 2: seq 3 (stale, must not emit)
+    spark.createDataFrame([(1, 5, "update", 50.0)], "k long, seq long, op string, v double") \
+        .coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame([(1, 3, "update", 30.0)], "k long, seq long, op string, v double") \
+        .coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    out = str(tmp_path / "out")
+
+    def write_epoch(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (streaming_cdc_apply(stream, ["k"], ["seq"])
+         .writeStream.foreachBatch(write_epoch).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    emitted = spark.read.parquet(out).collect()
+    # exactly one emission: the winner; the stale batch emitted nothing
+    assert len(emitted) == 1 and emitted[0].seq == 5 and emitted[0].v == 50.0
