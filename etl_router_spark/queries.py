@@ -2091,6 +2091,58 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_aggregate_session",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 900 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US}
+      WHERE event_type IN ('click', 'view')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value,
+           round(avg(value), 6)     AS avg_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def t12_aggregate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 aggregate with a SESSION window (types.rs:558-582 window
+    kind 3 — distinct from T14's dedicated sessionize stage): the
+    generic aggregation list over F.session_window groups. One shuffle;
+    session merge happens inside the aggregation."""
+    from etl_router_spark.compile.transforms import apply_aggregate
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "view"))
+          .select("user_id", "ts", "value"))
+    agg = apply_aggregate(
+        ev,
+        group_by=["user_id"],
+        aggregations=[
+            {"function": "count", "output_field": "n_events"},
+            {"function": "sum", "field": "value", "output_field": "total_value"},
+            {"function": "avg", "field": "value", "output_field": "avg_value"},
+        ],
+        window_config={"type": "session", "gap": "15m"},
+        ts_field="ts",
+    )
+    return agg.select(
+        "user_id",
+        F.col("window_start"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+@query(
     "sink_partition_overwrite",
     f"""
     SELECT event_id, event_type,

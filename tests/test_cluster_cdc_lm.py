@@ -165,3 +165,53 @@ def test_profile_table_values(spark):
     assert rows["v"].n_nulls == 1 and rows["v"].mean == 4.0
     assert rows["s"].n_nulls == 1 and rows["s"].min_value == "a" and rows["s"].max_value == "b"
     assert rows["s"].mean is None
+
+
+def test_ivf_trained_centroids_balance_and_recall(spark, sf_dir):
+    """IVF with MLlib-k-means centroids: the k-means quantizer must
+    yield materially better-balanced cells than the lowest-id stand-in
+    (balance is what bounds candidate-set size, i.e. the actual
+    speedup) while keeping useful recall vs brute force. Raw recall
+    alone would reward degenerate quantizers: lumping the corpus into
+    one cell gives recall 1.0 and zero pruning."""
+    import math
+
+    from etl_router_spark.functions.similarity import (
+        brute_force_topk,
+        cosine_cols,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def assign_counts(cents):
+        scored = F.array(*[
+            F.struct(
+                F.round(cosine_cols(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6).alias("s"),
+                F.lit(cid).alias("cid"))
+            for cid, cv in cents])
+        rows = (emb.select(F.col("embedding").cast("array<double>").alias("v"))
+                .withColumn("cid", F.array_max(scored)["cid"])
+                .groupBy("cid").count().collect())
+        return [r["count"] for r in rows]
+
+    def recall(result):
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in brute_force_topk(queries, emb, k=5).collect()}
+        got = {(r.query_id, r.neighbor_id) for r in result.collect()}
+        return len(got & exact) / len(exact)
+
+    trained = train_ivf_centroids(emb, n_centroids=8, sample_fraction=0.5)
+    assert len(trained) == 8 and all(len(v) > 0 for _, v in trained)
+    n = emb.count()
+    counts = assign_counts(trained)
+    # every cell used, none dominant: candidate-set size stays bounded
+    # (on these uniform synthetic embeddings the stand-in quantizer is
+    # also balanced — the comparative claim only shows on clustered
+    # data, so we pin the absolute properties)
+    assert len(counts) == 8
+    assert max(counts) / n < 0.4
+    assert recall(ivf_topk(queries, emb, k=5, nprobe=3, centroids=trained)) > 0.5
