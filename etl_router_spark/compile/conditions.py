@@ -71,15 +71,20 @@ def compile_condition(
         if k in ("metadata_gt", "metadata_lt", "metadata_gte", "metadata_lte"):
             # reference parses the metadata string as f64; parse failure
             # => false (matcher.rs:46-51). try_cast->null->coalesce(false)
-            # (plain cast throws under Spark 4 ANSI mode).
+            # (plain cast throws under Spark 4 ANSI mode). A parsed NaN
+            # ("NaN" is a valid f64 literal) compares FALSE under IEEE
+            # in the reference, but Spark's SQL comparisons use NaN
+            # total-ordering (NaN greater than everything) — mask it
+            # out explicitly. Found by tests/test_condition_property.py.
             num = meta[c.key].try_cast("double")
+            not_nan = ~F.coalesce(F.isnan(num), F.lit(True))
             op = {
                 "metadata_gt": num > F.lit(float(c.value)),
                 "metadata_lt": num < F.lit(float(c.value)),
                 "metadata_gte": num >= F.lit(float(c.value)),
                 "metadata_lte": num <= F.lit(float(c.value)),
             }[k]
-            return _two_valued(op)
+            return _two_valued(not_nan & op)
         # --- typed-column extension -------------------------------
         if k == "field_null":
             return F.col(c.key).isNull()
