@@ -114,3 +114,57 @@ def test_condition_compiler_matches_reference_semantics(spark):
             if bool(got) != want or got is None:
                 mismatches.append((rid, i, want, got, t))
     assert not mismatches, mismatches[:5]
+
+
+def test_field_mapping_precedence_property(spark):
+    """Randomized mapping sets vs a direct Python implementation of the
+    reference's mapping precedence (engine.rs:289-322): literal >
+    source_field (with per-field default on null) > default; in
+    authoritative (drop_unmapped) mode the output is built ONLY from
+    mapping targets."""
+    from etl_router_spark.compile.transforms import apply_map
+    from etl_router_spark.model.manifest import FieldMapping
+
+    rng = random.Random(99)
+    src_cols = ["a", "b", "c"]
+    records = []
+    for i in range(40):
+        records.append((
+            i,
+            rng.choice(["x", "y", None]),
+            rng.choice([1, 2, None]),
+            rng.choice(["p", None]),
+        ))
+    df = spark.createDataFrame(records, "id long, a string, b long, c string")
+
+    def rand_mapping(t):
+        shape = rng.choice(["literal", "source", "source_default", "default"])
+        if shape == "literal":
+            return FieldMapping(target=t, literal=rng.choice(["L1", "L2"]))
+        if shape == "source":
+            return FieldMapping(target=t, source=rng.choice(["a", "c"]))
+        if shape == "source_default":
+            return FieldMapping(target=t, source=rng.choice(["a", "c"]),
+                                default=rng.choice(["D1", "D2"]))
+        return FieldMapping(target=t, default=rng.choice(["D3", "D4"]))
+
+    for trial in range(20):
+        mappings = [rand_mapping(f"t{j}") for j in range(rng.randint(1, 4))]
+        out = apply_map(df, mappings, drop_unmapped=True)
+        assert [f.name for f in out.schema.fields] == [m.target for m in mappings]
+        got = [tuple(r) for r in out.orderBy(F.lit(1)).collect()]
+        # reference evaluation, row-aligned with the source records
+        want = []
+        for rec in records:
+            vals = dict(zip(["id", "a", "b", "c"], rec))
+            row = []
+            for m in mappings:
+                if m.literal is not None:
+                    row.append(m.literal)
+                elif m.source is not None:
+                    v = vals[m.source]
+                    row.append(v if v is not None else m.default)
+                else:
+                    row.append(m.default)
+            want.append(tuple(row))
+        assert sorted(got, key=str) == sorted(want, key=str), (trial, mappings)
