@@ -78,6 +78,10 @@ def compile_condition(
             # out explicitly. Found by tests/test_condition_property.py.
             num = meta[c.key].try_cast("double")
             not_nan = ~F.coalesce(F.isnan(num), F.lit(True))
+            # Rust f64::from_str rejects surrounding whitespace where
+            # Spark's cast trims it — a padded " 3.5 " must not match
+            untrimmed_ok = meta[c.key] == F.trim(meta[c.key])
+            not_nan = not_nan & untrimmed_ok
             op = {
                 "metadata_gt": num > F.lit(float(c.value)),
                 "metadata_lt": num < F.lit(float(c.value)),

@@ -16,7 +16,8 @@ import re
 from pyspark.sql import functions as F
 
 KEYS = ["env", "region", "score", "empty", "weird"]
-VALUES = ["prod", "dev", "eu-1", "", "10", "3.5", "-2", "abc", "NaN"]
+VALUES = ["prod", "dev", "eu-1", "", "10", "3.5", "-2", "abc", "NaN",
+          " 3.5 ", "inf", "-Infinity", "1_000", "1e3", "+5"]
 RTYPES = ["user.event", "order.created", "noise"]
 PATTERNS = [r"^prod", r"eu-\d", r"\d+", r"^$", r"a.c"]
 
@@ -70,9 +71,12 @@ def eval_ref(cond, record_type: str, meta: dict[str, str]) -> bool:
         return v is not None and re.search(cond.value, v) is not None
     if k in ("metadata_gt", "metadata_lt", "metadata_gte", "metadata_lte"):
         v = meta.get(cond.key)
+        # Rust f64::from_str: no surrounding whitespace, no underscores
+        if v is None or v != v.strip() or "_" in v:
+            return False
         try:
-            x = float(v)  # type: ignore[arg-type]
-        except (TypeError, ValueError):
+            x = float(v)
+        except ValueError:
             return False
         if x != x:  # NaN comparisons are false in the reference parse
             return False
