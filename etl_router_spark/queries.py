@@ -2091,6 +2091,42 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_aggregate_collect",
+    f"""
+    SELECT event_type,
+           array_to_string(list_sort(list(round(value, 6))), ',') AS values_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {EVENTS_US}
+    WHERE user_id < 40
+    GROUP BY event_type
+    """,
+)
+def t12_aggregate_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 'collect' aggregate (types.rs:620-632 collect -> list):
+    per-group collect_list, canonicalized by sorting (collection order
+    is partition-dependent in any distributed engine) and rendered as
+    CSV so the value-hash compares engine-portably."""
+    from etl_router_spark.compile.transforms import apply_aggregate
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 40)
+          .select("event_type", F.round("value", 6).alias("value")))
+    agg = apply_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "collect", "field": "value", "output_field": "values_list"},
+            {"function": "count", "output_field": "n"},
+        ],
+    )
+    return agg.select(
+        "event_type",
+        F.concat_ws(",", F.col("values_list").cast("array<string>")).alias("values_csv"),
+        "n",
+    )
+
+
+@query(
     "t12_aggregate_session",
     f"""
     WITH flagged AS (
