@@ -428,3 +428,32 @@ def test_streaming_cdc_apply_emits_only_on_advance(spark, tmp_path):
     emitted = spark.read.parquet(out).collect()
     # exactly one emission: the winner; the stale batch emitted nothing
     assert len(emitted) == 1 and emitted[0].seq == 5 and emitted[0].v == 50.0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Two availableNow runs sharing one checkpoint: the second run
+    must pick up exactly the files added in between — no reprocessing,
+    no duplicates (the offset log, not the data, decides)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.parquet(f"{src}/batch1")
+    schema = spark.read.parquet(f"{src}/batch1").schema
+
+    def run_once():
+        q = (spark.readStream.schema(schema).parquet(f"{src}/*")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    spark.createDataFrame([(3, "c")], "id long, v string") \
+        .coalesce(1).write.parquet(f"{src}/batch2")
+    run_once()
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]  # batch1 NOT duplicated, batch2 picked up
