@@ -711,20 +711,24 @@ def apply_sessionize(
     # max_duration path: lag/cumsum sessionization (one shuffle on keys),
     # then long sessions split into max_duration-sized chunks relative to
     # the session start. Deterministic and SQL-expressible.
-    gap_secs = int(parse_duration(gap))
-    max_secs = int(parse_duration(max_duration))
+    # microsecond arithmetic: session_window compares event times at
+    # full timestamp precision, so the split path must too — a
+    # second-floored unix_timestamp would merge/split differently at
+    # sub-second gaps than the gap-only path
+    gap_us = int(parse_duration(gap) * 1_000_000)
+    max_us = int(parse_duration(max_duration) * 1_000_000)
     w = Window.partitionBy(*key_fields).orderBy(ts_field)
     prev_ts = F.lag(ts_field).over(w)
     new_sess = prev_ts.isNull() | (
-        (F.unix_timestamp(F.col(ts_field)) - F.unix_timestamp(prev_ts)) > gap_secs
+        (F.unix_micros(F.col(ts_field)) - F.unix_micros(prev_ts)) > gap_us
     )
     with_sess = df.withColumn(
         "__sess_id",
         F.sum(new_sess.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     sess_start = F.min(ts_field).over(Window.partitionBy(*key_fields, "__sess_id"))
-    chunk = (
-        (F.unix_timestamp(F.col(ts_field)) - F.unix_timestamp(sess_start)) / max_secs
+    chunk = F.floor(
+        (F.unix_micros(F.col(ts_field)) - F.unix_micros(sess_start)) / F.lit(max_us)
     ).cast("bigint")
     return (
         with_sess.withColumn("__chunk", chunk)

@@ -2091,6 +2091,44 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_sessionize_max_duration",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US}
+      WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged),
+    chunked AS (
+      SELECT *, CAST(floor((epoch_us(ts) -
+                   epoch_us(min(ts) OVER (PARTITION BY user_id, sess_id)))
+                   / 3600000000.0) AS BIGINT) AS chunk
+      FROM sess)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last_event,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM chunked GROUP BY user_id, sess_id, chunk
+    """,
+)
+def t14_sessionize_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 sessionize with max_duration (types.rs:680-697): gap 30m
+    sessions split into 1h chunks relative to session start, at full
+    microsecond precision (same comparison precision as the native
+    session_window path)."""
+    from etl_router_spark.compile.transforms import apply_sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100).select("user_id", "ts")
+    return apply_sessionize(
+        ev, ["user_id"], gap="30m", ts_field="ts", max_duration="1h",
+        aggregations=[{"function": "count", "field": "*", "output_field": "n_events"}],
+    )
+
+
+@query(
     "t12_aggregate_collect",
     f"""
     SELECT event_type,
