@@ -96,7 +96,8 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
         return T.apply_dedupe(df, cfg["key_fields"], cfg.get("keep", "first"),
                               cfg.get("order_field", "event_time"),
                               cfg.get("tiebreak_fields"),
-                              within_watermark=bool(cfg.get("within_watermark", False)))
+                              within_watermark=bool(cfg.get("within_watermark", False)),
+                              window=cfg.get("window"))
     if tt == "ratelimit":
         if cfg.get("on_exceed") == "delay" and df.isStreaming:
             # delay = backpressure, not row dropping (types.rs:592-601):

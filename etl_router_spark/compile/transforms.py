@@ -376,8 +376,15 @@ def apply_dedupe(
     order_field: str = "event_time",
     tiebreak_fields: list[str] | None = None,
     within_watermark: bool = False,
+    window: str | None = None,
 ) -> DataFrame:
     """Keep one row per key. ``keep='first'|'last'`` by ``order_field``.
+
+    ``window`` scopes the dedupe to tumbling time windows (the
+    reference dedupe's window field, types.rs:542-556): duplicates are
+    only dropped within the same window — the streaming-state-bounded
+    semantics expressed in batch. The window column joins the partition
+    keys; everything else is unchanged.
 
     Batch implementation: row_number over a key-partitioned window —
     one shuffle on the keys, no global sort. Tie-break columns make the
@@ -391,18 +398,28 @@ def apply_dedupe(
     matching the reference's windowed dedupe. Keep-last becomes a
     running ``max_by`` per key over the full row (emit mode: update).
     """
+    if window is not None:
+        from etl_router_spark.model.parser import duration_to_interval
+
+        df = df.withColumn(
+            "__dw", F.window(F.col(order_field), duration_to_interval(window))
+        )
+        key_fields = [*key_fields, "__dw"]
     if df.isStreaming:
         if keep == "first":
             if within_watermark:
-                return df.dropDuplicatesWithinWatermark(key_fields)
-            return df.dropDuplicates(key_fields)
+                out = df.dropDuplicatesWithinWatermark(key_fields)
+            else:
+                out = df.dropDuplicates(key_fields)
+            return out.drop("__dw") if window is not None else out
         if keep == "last":
             order_cols = [order_field, *(tiebreak_fields or [])]
             payload = [c for c in df.columns if c not in key_fields]
             latest = df.groupBy(*key_fields).agg(
                 F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__row")
             )
-            return latest.select(*key_fields, "__row.*").select(*df.columns)
+            out = latest.select(*key_fields, "__row.*").select(*df.columns)
+            return out.drop("__dw") if window is not None else out
         raise ValueError(f"dedupe keep must be first|last, got {keep!r}")
     order = [F.col(order_field)] + [F.col(t) for t in (tiebreak_fields or [])]
     if keep == "last":
@@ -413,7 +430,7 @@ def apply_dedupe(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__dw")
     )
 
 

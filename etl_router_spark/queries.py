@@ -2091,6 +2091,38 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t10_dedupe_windowed",
+    f"""
+    WITH bucketed AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                                CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_US}
+      WHERE user_id < 100)
+    SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
+    FROM bucketed WHERE rn = 1
+    """,
+)
+def t10_dedupe_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 dedupe scoped to tumbling 1h windows (the dedupe config's
+    window field, types.rs:542-556): a key may reappear in a later
+    window — the batch expression of streaming's state-eviction
+    semantics."""
+    from etl_router_spark.compile.transforms import apply_dedupe
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 100)
+          .select("user_id", "event_type", "ts", "event_id",
+                  F.round("value", 6).alias("value")))
+    return apply_dedupe(
+        ev, ["user_id", "event_type"], keep="first",
+        order_field="ts", tiebreak_fields=["event_id"], window="1h",
+    )
+
+
+@query(
     "t14_sessionize_max_duration",
     f"""
     WITH flagged AS (
