@@ -26,12 +26,31 @@ class ConnectorUnavailable(RuntimeError):
 _FILE_FORMATS = {"json", "csv", "parquet", "avro", "orc", "text", "lines"}
 
 
+def _avro_available(spark: SparkSession) -> bool:
+    # DataSource.lookupDataSource is the registration check Spark itself
+    # performs — some avro *classes* ship in the pyspark jars, so a bare
+    # Class.forName probe false-positives without the module jar
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # noqa: SLF001
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path: str) -> DataFrame:
     fmt = (cfg.get("format") or "parquet").lower()
     if fmt == "lines":
         fmt = "text"
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported file format: {fmt!r}")
+    if fmt == "avro" and not _avro_available(spark):
+        raise ConnectorUnavailable(
+            "avro is an external Spark module: add the spark-avro jar "
+            "matching your Spark version (--packages org.apache.spark:"
+            "spark-avro_2.13:<spark-version>) to the cluster image"
+        )
     nano_cols: list[str] = []
     if fmt == "parquet":
         # TIMESTAMP(NANOS) parquet: unreadable by Spark without the

@@ -215,3 +215,15 @@ def test_ivf_trained_centroids_balance_and_recall(spark, sf_dir):
     assert len(counts) == 8
     assert max(counts) / n < 0.4
     assert recall(ivf_topk(queries, emb, k=5, nprobe=3, centroids=trained)) > 0.5
+
+
+def test_avro_unavailable_raises_actionable_error(spark):
+    """avro without the spark-avro module jar: ConnectorUnavailable
+    naming the exact fix, not Spark's generic lookup failure."""
+    import pytest
+
+    from etl_router_spark.sources.registry import ConnectorUnavailable, read_source
+
+    with pytest.raises(ConnectorUnavailable, match="spark-avro"):
+        read_source(spark, {"source_type": "file", "format": "avro",
+                            "path": "/tmp/nonexistent"}, streaming=False)
