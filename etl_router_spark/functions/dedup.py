@@ -23,17 +23,10 @@ results are reproducible across engines and test oracles are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_router_spark.functions.text import (
-    h60,
-    h60_sql,
-    shingles,
-    shingles_sql,
-    tokens_col,
-    tokens_sql,
-)
+from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
 from etl_router_spark.io import spread_small_scan
 
 

@@ -358,7 +358,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (load_table(spark, sf_dir, "events")
      .filter(F.col("user_id") < 200)
      .select("user_id", "event_id", "ts", "event_type", "value")
-     .repartition(8)  # several input files -> several micro-batches
+     .repartition(4)  # several input files -> several micro-batches
      .write.mode("overwrite").parquet(src))
     schema = spark.read.parquet(src).schema
     stream = (spark.readStream.schema(schema)
