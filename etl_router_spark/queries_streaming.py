@@ -371,3 +371,47 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = state.select("user_id", "event_id", "ts", "event_type", "value")
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_group_topk",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, round(value, 6) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY round(value, 6) DESC, event_id) AS rn
+      FROM {EVENTS_US}
+      WHERE user_id < 50)
+    SELECT user_id, event_id, value FROM ranked WHERE rn <= 3
+    """,
+)
+def stream_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-key top-k over a multi-micro-batch
+    stream: state = k rows per key; each batch re-emits a key's full
+    top-k only on membership/order change (epoch-tagged), compacted
+    downstream by keeping the latest epoch per key. Final set must
+    equal the batch window top-k."""
+    from pyspark.sql import Window
+
+    from etl_router_spark.streaming.stateful import streaming_group_topk
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_q9_")
+    src = f"{wd}/in"
+    (load_table(spark, sf_dir, "events")
+     .filter(F.col("user_id") < 50)
+     .select("user_id", "event_id", F.round("value", 6).alias("value"))
+     .repartition(4)
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    updates = streaming_group_topk(stream, ["user_id"], "value", k=3,
+                                   tiebreak_field="event_id")
+    path = _run_foreach_batch(updates, wd, "append")
+    emitted = spark.read.parquet(path)
+    w = Window.partitionBy("user_id")
+    latest = (emitted.withColumn("__max_epoch", F.max("__epoch").over(w))
+              .filter(F.col("__epoch") == F.col("__max_epoch")))
+    result = latest.select("user_id", "event_id", "value")
+    shutil.rmtree(src, ignore_errors=True)
+    return result

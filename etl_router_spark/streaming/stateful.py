@@ -227,3 +227,64 @@ def streaming_cdc_apply(
         apply_group, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_group_topk(
+    df: DataFrame,
+    key_fields: list[str],
+    order_field: str,
+    k: int = 10,
+    tiebreak_field: str | None = None,
+) -> DataFrame:
+    """Continuously-maintained top-k rows per key over an unbounded
+    stream (streaming twin of ``functions.corpus.group_topk``).
+
+    State per key = the current k best rows (full width) — bounded by
+    k x #live keys regardless of stream length. Each micro-batch merges
+    the batch's rows into the kept set and re-emits the key's FULL
+    top-k only when membership or order changed; downstream compacts by
+    keeping each key's latest epoch (emission carries ``__epoch``).
+    Ordering is (order_field DESC, tiebreak ASC) — deterministic under
+    replay.
+    """
+    out_fields = list(df.schema.fields) + [T.StructField("__epoch", T.LongType())]
+    out_schema = T.StructType(out_fields)
+    # state: the kept rows, serialized as one row per struct in a list
+    state_schema = T.StructType([
+        T.StructField("rows_json", T.StringType()),
+        T.StructField("epoch", T.LongType()),
+    ])
+    cols = [f.name for f in df.schema.fields]
+    tb = tiebreak_field
+
+    def sort_key(row: dict):
+        return (-row[order_field], row[tb]) if tb is not None else (-row[order_field],)
+
+    def topk_group(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        if state.exists:
+            kept = json.loads(state.get[0])
+            epoch = state.get[1]
+        else:
+            kept, epoch = [], 0
+        before = [tuple(r[c] for c in cols) for r in kept]
+        for pdf in pdfs:
+            for rec in pdf[cols].to_dict("records"):
+                kept.append(rec)
+        kept.sort(key=sort_key)
+        kept = kept[:k]
+        after = [tuple(r[c] for c in cols) for r in kept]
+        if after != before:
+            epoch += 1
+            state.update((json.dumps(kept, default=str), epoch))
+            out = pd.DataFrame(kept)[cols]
+            out["__epoch"] = epoch
+            yield out
+
+    return df.groupBy(*key_fields).applyInPandasWithState(
+        topk_group, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
