@@ -299,6 +299,60 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-set LSH candidates: (left, right) pairs sharing a band key
+    with estimated Jaccard >= threshold — incremental dedup of a new
+    batch against an existing corpus (the text twin of
+    :func:`embedding_cosine_join`).
+
+    Both sides compute signatures independently (in production the
+    right side is a stored signature table — signatures are
+    incremental by construction); the join is per-band-bucket on the
+    band hash, so cost ∝ matching buckets, never |left|×|right|.
+    Output ids: ``id_left`` / ``id_right`` (sides kept distinct — the
+    same id may appear on both).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_keys = ", ".join(
+        "md5(concat_ws(',', '%d', %s))"
+        % (b, ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)))
+        for b in range(bands)
+    )
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        return sig.selectExpr(
+            "id",
+            f"array({', '.join(sig_cols)}) AS sig",
+            f"explode(array({band_keys})) AS band_key",
+        )
+
+    lb = banded(left).selectExpr("id AS id_left", "sig AS sig_l", "band_key")
+    rb = banded(right).selectExpr("id AS id_right", "sig AS sig_r", "band_key")
+    agree = "size(filter(zip_with(sig_l, sig_r, (p, q) -> p = q), t -> t))"
+    return (
+        lb.join(rb, "band_key")
+        .selectExpr(
+            "id_left", "id_right",
+            f"{agree} / {float(num_hashes)}D AS est_jaccard",
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1135,3 +1135,45 @@ def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return tfidf_cosine_pairs(docs, threshold=0.2)
+
+
+def _minhash_lsh_join_oracle() -> str:
+    bands_sql = """
+      SELECT id, unnest([
+        md5('0,' || CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)),
+        md5('1,' || CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)),
+        md5('2,' || CAST(mh_4 AS VARCHAR) || ',' || CAST(mh_5 AS VARCHAR)),
+        md5('3,' || CAST(mh_6 AS VARCHAR) || ',' || CAST(mh_7 AS VARCHAR))
+      ]) AS band_key FROM {side}"""
+    agree = " + ".join(f"(sl.mh_{i} = sr.mh_{i})::INT" for i in range(8))
+    return f"""
+    WITH sig_l AS ({_minhash_sig_oracle(8, "doc_id < 250")}),
+    sig_r AS ({_minhash_sig_oracle(8, "doc_id >= 250 AND doc_id < 500")}),
+    band_l AS ({bands_sql.format(side="sig_l")}),
+    band_r AS ({bands_sql.format(side="sig_r")}),
+    cand AS (
+      SELECT DISTINCT l.id AS id_left, r.id AS id_right
+      FROM band_l l JOIN band_r r ON l.band_key = r.band_key),
+    est AS (
+      SELECT c.id_left, c.id_right, ({agree}) / 8.0 AS est_jaccard
+      FROM cand c
+      JOIN sig_l sl ON sl.id = c.id_left
+      JOIN sig_r sr ON sr.id = c.id_right)
+    SELECT id_left, id_right, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_join", None)
+def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental text dedup: new batch (doc_id < 250) LSH-joined
+    against the existing corpus (250 <= doc_id < 500) — per-bucket
+    candidates only, never a cross product."""
+    from etl_router_spark.functions.dedup import minhash_lsh_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") < 250)
+    seen = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+    return minhash_lsh_join(new, seen, num_hashes=8, bands=4, threshold=0.5)
+
+
+ORACLES["dedup_minhash_join"] = _minhash_lsh_join_oracle()
