@@ -72,11 +72,13 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run will surface errors
 
-    # best-of-2 per query: single-shot timings on a shared box carry
-    # ±20% scheduler noise; the min of two runs is the steady-state
+    # best-of-3 per query: single-shot timings on a shared box carry
+    # ±20% scheduler noise; the min of three runs is the steady-state
     # estimate (the first run at the target SF also pays the one-time
-    # parquet footer read, which run 2 does not)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # parquet footer read, which later runs do not). Raised from 2 in
+    # round 3 after observing cross-run swings larger than any code
+    # change being measured
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
