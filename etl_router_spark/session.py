@@ -60,6 +60,9 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
         # and convert in-plan (see etl_router_spark.io.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ungrouped MIN/MAX/COUNT answered from parquet footer stats
+        # instead of scanning row data (exact — footer stats are)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
