@@ -34,6 +34,7 @@ Durations accept the reference grammar ``100ms|30s|5m|2h``
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any
 
@@ -81,6 +82,35 @@ def duration_to_interval(s: str | int | float) -> str:
     return f"{int(secs)} seconds"
 
 
+_ENV_PATTERN = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+
+def interpolate_env(value: Any) -> Any:
+    """Resolve ``${VAR}`` / ``${VAR:-default}`` in string config values
+    (recursively through dicts/lists) — how credentials reach JDBC/
+    Kafka/SASL configs without living in the manifest file. A reference
+    to an unset variable without a default raises, so a missing secret
+    fails at parse time, not as a cryptic auth error mid-run.
+    ``$${`` escapes a literal ``${``.
+    """
+    if isinstance(value, str):
+        def sub(m: re.Match) -> str:
+            var, default = m.group(1), m.group(2)
+            val = os.environ.get(var, default)
+            if val is None:
+                raise ValueError(
+                    f"manifest references unset environment variable ${{{var}}}"
+                )
+            return val
+
+        return _ENV_PATTERN.sub(sub, value.replace("$${", "\x00")).replace("\x00", "${")
+    if isinstance(value, dict):
+        return {k: interpolate_env(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [interpolate_env(v) for v in value]
+    return value
+
+
 def parse_manifest(text: str) -> Pipeline:
     """Parse one YAML document into a runtime Pipeline DAG."""
     doc = yaml.safe_load(text)
@@ -96,7 +126,7 @@ def parse_manifest_dict(doc: dict[str, Any]) -> Pipeline:
         raise ValueError(f"unsupported kind: {kind!r} (expected Pipeline)")
 
     meta = doc.get("metadata") or {}
-    spec = doc.get("spec") or {}
+    spec = interpolate_env(doc.get("spec") or {})
     name = meta.get("name") or ""
     pipeline = Pipeline(
         id=meta.get("id") or name,

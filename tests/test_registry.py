@@ -141,3 +141,31 @@ spec:
     assert d["type"] == "and"
     kinds = [c["type"] for c in d["conditions"]]
     assert kinds == ["metadata_equals", "not"]
+
+
+def test_env_interpolation_in_manifest(monkeypatch):
+    from etl_router_spark.model.parser import interpolate_env, parse_manifest_dict
+
+    monkeypatch.setenv("ETL_TEST_PW", "s3cret")
+    monkeypatch.delenv("ETL_TEST_MISSING", raising=False)
+    assert interpolate_env("pw=${ETL_TEST_PW}") == "pw=s3cret"
+    assert interpolate_env("${ETL_TEST_MISSING:-fallback}") == "fallback"
+    assert interpolate_env("literal $${ETL_TEST_PW}") == "literal ${ETL_TEST_PW}"
+    import pytest
+
+    with pytest.raises(ValueError, match="ETL_TEST_MISSING"):
+        interpolate_env("${ETL_TEST_MISSING}")
+
+    doc = {
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "env"},
+        "spec": {"stages": [
+            {"id": "s", "type": "source",
+             "config": {"source_type": "jdbc", "url": "jdbc:postgresql://db/x",
+                        "table": "t", "password": "${ETL_TEST_PW}"}},
+            {"id": "k", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet", "path": "/tmp/o"}},
+        ], "edges": [{"from": "s", "to": "k"}]},
+    }
+    pipe = parse_manifest_dict(doc)
+    assert pipe.stages["s"].config["password"] == "s3cret"
