@@ -213,6 +213,28 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Compiled Spark plan per sink — the engine-native counterpart of
+    ``graph`` (logical DAG): shows what Catalyst actually planned
+    (pushed filters, broadcasts, exchanges) for a manifest."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.session import get_spark
+
+    pipelines, _, _ = _parse_any(Path(args.file).read_text())
+    if args.name:
+        pipelines = [p for p in pipelines if p.id == args.name]
+        if not pipelines:
+            print(f"pipeline {args.name!r} not found", file=sys.stderr)
+            return 1
+    spark = get_spark("etl_router_spark.explain")
+    for pipeline in pipelines:
+        compiled = compile_pipeline(spark, pipeline, streaming=args.streaming)
+        for sink_id, df in compiled.sink_frames.items():
+            print(f"== pipeline/{pipeline.id} sink/{sink_id}")
+            df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_backup(args) -> int:
     src = Path(args.checkpoint)
     if not src.exists():
@@ -262,6 +284,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming: availableNow then exit")
     p.add_argument("--checkpoint")
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("explain", help="print the compiled Spark plan per sink")
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("--name", help="pipeline id (when the file has several)")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost", "codegen"])
+    p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("backup", help="snapshot a checkpoint dir")
     p.add_argument("checkpoint")

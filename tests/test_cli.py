@@ -141,3 +141,14 @@ def test_backup(tmp_path, reg, capsys):
     dest = tmp_path / "snap"
     assert main(["--registry", reg, "backup", str(ckpt), "-o", str(dest)]) == 0
     assert (dest / "offsets" / "0").exists()
+
+
+def test_cli_explain(capsys):
+    from etl_router_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["explain", "-f", "examples/manifests/user-analytics.yaml"])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "== pipeline/user-analytics sink/" in out
+    assert "PushedFilters" in out
