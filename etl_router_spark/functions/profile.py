@@ -44,7 +44,11 @@ def profile_table(
     for c in cols:
         dt = df.schema[c].dataType
         is_num = isinstance(dt, _NUMERIC)
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"))
+        # coalesce: sum() over zero rows is NULL, but "no rows" means
+        # zero nulls, not unknown
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)).alias(f"__nulls_{c}")
+        )
         if exact_distinct:
             aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
         else:

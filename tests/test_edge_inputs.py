@@ -1,0 +1,101 @@
+"""Edge-input robustness: empty tables and null/empty text through the
+operator library — every operator must return its normal schema with
+zero (or the degenerate count of) rows, never raise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _null_docs(spark):
+    return spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here")],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_ops_on_empty_and_null_text(spark):
+    from etl_router_spark.functions.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    empty = _empty_docs(spark)
+    nulls = _null_docs(spark)
+
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert minhash_lsh_pairs(empty, num_hashes=8, bands=4).count() == 0
+    assert simhash_pairs(empty, bits=32, blocks=4).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")).count() == 0
+
+    # null/blank text: rows survive exact dedup (null == null dedupes),
+    # produce no shingle pairs, and never raise
+    assert exact_dedup(nulls).count() >= 2
+    assert ngram_jaccard_pairs(nulls).count() == 0
+    # docs with no shingles simply have no signature row
+    sigs = minhash_signatures(nulls, num_hashes=8)
+    assert sigs.count() <= 4
+
+
+def test_text_ops_on_empty_and_null_text(spark):
+    from etl_router_spark.functions.text import (
+        quality_score,
+        repetition_stats,
+        text_stats,
+        tokenize,
+        unigram_logprob,
+    )
+
+    empty = _empty_docs(spark)
+    nulls = _null_docs(spark)
+
+    for op in (tokenize, text_stats, quality_score, repetition_stats):
+        assert op(empty).count() == 0
+        out = op(nulls)
+        assert out.count() == 4  # row-preserving ops keep null rows
+
+    assert unigram_logprob(empty).count() == 0
+    lm = unigram_logprob(nulls)
+    assert lm.count() <= 4 and lm.filter(F.col("avg_logprob") > 0).count() == 0
+
+
+def test_relational_ops_on_empty_input(spark):
+    from etl_router_spark.compile.transforms import (
+        apply_aggregate,
+        apply_dedupe,
+        apply_ratelimit,
+        apply_sessionize,
+    )
+
+    empty_ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert apply_dedupe(empty_ev, ["user_id"], order_field="ts").count() == 0
+    assert apply_dedupe(empty_ev, ["user_id"], order_field="ts", window="1h").count() == 0
+    assert apply_ratelimit(empty_ev, ["user_id"], 5, "1h", "ts").count() == 0
+    assert apply_sessionize(empty_ev, ["user_id"], "30m", ts_field="ts").count() == 0
+    assert apply_sessionize(empty_ev, ["user_id"], "30m", ts_field="ts",
+                            max_duration="1h").count() == 0
+    agg = apply_aggregate(
+        empty_ev, ["user_id"],
+        [{"function": "sum", "field": "value", "output_field": "s"}],
+    )
+    assert agg.count() == 0
+
+
+def test_cdc_and_profile_on_empty_input(spark):
+    from etl_router_spark.functions.cdc import cdc_apply
+    from etl_router_spark.functions.profile import profile_table
+
+    empty = spark.createDataFrame([], "k long, seq long, op string, v double")
+    assert cdc_apply(empty, ["k"], ["seq"], op_col="op").count() == 0
+    prof = profile_table(empty, exact_distinct=True)
+    rows = {r.column: r for r in prof.collect()}
+    assert rows["k"].n_rows == 0 and rows["k"].n_nulls == 0
