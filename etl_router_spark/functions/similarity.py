@@ -135,6 +135,13 @@ def brute_force_topk(
     q_rows = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    if not q_rows:
+        # np.array([]) is 1-D; axis-1 norms would raise on the
+        # degenerate empty query set — the answer is simply no rows
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -99,3 +99,35 @@ def test_cdc_and_profile_on_empty_input(spark):
     prof = profile_table(empty, exact_distinct=True)
     rows = {r.column: r for r in prof.collect()}
     assert rows["k"].n_rows == 0 and rows["k"].n_nulls == 0
+
+
+def test_similarity_and_corpus_ops_on_empty_input(spark):
+    from etl_router_spark.functions.corpus import (
+        assign_splits,
+        global_shuffle,
+        group_topk,
+        hash_sample,
+        pack_sequences,
+    )
+    from etl_router_spark.functions.dedup import embedding_cosine_join
+    from etl_router_spark.functions.similarity import brute_force_topk
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    some_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+
+    # empty queries against a real corpus, and vice versa
+    assert brute_force_topk(empty_vecs, some_vecs, k=3).count() == 0
+    assert embedding_cosine_join(empty_vecs, some_vecs, threshold=0.0,
+                                 left_blocks=2, right_blocks=2).count() == 0
+    assert embedding_cosine_join(some_vecs, empty_vecs, threshold=0.0,
+                                 left_blocks=2, right_blocks=2).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, source string, n_chars long")
+    assert hash_sample(empty_docs, 0.5, "doc_id").count() == 0
+    assert assign_splits(empty_docs, "doc_id",
+                         {"train": 0.9, "val": 0.1}).count() == 0
+    assert group_topk(empty_docs, "source", "n_chars", k=3).count() == 0
+    assert global_shuffle(empty_docs.select("doc_id")).count() == 0
+    empty_tok = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty_tok, max_tokens=128).count() == 0
