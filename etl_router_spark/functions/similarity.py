@@ -384,6 +384,10 @@ def _lsh_topk_blas(queries, corpus, k, id_col, vec_col, dim, planes, tables):
     q_rows = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -483,6 +487,10 @@ def _ivf_topk_blas(queries, corpus, k, nprobe, n_centroids, id_col, vec_col,
     q_rows = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
