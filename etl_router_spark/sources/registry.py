@@ -69,6 +69,12 @@ def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path
         opts["inferSchema"] = str(cfg.get("infer_schema", not cfg.get("schema"))).lower()
     if cfg.get("pattern"):
         opts["pathGlobFilter"] = cfg["pattern"]
+    if cfg.get("merge_schema") and fmt in ("parquet", "orc"):
+        # schema evolution across files (columns added over time):
+        # reconcile per-file schemas instead of trusting the first footer
+        opts["mergeSchema"] = "true"
+    if cfg.get("recursive"):
+        opts["recursiveFileLookup"] = "true"
     schema = cfg.get("schema")
     if schema is None and (streaming or watch):
         # file streams require a schema; bootstrap it from the files

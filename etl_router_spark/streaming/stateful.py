@@ -245,7 +245,9 @@ def streaming_group_topk(
     top-k only when membership or order changed; downstream compacts by
     keeping each key's latest epoch (emission carries ``__epoch``).
     Ordering is (order_field DESC, tiebreak ASC) — deterministic under
-    replay.
+    replay. State serializes through JSON: exact for numeric/string/
+    bool columns; timestamp columns round-trip as ISO strings and
+    should be carried as epoch longs if ordering depends on them.
     """
     out_fields = list(df.schema.fields) + [T.StructField("__epoch", T.LongType())]
     out_schema = T.StructType(out_fields)

@@ -131,3 +131,21 @@ def test_similarity_and_corpus_ops_on_empty_input(spark):
     assert global_shuffle(empty_docs.select("doc_id")).count() == 0
     empty_tok = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(empty_tok, max_tokens=128).count() == 0
+
+
+def test_merge_schema_reads_evolved_files(spark, tmp_path):
+    """merge_schema: parquet files written before/after a column was
+    added read back as one evolved schema (missing values null)."""
+    from etl_router_spark.sources.registry import read_source
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .coalesce(1).write.parquet(f"{p}/part1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .coalesce(1).write.parquet(f"{p}/part2")
+    out = read_source(spark, {"source_type": "file", "format": "parquet",
+                              "path": f"{p}/part*", "merge_schema": True},
+                      streaming=False)
+    assert set(out.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows == {1: None, 2: 9.5}
