@@ -283,6 +283,10 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                       threshold=float(cfg.get("threshold", 0.8)))
         else:
             raise ValueError(f"dedup_cluster: unknown method {method!r}")
+        if cfg.get("emit", "labels") == "canonical":
+            from etl_router_spark.functions.dedup import dedup_canonical
+
+            return dedup_canonical(df, pairs, id_col=id_col)
         return dedup_clusters(df, pairs, id_col=id_col)
     if tt == "cdc_apply":
         from etl_router_spark.functions.cdc import cdc_apply

@@ -528,6 +528,26 @@ def dedup_clusters(
     )
 
 
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The deduplicated corpus: keep one representative row (the min id)
+    per near-dup cluster, all original columns intact — the endpoint a
+    pipeline actually writes after pair generation + clustering.
+
+    Representatives are exactly the rows whose id equals their cluster
+    label, so this is one semi-join of labels against the corpus — no
+    row bodies move through the clustering itself.
+    """
+    labels = dedup_clusters(df, pairs, id_col, id_a, id_b)
+    reps = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(reps, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -227,3 +227,37 @@ def test_avro_unavailable_raises_actionable_error(spark):
     with pytest.raises(ConnectorUnavailable, match="spark-avro"):
         read_source(spark, {"source_type": "file", "format": "avro",
                             "path": "/tmp/nonexistent"}, streaming=False)
+
+
+def test_dedup_canonical_keeps_representatives(spark):
+    from etl_router_spark.functions.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    out = dedup_canonical(docs, pairs)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 3, 4]
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_cluster_manifest_canonical_emit(spark, sf_dir, tmp_path):
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs = f"{sf_dir}/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "canon"},
+           "spec": {"stages": [
+               {"id": "src", "type": "source",
+                "config": {"source_type": "file", "format": "parquet", "path": docs}},
+               {"id": "op", "type": "transform",
+                "config": {"transform_type": "dedup_cluster", "method": "simhash",
+                           "bits": 32, "emit": "canonical"}},
+               {"id": "out", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "o")}}]}}
+    out = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames["out"]
+    cnt = out.count()
+    assert 0 < cnt <= n_docs
+    assert set(out.columns) == set(spark.read.parquet(docs).columns)
