@@ -1177,3 +1177,34 @@ def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_minhash_join"] = _minhash_lsh_join_oracle()
+
+
+@query("dedup_canonical", None)  # oracle below reuses the closure CTE
+def dedup_canonical_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: one representative doc per SimHash near-dup
+    cluster, full rows preserved."""
+    from etl_router_spark.functions.dedup import dedup_canonical
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+    return dedup_canonical(docs, pairs).select("doc_id", "source", "n_chars")
+
+
+ORACLES["dedup_canonical"] = f"""
+    WITH RECURSIVE pairs AS (
+      {ORACLES["dedup_simhash_pairs"]}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM (SELECT * FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN labels l ON l.id = d.doc_id
+    WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+    """
