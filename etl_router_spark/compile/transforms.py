@@ -529,6 +529,15 @@ def build_aggregations(
                 ).alias(out_name)
             )
             continue
+        if fn == "approxcountdistinct":
+            # optional rsd tightens the HLL++ sketch (more registers,
+            # still fixed-size state) — the 100 TB distinct path
+            cols.append(
+                F.approx_count_distinct(field_name, float(a["rsd"])).alias(out_name)
+                if "rsd" in a
+                else F.approx_count_distinct(field_name).alias(out_name)
+            )
+            continue
         builder = _AGG_BUILDERS.get(fn)
         if builder is None:
             raise ValueError(f"unknown aggregate function: {a['function']!r}")

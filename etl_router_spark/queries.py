@@ -1786,20 +1786,43 @@ def t12_aggregate_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t12_aggregate_approx_distinct",
-    # no oracle: DuckDB's HLL sketch differs from Spark's, so approx
-    # counts are engine-specific by construction. Rows-only gate; the
-    # exact twin (t12_aggregate_countdistinct) pins the semantics.
+    f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_unique_users,
+           TRUE                    AS approx_within_tol
+    FROM {EVENTS_US}
+    GROUP BY event_type
+    """,
 )
 def t12_aggregate_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregate approxcountdistinct — the documented 100 TB path for
     distinct counting (types.rs:620-632 countdistinct at scale): one
-    pass, fixed-size HLL sketch per group, no expand. rsd=0.02 ⇒
-    ±2% at 95% confidence."""
+    pass, fixed-size HLL sketch per group, no expand.
+
+    Deterministic oracle: DuckDB's HLL differs from Spark's, so the
+    approximate value itself can never hash-match — instead both sides
+    emit the exact distinct count plus a boolean tolerance check.
+    Spark computes |approx-exact|/exact <= 0.05 (rsd=0.02 sketch);
+    DuckDB asserts TRUE. HLL++ is hash-based and deterministic for a
+    fixed dataset, so the boolean is stable — the gate fails iff
+    Spark's sketch drifts out of its accuracy contract."""
     ev = _t(spark, sf_dir, "events")
-    return T.apply_aggregate(
+    out = T.apply_aggregate(
         ev, ["event_type"],
-        [{"function": "approxcountdistinct", "field": "user_id",
-          "output_field": "approx_unique_users"}],
+        [
+            {"function": "approxcountdistinct", "field": "user_id",
+             "rsd": 0.02, "output_field": "approx_unique_users"},
+            {"function": "countdistinct", "field": "user_id",
+             "output_field": "exact_unique_users"},
+        ],
+    )
+    return out.select(
+        "event_type",
+        "exact_unique_users",
+        (
+            F.abs(F.col("approx_unique_users") - F.col("exact_unique_users"))
+            <= F.col("exact_unique_users") * F.lit(0.05)
+        ).alias("approx_within_tol"),
     )
 
 
