@@ -2423,29 +2423,49 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r*.json files so the priority updates itself every round:
 # 1. gates that FAILED in the most recent round (prove the fix),
 # 2. gates never checked by any round (new hard signal),
-# 3. gates checked in an earlier round but not the latest (refresh),
-# 4. gates green in the latest round (local oracle still covers them).
-# Tiers 2-3 round-robin across operator families (name prefix) so a
-# head-capped harness reaches every family instead of exhausting one.
-def _driver_history() -> tuple[set, set, set]:
-    """(ever_checked, latest_checked, latest_failed) from the driver's
+# 3. everything else OLDEST-VERIFIED-FIRST: ascending by the round of
+#    the gate's newest driver row, so staleness rotates out — after K
+#    rounds every gate's hard signal is at most ceil(len/50) rounds old.
+# Within tiers 2-3 we round-robin across operator families (name
+# prefix) so a head-capped harness reaches every family instead of
+# exhausting one; gates listed in _TOUCHED_BOOST (implementation
+# changed after their newest green row) jump to the head of their
+# staleness group.
+_TOUCHED_BOOST = (
+    # r3 commits touched these after their r2 green rows (VERDICT r3):
+    # 7c5a0a5 (dedup plan-build overhead), 3b151b2 (LSH/IVF BLAS guard)
+    "dedup_ngram_jaccard",
+    "similarity_lsh_ann",
+    "similarity_topk",
+)
+
+
+def _driver_history() -> tuple[dict, set]:
+    """(newest_round_per_gate, latest_failed) from the driver's
     CORRECTNESS_r*.json files at the repo root."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ever: set = set()
-    latest: set = set()
+    newest: dict[str, int] = {}
     latest_failed: set = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except Exception:
             continue
-        ever |= set(rows)
-        latest = set(rows)
+        for n, r in rows.items():
+            # a rows-only check (err=no_oracle) carries no value-hash
+            # signal; leave the gate in the never-verified tier so its
+            # first real oracle run gets priority
+            if isinstance(r, dict) and r.get("err") == "no_oracle":
+                continue
+            newest[n] = max(rnd, newest.get(n, 0))
         latest_failed = {
             n for n, r in rows.items()
             if isinstance(r, dict)
@@ -2455,7 +2475,7 @@ def _driver_history() -> tuple[set, set, set]:
                 or r.get("rows_match") is False
             )
         }
-    return ever, latest, latest_failed
+    return newest, latest_failed
 
 
 def _family_round_robin(ns: list[str]) -> list[str]:
@@ -2471,12 +2491,19 @@ def _family_round_robin(ns: list[str]) -> list[str]:
 
 
 def _signal_order(names) -> list[str]:
-    ever, latest, latest_failed = _driver_history()
+    newest, latest_failed = _driver_history()
     failed = [n for n in names if n in latest_failed]
-    fresh = [n for n in names if n not in ever]
-    stale = [n for n in names if n in ever and n not in latest and n not in latest_failed]
-    recent = [n for n in names if n in latest and n not in latest_failed]
-    return failed + _family_round_robin(fresh) + _family_round_robin(stale) + recent
+    fresh = [n for n in names if n not in newest]
+    groups: dict[int, list[str]] = {}
+    for n in names:
+        if n in newest and n not in latest_failed:
+            groups.setdefault(newest[n], []).append(n)
+    ordered = failed + _family_round_robin(fresh)
+    for rnd in sorted(groups):
+        grp = groups[rnd]
+        boosted = [n for n in _TOUCHED_BOOST if n in grp]
+        ordered += boosted + _family_round_robin([n for n in grp if n not in _TOUCHED_BOOST])
+    return ordered
 
 
 def all_queries() -> dict[str, QueryFn]:
