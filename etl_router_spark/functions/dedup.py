@@ -454,27 +454,38 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = min id
     reachable through the pair graph.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round every node takes the min label over itself and its neighbors;
-    converged when no label changes. Rounds = graph diameter — near-dup
-    graphs are unions of near-cliques (a cluster of copies pairs up
-    densely), so 2-4 rounds in practice. Each round is one shuffle of
-    the (small) label table against the edge list plus one convergence
-    count; labels persist per round and unpersist after, and lineage is
-    cut by the materialized persist so plans don't grow with rounds.
-    For adversarial long-chain graphs the alternating-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    converges in O(log n) rounds — the escalation path if a corpus
-    ever produces deep chains; ``max_iterations`` guards until then.
+    ``algorithm="label"`` (default): min-label propagation — every node
+    starts labeled with itself; each round every node takes the min
+    label over itself and its neighbors; converged when no label
+    changes. Rounds = graph diameter — near-dup graphs are unions of
+    near-cliques (a cluster of copies pairs up densely), so 2-4 rounds
+    in practice. Each round is one shuffle of the (small) label table
+    against the edge list plus one convergence count.
+
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — converges
+    in O(log^2 n) rounds regardless of diameter, the right choice for
+    adversarial deep-chain graphs where label propagation would need
+    diameter rounds. Slightly more shuffle per round (two star ops),
+    so the near-clique default stays "label".
+
+    Both raise RuntimeError if ``max_iterations`` is hit before the
+    fixed point: silently truncating a dedup clustering would keep or
+    drop the WRONG documents downstream with no signal.
     """
     edges = (
         pairs.selectExpr(f"{id_a} AS u", f"{id_b} AS v")
         .filter("u <> v")
     )
+    if algorithm == "star":
+        return _cc_alternating_star(edges, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
     # localCheckpoint (not persist): iterative plans re-embed their full
     # upstream tree every round — persist short-circuits execution but
     # Catalyst still re-analyzes the ever-growing logical plan (driver
@@ -485,6 +496,7 @@ def connected_components(
     sym = edges.union(edges.selectExpr("v AS u", "u AS v")).localCheckpoint(eager=True)
     nodes = sym.select(F.col("u").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels.selectExpr("id AS u", "comp AS ucomp"), "u")
@@ -505,7 +517,99 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components(algorithm='label') did not converge in "
+            f"{max_iterations} rounds ({changed} labels still changing): the "
+            f"pair graph has diameter > {max_iterations} (deep chains). "
+            "Use algorithm='star' (alternating-star, O(log^2 n) rounds "
+            "regardless of diameter) or raise max_iterations."
+        )
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def _cc_alternating_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    Kiveris et al. 2014: repeatedly rewrite the edge set so every node
+    points at ever-smaller representatives; at the fixed point the
+    edges form stars rooted at each component's min id.
+
+    - large-star: for each node u with m = min(N(u) ∪ {u}), emit
+      (v, m) for every neighbor v > u.
+    - small-star: orient edges large→small, then for each node u with
+      m = min(N(u)) emit (v, m) for every smaller neighbor v plus
+      (u, m).
+
+    Each op is one shuffle (groupBy-min + rejoin); the edge set only
+    shrinks toward stars, and convergence is O(log^2 n) rounds
+    independent of graph diameter — this is the deep-chain escalation
+    path from the "label" default.
+    """
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        return (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter("u <> v")
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # fixed point iff the edge sets are identical; both are distinct
+        # sets so two anti-join counts decide it (metadata-sized work —
+        # star edge sets shrink toward one edge per non-root node)
+        if (
+            nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
+            and cur.join(nxt, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge in "
+            f"{max_iterations} rounds — raise max_iterations (O(log^2 n) "
+            "rounds expected; this graph is adversarial or max_iterations "
+            "is set very low)."
+        )
+    # at the fixed point each non-root has exactly one edge u→root; the
+    # groupBy-min is plan insurance that a join fan-out is impossible
+    roots = cur.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("root"))
+    return (
+        nodes.join(roots, "id", "left")
+        .select("id", F.coalesce("root", F.col("id")).alias("component"))
+    )
 
 
 def dedup_clusters(
@@ -514,10 +618,11 @@ def dedup_clusters(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, cluster_id) for EVERY row of ``df``: near-dup cluster
     representative (min id) for paired docs, self for singletons."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b, algorithm=algorithm)
     return (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
@@ -534,6 +639,7 @@ def dedup_canonical(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """The deduplicated corpus: keep one representative row (the min id)
     per near-dup cluster, all original columns intact — the endpoint a
@@ -543,7 +649,7 @@ def dedup_canonical(
     label, so this is one semi-join of labels against the corpus — no
     row bodies move through the clustering itself.
     """
-    labels = dedup_clusters(df, pairs, id_col, id_a, id_b)
+    labels = dedup_clusters(df, pairs, id_col, id_a, id_b, algorithm=algorithm)
     reps = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(reps, id_col, "left_semi")
 

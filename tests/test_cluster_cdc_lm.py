@@ -261,3 +261,100 @@ def test_dedup_cluster_manifest_canonical_emit(spark, sf_dir, tmp_path):
     cnt = out.count()
     assert 0 < cnt <= n_docs
     assert set(out.columns) == set(spark.read.parquet(docs).columns)
+
+
+# ---------------------------------------------------------------------------
+# alternating-star connected components (deep-chain escalation path)
+# ---------------------------------------------------------------------------
+def _uf_components(n_nodes, edges):
+    """Union-find ground truth: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_star_cc_long_chain(spark):
+    # a 60-node path: diameter 59 >> default label max_iterations —
+    # exactly the adversarial case the star algorithm exists for
+    from etl_router_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 61
+
+
+def test_label_cc_raises_instead_of_truncating(spark):
+    # the same chain through label propagation with a cap below the
+    # diameter must raise, never return wrong labels silently
+    import pytest
+
+    from etl_router_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=5).collect()
+
+
+def test_star_cc_matches_label_and_union_find_random(spark):
+    # property check: star == label == union-find on random graphs of
+    # mixed shape (sparse random edges + an embedded long chain + a
+    # clique), several seeds
+    import random
+
+    from etl_router_spark.functions.dedup import connected_components
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        edges += [(i, i + 1) for i in range(20, 45)]          # chain
+        edges += [(a, b) for a in range(70, 74) for b in range(a + 1, 74)]  # clique
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _uf_components(n, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        in_graph = {a for e in edges for a in e}
+        want = {i: truth[i] for i in in_graph}
+
+        star = {
+            r.id: r.component
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        label = {
+            r.id: r.component
+            for r in connected_components(pairs, max_iterations=60).collect()
+        }
+        assert star == want, f"seed {seed}: star mismatch"
+        assert label == want, f"seed {seed}: label mismatch"
+
+
+def test_dedup_canonical_star_algorithm(spark):
+    from etl_router_spark.functions.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # chain 0-1-2-3 plus pair 5-6: representatives {0, 4, 5, 7}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_canonical(docs, pairs, algorithm="star").collect()
+    )
+    assert kept == [0, 4, 5, 7]
