@@ -227,6 +227,86 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*mins)
 
 
+def _bucket_local_pairs(
+    buckets: DataFrame, key_cols: list[str], salt_cap: int | None
+) -> DataFrame:
+    """Ordered (x, y) member-struct pairs within each bucket.
+
+    ``buckets``: one row per (member, bucket); every non-key column is
+    carried in the member struct, which MUST lead with ``id``.
+
+    Pair generation is bucket-local: one groupBy gathers each bucket's
+    members, ordered pairs come from two chained explodes — never
+    all-pairs, never a self-join.
+
+    Hot-bucket salting (``salt_cap``): a bucket with m members puts
+    C(m,2) pairs AND an m-element collect_list on ONE task — a
+    degenerate corpus (think 10^6 identical boilerplate pages sharing
+    every band key) would single-task the job or OOM the aggregation
+    buffer. Buckets larger than ``salt_cap`` are split into
+    ceil(m/salt_cap) sub-buckets by id hash; pairs are generated
+    inside each sub-bucket, and each sub-bucket's min-id member is
+    linked to the others' so the pair graph stays connected — for
+    true-duplicate floods the transitive closure (what dedup consumes)
+    is IDENTICAL, while per-task work drops from C(m,2) to
+    ~C(salt_cap,2). Recall note: cross-sub-bucket pairs other than the
+    representative links are not emitted, so the raw pair list (not
+    the closure) under-reports hot-bucket pairs — the documented trade
+    for bounded tasks. Detection is a count-only pre-pass over the
+    bucket keys (map-side combined, broadcast back), so small buckets
+    pay one broadcast-hash probe and nothing else.
+    """
+    member = F.struct(*[c for c in buckets.columns if c not in key_cols])
+    if salt_cap is None:
+        members = (
+            buckets.groupBy(*key_cols)
+            .agg(F.collect_list(member).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        return members.selectExpr("explode(ms) AS x", "ms").selectExpr(
+            "x", "explode(filter(ms, m -> m.id > x.id)) AS y"
+        )
+    if salt_cap < 2:
+        raise ValueError("salt_cap must be >= 2")
+    hot = (
+        buckets.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > salt_cap)
+        .select(*key_cols, F.ceil(F.col("count") / salt_cap).cast("int").alias("__nsalt"))
+    )
+    salted = buckets.join(F.broadcast(hot), key_cols, "left").withColumn(
+        "__salt",
+        F.when(
+            F.col("__nsalt").isNotNull(), F.pmod(F.xxhash64("id"), F.col("__nsalt"))
+        ).otherwise(F.lit(0)),
+    )
+    members = (
+        salted.drop("__nsalt")
+        .groupBy(*key_cols, "__salt")
+        .agg(F.collect_list(member).alias("ms"))
+    )
+    intra = (
+        members.filter(F.size("ms") > 1)
+        .selectExpr("explode(ms) AS x", "ms")
+        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
+    )
+    # representative links: the min-id member of each sub-bucket pairs
+    # with the other representatives of the same original bucket
+    # (struct comparison is field-order lexicographic and id leads)
+    reps = (
+        members.join(hot.select(*key_cols), key_cols, "left_semi")
+        .select(*key_cols, F.array_min("ms").alias("rep"))
+    )
+    rep_pairs = (
+        reps.groupBy(*key_cols)
+        .agg(F.collect_list("rep").alias("ms"))
+        .filter(F.size("ms") > 1)
+        .selectExpr("explode(ms) AS x", "ms")
+        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
+    )
+    return intra.unionByName(rep_pairs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -236,6 +316,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     cache: bool = False,
+    salt_cap: int | None = 512,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
@@ -250,16 +331,20 @@ def minhash_lsh_pairs(
     self-join. vs the band-key self-join formulation this computes the
     signatures ONCE and shuffles them once (the join shuffles both
     sides and re-runs — or forces a persist of — the whole
-    shingle->minhash pipeline for the second side). A hot bucket's
-    pairs land on one task either way (join keys co-locate too); LSH
-    banding keeps buckets small by construction.
+    shingle->minhash pipeline for the second side). LSH banding keeps
+    buckets small on organic corpora; ``salt_cap`` (default 512)
+    splits degenerate hot buckets so no single task ever owns more
+    than ~C(salt_cap,2) pair work — see ``_bucket_local_pairs`` for
+    the recall note. Signatures are persisted while salting is on so
+    the count-only hot-key pre-pass doesn't recompute the shingle
+    pipeline.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    if cache:
-        sig = sig.persist()  # useful when several band layouts reuse it
+    if cache or salt_cap is not None:
+        sig = sig.persist()  # reused by the hot-key pre-pass / other layouts
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     band_keys = ", ".join(
@@ -272,15 +357,7 @@ def minhash_lsh_pairs(
         f"array({', '.join(sig_cols)}) AS sig",
         f"explode(array({band_keys})) AS band_key",
     )
-    members = (
-        buckets.groupBy("band_key")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = (
-        members.selectExpr("explode(ms) AS x", "ms")
-        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
-    )
+    pairs = _bucket_local_pairs(buckets, ["band_key"], salt_cap)
     agree = "size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), t -> t))"
     return (
         pairs.selectExpr(
@@ -400,6 +477,7 @@ def simhash_pairs(
     bits: int = 60,
     blocks: int = 4,
     cache: bool = False,
+    salt_cap: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -409,13 +487,16 @@ def simhash_pairs(
     value — never an all-pairs scan (the standard SimHash sharding
     trick). Pair generation is bucket-local (groupBy chunk value +
     chained explodes, see ``minhash_lsh_pairs``): the fingerprints are
-    computed once and shuffled once, no self-join.
+    computed once and shuffled once, no self-join. ``salt_cap``
+    (default 512) splits degenerate hot chunks — e.g. a boilerplate
+    flood sharing a fingerprint — so no task owns more than
+    ~C(salt_cap,2) pair work (``_bucket_local_pairs`` recall note).
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole blocking")
     fps = simhash(df, id_col, text_col, bits)
-    if cache:
-        fps = fps.persist()  # useful when several block layouts reuse it
+    if cache or salt_cap is not None:
+        fps = fps.persist()  # reused by the hot-key pre-pass / other layouts
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunks = ", ".join(
@@ -423,15 +504,7 @@ def simhash_pairs(
         for i in range(blocks)
     )
     blocked = fps.selectExpr("id", "simhash", f"explode(array({chunks})) AS blk")
-    members = (
-        blocked.groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = (
-        members.selectExpr("explode(ms) AS x", "ms")
-        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
-    )
+    pairs = _bucket_local_pairs(blocked, ["blk"], salt_cap)
     return (
         pairs.selectExpr(
             "x.id AS id_a",

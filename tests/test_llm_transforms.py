@@ -221,3 +221,78 @@ def test_chunk_documents_cover_and_overlap(spark):
     assert texts[2] == "t6 t7 t8 t9"
     # short doc: single chunk, whole text
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket salting (degenerate-corpus protection for pair generation)
+# ---------------------------------------------------------------------------
+def _identical_docs(spark, n, text="the quick brown fox jumps over the lazy dog again"):
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_minhash_salting_bounds_degenerate_bucket(spark):
+    # 400 identical docs share every band key: unsalted that is one
+    # C(400,2)=79800-pair task per band; salt_cap=50 must split it
+    from etl_router_spark.functions.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _identical_docs(spark, 400)
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5, salt_cap=50)
+    n_pairs = pairs.count()
+    # ~8 sub-buckets x C(50,2) + C(8,2) rep links, NOT C(400,2)
+    assert 0 < n_pairs < 30_000, n_pairs
+    # the closure the dedup actually consumes is intact: one component
+    comp = connected_components(pairs, algorithm="star")
+    labels = {r.component for r in comp.collect()}
+    assert labels == {0}
+    assert comp.count() == 400
+
+
+def test_simhash_salting_bounds_degenerate_bucket(spark):
+    from etl_router_spark.functions.dedup import connected_components, simhash_pairs
+
+    docs = _identical_docs(spark, 300)
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4, salt_cap=40)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 20_000, n_pairs
+    comp = connected_components(pairs, algorithm="star")
+    assert {r.component for r in comp.collect()} == {0}
+    assert comp.count() == 300
+
+
+def test_salting_preserves_closure_on_mixed_corpus(spark):
+    # several dup groups + unique docs: salted and unsalted pair sets
+    # may differ, but the cluster assignment (the dedup output) must not
+    from etl_router_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    rows = []
+    for g in range(4):
+        text = f"group {g} text body shared by all members of group {g} exactly"
+        for m in range(30):
+            rows.append((g * 100 + m, text))
+    for u in range(500, 520):
+        rows.append((u, f"totally unique document number {u} with its own words {u * 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def clusters(salt_cap):
+        pairs = minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, threshold=0.5, salt_cap=salt_cap
+        )
+        return {
+            r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()
+        }
+
+    assert clusters(salt_cap=10) == clusters(salt_cap=None)
+
+
+def test_salting_off_below_cap_identical_pairs(spark):
+    # buckets under the cap: salted output must be EXACTLY the unsalted
+    # output (this is what keeps the sf0.01 driver gates hash-stable)
+    from etl_router_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"doc {i % 7} repeated body for bucket sharing test") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, num_hashes=8, bands=4, salt_cap=512).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, num_hashes=8, bands=4, salt_cap=None).collect()))
+    assert a == b and len(a) > 0
