@@ -1967,6 +1967,80 @@ def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_http_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 7 = 0
+    """,
+)
+def source_http_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 HTTP source (types.rs:318-327) end-to-end, hermetically: a
+    localhost HTTP receiver accepts POSTed JSON-lines batches and
+    appends them to a staging directory (the ingest shim the registry
+    documents for push sources); the gate POSTs fixture events over
+    real HTTP, then drains the staging dir through the source registry
+    (``source_type: http``, ``watch: false`` for the one-shot batch
+    read) and value-checks against the parquet original."""
+    import json
+    import os
+    import tempfile
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_http_stage_")
+    counter = {"n": 0}
+
+    class _Ingest(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            seq = counter["n"]
+            counter["n"] += 1
+            tmp = os.path.join(stage, f".batch_{seq:04d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(body)
+            # atomic rename: the directory never exposes partial files
+            os.rename(tmp, os.path.join(stage, f"batch_{seq:04d}.json"))
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):  # keep gate output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Ingest)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 7 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            payload = "\n".join(
+                json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                            "event_type": r.event_type, "value": r.value})
+                for r in chunk
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/ingest", data=payload, method="POST")
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 204
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return read_source(spark, {
+        "source_type": "http", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
     "sink_csv_roundtrip",
     f"""
     SELECT event_id, event_type, round(value, 6) AS value

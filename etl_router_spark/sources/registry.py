@@ -248,8 +248,12 @@ def _queue_source(kind: str, requirement: str):
         staging = cfg.get("staging_path")
         if staging:
             # Deployment pattern: a tiny consumer daemon drains the queue
-            # into files; Spark tails the directory. Keeps Spark pull-based.
-            return _file_reader(spark, {**cfg, "watch": True}, streaming, staging)
+            # into files; Spark tails the directory (watch=True default —
+            # set watch: false for a one-shot batch drain of the staging
+            # dir). Keeps Spark pull-based.
+            return _file_reader(
+                spark, {**cfg, "watch": cfg.get("watch", True)}, streaming, staging
+            )
         raise ConnectorUnavailable(
             f"{kind} source requires {requirement}, or set staging_path "
             "to consume via the file-staging pattern"
