@@ -234,6 +234,78 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_aggregate_periodic",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM {EVENTS_US}
+    GROUP BY 1, 2
+    """,
+)
+def stream_aggregate_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate emit=periodic (types.rs:634-641 AggregateEmit::
+    Periodic): a processing-time trigger ticks on a timer and each tick
+    re-emits the current state of updated groups (update mode). The
+    gate feeds the fixture in 4 files (maxFilesPerTrigger=1 => several
+    ticks), epoch-tags every emitted row, waits for
+    processAllAvailable, stops the timer, and compacts keep-last-epoch
+    per group — the final periodic state must equal the batch
+    aggregate regardless of how many ticks fired or how the input
+    interleaved."""
+    from pyspark.sql import Window
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_per_")
+    src = f"{wd}/in"
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    # no watermark: periodic emit keeps every window's state live so a
+    # tick can always re-emit current totals (the input files are
+    # time-interleaved, so any finite lateness bound would drop rows
+    # after the first tick). Production pairs emit=periodic with a
+    # lateness-bounded watermark to cap state; the gate pins semantics.
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = T.apply_aggregate(
+        stream,
+        group_by=["event_type"],
+        aggregations=[
+            {"function": "count", "field": "*", "output_field": "n"},
+            {"function": "sum", "field": "value", "output_field": "total"},
+        ],
+        window_config={"type": "tumbling", "size": "1h"},
+        ts_field="ts",
+    ).select(
+        "window_start", "event_type", "n", F.round("total", 2).alias("total")
+    )
+
+    out = f"{wd}/out"
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_epoch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("window_start", "event_type")
+    latest = (emitted.withColumn("__max_epoch", F.max("__epoch").over(w))
+              .filter(F.col("__epoch") == F.col("__max_epoch")))
+    result = latest.select("window_start", "event_type", "n", "total")
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+@query(
     "stream_fanout_mapped",
     f"""
     SELECT 'metrics' AS sink, user_id, event_type, value FROM {EVENTS_US}

@@ -174,6 +174,28 @@ def _start_sink_query(
     return writer.foreachBatch(write_epoch).outputMode(mode).start()
 
 
+def _derive_trigger(pipeline: Pipeline) -> dict[str, Any] | None:
+    """``emit: periodic`` (types.rs:634-641 AggregateEmit::Periodic) is
+    a timer-driven emit of current aggregate state: map it to a
+    processing-time trigger — each tick re-emits updated groups in
+    update mode. The period is the stage's ``emit_interval`` (engine
+    knob; the reference enum carries no interval)."""
+    from etl_router_spark.model.parser import duration_to_interval
+
+    for stage in pipeline.stages.values():
+        if (
+            stage.stage_type == StageType.TRANSFORM
+            and stage.transform_type in ("aggregate", "sessionize")
+            and stage.config.get("emit") == "periodic"
+        ):
+            return {
+                "processingTime": duration_to_interval(
+                    stage.config.get("emit_interval", "10s")
+                )
+            }
+    return None
+
+
 def run_streaming(
     compiled: CompiledPipeline,
     checkpoint_root: str,
@@ -198,7 +220,7 @@ def run_streaming(
         raise ValueError("pipeline was compiled with streaming=False")
     pipeline = compiled.pipeline
     spark = compiled.spark
-    trig = trigger or dict(DEFAULT_TRIGGER)
+    trig = trigger or _derive_trigger(pipeline) or dict(DEFAULT_TRIGGER)
 
     # idle-source handling (watermark.rs:130-147): the reference advances
     # an idle source's watermark to processing time so it can't stall the

@@ -457,3 +457,19 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     run_once()
     ids = sorted(r.id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]  # batch1 NOT duplicated, batch2 picked up
+
+
+def test_periodic_emit_derives_processing_time_trigger(spark, events_in, tmp_path):
+    # emit=periodic -> update output mode + processingTime trigger from
+    # the stage's emit_interval (AggregateEmit::Periodic, types.rs:634-641)
+    from etl_router_spark.streaming.runner import _derive_trigger
+
+    agg = {"id": "agg", "type": "transform",
+           "config": {"transform_type": "aggregate", "group_by": ["event_type"],
+                      "emit": "periodic", "emit_interval": "5s",
+                      "aggregations": [{"function": "count", "field": "*"}]}}
+    pipeline = _manifest(events_in, str(tmp_path / "p"), transforms=(agg,))
+    assert infer_output_mode(pipeline, "out") == "update"
+    assert _derive_trigger(pipeline) == {"processingTime": "5 seconds"}
+    # no periodic stage -> no derived trigger (availableNow default)
+    assert _derive_trigger(_manifest(events_in, str(tmp_path / "q"))) is None
