@@ -31,13 +31,40 @@ from etl_router_spark.sinks.registry import write_sink
 
 
 def epoch_committed(marker_dir: str, epoch_id: int) -> bool:
-    return os.path.exists(os.path.join(marker_dir, f"epoch-{epoch_id}"))
+    """A marker counts ONLY if it is complete: it must exist under its
+    final name (tmp files never match — rename is the commit point)
+    and carry the expected content. A corrupt/empty marker (crash
+    mid-write with a non-atomic writer, disk-full truncation) is
+    treated as NOT committed — the epoch re-runs, which at-least-once
+    sinks tolerate, instead of silently dropping an epoch's data."""
+    path = os.path.join(marker_dir, f"epoch-{epoch_id}")
+    try:
+        with open(path) as fh:
+            return fh.read() == f"committed epoch {epoch_id}\n"
+    except OSError:
+        return False
 
 
 def mark_epoch(marker_dir: str, epoch_id: int) -> None:
+    """Crash-atomic marker write: content to a dot-tmp name, fsync the
+    file, rename onto the final name, fsync the directory. A crash at
+    any point leaves either no final-name marker or a complete one —
+    a torn marker can never be observed under the committed name."""
     os.makedirs(marker_dir, exist_ok=True)
-    with open(os.path.join(marker_dir, f"epoch-{epoch_id}"), "w"):
-        pass
+    final = os.path.join(marker_dir, f"epoch-{epoch_id}")
+    tmp = os.path.join(marker_dir, f".epoch-{epoch_id}.tmp")
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, f"committed epoch {epoch_id}\n".encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.rename(tmp, final)
+    dfd = os.open(marker_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def idempotent_writer(

@@ -95,3 +95,32 @@ def test_dedupe_idempotency(spark, events):
     env = wrap(events.limit(20), record_type="t", event_time_field="ts")
     doubled = env.unionAll(env)  # simulate a replayed batch
     assert dedupe_idempotency(doubled).count() == env.count()
+
+
+def test_half_written_marker_not_committed(tmp_path):
+    # a torn marker (crash mid-write under a non-atomic writer) must
+    # NOT read as committed — the epoch should re-run, not vanish
+    from etl_router_spark.streaming.exactly_once import epoch_committed, mark_epoch
+
+    mdir = tmp_path / "markers"
+    mdir.mkdir()
+    (mdir / "epoch-7").write_text("")               # empty = torn
+    assert not epoch_committed(str(mdir), 7)
+    (mdir / "epoch-8").write_text("committed ep")   # truncated = torn
+    assert not epoch_committed(str(mdir), 8)
+    (mdir / ".epoch-9.tmp").write_text("committed epoch 9\n")  # pre-rename
+    assert not epoch_committed(str(mdir), 9)
+
+    # a real mark_epoch over a previously-torn marker recovers it
+    mark_epoch(str(mdir), 7)
+    assert epoch_committed(str(mdir), 7)
+    assert not (mdir / ".epoch-7.tmp").exists()     # tmp renamed away
+
+
+def test_mark_epoch_atomic_content(tmp_path):
+    from etl_router_spark.streaming.exactly_once import epoch_committed, mark_epoch
+
+    mark_epoch(str(tmp_path / "m"), 0)
+    mark_epoch(str(tmp_path / "m"), 0)  # idempotent re-mark
+    assert epoch_committed(str(tmp_path / "m"), 0)
+    assert not epoch_committed(str(tmp_path / "m"), 1)
