@@ -79,8 +79,14 @@ def compile_condition(
             num = meta[c.key].try_cast("double")
             not_nan = ~F.coalesce(F.isnan(num), F.lit(True))
             # Rust f64::from_str rejects surrounding whitespace where
-            # Spark's cast trims it — a padded " 3.5 " must not match
-            untrimmed_ok = meta[c.key] == F.trim(meta[c.key])
+            # Spark's cast trims it — a padded " 3.5 " must not match.
+            # rlike, not F.trim: trim strips only ASCII spaces while
+            # try_cast trims all whitespace/control chars, so "\t3.5"
+            # would slip through a trim-based guard. (?s) so an inner
+            # newline can't hide the trailing character, and \A/\z
+            # anchors because Java's $ matches BEFORE a final newline
+            # (so "3.5\n" would sneak past a $-anchored check).
+            untrimmed_ok = meta[c.key].rlike(r"(?s)\A\S(.*\S)?\z")
             not_nan = not_nan & untrimmed_ok
             op = {
                 "metadata_gt": num > F.lit(float(c.value)),

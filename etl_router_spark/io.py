@@ -152,11 +152,20 @@ def spread_small_scan(df: DataFrame, spark: SparkSession | None = None) -> DataF
         # RDD driver-side (~100 ms of py4j per call). Bench/driver reps
         # rebuild byte-identical plans, so key on the semantic hash —
         # one probe per distinct plan per application.
+        # The cache is advisory only: a semanticHash collision or a
+        # file-set change under a cached plan can at worst mis-size the
+        # repartition decision (perf, never correctness). LRU-bounded so
+        # a long-lived driver submitting many distinct plans can't grow
+        # it without limit.
         key = (spark.sparkContext.applicationId, df.semanticHash())
         n = _SPREAD_PROBE_CACHE.get(key)
         if n is None:
             n = df.rdd.getNumPartitions()
             _SPREAD_PROBE_CACHE[key] = n
+            while len(_SPREAD_PROBE_CACHE) > _SPREAD_PROBE_CACHE_MAX:
+                _SPREAD_PROBE_CACHE.pop(next(iter(_SPREAD_PROBE_CACHE)))
+        else:
+            _SPREAD_PROBE_CACHE.move_to_end(key)
     except Exception:
         return df
     if 0 < n < target:
@@ -164,7 +173,10 @@ def spread_small_scan(df: DataFrame, spark: SparkSession | None = None) -> DataF
     return df
 
 
-_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_SPREAD_PROBE_CACHE: _OrderedDict = _OrderedDict()
+_SPREAD_PROBE_CACHE_MAX = 256
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

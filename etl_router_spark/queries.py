@@ -2299,7 +2299,7 @@ def t12_aggregate_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 900 THEN 1 ELSE 0 END AS new_sess
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000 THEN 1 ELSE 0 END AS new_sess
       FROM {EVENTS_US}
       WHERE event_type IN ('click', 'view')
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2319,7 +2319,13 @@ def t12_aggregate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 aggregate with a SESSION window (types.rs:558-582 window
     kind 3 — distinct from T14's dedicated sessionize stage): the
     generic aggregation list over F.session_window groups. One shuffle;
-    session merge happens inside the aggregation."""
+    session merge happens inside the aggregation.
+
+    Oracle boundary: full microsecond precision, and strict
+    ``diff > gap`` — F.session_window MERGES an event landing exactly
+    at prev + gap (verified empirically: two events 900s apart with a
+    15m gap form ONE session), so a new session starts only when the
+    gap is strictly exceeded."""
     from etl_router_spark.compile.transforms import apply_aggregate
 
     ev = (_t(spark, sf_dir, "events")

@@ -245,10 +245,30 @@ def streaming_group_topk(
     top-k only when membership or order changed; downstream compacts by
     keeping each key's latest epoch (emission carries ``__epoch``).
     Ordering is (order_field DESC, tiebreak ASC) — deterministic under
-    replay. State serializes through JSON: exact for numeric/string/
-    bool columns; timestamp columns round-trip as ISO strings and
-    should be carried as epoch longs if ordering depends on them.
+    replay. State serializes through JSON, which is only exact for
+    numeric/string/bool columns — anything else (timestamp, date,
+    decimal, binary, nested) would come back as a string on the next
+    micro-batch, breaking comparisons and the Arrow conversion
+    mid-stream, so such columns are REJECTED at call time: carry
+    timestamps as epoch longs (``epoch_us(ts)``), decimals as doubles
+    or scaled longs, binary as hex/base64 strings.
     """
+    _JSON_EXACT = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+    )
+    bad = [
+        f"{f.name} ({f.dataType.simpleString()})"
+        for f in df.schema.fields
+        if not isinstance(f.dataType, _JSON_EXACT)
+    ]
+    if bad:
+        raise TypeError(
+            "streaming_group_topk state round-trips through JSON, which is "
+            f"not exact for column(s): {', '.join(bad)}. Cast timestamps to "
+            "epoch longs (epoch_us), decimals to double/scaled long, and "
+            "binary to hex/base64 before this operator."
+        )
     out_fields = list(df.schema.fields) + [T.StructField("__epoch", T.LongType())]
     out_schema = T.StructType(out_fields)
     # state: the kept rows, serialized as one row per struct in a list
@@ -281,7 +301,10 @@ def streaming_group_topk(
         after = [tuple(r[c] for c in cols) for r in kept]
         if after != before:
             epoch += 1
-            state.update((json.dumps(kept, default=str), epoch))
+            # no default= fallback: the call-time schema check guarantees
+            # JSON-exact values, so an unexpected type fails loudly here
+            # instead of silently round-tripping as a string
+            state.update((json.dumps(kept), epoch))
             out = pd.DataFrame(kept)[cols]
             out["__epoch"] = epoch
             yield out

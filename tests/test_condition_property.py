@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 KEYS = ["env", "region", "score", "empty", "weird"]
 VALUES = ["prod", "dev", "eu-1", "", "10", "3.5", "-2", "abc", "NaN",
-          " 3.5 ", "inf", "-Infinity", "1_000", "1e3", "+5"]
+          " 3.5 ", "inf", "-Infinity", "1_000", "1e3", "+5",
+          "\t3.5", "3.5\n", " 7", "4\r", " "]
 RTYPES = ["user.event", "order.created", "noise"]
 PATTERNS = [r"^prod", r"eu-\d", r"\d+", r"^$", r"a.c"]
 

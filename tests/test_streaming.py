@@ -473,3 +473,21 @@ def test_periodic_emit_derives_processing_time_trigger(spark, events_in, tmp_pat
     assert _derive_trigger(pipeline) == {"processingTime": "5 seconds"}
     # no periodic stage -> no derived trigger (availableNow default)
     assert _derive_trigger(_manifest(events_in, str(tmp_path / "q"))) is None
+
+
+def test_group_topk_rejects_non_json_exact_columns(spark, tmp_path):
+    # timestamp state would come back as a string next micro-batch —
+    # reject at call time with a cast hint instead of failing mid-stream
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.streaming.stateful import streaming_group_topk
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 2.0, "2020-01-01 00:00:00")], "uid long, v double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(TypeError, match="epoch_us"):
+        streaming_group_topk(stream, ["uid"], "v", k=3)
