@@ -49,12 +49,22 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "text_fingerprint",
     "multimodal_features",
+    # round 4: the most expensive previously-untracked gates, added so
+    # their plans get regression-tracked (VERDICT r3 #7)
+    "corpus_global_shuffle",
+    "text_tfidf_cosine",
+    "dedup_minhash_join",
+    "corpus_pack_sequences",
+    "q_window_funcs",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_queries = [q for q in BENCH_QUERIES if q in only.split(",")] if only else BENCH_QUERIES
 
     from etl_router_spark.queries import all_queries
     from etl_router_spark.session import get_spark
@@ -66,7 +76,7 @@ def main() -> None:
     # plan codegen and JIT are excluded from the timed runs (steady-state
     # measurement); data volume there is negligible (~0.1% of target)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         try:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -80,7 +90,7 @@ def main() -> None:
     # change being measured
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = queries[name]
         best = float("inf")
         for _ in range(runs):

