@@ -1785,6 +1785,50 @@ def t12_aggregate_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_aggregate_approx_percentile",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_tol
+    FROM {EVENTS_US}
+    GROUP BY event_type
+    """,
+)
+def t12_aggregate_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate approxpercentile — the bounded-memory 100 TB
+    percentile path (Greenwald-Khanna sketch, accuracy=10000).
+
+    Tolerance oracle (same pattern as t12_aggregate_approx_distinct):
+    GK returns an actual element whose RANK is within n/accuracy of
+    the target (it does not interpolate, so a value-band check against
+    quantile_cont would be spuriously tight at small n). The Spark
+    side verifies the rank contract itself — #\\{v < approx\\} <= n/2 +
+    tol and #\\{v <= approx\\} >= n/2 - tol with tol = n/accuracy + 1 —
+    and emits the exact p50 plus the boolean; DuckDB asserts TRUE."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    app = T.apply_aggregate(
+        ev, ["event_type"],
+        [{"function": "approxpercentile", "field": "value", "p": 0.5,
+          "accuracy": 10_000, "output_field": "approx_p50"}],
+    )
+    stats = (
+        ev.join(F.broadcast(app), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+            F.sum((F.col("value") < F.col("approx_p50")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("approx_p50")).cast("long")).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tol = F.col("n") / 10_000.0 + 1
+    ok = (F.col("n_lt") <= F.col("n") * 0.5 + tol) & (
+        F.col("n_le") >= F.col("n") * 0.5 - tol
+    )
+    return stats.select("event_type", "exact_p50", ok.alias("approx_within_tol"))
+
+
+@query(
     "t12_aggregate_approx_distinct",
     f"""
     SELECT event_type,
@@ -2035,6 +2079,155 @@ def source_http_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         srv.server_close()
     return read_source(spark, {
         "source_type": "http", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
+    "source_websocket_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 11 = 0
+    """,
+)
+def source_websocket_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 WebSocket source (types.rs:329-340) end-to-end, hermetically:
+    a stdlib-socket server performs the RFC 6455 upgrade handshake
+    (Sec-WebSocket-Accept = b64(sha1(key + GUID))), unmasks client
+    text frames, and appends each received JSON-lines message to the
+    staging directory via atomic rename; the gate pushes fixture
+    events through a real masked-frame WebSocket client, then drains
+    staging through the source registry (``source_type: websocket``,
+    ``watch: false``)."""
+    import base64
+    import hashlib
+    import json
+    import os
+    import socket
+    import struct
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+    stage = tempfile.mkdtemp(prefix="etl_ws_stage_")
+
+    def _recv_exact(conn: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed mid-frame")
+            buf += chunk
+        return buf
+
+    def _serve(conn: socket.socket) -> None:
+        # handshake: read HTTP upgrade, answer 101 with the accept hash
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        key = next(
+            line.split(b":", 1)[1].strip()
+            for line in req.split(b"\r\n")
+            if line.lower().startswith(b"sec-websocket-key:")
+        )
+        accept = base64.b64encode(
+            hashlib.sha1(key + WS_GUID.encode()).digest()
+        ).decode()
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+        seq = 0
+        while True:
+            hdr = _recv_exact(conn, 2)
+            opcode, ln = hdr[0] & 0x0F, hdr[1] & 0x7F
+            masked = bool(hdr[1] & 0x80)
+            if ln == 126:
+                ln = struct.unpack(">H", _recv_exact(conn, 2))[0]
+            elif ln == 127:
+                ln = struct.unpack(">Q", _recv_exact(conn, 8))[0]
+            mask = _recv_exact(conn, 4) if masked else b"\x00" * 4
+            payload = bytes(
+                b ^ mask[i % 4] for i, b in enumerate(_recv_exact(conn, ln))
+            )
+            if opcode == 0x8:  # close
+                conn.sendall(b"\x88\x00")
+                return
+            if opcode == 0x1:  # text: one JSON-lines batch per message
+                tmp = os.path.join(stage, f".msg_{seq:04d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.rename(tmp, os.path.join(stage, f"msg_{seq:04d}.json"))
+                seq += 1
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 11 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            key = base64.b64encode(os.urandom(16)).decode()
+            cli.sendall(
+                (
+                    f"GET /ingest HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+                ).encode()
+            )
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                resp += cli.recv(4096)
+            assert b"101" in resp.split(b"\r\n", 1)[0]
+            want = base64.b64encode(
+                hashlib.sha1((key + WS_GUID).encode()).digest()
+            )
+            assert want in resp  # server proved it speaks RFC 6455
+
+            def _send_text(payload: bytes) -> None:
+                mask = os.urandom(4)
+                body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+                ln = len(payload)
+                if ln < 126:
+                    hdr = struct.pack(">BB", 0x81, 0x80 | ln)
+                elif ln < 1 << 16:
+                    hdr = struct.pack(">BBH", 0x81, 0x80 | 126, ln)
+                else:
+                    hdr = struct.pack(">BBQ", 0x81, 0x80 | 127, ln)
+                cli.sendall(hdr + mask + body)
+
+            half = len(rows) // 2
+            for chunk in (rows[:half], rows[half:]):
+                _send_text("\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode())
+            cli.sendall(b"\x88\x80" + os.urandom(4))  # masked close
+            t.join(timeout=10)
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "websocket", "staging_path": stage, "format": "json",
         "watch": False,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
