@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     max_df_frac: float | None = 0.5,
     cache: bool = False,
+    pair_chunk: int = 2048,
 ) -> DataFrame:
     """All pairs (a < b) with n-gram-set Jaccard >= threshold.
 
@@ -103,6 +104,16 @@ def ngram_jaccard_pairs(
     (one cheap count job); pass ``max_df_frac=None`` for the exact
     uncapped semantics. A shingle above the cap carries ~zero pair
     signal (it co-occurs with everything) but dominates join cost.
+
+    ``pair_chunk``: posting lists longer than this generate their pairs
+    through chunk-pair blocking — the sorted id list splits into
+    ceil(f/C) consecutive chunks, one row per (i <= j) chunk pair is
+    exploded and REDISTRIBUTED by hash, and each chunk-pair row then
+    explodes its own pairs. Per-task pair work is bounded by C^2
+    regardless of how hot the shingle is, and unlike the df-cap this is
+    EXACT: the pair multiset is identical to the single-task explode
+    (within-chunk pairs keep the y > x filter; cross-chunk pairs need
+    none because consecutive sorted chunks are totally ordered).
     """
     # postings carry h60(shingle), not the shingle text: the persisted
     # list, the df-cap aggregation and the self-join all move/compare
@@ -146,13 +157,56 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.count("*").alias("sz"))
     )
-    inter = (
-        grouped.filter(F.size("ids") > 1)
+    C = int(pair_chunk)
+    # lean plan when no posting list exceeds the chunk size — probed
+    # once and memoized by plan semantic hash (negative results only;
+    # the blocked plan is exact, so a stale positive merely costs the
+    # empty extra stages, and a stale negative can't happen for a plan
+    # that was ever observed hot because positives are never cached)
+    hot_lists = grouped.filter(F.size("ids") > C)
+    probe_key = _probe_key(hot_lists, C)
+    if probe_key is not None and probe_key in _NO_HOT_BUCKET_CACHE:
+        lists_over_chunk = False
+    else:
+        lists_over_chunk = bool(hot_lists.limit(1).count())
+        if not lists_over_chunk:
+            _memoize_negative(probe_key)
+    small_filter = (
+        (F.size("ids") > 1) & (F.size("ids") <= C)
+        if lists_over_chunk
+        else (F.size("ids") > 1)
+    )
+    small = (
+        grouped.filter(small_filter)
         .selectExpr("explode(ids) AS id_a", "ids")
         .selectExpr("id_a", "explode(filter(ids, y -> y > id_a)) AS id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
     )
+    if lists_over_chunk:
+        # hot posting lists: chunk-pair blocking (see docstring). The
+        # first explode emits ~ (f/C)^2 / 2 chunk-pair rows per hot
+        # shingle, the hash repartition spreads them across the cluster
+        # (an explode's output otherwise stays on its input row's
+        # task), and only then do pairs materialize — bounded by C^2
+        # per row.
+        big_pairs = (
+            hot_lists
+            .selectExpr("shingle", "ids", f"CAST((size(ids) + {C} - 1) DIV {C} AS INT) AS nb")
+            .selectExpr("shingle", "ids", "nb", "explode(sequence(0, nb - 1)) AS ci")
+            .selectExpr("shingle", "ids", "explode(sequence(ci, nb - 1)) AS cj", "ci")
+            .selectExpr(
+                "shingle", "ci", "cj",
+                f"slice(ids, ci * {C} + 1, {C}) AS ids_a",
+                f"slice(ids, cj * {C} + 1, {C}) AS ids_b",
+            )
+            .repartition(F.col("shingle"), F.col("ci"), F.col("cj"))
+            .selectExpr("ci = cj AS same", "ids_b", "explode(ids_a) AS id_a")
+            .selectExpr(
+                "id_a",
+                "explode(CASE WHEN same THEN filter(ids_b, y -> y > id_a) ELSE ids_b END) AS id_b",
+            )
+        )
+        small = small.unionByName(big_pairs)
+    inter = small.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     # no broadcast hint on sizes: it is |docs| rows — tiny here, but at
@@ -302,18 +356,12 @@ def _bucket_local_pairs(
             "__hub",
         )
     )
-    try:
-        cache_key = (spark.sparkContext.applicationId, hot.semanticHash(), salt_cap)
-    except Exception:
-        cache_key = None
+    cache_key = _probe_key(hot, salt_cap)
     if cache_key is not None and cache_key in _NO_HOT_BUCKET_CACHE:
         return _plain()
     hot_rows = hot.collect()
     if not hot_rows:
-        if cache_key is not None:
-            _NO_HOT_BUCKET_CACHE[cache_key] = True
-            while len(_NO_HOT_BUCKET_CACHE) > _NO_HOT_BUCKET_CACHE_MAX:
-                _NO_HOT_BUCKET_CACHE.pop(next(iter(_NO_HOT_BUCKET_CACHE)))
+        _memoize_negative(cache_key)
         return _plain()
     hot_local = spark.createDataFrame(hot_rows, hot.schema)
     salted = (
@@ -351,11 +399,26 @@ def _bucket_local_pairs(
     )
 
 
-# (application id, detection-plan semantic hash, salt_cap) -> True when
-# detection found NO hot buckets. Advisory (see _bucket_local_pairs);
+# (application id, detection-plan semantic hash, threshold) -> True when
+# detection found NO hot keys/lists. Advisory (see _bucket_local_pairs);
 # LRU-bounded like io._SPREAD_PROBE_CACHE.
 _NO_HOT_BUCKET_CACHE: dict = {}
 _NO_HOT_BUCKET_CACHE_MAX = 256
+
+
+def _probe_key(df: DataFrame, extra) -> tuple | None:
+    try:
+        return (df.sparkSession.sparkContext.applicationId, df.semanticHash(), extra)
+    except Exception:
+        return None
+
+
+def _memoize_negative(key: tuple | None) -> None:
+    if key is None:
+        return
+    _NO_HOT_BUCKET_CACHE[key] = True
+    while len(_NO_HOT_BUCKET_CACHE) > _NO_HOT_BUCKET_CACHE_MAX:
+        _NO_HOT_BUCKET_CACHE.pop(next(iter(_NO_HOT_BUCKET_CACHE)))
 
 
 def minhash_lsh_pairs(

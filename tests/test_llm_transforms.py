@@ -296,3 +296,26 @@ def test_salting_off_below_cap_identical_pairs(spark):
     a = sorted(map(tuple, minhash_lsh_pairs(docs, num_hashes=8, bands=4, salt_cap=512).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs, num_hashes=8, bands=4, salt_cap=None).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_chunk_pair_blocking_exact(spark):
+    # a hot shingle (posting list >> pair_chunk) must produce EXACTLY
+    # the same pair multiset through chunk-pair blocking as through the
+    # single-task explode — blocking is a placement change, not a
+    # semantics change
+    from etl_router_spark.functions.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "alpha beta gamma delta shared tail") for i in range(150)]
+    rows += [(500 + i, f"unique doc {i} with words {i * 3} {i * 7} {i * 11}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(chunk):
+        return sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df_frac=None, pair_chunk=chunk
+        ).collect()))
+
+    blocked = pairs(16)       # 150-doc list -> 10 chunks -> 55 chunk pairs
+    single = pairs(100_000)   # everything on one task (old behavior)
+    assert blocked == single
+    assert len(blocked) == 150 * 149 // 2  # the identical-group clique
