@@ -295,3 +295,58 @@ def unigram_logprob(
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k corpus n-grams by occurrence count (LM-style counts: every
+    occurrence counts, not document frequency) with a deterministic
+    (count DESC, ngram ASC) order.
+
+    One explode + one map-side-combinable groupBy; the top-k is a
+    TakeOrdered heap (k rows to the driver, no global sort). The
+    shuffle carries (ngram, partial count) — at web scale swap the
+    ngram string for its h60 hash + a second tiny join to recover the
+    text of the k survivors.
+    """
+    from etl_router_spark.io import spread_small_scan
+
+    sh = (
+        spread_small_scan(df)
+        .selectExpr(f"{tokens_sql(text_col)} AS __toks")
+        .selectExpr(f"explode({shingles_sql('__toks', n)}) AS ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "char_entropy",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — a cheap quality signal (gibberish/binary spew has
+    abnormally high or low entropy vs natural language's ~4 bits).
+
+    Pure column expressions, zero shuffle, whole-stage codegen: the
+    char array and its distinct set stay inside one projection;
+    per-doc cost is O(distinct_chars * len), bounded by charset size.
+    """
+    chars = f"filter(split({text_col}, ''), c -> c <> '')"
+    expr = (
+        f"CASE WHEN length({text_col}) = 0 THEN 0.0D ELSE "
+        f"-aggregate(transform(array_distinct({chars}), "
+        f"c -> (size(filter({chars}, x -> x = c)) / CAST(length({text_col}) AS DOUBLE))), "
+        f"0.0D, (acc, p) -> acc + p * log2(p)) END"
+    )
+    return df.selectExpr("*", f"round({expr}, 6) AS {out_col}")

@@ -367,6 +367,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngram_counts",
+    f"""
+    SELECT ngram, cnt FROM (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_shingles_sql(2).replace("ELSE []", "ELSE CAST([] AS VARCHAR[])")}) AS ngram
+            FROM documents)
+      GROUP BY ngram)
+    ORDER BY cnt DESC, ngram ASC LIMIT 100
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top 100 (LM-style occurrence counts):
+    map-side-combinable groupBy + TakeOrdered heap — no global sort,
+    k rows to the driver. Deterministic (cnt DESC, ngram ASC) order."""
+    from etl_router_spark.functions.text import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=2, k=100)
+
+
+@query(
+    "text_char_entropy",
+    f"""
+    SELECT doc_id,
+           round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             -list_sum(list_transform(
+                list_distinct(list_filter(string_split(text, ''), c -> c <> '')),
+                c -> (len(list_filter(string_split(text, ''), x -> x = c))
+                      / CAST(length(text) AS DOUBLE))
+                     * log2(len(list_filter(string_split(text, ''), x -> x = c))
+                      / CAST(length(text) AS DOUBLE))))
+           END, 6) AS char_entropy
+    FROM documents
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (quality signal):
+    pure whole-stage-codegen column expressions, zero shuffle."""
+    from etl_router_spark.functions.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs).select("doc_id", "char_entropy")
+
+
+@query(
     "text_rolling_fingerprint",
     f"""
     SELECT doc_id,

@@ -319,3 +319,31 @@ def test_ngram_chunk_pair_blocking_exact(spark):
     single = pairs(100_000)   # everything on one task (old behavior)
     assert blocked == single
     assert len(blocked) == 150 * 149 // 2  # the identical-group clique
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from etl_router_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.char_entropy for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0                       # single symbol: zero bits
+    assert abs(got[2] - 1.0) < 1e-9            # two equiprobable symbols
+    assert abs(got[3] - 2.0) < 1e-9            # four equiprobable symbols
+    assert got[4] == 0.0                       # empty text guard
+
+
+def test_ngram_counts_order_and_counts(spark):
+    from etl_router_spark.functions.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    rows = [(r.ngram, r.cnt) for r in ngram_counts(docs, n=2, k=3).collect()]
+    # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x","x y"
+    assert rows[0] == ("a b", 3)
+    assert rows[1:] == [("b a", 1), ("b c", 1)]  # ties broken by ngram ASC
