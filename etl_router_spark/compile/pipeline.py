@@ -136,14 +136,25 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                  bands=int(cfg.get("bands", 32)),
                                  threshold=float(cfg.get("threshold", 0.8)),
                                  text_col=cfg.get("text_field", "text"),
-                                 id_col=cfg.get("id_field", "doc_id"))
+                                 id_col=cfg.get("id_field", "doc_id"),
+                                 salt_cap=cfg.get("salt_cap", 512))
+    if tt == "dedup_ngram":
+        from etl_router_spark.functions.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(df, id_col=cfg.get("id_field", "doc_id"),
+                                   text_col=cfg.get("text_field", "text"),
+                                   n=int(cfg.get("n", 3)),
+                                   threshold=float(cfg.get("threshold", 0.8)),
+                                   max_df=cfg.get("max_df"),
+                                   pair_chunk=int(cfg.get("pair_chunk", 2048)))
     if tt == "dedup_simhash":
         from etl_router_spark.functions.dedup import simhash_pairs
 
         return simhash_pairs(df, max_hamming=int(cfg.get("max_hamming", 3)),
                              bits=int(cfg.get("bits", 64)),
                              text_col=cfg.get("text_field", "text"),
-                             id_col=cfg.get("id_field", "doc_id"))
+                             id_col=cfg.get("id_field", "doc_id"),
+                             salt_cap=cfg.get("salt_cap", 512))
     if tt == "dedup_embedding":
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
@@ -283,11 +294,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                       threshold=float(cfg.get("threshold", 0.8)))
         else:
             raise ValueError(f"dedup_cluster: unknown method {method!r}")
+        algorithm = cfg.get("cc_algorithm", "label")
         if cfg.get("emit", "labels") == "canonical":
             from etl_router_spark.functions.dedup import dedup_canonical
 
-            return dedup_canonical(df, pairs, id_col=id_col)
-        return dedup_clusters(df, pairs, id_col=id_col)
+            return dedup_canonical(df, pairs, id_col=id_col, algorithm=algorithm)
+        return dedup_clusters(df, pairs, id_col=id_col, algorithm=algorithm)
     if tt == "cdc_apply":
         from etl_router_spark.functions.cdc import cdc_apply
 
@@ -302,6 +314,17 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              fractions=dict(cfg["fractions"]),
                              salt=str(cfg.get("salt", "")),
                              out_col=cfg.get("out_field", "split"))
+    if tt == "ngram_counts":
+        from etl_router_spark.functions.text import ngram_counts
+
+        return ngram_counts(df, text_col=cfg.get("text_field", "text"),
+                            n=int(cfg.get("n", 2)), k=int(cfg.get("k", 100)))
+    if tt == "char_entropy":
+        from etl_router_spark.functions.text import char_entropy
+
+        return char_entropy(df, text_col=cfg.get("text_field", "text"),
+                            id_col=cfg.get("id_field", "doc_id"),
+                            out_col=cfg.get("output_field", "char_entropy"))
     if tt == "unigram_logprob":
         from etl_router_spark.functions.text import unigram_logprob
 

@@ -269,3 +269,45 @@ def test_parse_duration_grammar():
 def test_unsupported_api_version():
     with pytest.raises(ValueError, match="apiVersion"):
         parse_manifest("apiVersion: bogus/v9\nkind: Pipeline\nmetadata: {name: x}\nspec: {}")
+
+
+def test_new_llm_transform_types_dispatch(spark, tmp_path):
+    # round-4 transform types reach their operators through the manifest
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma shared body " + ("x" if i % 2 else "y"))
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    def run(transform_cfg, out_name):
+        out = str(tmp_path / out_name)
+        doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+               "metadata": {"name": out_name},
+               "spec": {"stages": [
+                   {"id": "s", "type": "source",
+                    "config": {"source_type": "file", "format": "parquet", "path": src}},
+                   {"id": "t", "type": "transform", "config": transform_cfg},
+                   {"id": "o", "type": "sink",
+                    "config": {"sink_type": "file", "format": "parquet", "path": out}},
+               ]}}
+        compile_pipeline(spark, parse_manifest_dict(doc)).run()
+        return spark.read.parquet(out)
+
+    ng = run({"transform_type": "dedup_ngram", "threshold": 0.5, "pair_chunk": 4},
+             "ngram_out")
+    assert {"id_a", "id_b", "jaccard"} <= set(ng.columns) and ng.count() > 0
+
+    cnts = run({"transform_type": "ngram_counts", "n": 2, "k": 5}, "cnt_out")
+    assert cnts.count() == 5 and set(cnts.columns) == {"ngram", "cnt"}
+
+    ent = run({"transform_type": "char_entropy"}, "ent_out")
+    assert "char_entropy" in ent.columns and ent.count() == 12
+
+    cl = run({"transform_type": "dedup_cluster", "method": "minhash",
+              "num_hashes": 8, "bands": 4, "threshold": 0.3,
+              "cc_algorithm": "star", "emit": "canonical"}, "cl_out")
+    assert cl.count() >= 1
