@@ -2827,6 +2827,37 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, round(val, 2) AS part_value
+    FROM pv
+    WHERE val > (SELECT avg(val) * 1.2 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted: part value from
+    shipped lineitems instead of partsupp, and the cut is 1.2x the
+    mean part value — the fixture's flat distribution never clears
+    TPC-H's 0.01%% -of-total cut): a HAVING against a GLOBAL scalar. Plan: one aggregation produces the
+    per-part values; the global total re-aggregates those ~|parts|
+    rows (never a second fact scan) and rides back as a broadcast
+    1-row cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    total = pv.agg((F.avg("val") * 1.2).alias("__thr"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("__thr"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+@query(
     "q20_heavy_shippers",
     """
     WITH shipped AS (
