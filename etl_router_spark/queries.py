@@ -2011,6 +2011,64 @@ def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "envelope_kafka_promote",
+    f"""
+    SELECT 'events'                                            AS source_id,
+           CAST(user_id % 4 AS INT)                            AS partition,
+           event_id                                            AS sequence_number,
+           'events:' || CAST(user_id % 4 AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)
+                                                               AS idempotency_key,
+           'events'                                            AS record_type,
+           CAST(user_id AS VARCHAR)                            AS msg_key,
+           'fixture'                                           AS src_header,
+           ts                                                  AS event_time,
+           event_id, user_id, event_type,
+           round(value, 6)                                     AS value
+    FROM {EVENTS_US} WHERE event_id % 13 = 0
+    """,
+)
+def envelope_kafka_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Kafka envelope path (common.proto:8-23 RecordId fill from the
+    consumer position): fixture events shaped into the Kafka source's
+    wire schema (key/value binary, topic, partition, offset, timestamp,
+    headers), mapped to envelope records via ``from_kafka`` (offset ->
+    sequence_number, topic:partition:offset -> idempotency_key,
+    headers -> metadata map), then promoted to typed columns — the
+    full ingestion transformation a live broker would feed, minus only
+    the network. ingestion_time is runtime-stamped, hence excluded."""
+    from etl_router_spark.model.envelope import from_kafka, promote
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 13 == 0)
+          .select("event_id", "user_id", "event_type",
+                  F.round("value", 6).alias("value"), "ts"))
+    wire = ev.select(
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+        F.array(F.struct(
+            F.lit("src").alias("key"), F.lit("fixture").cast("binary").alias("value")
+        )).alias("headers"),
+    )
+    env = from_kafka(wire)
+    typed = promote(
+        env, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        keep_envelope=True,
+    )
+    return typed.select(
+        "source_id", "partition", "sequence_number", "idempotency_key",
+        "record_type",
+        F.col("key").cast("string").alias("msg_key"),
+        F.col("metadata")["src"].alias("src_header"),
+        "event_time",
+        "event_id", "user_id", "event_type", "value",
+    )
+
+
+@query(
     "source_http_staging_roundtrip",
     f"""
     SELECT event_id, user_id, event_type, round(value, 6) AS value
