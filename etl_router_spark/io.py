@@ -236,3 +236,57 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 512,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a fragmented dataset into ~target-sized files; returns
+    the new file count.
+
+    The small-files problem is the classic 100 TB operational wound: a
+    streaming sink or over-parallel writer leaves thousands of tiny
+    files, and every later scan pays a footer read + task schedule per
+    file. Compaction = one read, one repartition to
+    ceil(bytes/target), one atomic swap. ``sort_by`` range-partitions
+    and sorts while rewriting, so min/max stats become selective and
+    later range scans prune files.
+
+    The swap is rename-based (write to a sibling temp dir, move the
+    old dir away, move the new one in, delete the old): readers see
+    either the old or the new complete dataset on any filesystem with
+    atomic directory rename (HDFS, local). On object stores, swap at
+    the table-format layer instead (Delta/Iceberg rewrite).
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    if sort_by:
+        df = df.repartitionByRange(n, *[F.col(c) for c in sort_by]) \
+               .sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    df.write.format(fmt).mode("overwrite").save(tmp)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        # roll back: restore the original directory
+        fs.rename(jold, jpath)
+        raise IOError(f"compact_files: could not move compacted data into {path}")
+    fs.delete(jold, True)
+    return n

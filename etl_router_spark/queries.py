@@ -2011,6 +2011,36 @@ def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_compact_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 9 = 0
+    """,
+)
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the 100 TB operational pain point a
+    streaming sink leaves behind): a 48-file fragmented write is
+    compacted to target-sized files through the atomic rename swap,
+    then value-checked against the original — contents must be
+    byte-identical, only the layout changes."""
+    import glob
+    import tempfile
+
+    from etl_router_spark.io import compact_files
+
+    out = tempfile.mkdtemp(prefix="etl_compact_rt_") + "/events_frag"
+    df = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 9 == 0)
+          .select("event_id", "user_id", "event_type",
+                  F.round("value", 6).alias("value")))
+    df.repartition(48).write.parquet(out)
+    assert len(glob.glob(out + "/*.parquet")) == 48
+    n = compact_files(spark, out, target_file_mb=512)
+    assert len(glob.glob(out + "/*.parquet")) == n < 48
+    return spark.read.parquet(out)
+
+
+@query(
     "envelope_kafka_promote",
     f"""
     SELECT 'events'                                            AS source_id,

@@ -234,6 +234,45 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ratelimit",
+    f"""
+    WITH ranked AS (
+      SELECT event_id, user_id, ts, round(value, 6) AS value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_US} WHERE user_id < 100)
+    SELECT event_id, user_id, ts, value FROM ranked WHERE rn <= 3
+    """,
+)
+def stream_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 ratelimit in STREAMING mode (types.rs:584-601):
+    applyInPandasWithState admits at most max_rate rows per (key,
+    tumbling window), state = one admitted-counter per live group.
+    Single-epoch availableNow makes the admitted set deterministic —
+    the first 3 rows per (user, hour) in (ts, event_id) order — so the
+    batch window oracle value-checks the streaming state machine."""
+    from etl_router_spark.streaming.stateful import streaming_ratelimit
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_rl_")
+    src = f"{wd}/in"
+    (load_table(spark, sf_dir, "events")
+     .filter(F.col("user_id") < 100)
+     .select("event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    limited = streaming_ratelimit(
+        stream, ["user_id"], max_rate=3, window_duration="1h",
+        ts_field="ts", on_exceed="drop", tiebreak_fields=["event_id"],
+    )
+    path = _run_foreach_batch(limited, wd, "append")
+    result = spark.read.parquet(path).select("event_id", "user_id", "ts", "value")
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+@query(
     "stream_aggregate_periodic",
     f"""
     SELECT date_trunc('hour', ts) AS window_start,

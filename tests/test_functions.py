@@ -286,3 +286,36 @@ def test_ivf_topk_recall(embeddings):
     recall = len(e & a) / len(e)
     # nprobe=3 of 8 clusters over clustered fixture data: decent recall
     assert recall > 0.5, f"IVF recall too low: {recall}"
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    import glob
+
+    from etl_router_spark.io import compact_files
+
+    path = str(tmp_path / "frag")
+    src = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    src.repartition(64).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 64
+
+    n = compact_files(spark, path, target_file_mb=512)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n == 1            # 10k rows << 512 MB
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(10_000))
+    # no leftover swap dirs
+    assert not glob.glob(str(tmp_path) + "/frag.__compact_*")
+
+
+def test_compact_files_sorted_layout(spark, tmp_path):
+    from etl_router_spark.io import compact_files
+
+    path = str(tmp_path / "sorted")
+    spark.range(1000).selectExpr("id", "CAST(id % 97 AS LONG) AS k") \
+        .repartition(16).write.parquet(path)
+    compact_files(spark, path, sort_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    ks = [r.k for r in back.select("k").collect()]
+    assert ks == sorted(ks)                # range+sort layout for pruning
