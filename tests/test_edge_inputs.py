@@ -149,3 +149,21 @@ def test_merge_schema_reads_evolved_files(spark, tmp_path):
     assert set(out.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in out.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_round4_operators_on_empty_and_null_inputs(spark):
+    from etl_router_spark.functions.dedup import ngram_jaccard_pairs
+    from etl_router_spark.functions.text import char_entropy, ngram_counts
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_counts(empty, n=2, k=5).count() == 0
+    assert char_entropy(empty).count() == 0
+    assert ngram_jaccard_pairs(empty, threshold=0.5, max_df_frac=None).count() == 0
+
+    # NULL text: entropy stays NULL (standard SQL propagation), counts skip
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.char_entropy for r in char_entropy(nulls).collect()}
+    assert got[1] is None and got[2] is not None
+    assert ngram_counts(nulls, n=2, k=10).count() == 3  # from doc 2 only
