@@ -234,6 +234,55 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_fanin_union",
+    f"""
+    SELECT 'purchases' AS __source_id, event_id, user_id, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'signups' AS __source_id, event_id, user_id, CAST(NULL AS DOUBLE) AS value
+    FROM {EVENTS_US} WHERE event_type = 'signup'
+    """,
+)
+def stream_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in in STREAMING mode (types.rs:805-820): two independent
+    file streams normalized by per-input field mappings and unioned
+    with source tags — the runner's multi-source merge, with
+    allowMissingColumns null-filling the narrower input (signups carry
+    no value). Source tags are what the fan-in watermark tracker keys
+    on (watermark.rs:84-98)."""
+    from etl_router_spark.compile.fan import apply_fan_in
+    from etl_router_spark.model.manifest import FieldMapping as FM
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_fi_")
+    ev = load_table(spark, sf_dir, "events")
+    srcs = []
+    for tag, flt, cols in (
+        ("purchases", "purchase", ["event_id", "user_id", "value"]),
+        ("signups", "signup", ["event_id", "user_id"]),
+    ):
+        path = f"{wd}/in_{tag}"
+        ev.filter(F.col("event_type") == flt).select(*cols) \
+          .write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        srcs.append(spark.readStream.schema(schema).parquet(path))
+    merged = apply_fan_in(
+        srcs,
+        mappings_per_input=[
+            [FM(target="event_id", source="event_id"),
+             FM(target="user_id", source="user_id"),
+             FM(target="value", expression="round(value, 6)")],
+            None,
+        ],
+        tags=["purchases", "signups"],
+    )
+    path = _run_to_parquet(merged, wd)
+    result = spark.read.parquet(path).select("__source_id", "event_id", "user_id", "value")
+    shutil.rmtree(f"{wd}/in_purchases", ignore_errors=True)
+    shutil.rmtree(f"{wd}/in_signups", ignore_errors=True)
+    return result
+
+
+@query(
     "stream_ratelimit",
     f"""
     WITH ranked AS (

@@ -347,3 +347,35 @@ def test_ngram_counts_order_and_counts(spark):
     # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x","x y"
     assert rows[0] == ("a b", 3)
     assert rows[1:] == [("b a", 1), ("b c", 1)]  # ties broken by ngram ASC
+
+
+def test_ngram_chunk_blocking_property_random_corpora(spark):
+    # randomized corpora with duplicate groups of varying size: the
+    # blocked pair set must equal the unblocked pair set for every
+    # chunk size — blocking is placement-only, at any granularity
+    import random
+
+    from etl_router_spark.functions.dedup import ngram_jaccard_pairs
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        rows = []
+        nid = 0
+        for g in range(rng.randint(2, 4)):
+            text = " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(6, 10)))
+            for _ in range(rng.randint(5, 40)):
+                rows.append((nid, text)); nid += 1
+        for _ in range(rng.randint(5, 15)):
+            rows.append((nid, f"unique {nid} " + " ".join(
+                str(rng.randint(0, 9999)) for _ in range(6)))); nid += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def pairs(chunk):
+            return sorted(map(tuple, ngram_jaccard_pairs(
+                docs, threshold=0.3, max_df_frac=None, pair_chunk=chunk
+            ).collect()))
+
+        baseline = pairs(10**9)
+        for chunk in (4, 16):
+            assert pairs(chunk) == baseline, f"seed={seed} chunk={chunk}"
+        assert len(baseline) > 0
