@@ -246,6 +246,20 @@ def cmd_backup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from etl_router_spark.io import compact_files
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("etl-router-compact")
+    n = compact_files(
+        spark, args.path, fmt=args.format,
+        target_file_mb=args.target_mb,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(f"compacted {args.path} -> {n} file(s)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="etl-router-spark")
     ap.add_argument("--registry", default=DEFAULT_REGISTRY,
@@ -292,6 +306,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="formatted",
                    choices=["simple", "extended", "formatted", "cost", "codegen"])
     p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("compact", help="rewrite a fragmented dataset into target-sized files")
+    p.add_argument("path")
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--target-mb", type=int, default=512)
+    p.add_argument("--sort-by", help="comma-separated columns for sorted layout")
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("backup", help="snapshot a checkpoint dir")
     p.add_argument("checkpoint")

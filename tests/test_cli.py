@@ -152,3 +152,17 @@ def test_cli_explain(capsys):
     out = capsys.readouterr().out
     assert "== pipeline/user-analytics sink/" in out
     assert "PushedFilters" in out
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import glob
+
+    from etl_router_spark.cli import main
+
+    path = str(tmp_path / "frag")
+    spark.range(5000).selectExpr("id", "id * 3 AS v").repartition(24).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 24
+    rc = main(["compact", path, "--target-mb", "512"])
+    assert rc == 0
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 5000
