@@ -244,6 +244,7 @@ def compact_files(
     fmt: str = "parquet",
     target_file_mb: int = 512,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a fragmented dataset into ~target-sized files; returns
     the new file count.
@@ -271,15 +272,40 @@ def compact_files(
     total_bytes = fs.getContentSummary(jpath).getLength()
     n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
+    # hive-partitioned layout (k=v subdirectories): compacting without
+    # partition_by would silently COLLAPSE the partitioning — later
+    # partition-pruned scans would full-scan. Refuse unless the caller
+    # re-declares the layout.
+    part_dirs = sorted({
+        st.getPath().getName().split("=", 1)[0]
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    })
+    if part_dirs and not partition_by:
+        raise ValueError(
+            f"compact_files: {path} is hive-partitioned by {part_dirs}; "
+            "pass partition_by to preserve the layout (files compact "
+            "within each partition)"
+        )
+
     df = spark.read.format(fmt).load(path)
-    if sort_by:
+    if partition_by:
+        # spread within partitions; the writer re-splits by key so each
+        # output partition dir gets ~n/|parts| files
+        df = df.repartition(n, *[F.col(c) for c in partition_by])
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+    elif sort_by:
         df = df.repartitionByRange(n, *[F.col(c) for c in sort_by]) \
                .sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n)
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"
-    df.write.format(fmt).mode("overwrite").save(tmp)
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     jold = jvm.org.apache.hadoop.fs.Path(old)
     if not fs.rename(jpath, jold):

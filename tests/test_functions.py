@@ -319,3 +319,29 @@ def test_compact_files_sorted_layout(spark, tmp_path):
     assert back.count() == 1000
     ks = [r.k for r in back.select("k").collect()]
     assert ks == sorted(ks)                # range+sort layout for pruning
+
+
+def test_compact_files_partitioned_guard_and_preserve(spark, tmp_path):
+    import glob
+
+    import pytest
+
+    from etl_router_spark.io import compact_files
+
+    path = str(tmp_path / "part")
+    spark.range(2000).selectExpr("id", "CAST(id % 3 AS STRING) AS bucket") \
+        .repartition(12).write.partitionBy("bucket").parquet(path)
+    frag = glob.glob(path + "/bucket=*/*.parquet")
+    assert len(frag) > 3
+
+    # refuses to silently collapse the layout
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_files(spark, path)
+
+    compact_files(spark, path, partition_by=["bucket"])
+    dirs = sorted(p.split("=")[-1] for p in glob.glob(path + "/bucket=*"))
+    assert dirs == ["0", "1", "2"]
+    assert len(glob.glob(path + "/bucket=*/*.parquet")) <= 3  # ~1 per partition
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.filter("bucket = '1'").count() == 666 + 1  # ids 1,4,...,1999
