@@ -2779,6 +2779,56 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_funcs_analytic",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT)          AS price_rank,
+           round(percent_rank() OVER w, 6)              AS price_pctrank,
+           round(cume_dist() OVER w, 6)                 AS price_cumedist,
+           first_value(o_orderkey) OVER w               AS costliest_order,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                        AS second_costliest,
+           round(o_totalprice
+                 + coalesce(lag(o_totalprice)    OVER wt, 0)
+                 + coalesce(lag(o_totalprice, 2) OVER wt, 0), 2)
+                                                        AS trailing3_sum
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the analytic window surface: dense_rank /
+    percent_rank / cume_dist, first/nth_value over a full-partition
+    frame, and a trailing sliding-frame average — two sort orders
+    inside one partitionBy(custkey) shuffle, deterministic tiebreaks."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wp_full = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(wp).cast("long").alias("price_rank"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pctrank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cumedist"),
+        F.first("o_orderkey").over(wp).alias("costliest_order"),
+        F.nth_value("o_orderkey", 2).over(wp_full).alias("second_costliest"),
+        F.round(
+            F.col("o_totalprice")
+            + F.coalesce(F.lag("o_totalprice").over(wt), F.lit(0.0))
+            + F.coalesce(F.lag("o_totalprice", 2).over(wt), F.lit(0.0)), 2
+        ).alias("trailing3_sum"),
+    )
+
+
+@query(
     "q2_best_supplier_per_part",
     """
     WITH shipped AS (
