@@ -236,13 +236,36 @@ def cmd_explain(args) -> int:
 
 
 def cmd_backup(args) -> int:
+    """Snapshot a checkpoint dir (types.rs:897-975 BackupSpec surface:
+    compression + count-based retention; S3/GCS destinations are the
+    same archives copied to a bucket)."""
     src = Path(args.checkpoint)
     if not src.exists():
         print(f"checkpoint dir {src} not found", file=sys.stderr)
         return 1
-    dest = Path(args.output or f"{src}.backup.{int(time.time())}")
-    shutil.copytree(src, dest, dirs_exist_ok=True)
+    stamp = int(time.time())
+    if args.compress == "gzip":
+        base = args.output or f"{src}.backup.{stamp}"
+        dest = Path(shutil.make_archive(str(base), "gztar", root_dir=src))
+    else:
+        dest = Path(args.output or f"{src}.backup.{stamp}")
+        shutil.copytree(src, dest, dirs_exist_ok=True)
     print(f"checkpoint snapshot: {dest}")
+    if args.retention_count:
+        import glob as _glob
+
+        pat = f"{src}.backup.*"
+        snaps = sorted(
+            _glob.glob(pat),
+            key=lambda p: Path(p).stat().st_mtime,
+        )
+        for stale in snaps[: max(0, len(snaps) - args.retention_count)]:
+            p = Path(stale)
+            if p.is_dir():
+                shutil.rmtree(p)
+            else:
+                p.unlink()
+            print(f"retention: removed {stale}")
     return 0
 
 
@@ -317,6 +340,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("backup", help="snapshot a checkpoint dir")
     p.add_argument("checkpoint")
     p.add_argument("-o", "--output")
+    p.add_argument("--compress", choices=["none", "gzip"], default="none")
+    p.add_argument("--retention-count", type=int,
+                   help="keep only the newest N snapshots of this checkpoint")
     p.set_defaults(fn=cmd_backup)
     return ap
 

@@ -166,3 +166,26 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert rc == 0
     assert len(glob.glob(path + "/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 5000
+
+
+def test_cli_backup_compress_and_retention(tmp_path, capsys):
+    import tarfile
+    import time as _time
+
+    from etl_router_spark.cli import main
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "offsets").write_text("42")
+
+    # three compressed snapshots with retention 2: the oldest is pruned
+    for i in range(3):
+        rc = main(["backup", str(ckpt), "-o", str(tmp_path / f"ckpt.backup.{i}"),
+                   "--compress", "gzip", "--retention-count", "2"])
+        assert rc == 0
+        _time.sleep(0.05)
+    import glob
+    snaps = sorted(glob.glob(str(tmp_path / "ckpt.backup.*")))
+    assert len(snaps) == 2
+    with tarfile.open(snaps[-1]) as t:
+        assert any(m.name.endswith("offsets") for m in t.getmembers())
