@@ -238,6 +238,16 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                stride=int(cfg.get("stride", 2048)),
                                id_col=cfg.get("id_field", "doc_id"),
                                text_col=cfg.get("text_field", "text"))
+    if tt == "line_dedup":
+        from etl_router_spark.functions.corpus import line_dedup
+
+        tpl = cfg.get("tokens_per_line")
+        return line_dedup(df, id_col=cfg.get("id_field", "doc_id"),
+                          text_col=cfg.get("text_field", "text"),
+                          delimiter=cfg.get("delimiter", "\n"),
+                          tokens_per_line=int(tpl) if tpl is not None else None,
+                          join_sep=cfg.get("join_sep", "\n"),
+                          out_col=cfg.get("out_field", "text_deduped"))
     if tt == "tfidf":
         from etl_router_spark.functions.indexing import tfidf_topk
 

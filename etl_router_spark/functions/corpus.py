@@ -316,3 +316,101 @@ def assign_splits(
     for threshold, name in reversed(conds):
         expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def segment_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    tokens_per_line: int | None = None,
+) -> DataFrame:
+    """Explode documents into ``(id, line_no, line)`` rows.
+
+    Two segmenters: split on ``delimiter`` (the normal case — real
+    corpora separate paragraphs with newlines), or fixed
+    ``tokens_per_line`` windows for corpora without structural
+    delimiters. Empty/whitespace-only segments are dropped. Pure
+    per-row explode — no shuffle.
+    """
+    if tokens_per_line is not None:
+        if tokens_per_line <= 0:
+            raise ValueError("tokens_per_line must be positive")
+        toks = tokens_col(text_col)
+        n_lines = F.ceil(F.size(toks) / F.lit(float(tokens_per_line))).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * tokens_per_line + 1, tokens_per_line)),
+        )
+    else:
+        segs = F.split(F.col(text_col), F.lit(delimiter).cast("string"), -1)
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(segs).alias("line_no", "line"))
+        .filter(F.trim(F.col("line")) != "")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    tokens_per_line: int | None = None,
+    join_sep: str = "\n",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Cross-document line-level deduplication (the CCNet / RefinedWeb
+    boilerplate-removal pass): every normalized line is kept only at
+    its first global occurrence — ordered by ``(id, line_no)`` — and
+    dropped everywhere else; surviving lines are reassembled in
+    original order.
+
+    Output: one row per input document with ``n_lines`` (after
+    segmentation), ``n_lines_kept`` and ``out_col`` (the cleaned text;
+    empty string when every line was a duplicate).
+
+    Plan shape, sized for 100 TB: winners are found with
+    ``groupBy(line_key).agg(min(struct(id, line_no)))`` — the shuffle
+    carries 8-byte hashes + two ids (never line text) and map-side
+    partial aggregation collapses hot boilerplate lines (cookie
+    banners with df in the millions) before the exchange, so no task
+    ever materializes a hot line's full posting list. Kept lines are
+    then an equi-join on ``(line_key, id, line_no)`` and reassembly is
+    one ``groupBy(id)`` — text crosses the wire twice, the unavoidable
+    minimum for a keep-first-global policy.
+
+    Reference scope note: the reference engine has no corpus operators
+    (`conveyor-etl-dsl/src/types.rs:389-408` is the full transform
+    set); this is part of the training-data surface built on top.
+    """
+    lines = segment_lines(df, id_col, text_col, delimiter, tokens_per_line)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("line")), r"\s+", " "))
+    keyed = lines.withColumn("line_key", h60(norm))
+
+    winners = (
+        keyed.groupBy("line_key")
+        .agg(F.min(F.struct("id", "line_no")).alias("w"))
+        .select("line_key", F.col("w.id").alias("id"), F.col("w.line_no").alias("line_no"))
+    )
+    kept = keyed.join(winners, ["line_key", "id", "line_no"], "left_semi")
+
+    reassembled = kept.groupBy("id").agg(
+        F.count("*").alias("n_lines_kept"),
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    base = df.select(F.col(id_col)).join(
+        totals.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    out = base.join(reassembled.withColumnRenamed("id", id_col), id_col, "left")
+    return (
+        out.withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+    )

@@ -1253,3 +1253,51 @@ ORACLES["dedup_canonical"] = f"""
     LEFT JOIN labels l ON l.id = d.doc_id
     WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
     """
+
+
+# ===========================================================================
+# cross-document line-level dedup (CCNet / RefinedWeb boilerplate pass)
+# ===========================================================================
+@query(
+    "corpus_line_dedup",
+    r"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
+    words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM docs),
+    lines0 AS (
+      SELECT doc_id AS id,
+             list_transform(range(1, greatest(CAST(ceil(len(w)/8.0) AS BIGINT),1)+1),
+                            i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')) AS ls
+      FROM words),
+    lines AS (SELECT id, unnest(range(len(ls))) AS line_no, unnest(ls) AS line FROM lines0),
+    keyed AS (
+      SELECT id, line_no, line,
+             CAST('0x' || substr(md5(lower(regexp_replace(trim(line), '\s+', ' ', 'g'))),1,15) AS BIGINT) AS k
+      FROM lines WHERE trim(line) != ''),
+    win AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY id, line_no) AS rn FROM keyed),
+    kept AS (SELECT * FROM win WHERE rn = 1),
+    reasm AS (SELECT id, count(*) AS n_lines_kept,
+                     string_agg(line, chr(10) ORDER BY line_no) AS text_deduped
+              FROM kept GROUP BY id),
+    tot AS (SELECT id, count(*) AS n_lines FROM keyed GROUP BY id)
+    SELECT d.doc_id, coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           coalesce(r.text_deduped, '') AS text_deduped
+    FROM docs d
+    LEFT JOIN tot t ON t.id = d.doc_id
+    LEFT JOIN reasm r ON r.id = d.doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup: every normalized line survives only
+    at its first global occurrence (ordered by doc_id, line_no) and is
+    stripped everywhere else — the CCNet/RefinedWeb boilerplate-removal
+    pass. The fixture corpus has no newlines, so the gate segments
+    fixed 8-token lines (the operator's fallback segmenter); the
+    delimiter segmenter is pytest-covered. Winner selection shuffles
+    only (hash, id, line_no) with map-side combine — hot boilerplate
+    lines never concentrate a task."""
+    from etl_router_spark.functions.corpus import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    out = line_dedup(docs, tokens_per_line=8)
+    return out.select("doc_id", "n_lines", "n_lines_kept", "text_deduped")

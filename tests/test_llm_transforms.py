@@ -379,3 +379,55 @@ def test_ngram_chunk_blocking_property_random_corpora(spark):
         for chunk in (4, 16):
             assert pairs(chunk) == baseline, f"seed={seed} chunk={chunk}"
         assert len(baseline) > 0
+
+
+def test_line_dedup_delimiter_keeps_first_global_occurrence(spark):
+    from etl_router_spark.functions.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\ncookie banner"),
+            (2, "cookie banner\nunique beta"),
+            (3, "Unique   ALPHA\nfresh gamma"),
+            (4, "cookie banner"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_deduped"])
+        for r in line_dedup(docs).collect()
+    }
+    # doc 1 keeps the first "cookie banner" + "unique alpha"; its own
+    # second copy of the banner is an intra-document duplicate too
+    assert out[1] == (3, 2, "cookie banner\nunique alpha")
+    assert out[2] == (2, 1, "unique beta")
+    # "Unique   ALPHA" normalizes (lower + whitespace collapse) to
+    # doc 1's line -> dropped; doc 3 keeps only its fresh line
+    assert out[3] == (2, 1, "fresh gamma")
+    # every line a duplicate -> empty doc, still present in the output
+    assert out[4] == (1, 0, "")
+
+
+def test_line_dedup_token_segmenter_covers_all_tokens(spark):
+    from etl_router_spark.functions.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d x y z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, tokens_per_line=4).collect()}
+    # 7 tokens -> lines of 4 + 3; doc 2 shares its first 4-token line
+    assert out[1]["n_lines"] == 2 and out[1]["n_lines_kept"] == 2
+    assert out[2]["n_lines"] == 2 and out[2]["n_lines_kept"] == 1
+    assert out[2]["text_deduped"] == "x y z"
+
+
+def test_line_dedup_manifest(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "dup line\nkeep one"), (2, "dup line\nkeep two")], ["doc_id", "text"]
+    ).write.parquet(src)
+    out = _run(spark, src, {"transform_type": "line_dedup"}, str(tmp_path / "o"))
+    rows = {r["doc_id"]: r["text_deduped"] for r in out.collect()}
+    assert rows == {1: "dup line\nkeep one", 2: "keep two"}
