@@ -248,6 +248,18 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                           tokens_per_line=int(tpl) if tpl is not None else None,
                           join_sep=cfg.get("join_sep", "\n"),
                           out_col=cfg.get("out_field", "text_deduped"))
+    if tt == "embedding_normalize":
+        from etl_router_spark.functions.embedding import l2_normalize
+
+        return l2_normalize(df, vec_col=cfg.get("vec_field", "embedding"),
+                            out_col=cfg.get("out_field", "embedding_norm"),
+                            norm_col=cfg.get("norm_field", "l2_norm"))
+    if tt == "embedding_quantize":
+        from etl_router_spark.functions.embedding import quantize_int8
+
+        return quantize_int8(df, vec_col=cfg.get("vec_field", "embedding"),
+                             out_col=cfg.get("out_field", "q_embedding"),
+                             scale_col=cfg.get("scale_field", "q_scale"))
     if tt == "tfidf":
         from etl_router_spark.functions.indexing import tfidf_topk
 

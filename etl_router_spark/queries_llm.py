@@ -1301,3 +1301,69 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
     out = line_dedup(docs, tokens_per_line=8)
     return out.select("doc_id", "n_lines", "n_lines_kept", "text_deduped")
+
+
+# ===========================================================================
+# embedding preprocessing: L2 normalize + symmetric int8 quantization
+# ===========================================================================
+# Serialization: elements are fixed-pointed with floor(x * 10^k) — the
+# engine-portable alternative to round(), whose halfway rule differs
+# between Spark (half-up) and DuckDB. The doubles being floored are
+# IEEE-identical on both sides (same cast + same sequential fold), so
+# the comparison is exact, not tolerance-based.
+@query(
+    "embedding_normalize",
+    """
+    WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+          FROM t)
+    SELECT vec_id, CAST(floor(nrm*1000000) AS BIGINT) AS norm_e6,
+           array_to_string(list_transform(v,
+             x -> CAST(CAST(floor(x/nrm*1000000) AS BIGINT) AS VARCHAR)), ',') AS unit_e6
+    FROM n
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column (cosine == dot product
+    afterwards — the precondition for the GEMM similarity kernels).
+    Pure per-row higher-order-function map, no shuffle, no Python."""
+    from etl_router_spark.functions.embedding import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return l2_normalize(emb).select(
+        "vec_id",
+        F.floor(F.col("l2_norm") * 1e6).cast("bigint").alias("norm_e6"),
+        F.concat_ws(",", F.transform("embedding_norm",
+            lambda v: F.floor(v * 1e6).cast("bigint").cast("string"))).alias("unit_e6"),
+    )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) / 127.0 AS s
+          FROM t)
+    SELECT vec_id, CAST(floor(s*1000000000) AS BIGINT) AS scale_e9,
+           array_to_string(list_transform(v,
+             x -> CAST(CAST(floor(x/s + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q
+    FROM m
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    round-half-up) — 4x smaller vectors for storage/shuffle. The int
+    codes are engine-exact; dequantization error <= scale/2 is
+    pytest-pinned."""
+    from etl_router_spark.functions.embedding import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        "vec_id",
+        F.floor(F.col("q_scale") * 1e9).cast("bigint").alias("scale_e9"),
+        F.concat_ws(",", F.transform("q_embedding", lambda v: v.cast("string"))).alias("q"),
+    )

@@ -431,3 +431,45 @@ def test_line_dedup_manifest(spark, tmp_path):
     out = _run(spark, src, {"transform_type": "line_dedup"}, str(tmp_path / "o"))
     rows = {r["doc_id"]: r["text_deduped"] for r in out.collect()}
     assert rows == {1: "dup line\nkeep one", 2: "keep two"}
+
+
+def test_embedding_normalize_and_quantize_roundtrip(spark):
+    import math
+
+    from etl_router_spark.functions.embedding import (
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [0.0, 0.0]),            # zero vector: passes through, scale 0
+        (3, [-1.5, 2.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    n = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert n[1]["l2_norm"] == 5.0
+    assert n[1]["embedding_norm"] == [0.6, 0.8]
+    assert n[2]["l2_norm"] == 0.0 and n[2]["embedding_norm"] == [0.0, 0.0]
+    assert abs(sum(x * x for x in n[3]["embedding_norm"]) - 1.0) < 1e-12
+
+    q = dequantize_int8(quantize_int8(df))
+    for r in q.collect():
+        orig = dict(rows)[r["vec_id"]]
+        assert all(abs(a) <= 127 for a in r["q_embedding"])
+        scale = r["q_scale"]
+        for a, b in zip(orig, r["embedding_deq"]):
+            assert abs(a - b) <= scale / 2 + 1e-12
+    z = {r["vec_id"]: r for r in q.collect()}[2]
+    assert z["q_scale"] == 0.0 and z["q_embedding"] == [0, 0]
+
+
+def test_embedding_manifest_transforms(spark, tmp_path):
+    src = str(tmp_path / "emb")
+    spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"]).write.parquet(src)
+    out = _run(spark, src, {"transform_type": "embedding_normalize"}, str(tmp_path / "o1"))
+    assert out.collect()[0]["embedding_norm"] == [0.6, 0.8]
+    out2 = _run(spark, src, {"transform_type": "embedding_quantize"}, str(tmp_path / "o2"))
+    assert out2.collect()[0]["q_embedding"] == [95, 127]
