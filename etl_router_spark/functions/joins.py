@@ -38,16 +38,27 @@ def asof_join(
     right_ts: str | None = None,
     tolerance_sec: float | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row of the same key
-    with ``right.ts <= left.ts`` (backward as-of, inclusive — DuckDB
-    ``ASOF JOIN ON l.ts >= r.ts`` semantics). Left join: unmatched left
-    rows keep nulls. ``tolerance_sec`` drops matches older than the
-    given horizon.
+    """For each left row, attach one right row of the same key chosen
+    by ``direction`` (all bounds inclusive):
+
+    - ``backward`` (default): latest right with ``r.ts <= l.ts`` —
+      DuckDB ``ASOF JOIN ON l.ts >= r.ts`` semantics.
+    - ``forward``: earliest right with ``r.ts >= l.ts``.
+    - ``nearest``: whichever of the two is closer in time; exact ties
+      resolve backward.
+
+    Left join: unmatched left rows keep nulls. ``tolerance_sec`` drops
+    matches farther than the horizon (applied per direction before the
+    nearest tie-break).
 
     Right payload columns arrive suffixed; the matched right timestamp
-    is ``<right_ts><suffix>``.
+    is ``<right_ts><suffix>``. One keyed shuffle regardless of
+    direction — the union-marker window never explodes candidate pairs.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
 
@@ -71,23 +82,65 @@ def asof_join(
         F.lit(None).cast(r_side.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in l_payload],
     )
-    # right (0) sorts before left (1) at equal ts => inclusive match
-    w = (
+    if direction in ("forward", "nearest") and right_ts not in r_payload:
+        raise ValueError(
+            f"direction={direction!r} needs the right timestamp column "
+            f"{right_ts!r} outside the join keys"
+        )
+    # backward: right (0) sorts before left (1) at equal ts, frame ends
+    # at the current row => the equal-ts right row is inside => inclusive
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        l_side.unionByName(r_side)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__is_left") == 1)
+    # forward mirror: right sorts AFTER left at equal ts, frame starts
+    # at the current row => equal-ts right row still visible
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    match_t = F.col(f"__match.{right_ts}") if right_ts in r_payload else F.lit(None)
-    if tolerance_sec is not None and right_ts in r_payload:
-        horizon = F.col("__t").cast("double") - F.lit(float(tolerance_sec))
+    u = l_side.unionByName(r_side)
+    if direction == "backward":
+        carried = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w_b))
+    elif direction == "forward":
+        carried = u.withColumn("__match", F.first("__r", ignorenulls=True).over(w_f))
+    else:
+        carried = u.withColumn(
+            "__mb", F.last("__r", ignorenulls=True).over(w_b)
+        ).withColumn("__mf", F.first("__r", ignorenulls=True).over(w_f))
+    carried = carried.filter(F.col("__is_left") == 1)
+
+    lt = F.col("__t").cast("double")
+
+    def _within(match: Column, backward: bool) -> Column:
+        """Null out a directional match beyond the tolerance horizon."""
+        if tolerance_sec is None or right_ts not in r_payload:
+            return match
+        mt = match[right_ts].cast("double")
+        ok = (
+            mt >= lt - F.lit(float(tolerance_sec))
+            if backward
+            else mt <= lt + F.lit(float(tolerance_sec))
+        )
+        return F.when(ok, match)
+
+    if direction == "nearest":
+        mb = _within(F.col("__mb"), backward=True)
+        mf = _within(F.col("__mf"), backward=False)
+        tb = mb[right_ts].cast("double")
+        tf = mf[right_ts].cast("double")
         carried = carried.withColumn(
             "__match",
-            F.when(match_t.cast("double") >= horizon, F.col("__match")),
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(lt - tb <= tf - lt, mb)
+            .otherwise(mf),
+        ).drop("__mb", "__mf")
+    else:
+        carried = carried.withColumn(
+            "__match", _within(F.col("__match"), backward=direction == "backward")
         )
     return carried.select(
         *[F.col(k) for k in keys],

@@ -2745,6 +2745,58 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_order_stats",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): all four grouping levels in
+    ONE aggregation pass — Spark expands the sets before the shuffle
+    (Expand node), so the fact table is scanned once, not 4x."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority", "o_totalprice")
+    return (
+        o.cube(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets_revenue",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail, per-status subtotal, grand
+    total — a rollup that SKIPS the per-priority level): the
+    DataFrame.groupingSets API, still one Expand + one shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority", "o_totalprice")
+    # grouping cols must be passed UN-aliased (an alias breaks their
+    # match against the grouping-set expressions); rename afterwards
+    return (
+        o.groupingSets([["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+                       F.col("o_orderstatus"), F.col("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumnsRenamed({"o_orderstatus": "status", "o_orderpriority": "priority"})
+    )
+
+
+@query(
     "q_pivot_event_matrix",
     f"""
     SELECT user_id % 10 AS user_bucket,

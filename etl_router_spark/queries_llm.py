@@ -1367,3 +1367,72 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("q_scale") * 1e9).cast("bigint").alias("scale_e9"),
         F.concat_ws(",", F.transform("q_embedding", lambda v: v.cast("string"))).alias("q"),
     )
+
+
+@query(
+    "asof_join_forward",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+               FROM events),
+    p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, p.ts, round(p.value, 6) AS value,
+           c.ts AS ts_r, round(c.value, 6) AS value_r
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase gets the EARLIEST click of the
+    same user at or after it (mirrored union-marker window — still one
+    keyed shuffle). Oracle: DuckDB ASOF LEFT JOIN with the inequality
+    flipped."""
+    from etl_router_spark.functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("value"))
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                     direction="forward").select(
+        "user_id", "event_id", "ts", "value", "ts_r", "value_r"
+    )
+
+
+@query(
+    "asof_join_nearest",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+               FROM events),
+    p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, c.ts AS bts, c.value AS bval
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (SELECT p.event_id, c.ts AS fts, c.value AS fval
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT p.user_id, p.event_id, p.ts, round(p.value, 6) AS value,
+           CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+                WHEN epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts)
+                THEN bts ELSE fts END AS ts_r,
+           round(CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+                      WHEN epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts)
+                      THEN bval ELSE fval END, 6) AS value_r
+    FROM p JOIN b ON b.event_id = p.event_id
+           JOIN f ON f.event_id = p.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the click closest in time to each purchase,
+    ties resolved backward. Both directional matches come from the SAME
+    single keyed shuffle (two window passes over one union)."""
+    from etl_router_spark.functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("value"))
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                     direction="nearest").select(
+        "user_id", "event_id", "ts", "value", "ts_r", "value_r"
+    )

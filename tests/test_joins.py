@@ -98,3 +98,66 @@ def test_range_join_no_nested_loop(spark):
     right = spark.createDataFrame([(2, ts("2024-01-01T10:01:00"))], "id long, ts timestamp")
     plan = range_join(left, right, "ts", "ts", 0.0, 300.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, "L0"), (1, t0 + dt.timedelta(seconds=100), "L1")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0, 10.0),                                  # equal ts -> inclusive
+            (1, t0 + dt.timedelta(seconds=130), 20.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {r["tag"]: r for r in
+           asof_join(left, right, on="k", direction="forward").collect()}
+    assert out["L0"]["v_r"] == 10.0          # equal-ts right row matches
+    assert out["L1"]["v_r"] == 20.0          # earliest at-or-after
+    tol = {r["tag"]: r for r in
+           asof_join(left, right, on="k", direction="forward",
+                     tolerance_sec=10.0).collect()}
+    assert tol["L0"]["v_r"] == 10.0
+    assert tol["L1"]["v_r"] is None          # 30s away > 10s horizon
+
+
+def test_asof_nearest_picks_closer_and_breaks_ties_backward(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=100), "mid"),
+         (1, t0 + dt.timedelta(seconds=250), "tie")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=90), 1.0),    # 10s before "mid"
+         (1, t0 + dt.timedelta(seconds=103), 2.0),   # 3s after "mid"
+         (1, t0 + dt.timedelta(seconds=200), 3.0),   # 50s before "tie"
+         (1, t0 + dt.timedelta(seconds=300), 4.0)],  # 50s after "tie"
+        ["k", "ts", "v"],
+    )
+    out = {r["tag"]: r["v_r"] for r in
+           asof_join(left, right, on="k", direction="nearest").collect()}
+    assert out["mid"] == 2.0      # forward match is closer
+    assert out["tie"] == 3.0      # exact tie resolves backward
+
+
+def test_asof_nearest_one_sided_matches(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, "only-forward")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=5), 7.0)], ["k", "ts", "v"]
+    )
+    out = asof_join(left, right, on="k", direction="nearest").collect()[0]
+    assert out["v_r"] == 7.0
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="sideways")
