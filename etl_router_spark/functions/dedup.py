@@ -505,18 +505,28 @@ def minhash_lsh_join(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    left_signatures: DataFrame | None = None,
+    right_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-set LSH candidates: (left, right) pairs sharing a band key
     with estimated Jaccard >= threshold — incremental dedup of a new
     batch against an existing corpus (the text twin of
     :func:`embedding_cosine_join`).
 
-    Both sides compute signatures independently (in production the
-    right side is a stored signature table — signatures are
-    incremental by construction); the join is per-band-bucket on the
-    band hash, so cost ∝ matching buckets, never |left|×|right|.
-    Output ids: ``id_left`` / ``id_right`` (sides kept distinct — the
-    same id may appear on both).
+    Both sides compute signatures independently; the join is
+    per-band-bucket on the band hash, so cost ∝ matching buckets,
+    never |left|×|right|. Output ids: ``id_left`` / ``id_right``
+    (sides kept distinct — the same id may appear on both).
+
+    ``left_signatures`` / ``right_signatures`` take a PRECOMPUTED
+    :func:`minhash_signatures` output (schema ``id, mh_0..mh_{k-1}``,
+    e.g. a parquet signature table maintained incrementally) for that
+    side instead of recomputing from text — at 100 TB this is the
+    production shape: the corpus side's signatures are written once
+    per ingest batch and only the new batch ever re-shingles, so the
+    nightly dedup never re-reads corpus text. The corresponding
+    ``left``/``right`` frame is ignored for that side (pass the
+    signature frame's own ids).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -528,16 +538,25 @@ def minhash_lsh_join(
         for b in range(bands)
     )
 
-    def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    def banded(df: DataFrame, precomputed: DataFrame | None) -> DataFrame:
+        if precomputed is not None:
+            missing = [c for c in ["id", *sig_cols] if c not in precomputed.columns]
+            if missing:
+                raise ValueError(
+                    f"signature frame is missing columns {missing} — expected "
+                    f"minhash_signatures output for num_hashes={num_hashes}"
+                )
+            sig = precomputed
+        else:
+            sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
         return sig.selectExpr(
             "id",
             f"array({', '.join(sig_cols)}) AS sig",
             f"explode(array({band_keys})) AS band_key",
         )
 
-    lb = banded(left).selectExpr("id AS id_left", "sig AS sig_l", "band_key")
-    rb = banded(right).selectExpr("id AS id_right", "sig AS sig_r", "band_key")
+    lb = banded(left, left_signatures).selectExpr("id AS id_left", "sig AS sig_l", "band_key")
+    rb = banded(right, right_signatures).selectExpr("id AS id_right", "sig AS sig_r", "band_key")
     agree = "size(filter(zip_with(sig_l, sig_r, (p, q) -> p = q), t -> t))"
     return (
         lb.join(rb, "band_key")

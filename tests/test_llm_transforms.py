@@ -473,3 +473,28 @@ def test_embedding_manifest_transforms(spark, tmp_path):
     assert out.collect()[0]["embedding_norm"] == [0.6, 0.8]
     out2 = _run(spark, src, {"transform_type": "embedding_quantize"}, str(tmp_path / "o2"))
     assert out2.collect()[0]["q_embedding"] == [95, 127]
+
+
+def test_minhash_lsh_join_stored_signature_table(spark, sf_dir, tmp_path):
+    """The incremental-dedup production shape: the corpus side's
+    signatures come from a stored parquet table; results must be
+    byte-identical to recomputing from text."""
+    from etl_router_spark.functions.dedup import minhash_lsh_join, minhash_signatures
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") < 150)
+    seen = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 400))
+
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures(seen, num_hashes=8).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    kw = dict(num_hashes=8, bands=4, threshold=0.5)
+    recomputed = {tuple(r) for r in minhash_lsh_join(new, seen, **kw).collect()}
+    from_table = {tuple(r) for r in
+                  minhash_lsh_join(new, seen, right_signatures=stored, **kw).collect()}
+    assert recomputed == from_table and len(from_table) > 0
+
+    with pytest.raises(ValueError, match="missing columns"):
+        minhash_lsh_join(new, seen, right_signatures=stored.drop("mh_7"), **kw)
