@@ -3191,3 +3191,64 @@ def all_oracles() -> dict[str, str]:
     from etl_router_spark import queries_llm, queries_streaming  # noqa: F401
 
     return {n: ORACLES[n] for n in _signal_order(QUERIES) if n in ORACLES}
+
+
+@query(
+    "source_json_malformed_modes",
+    f"""
+    WITH base AS (SELECT event_id, event_type FROM {EVENTS_US}
+                  WHERE event_id < 300)
+    SELECT CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_id END   AS event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+           event_id % 10 = 0                                         AS was_corrupt,
+           CAST(count(*) OVER () AS BIGINT)                          AS permissive_rows,
+           CAST(sum(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END)
+                OVER () AS BIGINT)                                   AS dropmalformed_rows
+    FROM base
+    """,
+)
+def source_json_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the JSON file source (S8 parser
+    contract, `types.rs:269-288` format field): a staging jsonl where
+    every 10th record is truncated mid-value is read back in PERMISSIVE
+    mode (corrupt rows surface as nulls + `_corrupt_record`) and in
+    DROPMALFORMED mode (corrupt rows vanish); the gate emits the
+    per-row corrupt flag plus both modes' row counts so the two
+    contracts are value-checked together."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    staging = tempfile.mkdtemp(prefix="etl_json_mal_") + "/events_jsonl"
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"),
+                     F.lit(', "event_type": BROKEN')),
+        ).otherwise(
+            F.to_json(F.struct("event_id", "event_type"))
+        ).alias("value")
+    )
+    write_sink(lines, {"sink_type": "file", "format": "lines", "path": staging,
+                       "mode": "overwrite"})
+
+    schema = "event_id BIGINT, event_type STRING, _corrupt_record STRING"
+    permissive = read_source(spark, {
+        "source_type": "file", "format": "json", "path": staging,
+        "schema": schema,
+        "options": {"mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record"},
+    }, streaming=False)
+    # one pass, both contracts: corrupt flag per row + global counts;
+    # DROPMALFORMED row count == PERMISSIVE minus corrupt (checked
+    # against a real DROPMALFORMED read in tests)
+    w = Window.partitionBy()
+    return permissive.select(
+        "event_id", "event_type",
+        F.col("_corrupt_record").isNotNull().alias("was_corrupt"),
+        F.count("*").over(w).cast("long").alias("permissive_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+         .over(w).cast("long").alias("dropmalformed_rows"),
+    )

@@ -26,6 +26,8 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
         elif stype == "gcs":
             path = f"gs://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
         fmt = (cfg.get("format") or "parquet").lower()
+        if fmt == "lines":  # reference's line-delimited text (types.rs:280)
+            fmt = "text"
         writer = df.write.format(fmt).mode(cfg.get("mode", "append"))
         # scale: partition the sink by natural keys -> partition pruning
         # for downstream readers

@@ -75,6 +75,11 @@ def _file_reader(spark: SparkSession, cfg: dict[str, Any], streaming: bool, path
         opts["mergeSchema"] = "true"
     if cfg.get("recursive"):
         opts["recursiveFileLookup"] = "true"
+    # generic reader-option passthrough (parser mode, corrupt-record
+    # column, multiline, samplingRatio, ...) — explicit keys above win
+    for k, v in (cfg.get("options") or {}).items():
+        opts.setdefault(str(k), v if isinstance(v, str) else str(v).lower()
+                        if isinstance(v, bool) else str(v))
     schema = cfg.get("schema")
     if schema is None and (streaming or watch):
         # file streams require a schema; bootstrap it from the files

@@ -170,3 +170,22 @@ def test_jdbc_streaming_rejected(spark):
 def test_unknown_source_type(spark):
     with pytest.raises(ValueError, match="unknown source_type"):
         read_source(spark, {"source_type": "carrier_pigeon"})
+
+
+def test_json_dropmalformed_drops_exactly_corrupt_rows(spark, tmp_path):
+    """DROPMALFORMED must drop exactly the rows PERMISSIVE flags
+    corrupt (the malformed-modes gate emits both counts from one
+    PERMISSIVE read; this pins the real DROPMALFORMED reader against
+    it)."""
+    from etl_router_spark.sources.registry import read_source
+
+    p = str(tmp_path / "j")
+    spark.createDataFrame(
+        [('{"a": 1}',), ('{"a": BROKEN',), ('{"a": 3}',)], ["value"]
+    ).coalesce(1).write.text(p)
+    dropped = read_source(spark, {
+        "source_type": "file", "format": "json", "path": p,
+        "schema": "a BIGINT",
+        "options": {"mode": "DROPMALFORMED"},
+    }, streaming=False)
+    assert sorted(r["a"] for r in dropped.collect()) == [1, 3]
