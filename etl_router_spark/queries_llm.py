@@ -1436,3 +1436,93 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      direction="nearest").select(
         "user_id", "event_id", "ts", "value", "ts_r", "value_r"
     )
+
+
+@query("dedup_incremental_batches", None)  # oracle attached below
+def dedup_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four id-ordered ingest batches deduped INCREMENTALLY against a
+    growing parquet signature table (the nightly-pipeline shape: only
+    the new batch is ever re-shingled; prior batches contribute stored
+    signatures via ``right_signatures``). A new document is dropped
+    when it LSH-matches (est Jaccard >= 0.5) any smaller-id document —
+    in an earlier batch (cross-set join against the table) or its own
+    (within-batch pairs). Dropped documents still append their
+    signatures, so they keep blocking later near-dups.
+
+    The oracle is the GLOBAL one-shot formulation (every a<b pair over
+    the whole corpus), so the gate pins the invariant that incremental
+    processing over any id-ordered batching equals the global result.
+    Every per-batch step is a bounded bucket join — the corpus text is
+    read once per batch, never re-scanned."""
+    import tempfile
+
+    from etl_router_spark.functions.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = tempfile.mkdtemp(prefix="etl_incdedup_")
+    sig_paths: list[str] = []
+    dropped_dir = f"{wd}/dropped"
+    first = True
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600), (600, 800)]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        sig_path = f"{wd}/sigs/batch_{i}"
+        minhash_signatures(batch, num_hashes=8).write.parquet(sig_path)
+        sig_b = spark.read.parquet(sig_path)
+
+        within = (
+            minhash_lsh_pairs(batch, num_hashes=8, bands=4, threshold=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        if sig_paths:
+            prior = spark.read.parquet(*sig_paths)
+            cross = (
+                minhash_lsh_join(batch, batch, num_hashes=8, bands=4, threshold=0.5,
+                                 left_signatures=sig_b, right_signatures=prior)
+                .select(F.col("id_left").alias("doc_id"))
+            )
+            dropped = within.unionByName(cross)
+        else:
+            dropped = within
+        dropped.distinct().write.mode("overwrite" if first else "append").parquet(dropped_dir)
+        first = False
+        sig_paths.append(sig_path)
+
+    dropped_all = spark.read.parquet(dropped_dir)
+    return (
+        docs.filter(F.col("doc_id") < 800)
+        .join(dropped_all, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    bands_sql = """
+      SELECT id, unnest([
+        md5('0,' || CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)),
+        md5('1,' || CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)),
+        md5('2,' || CAST(mh_4 AS VARCHAR) || ',' || CAST(mh_5 AS VARCHAR)),
+        md5('3,' || CAST(mh_6 AS VARCHAR) || ',' || CAST(mh_7 AS VARCHAR))
+      ]) AS band_key FROM sig"""
+    agree = " + ".join(f"(sa.mh_{i} = sb.mh_{i})::INT" for i in range(8))
+    return f"""
+    WITH sig AS ({_minhash_sig_oracle(8, "doc_id < 800")}),
+    banded AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id),
+    est AS (
+      SELECT c.id_a, c.id_b, ({agree}) / 8.0 AS j
+      FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b),
+    dropped AS (SELECT DISTINCT id_b FROM est WHERE j >= 0.5)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id < 800
+      AND d.doc_id NOT IN (SELECT id_b FROM dropped)
+    """
+
+
+ORACLES["dedup_incremental_batches"] = _incremental_dedup_oracle()

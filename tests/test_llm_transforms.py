@@ -498,3 +498,45 @@ def test_minhash_lsh_join_stored_signature_table(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="missing columns"):
         minhash_lsh_join(new, seen, right_signatures=stored.drop("mh_7"), **kw)
+
+
+def test_incremental_dedup_invariant_any_batching(spark, sf_dir, tmp_path):
+    """Incremental dedup over id-ordered batches must equal the global
+    one-shot result regardless of how the corpus is batched."""
+    from etl_router_spark.functions.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+
+    def incremental(cuts, tag):
+        sig_paths, dropped = [], set()
+        for i, (lo, hi) in enumerate(cuts):
+            batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            p = str(tmp_path / tag / f"b{i}")
+            minhash_signatures(batch, num_hashes=8).write.parquet(p)
+            sig_b = spark.read.parquet(p)
+            ids = {r["id_b"] for r in
+                   minhash_lsh_pairs(batch, num_hashes=8, bands=4, threshold=0.5)
+                   .select("id_b").collect()}
+            if sig_paths:
+                prior = spark.read.parquet(*sig_paths)
+                ids |= {r["id_left"] for r in
+                        minhash_lsh_join(batch, batch, num_hashes=8, bands=4,
+                                         threshold=0.5, left_signatures=sig_b,
+                                         right_signatures=prior)
+                        .select("id_left").collect()}
+            dropped |= ids
+            sig_paths.append(p)
+        return dropped
+
+    one_shot = {r["id_b"] for r in
+                minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+                .select("id_b").collect()}
+    assert incremental([(0, 300)], "one") == one_shot
+    assert incremental([(0, 150), (150, 300)], "two") == one_shot
+    assert incremental([(0, 100), (100, 200), (200, 300)], "three") == one_shot
+    assert len(one_shot) > 0
