@@ -248,6 +248,14 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                           tokens_per_line=int(tpl) if tpl is not None else None,
                           join_sep=cfg.get("join_sep", "\n"),
                           out_col=cfg.get("out_field", "text_deduped"))
+    if tt == "text_normalize":
+        from etl_router_spark.functions.text import normalize_text
+
+        return normalize_text(df, text_col=cfg.get("text_field", "text"),
+                              out_col=cfg.get("out_field", "text_norm"),
+                              lowercase=bool(cfg.get("lowercase", True)),
+                              strip_non_alnum=bool(cfg.get("strip_non_alnum", False)),
+                              collapse_whitespace=bool(cfg.get("collapse_whitespace", True)))
     if tt == "embedding_normalize":
         from etl_router_spark.functions.embedding import l2_normalize
 

@@ -350,3 +350,31 @@ def char_entropy(
         f"0.0D, (acc, p) -> acc + p * log2(p)) END"
     )
     return df.selectExpr("*", f"round({expr}, 6) AS {out_col}")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+    strip_non_alnum: bool = False,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Canonical text normalization (the pass run before hashing /
+    dedup / tokenization so near-identical bytes compare equal):
+    lowercase -> optionally replace every non-[a-z0-9 ] rune with a
+    space -> collapse whitespace runs and trim.
+
+    Pure column expressions, no shuffle. The regexes stay inside the
+    ASCII classes both Spark (Java regex) and DuckDB (RE2) interpret
+    identically, so the oracle is engine-exact; real deployments can
+    widen the classes per their regex engine.
+    """
+    c: Column = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_non_alnum:
+        c = F.regexp_replace(c, r"[^a-z0-9 \t\n\r]" if lowercase else r"[^A-Za-z0-9 \t\n\r]", " ")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

@@ -28,7 +28,7 @@ KNOWN_TRANSFORMS = {
     "tfidf", "heavy_hitters", "inverted_index", "group_topk", "global_shuffle",
     "dedup_cluster", "cdc_apply", "split_assign", "unigram_logprob",
     "dedup_ngram", "ngram_counts", "char_entropy", "line_dedup",
-    "embedding_normalize", "embedding_quantize",
+    "embedding_normalize", "embedding_quantize", "text_normalize",
 }
 
 KNOWN_SOURCES = {

@@ -1526,3 +1526,23 @@ def _incremental_dedup_oracle() -> str:
 
 
 ORACLES["dedup_incremental_batches"] = _incremental_dedup_oracle()
+
+
+@query(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS text_norm
+    FROM documents WHERE doc_id < 600
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lower -> strip non-alphanumeric ->
+    collapse whitespace) — the pass before any hash-based dedup. Pure
+    per-row expressions, zero shuffle."""
+    from etl_router_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return normalize_text(docs, strip_non_alnum=True).select("doc_id", "text_norm")

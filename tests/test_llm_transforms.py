@@ -540,3 +540,54 @@ def test_incremental_dedup_invariant_any_batching(spark, sf_dir, tmp_path):
     assert incremental([(0, 150), (150, 300)], "two") == one_shot
     assert incremental([(0, 100), (100, 200), (200, 300)], "three") == one_shot
     assert len(one_shot) > 0
+
+
+def test_text_normalize_flags(spark):
+    from etl_router_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(1, "  Héllo,   WORLD!!  42  ")], ["doc_id", "text"])
+    full = normalize_text(df, strip_non_alnum=True).collect()[0]["text_norm"]
+    assert full == "h llo world 42"
+    keep_punct = normalize_text(df).collect()[0]["text_norm"]
+    assert keep_punct == "héllo, world!! 42"
+    no_lower = normalize_text(df, lowercase=False, strip_non_alnum=True
+                              ).collect()[0]["text_norm"]
+    assert no_lower == "H llo WORLD 42"
+
+
+def test_text_normalize_manifest(spark, tmp_path):
+    src = str(tmp_path / "d")
+    spark.createDataFrame([(1, "A  B!")], ["doc_id", "text"]).write.parquet(src)
+    out = _run(spark, src,
+               {"transform_type": "text_normalize", "strip_non_alnum": True},
+               str(tmp_path / "o"))
+    assert out.collect()[0]["text_norm"] == "a b"
+
+
+def test_round4_example_manifests_compile(spark, tmp_path):
+    """The new example manifests must parse, validate and compile
+    end-to-end against local fixture data."""
+    import yaml
+
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "dup\nkeep a"), (2, "dup\nkeep b")], ["doc_id", "text"]
+    ).write.parquet(docs)
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"]).write.parquet(emb)
+
+    for name, src, sink_key in [
+        ("boilerplate-clean.yaml", docs, "cleaned"),
+        ("embedding-prep.yaml", emb, "serving_table"),
+    ]:
+        with open(f"examples/manifests/{name}") as fh:
+            doc = yaml.safe_load(fh)
+        doc["spec"]["stages"][0]["config"]["path"] = src
+        doc["spec"]["stages"][-1]["config"]["path"] = str(tmp_path / f"out_{name}")
+        for st in doc["spec"]["stages"]:
+            if st["config"].get("transform_type") == "hash_sample":
+                st["config"]["rate"] = 1.0  # 2-row fixture: keep everything
+        frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+        assert frames[sink_key].count() >= 1
