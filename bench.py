@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dedup_minhash_join",
     "corpus_pack_sequences",
     "q_window_funcs",
+    # round 4 second pass: the heaviest new operator, tracked from birth
+    "corpus_line_dedup",
 ]
 
 

@@ -390,25 +390,36 @@ def line_dedup(
     winners = (
         keyed.groupBy("line_key")
         .agg(F.min(F.struct("id", "line_no")).alias("w"))
-        .select("line_key", F.col("w.id").alias("id"), F.col("w.line_no").alias("line_no"))
+        .select(
+            "line_key",
+            F.col("w.id").alias("id"),
+            F.col("w.line_no").alias("line_no"),
+            F.lit(True).alias("__won"),
+        )
     )
-    kept = keyed.join(winners, ["line_key", "id", "line_no"], "left_semi")
-
-    reassembled = kept.groupBy("id").agg(
-        F.count("*").alias("n_lines_kept"),
+    # flag instead of filter: per-doc totals, kept counts and the
+    # reassembled text all come from ONE groupBy(id) over the flagged
+    # lines — a separate totals pass would shuffle the full line
+    # stream by id a second time
+    flagged = keyed.join(winners, ["line_key", "id", "line_no"], "left")
+    per_doc = flagged.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("__won"), 1)).alias("n_lines_kept"),
         F.concat_ws(
             join_sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                # collect_list drops the nulls the when() leaves for
+                # losing lines, so only winners reach the sort
+                F.array_sort(
+                    F.collect_list(F.when(F.col("__won"), F.struct("line_no", "line")))
+                ),
                 lambda s: s["line"],
             ),
         ).alias(out_col),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
-    base = df.select(F.col(id_col)).join(
-        totals.withColumnRenamed("id", id_col), id_col, "left"
+    out = df.select(F.col(id_col)).join(
+        per_doc.withColumnRenamed("id", id_col), id_col, "left"
     )
-    out = base.join(reassembled.withColumnRenamed("id", id_col), id_col, "left")
     return (
         out.withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
         .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))

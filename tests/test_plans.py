@@ -197,3 +197,40 @@ def test_q20_scalar_threshold_reuses_shipped_exchange(spark, sf_dir):
 def test_q11_scalar_threshold_reuses_pv_exchange(spark, sf_dir):
     desc = _executed_plan(spark, sf_dir, "q11_important_parts")
     assert "ReusedExchange" in desc or "ReusedQueryStage" in desc
+
+
+def test_line_dedup_no_window_no_text_in_winner_shuffle(plans):
+    """line_dedup's winner selection must be a partial-agg groupBy
+    (map-side combine kills hot boilerplate lines), never a window sort
+    over the line stream; the plan carries no Window at all."""
+    plan = plans("corpus_line_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "merge_min" in plan or "min(" in plan
+    # one groupBy(id) over the flagged lines serves totals + kept
+    # counts + reassembly: the line stream must shuffle by id ONCE
+    assert plan.count("hashpartitioning(id#") <= 2  # join sides of flag join excluded
+
+
+def test_embedding_ops_are_shuffle_free(plans):
+    """Normalization and quantization are per-row column maps — zero
+    Exchange in either plan."""
+    assert "Exchange" not in plans("embedding_normalize")
+    assert "Exchange" not in plans("embedding_quantize")
+
+
+def test_asof_nearest_single_keyed_shuffle(spark, sf_dir):
+    """nearest-direction as-of: both window passes must reuse ONE
+    hash partitioning on the join key — no second Exchange for the
+    descending tie order, and never a pair-explosion join."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.joins import asof_join
+    from etl_router_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    plan = asof_join(p, c, on="user_id", direction="nearest")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") <= 2  # two sides of the union
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 2  # backward + forward pass, same partitioning
