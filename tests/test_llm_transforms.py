@@ -591,3 +591,67 @@ def test_round4_example_manifests_compile(spark, tmp_path):
                 st["config"]["rate"] = 1.0  # 2-row fixture: keep everything
         frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
         assert frames[sink_key].count() >= 1
+
+
+def test_quantized_ann_recall_at_10(spark, sf_dir):
+    """int8 quantization must preserve ANN quality: top-10 neighbors
+    computed on dequantized vectors recall >= 0.9 of the exact float
+    top-10 (max reconstruction error is scale/2 per coordinate)."""
+    from etl_router_spark.functions.embedding import dequantize_int8, quantize_int8
+    from etl_router_spark.functions.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    exact = brute_force_topk(queries, emb, k=10)
+    deq = dequantize_int8(quantize_int8(emb)).select(
+        "vec_id", F.col("embedding_deq").alias("embedding"))
+    approx = brute_force_topk(deq.filter(F.col("vec_id") < 20), deq, k=10)
+
+    def neighbors(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, a = neighbors(exact), neighbors(approx)
+    assert set(e) == set(a)
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_line_dedup_matches_reference_simulation_random_corpora(spark):
+    """Randomized cross-check: line_dedup against a pure-Python
+    first-global-occurrence simulation over random corpora with heavy
+    line collisions."""
+    import random
+
+    from etl_router_spark.functions.corpus import line_dedup
+
+    vocab = ["alpha beta", "gamma delta", "epsilon zeta", "eta theta", "iota kappa"]
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(30):
+            n = rng.randint(0, 5)
+            rows.append((doc_id, "\n".join(rng.choice(vocab) for _ in range(n))))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        seen, expected = set(), {}
+        for doc_id, text in rows:
+            kept = []
+            total = 0
+            for line in text.split("\n"):
+                if not line.strip():
+                    continue
+                total += 1
+                key = " ".join(line.lower().split())
+                if key not in seen:
+                    seen.add(key)
+                    kept.append(line)
+            expected[doc_id] = (total, len(kept), "\n".join(kept))
+
+        got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_deduped"])
+               for r in line_dedup(docs).collect()}
+        assert got == expected, f"seed={seed}"
