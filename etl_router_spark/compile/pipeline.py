@@ -156,6 +156,16 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              id_col=cfg.get("id_field", "doc_id"),
                              salt_cap=cfg.get("salt_cap", 512))
     if tt == "dedup_embedding":
+        if cfg.get("method") == "lsh":
+            from etl_router_spark.functions.dedup import embedding_lsh_pairs
+
+            return embedding_lsh_pairs(df, dim=int(cfg["dim"]),
+                                       id_col=cfg.get("id_field", "vec_id"),
+                                       vec_col=cfg.get("vec_field", "embedding"),
+                                       threshold=float(cfg.get("threshold", 0.95)),
+                                       planes=int(cfg.get("planes", 8)),
+                                       tables=int(cfg.get("tables", 2)),
+                                       salt_cap=cfg.get("salt_cap", 512))
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
         return embedding_cosine_pairs(df, id_col=cfg.get("id_field", "vec_id"),

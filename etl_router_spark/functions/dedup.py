@@ -879,6 +879,54 @@ def cosine_cols(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 2,
+    salt_cap: int | None = 512,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH buckets —
+    the 100 TB path PAST block GEMM: :func:`embedding_cosine_pairs`
+    compares every block pair (B(B+1)/2 tasks over the whole corpus);
+    here only vectors sharing a sign-pattern bucket in >= 1 of
+    ``tables`` hash tables are compared, so cost follows bucket
+    occupancy, not corpus size squared. Recall is tunable with
+    ``planes`` (coarser buckets) / ``tables`` (more chances to
+    collide); exact cosine then filters candidates, so precision is
+    exact. Hyperplanes are md5-derived literals (same constants the
+    DuckDB oracle embeds — no RNG state to ship).
+
+    Bucket pair generation reuses the salted collect_list machinery
+    (:func:`_bucket_local_pairs`): a degenerate corpus of near-identical
+    embeddings cannot single-task the job. Output: (id_a < id_b,
+    cosine rounded 1e-6), threshold-filtered BEFORE the cross-table
+    distinct.
+    """
+    from etl_router_spark.functions.similarity import lsh_bucket_keys_sql
+
+    keys = lsh_bucket_keys_sql(f"CAST({vec_col} AS ARRAY<DOUBLE>)", dim, planes, tables)
+    buckets = df.selectExpr(
+        f"{id_col} AS id",
+        f"CAST({vec_col} AS ARRAY<DOUBLE>) AS vec",
+        f"explode({keys}) AS bucket",
+    )
+    pairs = _bucket_local_pairs(buckets, ["bucket"], salt_cap)
+    cos = F.round(cosine_cols(F.col("x.vec"), F.col("y.vec")), 6)
+    return (
+        pairs.select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

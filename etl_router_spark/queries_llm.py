@@ -1546,3 +1546,47 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     return normalize_text(docs, strip_non_alnum=True).select("doc_id", "text_norm")
+
+
+def _embedding_lsh_pairs_oracle(planes: int, tables: int, dim: int, threshold: float) -> str:
+    key_parts = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            h = _hyperplane(dim, t * planes + p)
+            arr = "[" + ", ".join(f"{x!r}" for x in h) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        key_parts.append(f"'{t}:' || CAST(({' + '.join(bits)}) AS VARCHAR)")
+    keys = "[" + ", ".join(key_parts) + "]"
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    keyed AS (SELECT vec_id, v, unnest({keys}) AS bucket FROM vecs),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+      FROM cand
+      JOIN vecs va ON va.vec_id = cand.id_a
+      JOIN vecs vb ON vb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", None)  # oracle attached below
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through hyperplane-LSH buckets (3
+    planes x 4 tables) + exact cosine filter — the scale path past
+    all-blocks GEMM: only bucket-sharing vectors are ever compared."""
+    from etl_router_spark.functions.dedup import embedding_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, dim=64, threshold=0.38, planes=3, tables=4)
+
+
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_pairs_oracle(
+    planes=3, tables=4, dim=64, threshold=0.38
+)

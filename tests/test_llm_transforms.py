@@ -655,3 +655,30 @@ def test_line_dedup_matches_reference_simulation_random_corpora(spark):
         got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_deduped"])
                for r in line_dedup(docs).collect()}
         assert got == expected, f"seed={seed}"
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    """LSH pairs are a subset of the exact cosine pairs (precision is
+    exact — cosine filters candidates) and recall the bulk of them at
+    these bucket settings."""
+    from etl_router_spark.functions.dedup import embedding_cosine_pairs, embedding_lsh_pairs
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_pairs(emb, threshold=0.38, method="block",
+                                    num_blocks=4).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_lsh_pairs(emb, dim=64, threshold=0.38, planes=3,
+                               tables=4).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0 and len(lsh) / len(exact) >= 0.5
+
+
+def test_dedup_embedding_lsh_manifest(spark, sf_dir, tmp_path):
+    out = _run(spark, f"{sf_dir}/embeddings.parquet",
+               {"transform_type": "dedup_embedding", "method": "lsh", "dim": 64,
+                "threshold": 0.38, "planes": 3, "tables": 4},
+               str(tmp_path / "o"))
+    assert {"id_a", "id_b", "cosine"} <= set(out.columns)
+    assert out.filter("id_a >= id_b").count() == 0 and out.count() > 0
