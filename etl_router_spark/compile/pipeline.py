@@ -114,6 +114,22 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> D
         return T.apply_sessionize(df, cfg["key_fields"], cfg["gap"], cfg.get("aggregations"),
                                   cfg.get("ts_field", "event_time"), cfg.get("max_duration"),
                                   emit=cfg.get("emit", "on_close"))
+    if tt == "service":
+        from etl_router_spark.functions.transform_service import apply_transform_service
+
+        res = apply_transform_service(
+            df,
+            cfg.get("transform") or cfg["transform_id"],
+            cfg["output_schema"],
+            config=cfg.get("transform_config"),
+            on_error=cfg.get("on_error", "route"),
+            failed_stage=stage.id,
+        )
+        if isinstance(res, tuple):
+            main, dlq = res
+            main._etl_dlq_side = dlq  # noqa: SLF001 — same wiring as validate route
+            return main
+        return res
     llm = _apply_llm_transform(df, tt, cfg)
     if llm is not None:
         return llm

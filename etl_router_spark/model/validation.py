@@ -29,6 +29,8 @@ KNOWN_TRANSFORMS = {
     "dedup_cluster", "cdc_apply", "split_assign", "unigram_logprob",
     "dedup_ngram", "ngram_counts", "char_entropy", "line_dedup",
     "embedding_normalize", "embedding_quantize", "text_normalize",
+    # user-code extension point (proto/transform.proto ProcessBatch)
+    "service",
 }
 
 KNOWN_SOURCES = {

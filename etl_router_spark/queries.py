@@ -3252,3 +3252,36 @@ def source_json_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
          .over(w).cast("long").alias("dropmalformed_rows"),
     )
+
+
+@query(
+    "service_process_batch",
+    """
+    SELECT event_id, user_id, upper(event_type) AS event_type, value
+    FROM events WHERE event_type NOT IN ('error', 'purchase') AND value <= 300
+    UNION ALL
+    SELECT event_id, user_id, 'purchase_net' AS event_type, value * 0.97 AS value
+    FROM events WHERE event_type = 'purchase' AND value <= 300
+    UNION ALL
+    SELECT event_id, user_id, 'purchase_fee' AS event_type, value * 0.03 AS value
+    FROM events WHERE event_type = 'purchase' AND value <= 300
+    """,
+)
+def service_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformService ProcessBatch (proto/transform.proto:13-37): the
+    user-code extension point as an Arrow-batched mapInPandas stage with
+    status routing. The demo transform exercises every status — FILTERED
+    ('error' events vanish), SPLIT (purchases fan to net+fee rows),
+    SUCCESS (uppercased), ERROR (value>300 → DLQ, pinned in pytest; the
+    gate checks the main output with on_error='drop'). value*0.97 is a
+    single IEEE multiply on both engines — bitwise identical, no
+    rounding needed."""
+    from etl_router_spark.functions.transform_service import apply_transform_service
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    return apply_transform_service(
+        ev, "demo_enrich_split",
+        "event_id bigint, user_id bigint, event_type string, value double",
+        config={"max_value": "300"},
+        on_error="drop",
+    )
