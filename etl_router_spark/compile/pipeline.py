@@ -242,6 +242,15 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            salt=cfg.get("salt", ""),
                            strata_col=cfg.get("strata_field"),
                            strata_rates=cfg.get("strata_rates"))
+    if tt == "mix_sample":
+        from etl_router_spark.functions.corpus import mix_sample
+
+        return mix_sample(df, weights=cfg["weights"],
+                          domain_col=cfg.get("domain_field", "source"),
+                          key_col=cfg.get("key_field", "doc_id"),
+                          salt=cfg.get("salt", ""),
+                          size_col=cfg.get("size_field"),
+                          rate_col=cfg.get("rate_field"))
     if tt == "pack_sequences":
         from etl_router_spark.functions.corpus import pack_sequences
 

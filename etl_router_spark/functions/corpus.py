@@ -425,3 +425,76 @@ def line_dedup(
         .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
         .withColumn(out_col, F.coalesce(out_col, F.lit("")))
     )
+
+
+def mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    size_col: str | None = None,
+    domain_sizes: DataFrame | None = None,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Sample the corpus down to a target domain mixture — the
+    training-mix operator (DoReMi/Pile-style source weighting): given
+    target proportions ``weights`` (domain -> share), keep the LARGEST
+    sub-corpus whose domain shares match them exactly.
+
+    Math: with observed sizes n_d (rows, or ``sum(size_col)`` — tokens
+    is the production unit), the binding domain caps the total at
+    S = min_d(n_d / w_d) units; every domain keeps rate_d =
+    w_d * S / n_d of its content (rate 1.0 for the binding domain).
+    Selection is the same deterministic ``h60(salt|key) % 1e6`` bucket
+    as :func:`hash_sample` — reproducible across engines, runs and
+    partitionings, monotone under weight rescaling, and a re-mix with
+    the same salt reuses prior downloads (kept sets nest when rates
+    only grow).
+
+    Plan shape (scale-first): one domain-count aggregation (shuffles
+    per-domain SUMS, never rows), a 1-row min-scale agg, and the tiny
+    rates frame broadcast back onto the fact side — the corpus itself
+    NEVER shuffles; the keep decision is a map-side filter. The counts
+    pass re-scans the corpus; at 100 TB pass ``domain_sizes`` (schema
+    ``<domain_col>, __n``) maintained incrementally at ingest and the
+    operator is a single scan. Domains absent from ``weights`` are
+    dropped (the mixture is fully specified); weighted domains absent
+    from the data contribute no rows and do not bind the scale.
+
+    ``rate_col`` attaches each row's keep-rate (diagnostic/lineage).
+    """
+    spark = df.sparkSession
+    if not weights or any(float(v) <= 0 for v in weights.values()):
+        raise ValueError("mix_sample: weights must be non-empty and positive")
+    # weights are used as-given: rate_d = w_d*S/n_d is invariant under
+    # rescaling ALGEBRAICALLY, and skipping normalization keeps the
+    # arithmetic bitwise-mirrorable by the SQL oracle (a float divide
+    # by sum(w) would perturb the thresholds differently per engine)
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"`{domain_col}` string, __w double",
+    )
+    if domain_sizes is None:
+        unit = F.col(size_col).cast("double") if size_col else F.lit(1.0)
+        sizes = df.groupBy(domain_col).agg(F.sum(unit).alias("__n"))
+    else:
+        sizes = domain_sizes
+    nw = sizes.join(F.broadcast(wdf), domain_col)
+    scale = nw.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    rates = (
+        nw.crossJoin(F.broadcast(scale))
+        # exact op order mirrored by the SQL oracle: (w * scale) / n
+        .withColumn("__rate", F.col("__w") * F.col("__scale") / F.col("__n"))
+        .select(domain_col, "__rate")
+    )
+    bucket = F.pmod(
+        h60(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))), F.lit(1_000_000)
+    )
+    out = (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("__rate") * F.lit(1_000_000.0))
+    )
+    if rate_col:
+        return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
+    return out.drop("__rate")

@@ -1590,3 +1590,45 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_pairs_oracle(
     planes=3, tables=4, dim=64, threshold=0.38
 )
+
+
+@query(
+    "corpus_mix_target",
+    """
+    WITH w(source, __w) AS (
+      VALUES ('src13', CAST(0.4 AS DOUBLE)), ('src8', CAST(0.3 AS DOUBLE)),
+             ('src7',  CAST(0.2 AS DOUBLE)), ('src18', CAST(0.1 AS DOUBLE))),
+    n AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS __n
+          FROM documents GROUP BY source),
+    s AS (SELECT min(__n / __w) AS __scale FROM n JOIN w USING (source)),
+    r AS (SELECT w.source, w.__w * s.__scale / n.__n AS __rate
+          FROM n JOIN w USING (source) CROSS JOIN s)
+    SELECT d.doc_id, d.source,
+           CAST(floor(r.__rate * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS mix_rate_ppb
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST('0x' || substr(md5('mix2|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000
+          < r.__rate * CAST(1000000 AS DOUBLE)
+    """,
+)
+def corpus_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling (`mix_sample`): keep the largest
+    sub-corpus whose char-weighted domain shares hit 4:3:2:1 across
+    four sources. rate_d = w_d * min_d(n_d/w_d) / n_d, selection by the
+    engine-portable h60 bucket — the binding domain keeps 100%, every
+    arithmetic step is bitwise-mirrored by the oracle (ppb floor, no
+    rounding-mode dependence). Plan: per-domain sum shuffle + broadcast
+    rates + map-side filter; the corpus never shuffles."""
+    from etl_router_spark.functions.corpus import mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_sample(
+        docs,
+        {"src13": 0.4, "src8": 0.3, "src7": 0.2, "src18": 0.1},
+        domain_col="source", key_col="doc_id", salt="mix2",
+        size_col="n_chars", rate_col="__r",
+    )
+    return out.select(
+        "doc_id", "source",
+        F.floor(F.col("__r") * F.lit(1_000_000_000.0)).cast("bigint").alias("mix_rate_ppb"),
+    )
