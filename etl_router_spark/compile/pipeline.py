@@ -242,6 +242,13 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            salt=cfg.get("salt", ""),
                            strata_col=cfg.get("strata_field"),
                            strata_rates=cfg.get("strata_rates"))
+    if tt == "duplicate_spans":
+        from etl_router_spark.functions.dedup import duplicate_ngram_spans
+
+        return duplicate_ngram_spans(df, n=int(cfg.get("n", 5)),
+                                     id_col=cfg.get("id_field", "doc_id"),
+                                     text_col=cfg.get("text_field", "text"),
+                                     min_count=int(cfg.get("min_count", 2)))
     if tt == "mix_sample":
         from etl_router_spark.functions.corpus import mix_sample
 

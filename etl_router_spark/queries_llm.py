@@ -1632,3 +1632,41 @@ def corpus_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.floor(F.col("__r") * F.lit(1_000_000_000.0)).cast("bigint").alias("mix_rate_ppb"),
     )
+
+
+@query(
+    "corpus_duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos, CAST(i + 4 AS BIGINT) AS end_pos,
+                 array_to_string(toks[i:i+4], ' ') AS gram
+          FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+          WHERE len(toks) >= 5),
+    d AS (SELECT doc_id, start_pos, end_pos FROM
+            (SELECT g.*, count(*) OVER (PARTITION BY gram) AS c FROM g)
+          WHERE c >= 2),
+    m AS (SELECT doc_id, start_pos, end_pos,
+                 max(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM d),
+    i AS (SELECT *, CASE WHEN prev_end IS NULL OR start_pos > prev_end + 1
+                         THEN 1 ELSE 0 END AS is_new FROM m),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY start_pos
+               ROWS UNBOUNDED PRECEDING) AS island FROM i)
+    SELECT doc_id, min(start_pos) AS span_start, max(end_pos) AS span_end,
+           CAST(max(end_pos) - min(start_pos) + 1 AS BIGINT) AS span_tokens
+    FROM s GROUP BY doc_id, island
+    """,
+)
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (Lee et al. dedup signal, word
+    5-grams): maximal per-doc token spans covered by n-grams occurring
+    >= 2 times corpus-wide. Count-by-digest is map-side combinable so
+    boilerplate grams can't skew; the interval merge is one keyed
+    window. Oracle: same postings + gaps-and-islands in SQL."""
+    from etl_router_spark.functions.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=5).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
