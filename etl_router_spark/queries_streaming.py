@@ -575,3 +575,83 @@ def stream_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = latest.select("user_id", "event_id", "value")
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_allowed_lateness_merge",
+    f"""
+    WITH mx AS (SELECT max(ts) AS m FROM {EVENTS_US})
+    SELECT date_trunc('hour', ts)    AS window_start,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(value), 2)      AS total
+    FROM {EVENTS_US}, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+)
+def stream_allowed_lateness_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowed-lateness MERGE guarantee (SURVEY §2.8; the reference's
+    watermark/lateness contract): events arriving out-of-order but
+    within the watermark delay MUST be aggregated into their still-open
+    window before append mode finalizes it. (The converse — dropping
+    beyond-delay rows — is explicitly NOT guaranteed by Spark: they may
+    re-aggregate into fresh state; verified empirically, so no gate
+    pins it.)
+
+    Deterministic 4-batch construction (maxFilesPerTrigger=1, file
+    order forced via mtime):
+      A: ts < Jan 29, MINUS the hold-back H = [Jan 28 22:30, 23:00)
+      B: H — late vs A's frontier but within the 2 h delay
+         (wm = max(A) - 2h ≈ Jan 28 ~21:5x < 22:30), so the merge into
+         the open [22:00, 23:00) window is the documented guarantee
+      C: ts >= Jan 29 minus the last 2 h of the timeline
+      D: the last 2 h (never empty — contains the max event), whose
+         batch advances the watermark so C-era windows (incl. H's,
+         counting H!) evict and emit
+    Append emits each window exactly once at eviction; availableNow
+    finishes with a no-data flush batch carrying the final watermark
+    max(ALL) - 2h (verified empirically — eviction is NOT one batch
+    behind at stream end), so the output is exactly the hourly windows
+    with end <= max_ts - 2h over all events, which is what the oracle
+    computes. A dropped or double-counted H changes n/total for its
+    window and fails the hash."""
+    import os
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_lateness_")
+    src = f"{wd}/in"
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    max_ts = ev.agg(F.max("ts")).first()[0]  # metadata-sized driver read
+    tail_cut = max_ts - __import__("datetime").timedelta(hours=2)
+    h_lo, h_hi, cut = "2024-01-28 22:30:00", "2024-01-28 23:00:00", "2024-01-29 00:00:00"
+    parts = [
+        ev.filter((F.col("ts") < cut) & ~((F.col("ts") >= h_lo) & (F.col("ts") < h_hi))),
+        ev.filter((F.col("ts") >= h_lo) & (F.col("ts") < h_hi)),
+        ev.filter((F.col("ts") >= cut) & (F.col("ts") < F.lit(tail_cut))),
+        ev.filter(F.col("ts") >= F.lit(tail_cut)),
+    ]
+    for i, part in enumerate(parts):
+        tmp = f"{wd}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/{i}.parquet"
+        shutil.move(f"{tmp}/{pf}", dst)
+        t = os.path.getmtime(dst)
+        os.utime(dst, (t - 1000 + i * 100, t - 1000 + i * 100))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("window.start").alias("window_start"), "n",
+                F.round("total", 2).alias("total"))
+    )
+    path = _run_foreach_batch(agg, wd, "append")
+    result = spark.read.parquet(path)
+    shutil.rmtree(src, ignore_errors=True)
+    return result
