@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "q_window_funcs",
     # round 4 second pass: the heaviest new operator, tracked from birth
     "corpus_line_dedup",
+    # round 4 third pass: substring-dup spans (3-shuffle posting plan),
+    # the Python-boundary extension point (honest Arrow-cost tracking),
+    # and target-mixture sampling (counts agg + broadcast-rate filter)
+    "corpus_duplicate_spans",
+    "service_process_batch",
+    "corpus_mix_target",
 ]
 
 

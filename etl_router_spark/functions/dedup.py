@@ -1173,20 +1173,23 @@ def duplicate_ngram_spans(
     cutter (drop spans, keep first occurrence, ...) or use the span
     fraction as a quality-filter feature (:func:`duplicate_span_stats`).
 
-    Plan shape (no quadratic anywhere): posting explode -> count by
-    md5(gram) (map-side combinable — a boilerplate gram occurring 1e9
-    times is ONE row after partial aggregation, so hot grams cannot
-    skew; the shuffle carries 32-byte digests, never gram text) ->
-    semi-join postings against duplicated digests -> per-doc interval
-    merge (one keyed window: running-max end, gaps-and-islands).
-    Corpus text crosses the wire zero times. vs the paper's
-    suffix-array build: fixed-n postings trade maximal-substring
-    precision for a shuffle-native plan; run several n in one pass at
-    scale if needed.
+    Plan shape (no quadratic anywhere): posting explode -> occurrence
+    count as a window over md5(gram) (ONE digest-keyed shuffle — the
+    posting subtree, i.e. the tokenize+shingle work over the whole
+    corpus, is computed once; the groupBy+semi-join formulation
+    re-derives it per consumer and measured 2x slower at sf0.1) ->
+    filter count >= min_count -> per-doc interval merge (one keyed
+    window: running-max end, gaps-and-islands). The shuffle carries
+    32-byte digests + two longs, never gram text. A boilerplate gram's
+    postings land in one window partition; its work is linear (count +
+    filter), not pairwise, so hot grams cost bandwidth, not blowup.
+    vs the paper's suffix-array build: fixed-n postings trade
+    maximal-substring precision for a shuffle-native plan; run several
+    n in one pass at scale if needed.
     """
     if n < 1 or min_count < 2:
         raise ValueError("n must be >= 1 and min_count >= 2")
-    posting = df.select(
+    posting = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(shingles(F.col(text_col), n)).alias("pos0", "gram"),
     ).select(
@@ -1195,12 +1198,12 @@ def duplicate_ngram_spans(
         (F.col("pos0") + n).alias("end"),
         F.md5(F.col("gram")).alias("gh"),
     )
-    dup_grams = (
-        posting.groupBy("gh").agg(F.count("*").alias("__c"))
+    gram_w = Window.partitionBy("gh")
+    dup = (
+        posting.withColumn("__c", F.count("*").over(gram_w))
         .filter(F.col("__c") >= min_count)
-        .select("gh")
+        .drop("__c", "gh")
     )
-    dup = posting.join(dup_grams, "gh", "left_semi")
     w = Window.partitionBy("id").orderBy("start")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = (
