@@ -1670,3 +1670,42 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(docs, n=5).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
+
+
+@query("dedup_semantic_canonical", None)  # oracle attached below
+def dedup_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup end-to-end: exact embedding
+    near-dup pairs (cosine >= 0.38, block GEMM) -> connected components
+    via the ALTERNATING-STAR algorithm (O(log^2 n) rounds regardless of
+    component diameter — this gate is the driver-checked execution of
+    algorithm='star'; the label-propagation twin is pinned by
+    dedup_canonical) -> keep the min-id representative per cluster.
+    At 100 TB the pair stage swaps to embedding_lsh_pairs/IVF blocking;
+    the clustering + canonical stages are unchanged."""
+    from etl_router_spark.functions.dedup import dedup_canonical, embedding_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    pairs = embedding_cosine_pairs(emb, threshold=0.38, method="block", num_blocks=8)
+    return dedup_canonical(emb, pairs, id_col="vec_id", algorithm="star").select(
+        "vec_id", "label"
+    )
+
+
+ORACLES["dedup_semantic_canonical"] = f"""
+    WITH RECURSIVE pairs AS (
+      {ORACLES["dedup_embedding_cosine"]}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+    SELECT e.vec_id, e.label
+    FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 1500) e
+    LEFT JOIN labels l ON l.id = e.vec_id
+    WHERE COALESCE(l.cluster_id, e.vec_id) = e.vec_id
+    """
