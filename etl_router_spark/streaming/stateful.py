@@ -6,6 +6,17 @@ can't express (rate limiting with admitted-count state,
 state lives in the executor's state store keyed by group, rows flow
 through pandas — the Spark analog of the reference's external
 ``TransformService.ProcessStream`` shape (``proto/transform.proto``).
+
+Why ``applyInPandasWithState`` and not Spark 4's
+``transformWithStateInPandas``: the newer API's Python worker requires
+``google.protobuf``, which this image does not ship (verified: the TWS
+driver worker crashes with ImportError at query start), so the typed
+ValueState/ListState/TTL surface is environment-gated here the same
+way the real media decoders are. On an image with protobuf, the
+migration is mechanical — each grouped-state function becomes a
+StatefulProcessor with a typed ListState, which would also retire the
+JSON-exact column restriction documented on
+:func:`streaming_group_topk`.
 """
 
 from __future__ import annotations

@@ -234,3 +234,29 @@ def test_asof_nearest_single_keyed_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") <= 2  # two sides of the union
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") == 2  # backward + forward pass, same partitioning
+
+
+def test_duplicate_spans_single_posting_pass(plans):
+    """The posting subtree (tokenize+shingle+md5 explode over the
+    corpus) must appear ONCE: the dup filter is a count window over the
+    digest, not a groupBy + self-semi-join that recomputes the scan."""
+    plan = plans("corpus_duplicate_spans")
+    assert plan.count("Generate posexplode") == 1
+    # exchanges: gh window, id window, final groupBy partial/final pair
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_service_stage_is_shuffle_free(plans):
+    """TransformService is embarrassingly parallel: one Arrow boundary,
+    zero exchanges."""
+    plan = plans("service_process_batch")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_mix_sample_corpus_never_shuffles(plans):
+    """The fact side reaches the keep-filter via broadcast join; the
+    only exchanges aggregate the tiny per-domain counts."""
+    plan = plans("corpus_mix_target")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
