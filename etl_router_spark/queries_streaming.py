@@ -655,3 +655,39 @@ def stream_allowed_lateness_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     result = spark.read.parquet(path)
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_service_process_batch",
+    """
+    SELECT event_id, user_id, upper(event_type) AS event_type, value
+    FROM events WHERE event_type NOT IN ('error', 'purchase') AND value <= 300
+    UNION ALL
+    SELECT event_id, user_id, 'purchase_net' AS event_type, value * 0.97 AS value
+    FROM events WHERE event_type = 'purchase' AND value <= 300
+    UNION ALL
+    SELECT event_id, user_id, 'purchase_fee' AS event_type, value * 0.03 AS value
+    FROM events WHERE event_type = 'purchase' AND value <= 300
+    """,
+)
+def stream_service_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TransformService extension point over Structured Streaming:
+    the same Arrow-batched user transform (every status exercised) runs
+    per micro-batch through the exactly-once file sink — stateless
+    mapInPandas composes with streaming unchanged, so user plugins work
+    in both modes from one registration. Oracle = the batch twin's."""
+    from etl_router_spark.functions.transform_service import apply_transform_service
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_svc_")
+    src = _stream_events(spark, sf_dir, wd)
+    out = apply_transform_service(
+        src.select("event_id", "user_id", "event_type", "value"),
+        "demo_enrich_split",
+        "event_id bigint, user_id bigint, event_type string, value double",
+        config={"max_value": "300"},
+        on_error="drop",
+    )
+    path = _run_to_parquet(out, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(f"{wd}/in", ignore_errors=True)
+    return result
