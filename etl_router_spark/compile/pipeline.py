@@ -242,6 +242,16 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            salt=cfg.get("salt", ""),
                            strata_col=cfg.get("strata_field"),
                            strata_rates=cfg.get("strata_rates"))
+    if tt == "gopher_filter":
+        from etl_router_spark.functions.text import gopher_rules
+
+        kw = {k: cfg[k] for k in (
+            "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+            "max_symbol_ratio", "max_bullet_line_frac", "max_ellipsis_line_frac",
+            "min_alpha_word_ratio", "min_stopword_hits",
+        ) if k in cfg}
+        return gopher_rules(df, text_col=cfg.get("text_field", "text"),
+                            mode=cfg.get("mode", "tag"), **kw)
     if tt == "duplicate_spans":
         from etl_router_spark.functions.dedup import duplicate_ngram_spans
 

@@ -378,3 +378,89 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    mode: str = "tag",
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A) as one shuffle-free
+    projection — the standard pre-training quality gate:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [3, 10]
+    3. hash or ellipsis symbol-to-word ratio <= 0.1
+    4. < 90% of lines bullet-started AND < 30% ellipsis-ended
+    5. >= 80% of words contain an alphabetic character
+    6. >= 2 distinct members of the 8-word English stop list
+
+    ``mode="tag"`` keeps every row and adds one boolean per rule plus
+    the conjunction ``keep`` (audit shape); ``mode="drop"`` filters to
+    the passing rows. Ratios are int/int double divisions guarded by
+    n_words/n_lines > 0, so the booleans are engine-exact (no rounding
+    anywhere). Pure whole-stage-codegen column math: at 100 TB this
+    runs at scan speed next to any other map work.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = word_chars.cast("double") / n_words
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("•"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, lambda w: F.lower(w))),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    has_words = n_words > 0
+    rules = {
+        "passes_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "passes_mean_word_len": has_words
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "passes_symbol_ratio": has_words
+        & (n_hash / n_words <= max_symbol_ratio)
+        & (n_ellipsis / n_words <= max_symbol_ratio),
+        "passes_line_rules": (n_lines > 0)
+        & (bullet_lines / n_lines <= max_bullet_line_frac)
+        & (ellipsis_lines / n_lines <= max_ellipsis_line_frac),
+        "passes_alpha_ratio": has_words
+        & (alpha_words / n_words >= min_alpha_word_ratio),
+        "passes_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = df.withColumn("n_words", n_words.cast("bigint"))
+    keep = F.lit(True)
+    for name, col in rules.items():
+        out = out.withColumn(name, col)
+        keep = keep & F.col(name)
+    out = out.withColumn("keep", keep)
+    if mode == "drop":
+        return out.filter("keep").drop("keep", *rules)
+    if mode != "tag":
+        raise ValueError(f"mode must be tag|drop, got {mode!r}")
+    return out

@@ -1709,3 +1709,63 @@ ORACLES["dedup_semantic_canonical"] = f"""
     LEFT JOIN labels l ON l.id = e.vec_id
     WHERE COALESCE(l.cluster_id, e.vec_id) = e.vec_id
     """
+
+
+@query(
+    "text_gopher_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS} AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+             END AS mean_wl,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> starts_with(trim(l), '-')
+                                      OR starts_with(trim(l), '•'))) AS bullet_lines,
+             len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS ell_lines,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+             len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 30 AND n_words <= 100000                    AS passes_word_count,
+           n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0     AS passes_mean_word_len,
+           n_words > 0 AND n_hash * 1.0 / n_words <= 0.1
+                       AND n_ell * 1.0 / n_words <= 0.1           AS passes_symbol_ratio,
+           n_lines > 0 AND bullet_lines * 1.0 / n_lines <= 0.9
+                       AND ell_lines * 1.0 / n_lines <= 0.3       AS passes_line_rules,
+           n_words > 0 AND alpha_words * 1.0 / n_words >= 0.8     AS passes_alpha_ratio,
+           stop_hits >= 1                                         AS passes_stopwords,
+           (n_words >= 30 AND n_words <= 100000)
+           AND (n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND (n_words > 0 AND n_hash * 1.0 / n_words <= 0.1
+                            AND n_ell * 1.0 / n_words <= 0.1)
+           AND (n_lines > 0 AND bullet_lines * 1.0 / n_lines <= 0.9
+                            AND ell_lines * 1.0 / n_lines <= 0.3)
+           AND (n_words > 0 AND alpha_words * 1.0 / n_words >= 0.8)
+           AND (stop_hits >= 1)                                   AS keep
+    FROM m
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021 App. A) in
+    tag mode: per-rule booleans + the keep conjunction, engine-exact
+    (integer-ratio comparisons, no rounding). min_words lowered to 30
+    and min_stopword_hits to 1 for the fixture's synthetic vocabulary
+    (only 'the' from the 8-word list occurs) so both outcomes occur."""
+    from etl_router_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_rules(docs, min_words=30, min_stopword_hits=1)
+    return out.select(
+        "doc_id", "n_words", "passes_word_count", "passes_mean_word_len",
+        "passes_symbol_ratio", "passes_line_rules", "passes_alpha_ratio",
+        "passes_stopwords", "keep",
+    )
