@@ -242,6 +242,15 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            salt=cfg.get("salt", ""),
                            strata_col=cfg.get("strata_field"),
                            strata_rates=cfg.get("strata_rates"))
+    if tt == "c4_filter":
+        from etl_router_spark.functions.text import c4_rules
+
+        kw = {k: cfg[k] for k in (
+            "min_words_per_line", "terminal_punct", "min_sentences",
+            "banned_page_substrings", "banned_line_words",
+        ) if k in cfg}
+        return c4_rules(df, text_col=cfg.get("text_field", "text"),
+                        mode=cfg.get("mode", "tag"), **kw)
     if tt == "gopher_filter":
         from etl_router_spark.functions.text import gopher_rules
 

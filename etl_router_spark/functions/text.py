@@ -464,3 +464,69 @@ def gopher_rules(
     if mode != "tag":
         raise ValueError(f"mode must be tag|drop, got {mode!r}")
     return out
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    terminal_punct: str = ".!?\"",
+    min_sentences: int = 3,
+    banned_page_substrings: tuple = ("{", "lorem ipsum"),
+    banned_line_words: tuple = ("javascript",),
+    mode: str = "tag",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    as one shuffle-free projection with document reassembly:
+
+    - keep only lines with >= ``min_words_per_line`` words AND ending
+      in terminal punctuation AND not containing a banned line word
+      (C4 used "javascript" — cookie/JS boilerplate);
+    - drop the whole page if it has fewer than ``min_sentences``
+      sentences after line filtering (sentence ~ terminal-punct char),
+      or contains a banned page substring (C4: '{' for code,
+      'lorem ipsum' for placeholder text).
+
+    Output (tag mode): ``out_col`` (the reassembled kept lines),
+    ``n_lines``, ``n_lines_kept``, ``n_sentences`` and ``keep``; drop
+    mode returns passing rows with ``text_col`` REPLACED by the cleaned
+    text. Same scaling story as :func:`gopher_rules`: pure codegen
+    column math, runs at scan speed.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    punct_arr = F.array(*[F.lit(c) for c in terminal_punct])
+
+    def line_ok(l):
+        toks = F.split(F.trim(l), WORD_SPLIT_PATTERN)
+        enough = F.size(toks) >= min_words_per_line
+        ends = F.array_contains(punct_arr, F.substring(F.trim(l), -1, 1))
+        banned = F.lit(False)
+        for w in banned_line_words:
+            banned = banned | F.array_contains(F.transform(toks, F.lower), w.lower())
+        return enough & ends & ~banned
+
+    kept_lines = F.filter(lines, line_ok)
+    kept = F.concat_ws("\n", kept_lines)
+    n_sent = F.length(kept) - F.length(F.translate(kept, terminal_punct, ""))
+    page_banned = F.lit(False)
+    for s in banned_page_substrings:
+        page_banned = page_banned | F.contains(F.lower(text), F.lit(s.lower()))
+    keep = (n_sent >= min_sentences) & ~page_banned
+    out = (
+        df.withColumn(out_col, kept)
+        .withColumn("n_lines", F.size(lines).cast("bigint"))
+        .withColumn("n_lines_kept", F.size(kept_lines).cast("bigint"))
+        .withColumn("n_sentences", n_sent.cast("bigint"))
+        .withColumn("keep", keep)
+    )
+    if mode == "drop":
+        return (
+            out.filter("keep")
+            .withColumn(text_col, F.col(out_col))
+            .drop(out_col, "n_lines", "n_lines_kept", "n_sentences", "keep")
+        )
+    if mode != "tag":
+        raise ValueError(f"mode must be tag|drop, got {mode!r}")
+    return out

@@ -31,7 +31,7 @@ KNOWN_TRANSFORMS = {
     "embedding_normalize", "embedding_quantize", "text_normalize",
     # user-code extension point (proto/transform.proto ProcessBatch)
     "service",
-    "mix_sample", "duplicate_spans", "gopher_filter",
+    "mix_sample", "duplicate_spans", "gopher_filter", "c4_filter",
 }
 
 KNOWN_SOURCES = {

@@ -1769,3 +1769,66 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes_symbol_ratio", "passes_line_rules", "passes_alpha_ratio",
         "passes_stopwords", "keep",
     )
+
+
+# shared Spark/DuckDB SQL snippet: the fixture text has no punctuation
+# or newlines, so the gate synthesizes a multi-line corpus that
+# exercises every C4 rule deterministically on both engines
+_C4_INPUT = """
+    text || ' ends here properly.'
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'another good sentence with enough words!' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'short line' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'this line uses javascript for tracking.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
+"""
+
+_C4_LINE_OK = (
+    "l -> len(string_split_regex(trim(l), '\\s+')) >= 5 "
+    "AND list_contains(['.', '!', '?', '\"'], right(trim(l), 1)) "
+    "AND NOT list_contains(list_transform(string_split_regex(trim(l), '\\s+'), "
+    "x -> lower(x)), 'javascript')"
+)
+
+
+@query(
+    "text_c4_filter",
+    f"""
+    WITH t AS (SELECT doc_id, ({_C4_INPUT}) AS text FROM documents),
+    l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM t),
+    k AS (SELECT doc_id, text, lines,
+                 list_filter(lines, {_C4_LINE_OK}) AS kept
+          FROM l),
+    m AS (SELECT doc_id,
+                 COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+                 len(lines) AS n_lines, len(kept) AS n_lines_kept,
+                 length(COALESCE(array_to_string(kept, chr(10)), ''))
+                   - length(translate(COALESCE(array_to_string(kept, chr(10)), ''), '.!?"', '')) AS n_sentences,
+                 contains(lower(text), '{{') OR contains(lower(text), 'lorem ipsum') AS banned
+          FROM k)
+    SELECT doc_id, text_clean,
+           CAST(n_lines AS BIGINT)      AS n_lines,
+           CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(n_sentences AS BIGINT)  AS n_sentences,
+           n_sentences >= 1 AND NOT banned AS keep
+    FROM m
+    """,
+)
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2) over a
+    synthesized multi-line corpus exercising every rule: short lines
+    and javascript lines are cut, pages with '{{' or 'lorem ipsum' are
+    banned, and the cleaned text is reassembled. min_sentences=1
+    because each doc contributes 1-2 terminal-punct lines."""
+    from etl_router_spark.functions.text import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"({_C4_INPUT}) AS text"
+    )
+    out = c4_rules(docs, min_sentences=1)
+    return out.select(
+        "doc_id", "text_clean", "n_lines", "n_lines_kept", "n_sentences", "keep"
+    )
