@@ -3285,3 +3285,42 @@ def service_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         config={"max_value": "300"},
         on_error="drop",
     )
+
+
+@query(
+    "sink_jdbc_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id < 4000
+    """,
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC sink + partitioned JDBC source roundtrip (S13/§2.7
+    jdbc, types.rs:346-365): an embedded Derby database (the JDBC
+    driver Spark ships for its metastore) receives the engine's jdbc
+    sink write, then the engine's jdbc source reads it back SPLIT 8
+    WAYS on the numeric partition column — the
+    partitionColumn/lowerBound/upperBound/numPartitions quad that makes
+    a 100 TB snapshot read parallel instead of one connection. The
+    same write_sink/read_source config surface drives
+    Postgres/MySQL in production; only the url/driver change."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    wd = tempfile.mkdtemp(prefix="etl_jdbc_")
+    url = f"jdbc:derby:{wd}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+    )
+    write_sink(ev, {"sink_type": "jdbc", "url": url, "table": "events_rt",
+                    "mode": "overwrite", "driver": driver})
+    return read_source(spark, {
+        "source_type": "jdbc", "url": url, "table": "events_rt", "driver": driver,
+        "partition_column": "event_id", "lower_bound": 0, "upper_bound": 4000,
+        "num_partitions": 8,
+    }, streaming=False)

@@ -189,3 +189,14 @@ def test_json_dropmalformed_drops_exactly_corrupt_rows(spark, tmp_path):
         "options": {"mode": "DROPMALFORMED"},
     }, streaming=False)
     assert sorted(r["a"] for r in dropped.collect()) == [1, 3]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
+    """Real JDBC write + partitioned read against embedded Derby (the
+    same config surface production uses for Postgres/MySQL)."""
+    from etl_router_spark.queries import QUERIES
+
+    out = QUERIES["sink_jdbc_roundtrip"](spark, sf_dir)
+    assert out.count() > 0
+    assert out.rdd.getNumPartitions() == 8
+    assert set(out.columns) == {"event_id", "user_id", "event_type", "value"}
