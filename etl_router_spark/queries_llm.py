@@ -1832,3 +1832,175 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "text_clean", "n_lines", "n_lines_kept", "n_sentences", "keep"
     )
+
+
+# ===========================================================================
+# link-graph analytics (functions/graph.py)
+# ===========================================================================
+# Web-corpus curation weights documents by link-graph centrality; these
+# gates run the graph primitives over a deterministic fixture graph:
+#   customer -c-> supplier   (who bought from whom: orders x lineitem)
+#   supplier -s-> nation     (s_nationkey)
+#   nation   -n-> region     (n_regionkey)
+# Node ids are prefix-namespaced ('c15', 's3', ...) because the TPC-H
+# key spaces overlap numerically.
+
+_GRAPH_EDGES_SQL = """
+    raw_edges AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst)
+"""
+
+
+def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    nr = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return cs.unionAll(sn).unionAll(nr)
+
+
+@query(
+    "graph_degrees",
+    f"""
+    WITH {_GRAPH_EDGES_SQL},
+    outd AS (SELECT src AS id, count(*) AS o FROM edges GROUP BY src),
+    ind  AS (SELECT dst AS id, count(*) AS i FROM edges GROUP BY dst)
+    SELECT coalesce(outd.id, ind.id) AS id,
+           CAST(coalesce(o, 0) AS BIGINT)                   AS out_degree,
+           CAST(coalesce(i, 0) AS BIGINT)                   AS in_degree,
+           CAST(coalesce(o, 0) + coalesce(i, 0) AS BIGINT)  AS degree
+    FROM outd FULL JOIN ind ON outd.id = ind.id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the distinct fixture link graph —
+    two (id, count) shuffles full-outer merged, no adjacency lists."""
+    from etl_router_spark.functions.graph import degree_stats
+
+    return degree_stats(_link_graph(spark, sf_dir), "src", "dst")
+
+
+def _pagerank_oracle(iterations: int, damping: float) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs (DuckDB has no
+    aggregates-in-recursive-CTE, so fixed iterations unroll
+
+    mechanically). FP constants are embedded via ``repr`` so both
+    engines evaluate bit-identical literals (1.0-0.85 != 0.15 in
+    binary), keeping round(6) hash-stable. Every CTE is ``AS
+    MATERIALIZED``: pr_k is referenced twice per round (contributions
+    + dangling mass), so inlining would re-expand pr_0 2^k times and
+    blow the file-handle budget re-scanning the parquet per copy."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        _GRAPH_EDGES_SQL.replace(
+            "edges AS (", "edges AS MATERIALIZED ("
+        ),
+        """
+    nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    nn   AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg
+             FROM edges GROUP BY src),
+    pr0  AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+    c{k} AS MATERIALIZED (SELECT e.dst AS id, sum(p.pr / o.outdeg) AS c
+             FROM edges e
+             JOIN pr{k - 1} p ON e.src = p.id
+             JOIN outd o ON e.src = o.id
+             GROUP BY e.dst),
+    d{k} AS MATERIALIZED (SELECT coalesce(sum(p.pr), 0.0) AS dm
+             FROM pr{k - 1} p LEFT JOIN outd o ON p.id = o.id
+             WHERE o.id IS NULL),
+    pr{k} AS MATERIALIZED (SELECT nd.id,
+                     {one_minus} / (SELECT n FROM nn)
+                     + {d} * (coalesce(c.c, 0.0)
+                              + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS pr
+              FROM nodes nd LEFT JOIN c{k} c ON nd.id = c.id)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n    SELECT id, round(pr, 6) AS pagerank FROM pr{iterations}"
+    )
+
+
+@query("graph_pagerank", _pagerank_oracle(iterations=10, damping=0.85))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration damped PageRank (dangling mass redistributed) over
+    the fixture link graph; mass flows customers -> suppliers ->
+    nations -> regions, so every tier lands on a distinct value band.
+    The oracle unrolls the same power iteration as chained CTEs."""
+    from etl_router_spark.functions.graph import pagerank
+
+    pr = pagerank(_link_graph(spark, sf_dir), "src", "dst",
+                  iterations=10, damping=0.85)
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH members AS (
+      SELECT 'c' || c_custkey AS id, c_nationkey AS nk
+      FROM customer WHERE c_custkey <= 500
+      UNION ALL
+      SELECT 's' || s_suppkey, s_nationkey FROM supplier
+    ),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM members a JOIN members b ON a.nk = b.nk AND a.id < b.id
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over same-nation cliques (customers
+    <= 500 plus suppliers). The operator orients edges by DEGREE order
+    (hub-safe wedge bound); the oracle enumerates by ID order — two
+    different one-pass algorithms that must agree exactly."""
+    from etl_router_spark.functions.graph import triangle_count
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    ).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    members = cust.unionAll(sup)
+    a, b = members.alias("a"), members.alias("b")
+    edges = a.join(
+        b, (F.col("a.nk") == F.col("b.nk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    return triangle_count(edges, "src", "dst")
