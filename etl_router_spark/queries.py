@@ -2322,6 +2322,225 @@ def source_websocket_staging_roundtrip(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "source_nats_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 13 = 0
+    """,
+)
+def source_nats_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 NATS source (types.rs:257-267) end-to-end, hermetically: a
+    stdlib-socket receiver speaks the NATS wire protocol (INFO banner,
+    CONNECT, PING/PONG, PUB <subject> <n_bytes>) per the public
+    protocol spec (docs.nats.io client protocol), appending each
+    published JSON-lines message to staging via atomic rename; the
+    gate publishes fixture events through a raw-protocol client, then
+    drains staging through the source registry (``source_type: nats``,
+    ``watch: false``)."""
+    import json
+    import os
+    import socket
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_nats_stage_")
+
+    def _serve(conn: socket.socket) -> None:
+        conn.sendall(b'INFO {"server_id":"etl-staging","proto":1,'
+                     b'"max_payload":1048576}\r\n')
+        buf = b""
+        seq = 0
+        while True:
+            nl = buf.find(b"\r\n")
+            while nl < 0:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    return
+                buf += chunk
+                nl = buf.find(b"\r\n")
+            line, buf = buf[:nl], buf[nl + 2:]
+            op = line.split(b" ", 1)[0].upper()
+            if op == b"CONNECT":
+                conn.sendall(b"+OK\r\n")
+            elif op == b"PING":
+                conn.sendall(b"PONG\r\n")
+            elif op == b"PUB":
+                # PUB <subject> [reply-to] <#bytes>\r\n<payload>\r\n
+                nbytes = int(line.split(b" ")[-1])
+                while len(buf) < nbytes + 2:
+                    buf += conn.recv(65536)
+                payload, buf = buf[:nbytes], buf[nbytes + 2:]
+                tmp = os.path.join(stage, f".msg_{seq:04d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.rename(tmp, os.path.join(stage, f"msg_{seq:04d}.json"))
+                seq += 1
+                conn.sendall(b"+OK\r\n")
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 13 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            f = cli.makefile("rb")
+            assert f.readline().startswith(b"INFO ")  # server banner
+            cli.sendall(b'CONNECT {"verbose":true,"name":"etl-gate"}\r\n')
+            assert f.readline() == b"+OK\r\n"
+            half = len(rows) // 2
+            for chunk in (rows[:half], rows[half:]):
+                payload = "\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode()
+                cli.sendall(b"PUB events.ingest %d\r\n" % len(payload)
+                            + payload + b"\r\n")
+                assert f.readline() == b"+OK\r\n"
+            cli.sendall(b"PING\r\n")
+            assert f.readline() == b"PONG\r\n"  # server proved liveness
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "nats", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
+    "source_redis_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 17 = 0
+    """,
+)
+def source_redis_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 Redis source (types.rs:246-255) end-to-end, hermetically: a
+    stdlib-socket receiver speaks RESP2 (the public Redis serialization
+    protocol) — parses array frames, answers PING, and treats
+    ``XADD <stream> * data <payload>`` as stream-append by writing the
+    payload to staging via atomic rename and returning a generated
+    entry id; the gate XADDs fixture events through a raw RESP client,
+    then drains staging through the source registry
+    (``source_type: redis``, ``watch: false``)."""
+    import json
+    import os
+    import socket
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_redis_stage_")
+
+    def _read_frame(f) -> list[bytes] | None:
+        head = f.readline()
+        if not head:
+            return None
+        assert head[:1] == b"*", head  # clients send command arrays
+        out = []
+        for _ in range(int(head[1:])):
+            ln = f.readline()
+            assert ln[:1] == b"$", ln
+            n = int(ln[1:])
+            out.append(f.read(n))
+            f.read(2)  # trailing \r\n
+        return out
+
+    def _serve(conn: socket.socket) -> None:
+        f = conn.makefile("rb")
+        seq = 0
+        while True:
+            cmd = _read_frame(f)
+            if cmd is None:
+                return
+            name = cmd[0].upper()
+            if name == b"PING":
+                conn.sendall(b"+PONG\r\n")
+            elif name == b"XADD":
+                # XADD <key> * <field> <value> [...]: payload under 'data'
+                fields = dict(zip(cmd[3::2], cmd[4::2]))
+                payload = fields[b"data"]
+                tmp = os.path.join(stage, f".entry_{seq:04d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.rename(tmp, os.path.join(stage, f"entry_{seq:04d}.json"))
+                entry_id = b"%d-0" % (1700000000000 + seq)
+                seq += 1
+                conn.sendall(b"$%d\r\n%s\r\n" % (len(entry_id), entry_id))
+            else:
+                conn.sendall(b"-ERR unknown command\r\n")
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 17 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            fr = cli.makefile("rb")
+
+            def _send(*args: bytes) -> None:
+                frame = b"*%d\r\n" % len(args) + b"".join(
+                    b"$%d\r\n%s\r\n" % (len(a), a) for a in args
+                )
+                cli.sendall(frame)
+
+            _send(b"PING")
+            assert fr.readline() == b"+PONG\r\n"  # server speaks RESP
+            half = len(rows) // 2
+            for chunk in (rows[:half], rows[half:]):
+                payload = "\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode()
+                _send(b"XADD", b"events_stream", b"*", b"data", payload)
+                rid = fr.readline()
+                assert rid[:1] == b"$"
+                assert b"-" in fr.readline()  # a real entry id came back
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "redis", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
     "sink_csv_roundtrip",
     f"""
     SELECT event_id, event_type, round(value, 6) AS value
