@@ -691,3 +691,94 @@ def stream_service_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(path)
     shutil.rmtree(f"{wd}/in", ignore_errors=True)
     return result
+
+
+@query("stream_dedup_minhash", None)  # oracle attached below
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus near-dup dedup: documents arrive as an
+    id-ordered file stream (maxFilesPerTrigger=1 => one micro-batch
+    per ingest file, order forced via mtime) and each micro-batch is
+    deduped INCREMENTALLY inside foreachBatch against a growing
+    parquet signature store — the streaming twin of
+    ``dedup_incremental_batches``: only the new batch is ever
+    re-shingled; prior epochs contribute stored MinHash signatures.
+    A new document is dropped when it LSH-matches (est Jaccard >= 0.5)
+    any smaller-id document, in an earlier epoch or its own; dropped
+    documents still append signatures so they keep blocking later
+    near-dups.
+
+    The oracle is the GLOBAL one-shot formulation, so the gate pins
+    the invariant that a continuously-running dedup stream converges
+    to exactly the batch result. At 100 TB the signature store is the
+    only reread state (32 bytes x num_hashes per doc, bucket-joined —
+    never the corpus text), which is what makes the pattern viable as
+    a perpetual ingest pipeline."""
+    import os
+
+    from etl_router_spark.functions.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_mhdedup_")
+    src = f"{wd}/in"
+    os.makedirs(src, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600), (600, 800)]):
+        tmp = f"{wd}/stage{i}"
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/{i}.parquet"
+        shutil.move(f"{tmp}/{pf}", dst)
+        t = os.path.getmtime(dst)
+        os.utime(dst, (t - 1000 + i * 100, t - 1000 + i * 100))
+
+    sig_dir, out_dir = f"{wd}/sigs", f"{wd}/out"
+
+    def dedup_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        batch = batch_df.persist()
+        sig_b = minhash_signatures(batch, num_hashes=8).persist()
+        within = (
+            minhash_lsh_pairs(batch, num_hashes=8, bands=4, threshold=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        if os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir)
+        ):
+            prior = bspark.read.parquet(sig_dir)
+            cross = (
+                minhash_lsh_join(batch, batch, num_hashes=8, bands=4,
+                                 threshold=0.5, left_signatures=sig_b,
+                                 right_signatures=prior)
+                .select(F.col("id_left").alias("doc_id"))
+            )
+            dropped = within.unionByName(cross)
+        else:
+            dropped = within
+        (batch.join(dropped.distinct(), "doc_id", "left_anti")
+         .select("doc_id", "lang", "source", "n_chars")
+         .write.mode("append").parquet(out_dir))
+        sig_b.write.mode("append").parquet(sig_dir)
+        sig_b.unpersist()
+        batch.unpersist()
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(dedup_epoch)
+         .option("checkpointLocation", f"{wd}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    result = spark.read.parquet(out_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+from etl_router_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from etl_router_spark.queries_llm import _incremental_dedup_oracle  # noqa: E402
+
+_ORACLES["stream_dedup_minhash"] = _incremental_dedup_oracle()
