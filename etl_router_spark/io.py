@@ -245,6 +245,7 @@ def compact_files(
     target_file_mb: int = 512,
     sort_by: list[str] | None = None,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite a fragmented dataset into ~target-sized files; returns
     the new file count.
@@ -288,8 +289,21 @@ def compact_files(
             "within each partition)"
         )
 
+    if zorder_by and sort_by:
+        raise ValueError("compact_files: zorder_by and sort_by are exclusive")
     df = spark.read.format(fmt).load(path)
-    if partition_by:
+    if zorder_by:
+        # multi-column clustering: range-partition + sort on the Morton
+        # key so per-file min/max stats prune on EVERY zorder_by column
+        from etl_router_spark.functions.layout import zorder_key
+
+        df = zorder_key(df, zorder_by, key_col="__zkey")
+        if partition_by:
+            df = df.repartition(n, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartitionByRange(n, F.col("__zkey"))
+        df = df.sortWithinPartitions("__zkey").drop("__zkey")
+    elif partition_by:
         # spread within partitions; the writer re-splits by key so each
         # output partition dir gets ~n/|parts| files
         df = df.repartition(n, *[F.col(c) for c in partition_by])

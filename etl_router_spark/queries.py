@@ -2040,6 +2040,36 @@ def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _zorder_oracle() -> str:
+    from etl_router_spark.functions.layout import zorder_oracle_sql
+
+    return (
+        "WITH "
+        + zorder_oracle_sql("orders", ["o_totalprice", "o_custkey"], bits=16)
+        + "\n    SELECT o_orderkey, zkey FROM zkeyed"
+    )
+
+
+@query("sink_zorder_keys", _zorder_oracle())
+def sink_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys — the multi-column layout
+    optimization behind Delta OPTIMIZE ZORDER / Iceberg zorder sort
+    orders: bits of the min/max-normalized (o_totalprice, o_custkey)
+    buckets interleave into one BIGINT sort key, so range-clustered
+    files prune on BOTH columns' parquet min/max stats. The oracle
+    regenerates the identical bucket + interleave arithmetic from the
+    same spec; ``compact_files(zorder_by=...)`` applies the key as the
+    rewrite order (layout effect pinned in tests/test_layout.py)."""
+    from etl_router_spark.functions.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    return zorder_key(
+        orders, ["o_totalprice", "o_custkey"], bits=16, key_col="zkey"
+    ).select("o_orderkey", "zkey")
+
+
 @query(
     "envelope_kafka_promote",
     f"""
