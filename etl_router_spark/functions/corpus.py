@@ -498,3 +498,43 @@ def mix_sample(
     if rate_col:
         return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
     return out.drop("__rate")
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    quantile: float = 0.25,
+    threshold_round: int | None = None,
+) -> DataFrame:
+    """Per-group adaptive quality threshold: keep documents whose
+    ``score_col`` is at or above their group's ``quantile`` of the
+    score distribution — the published recipe for heterogeneous web
+    corpora (per-dump/per-domain thresholds in FineWeb, Penedo et al.
+    2024; CCNet's per-language perplexity buckets): one global cutoff
+    over-prunes clean domains and under-prunes noisy ones, a relative
+    cutoff adapts.
+
+    Plan: one aggregation computes the exact interpolated percentile
+    per group (percentile_cont semantics, so the DuckDB oracle matches
+    bit-for-bit); the tiny (group, threshold) frame broadcasts back
+    onto the corpus — the corpus itself never shuffles. At 100 TB with
+    million-group cardinality swap ``F.percentile`` for
+    ``percentile_approx`` (fixed-size GK sketch per group) and the
+    broadcast for a shuffle join; the 0.05-quantile contract test
+    pattern from the approx gates applies.
+
+    ``threshold_round`` snaps the interpolated threshold to a decimal
+    grid before comparing — interpolation may differ across engines in
+    the last ulp, so an oracle-checked pipeline rounds both sides to
+    make the boundary comparison deterministic.
+    """
+    thr_col = F.percentile(F.col(score_col), F.lit(quantile))
+    if threshold_round is not None:
+        thr_col = F.round(thr_col, threshold_round)
+    thr = df.groupBy(group_col).agg(thr_col.alias("__thr"))
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

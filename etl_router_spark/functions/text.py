@@ -530,3 +530,66 @@ def c4_rules(
     if mode != "tag":
         raise ValueError(f"mode must be tag|drop, got {mode!r}")
     return out
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL for web-corpus dedup (the standard CC-pipeline
+    pre-filter: URL-level dedup runs before any content hashing).
+
+    Rules (scheme-insensitive canonical form):
+      - strip scheme and fragment; lowercase the host; drop a leading
+        ``www.`` and default ports 80/443
+      - strip trailing slashes from the path (root == empty path)
+      - drop tracking params (``utm_*``, ``fbclid``, ``gclid``);
+        sort surviving query params bytewise
+
+    Pure regex/array column expressions (one projection, no shuffle,
+    no Python); the oracle gate regenerates the identical pipeline in
+    DuckDB SQL.
+    """
+    s = F.trim(col)
+    s = F.regexp_replace(s, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    s = F.regexp_replace(s, r"#.*$", "")
+    hostport = F.regexp_extract(s, r"^([^/?]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r"^www\.", ""), r":(80|443)$", ""
+    )
+    pathq = F.regexp_extract(s, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)="),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        host, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+
+
+def normalize_url_oracle_sql(expr: str) -> str:
+    """DuckDB twin of ``normalize_url`` over the SQL expression
+    ``expr`` — generated from the same rule set so both engines
+    canonicalize identically."""
+    s = f"regexp_replace(regexp_replace(trim({expr}), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '')"
+    hostport = f"regexp_extract({s}, '^([^/?]+)', 1)"
+    host = (
+        f"regexp_replace(regexp_replace(lower({hostport}), '^www\\.', ''),"
+        f" ':(80|443)$', '')"
+    )
+    pathq = f"regexp_extract({s}, '^[^/?]*(.*)$', 1)"
+    path = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', '')"
+    query = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')))"
+    )
+    qs = f"array_to_string({params}, '&')"
+    return (
+        f"({host} || {path} || "
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)"
+    )

@@ -2004,3 +2004,88 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.nk") == F.col("b.nk")) & (F.col("a.id") < F.col("b.id"))
     ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
     return triangle_count(edges, "src", "dst")
+
+
+# DuckDB twin of functions.text.quality_score's composite (unrounded
+# ratios feed the composite; only the final score rounds, mirroring
+# the Column pipeline exactly)
+_QUALITY_SQL = f"""round(
+      least(len({_WORDS}) / 50.0, 1.0) * 0.4
+      + len(list_distinct({_WORDS})) / len({_WORDS}) * 0.4
+      + greatest(0.0, 1.0 - (length(text)
+          - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / length(text) * 5) * 0.2, 6)"""
+
+
+@query(
+    "corpus_quality_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents),
+    thr AS (
+      SELECT source, round(quantile_cont(quality, 0.25), 6) AS t
+      FROM scored GROUP BY source)
+    SELECT s.doc_id, s.source, s.quality
+    FROM scored s JOIN thr ON s.source = thr.source
+    WHERE s.quality >= thr.t
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-domain quality filtering (FineWeb/CCNet shape):
+    drop each source's bottom quartile by composite quality score.
+    Exact interpolated percentile per group, thresholds broadcast —
+    the corpus never shuffles; both engines round score AND threshold
+    to the same 6-decimal grid so the boundary comparison is
+    deterministic."""
+    from etl_router_spark.functions.corpus import adaptive_quality_filter
+    from etl_router_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "source", "quality")
+    return adaptive_quality_filter(
+        scored, "quality", "source", quantile=0.25, threshold_round=6
+    )
+
+
+# deterministic URL synthesis from doc_id: scheme/www/port/trailing-
+# slash/param-order/tracking-param/fragment variants that all
+# canonicalize together — shared by the Spark gate and its oracle
+_URL_SQL = """
+      (CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+                       WHEN 2 THEN 'HTTP://www.' ELSE 'https://WWW.' END)
+      || 'Example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      || '/Page/' || CAST(doc_id % 25 AS VARCHAR)
+      || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+      || (CASE WHEN doc_id % 10 = 0 THEN '&utm_source=x&gclid=9' ELSE '' END)
+      || (CASE WHEN doc_id % 8 = 0 THEN '#section-2' ELSE '' END)
+"""
+
+
+def _url_normalize_oracle() -> str:
+    from etl_router_spark.functions.text import normalize_url_oracle_sql
+
+    return f"""
+    WITH urls AS (SELECT doc_id, ({_URL_SQL}) AS url FROM documents)
+    SELECT doc_id, url, {normalize_url_oracle_sql("url")} AS url_norm
+    FROM urls
+    """
+
+
+@query("text_url_normalize", _url_normalize_oracle())
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the CC-pipeline URL-dedup pre-filter):
+    scheme/fragment stripped, host lowercased (www., default ports
+    dropped), trailing slashes trimmed, tracking params removed and
+    the survivors byte-sorted. The fixture synthesizes every variant
+    class from doc_id; variants differing only in those dimensions
+    collapse to one canonical form (verified: distinct url >>
+    distinct url_norm). Pure regex/array codegen, no shuffle."""
+    from etl_router_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.withColumn("url", F.expr(_URL_SQL.replace("VARCHAR", "STRING")))
+    return urls.select(
+        "doc_id", "url", normalize_url(F.col("url")).alias("url_norm")
+    )

@@ -682,3 +682,64 @@ def test_dedup_embedding_lsh_manifest(spark, sf_dir, tmp_path):
                str(tmp_path / "o"))
     assert {"id_a", "id_b", "cosine"} <= set(out.columns)
     assert out.filter("id_a >= id_b").count() == 0 and out.count() > 0
+
+
+class TestNormalizeUrl:
+    def test_known_canonical_forms(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.text import normalize_url
+
+        cases = [
+            ("HTTP://WWW.Example.com:80/a/b/?b=2&a=1#frag", "example.com/a/b?a=1&b=2"),
+            ("https://example.com/a/b", "example.com/a/b"),
+            ("example.com///", "example.com"),
+            ("https://example.com:443/?utm_source=x&gclid=1&q=k", "example.com?q=k"),
+            ("https://example.com/#only-frag", "example.com"),
+            ("https://sub.example.com:8080/p", "sub.example.com:8080/p"),
+            ("ftp://example.com/f", "example.com/f"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_variants_collapse(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.text import normalize_url
+
+        variants = [
+            "http://example.com/p?a=1&b=2",
+            "https://www.example.com/p/?b=2&a=1",
+            "HTTPS://EXAMPLE.COM:443/p?a=1&b=2&utm_campaign=z",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        assert (
+            df.select(normalize_url(F.col("url")).alias("n")).distinct().count() == 1
+        )
+
+
+class TestAdaptiveQualityFilter:
+    def test_per_group_quartile_cut(self, spark):
+        from etl_router_spark.functions.corpus import adaptive_quality_filter
+
+        rows = [("a", i, float(i)) for i in range(1, 10)]  # 1..9, p25 = 3.0
+        rows += [("b", i, float(100 + i)) for i in range(1, 5)]  # p25 = 101.75
+        df = spark.createDataFrame(rows, "grp string, id int, score double")
+        kept = adaptive_quality_filter(df, "score", "grp", quantile=0.25)
+        got = {(r["grp"], r["id"]) for r in kept.collect()}
+        assert got == {("a", i) for i in range(3, 10)} | {("b", i) for i in (2, 3, 4)}
+
+    def test_threshold_round_snaps_boundary(self, spark):
+        from etl_router_spark.functions.corpus import adaptive_quality_filter
+
+        df = spark.createDataFrame(
+            [("g", 0.1000004), ("g", 0.2), ("g", 0.3)], "grp string, score double"
+        )
+        # p25 of (0.1000004, 0.2, 0.3) = 0.1500003; rounded to 1 decimal
+        # the threshold snaps to 0.2 -> 0.1000004 is dropped either way,
+        # but 0.2 must survive the rounded comparison exactly
+        kept = adaptive_quality_filter(
+            df, "score", "grp", quantile=0.25, threshold_round=1
+        )
+        assert sorted(r["score"] for r in kept.collect()) == [0.2, 0.3]
