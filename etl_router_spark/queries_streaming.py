@@ -782,3 +782,75 @@ from etl_router_spark.queries import ORACLES as _ORACLES  # noqa: E402
 from etl_router_spark.queries_llm import _incremental_dedup_oracle  # noqa: E402
 
 _ORACLES["stream_dedup_minhash"] = _incremental_dedup_oracle()
+
+
+@query(
+    "stream_sessionize_on_event",
+    f"""
+    WITH ev AS (
+      SELECT user_id, ts FROM {EVENTS_US} WHERE event_type = 'click'),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    numbered AS (
+      SELECT user_id, ts, sid,
+             min(ts) OVER (PARTITION BY user_id, sid) AS session_start,
+             row_number() OVER (PARTITION BY user_id, sid ORDER BY ts) AS n
+      FROM sess),
+    mx AS (SELECT user_id, max(sid) AS mxsid FROM sess GROUP BY user_id),
+    running AS (
+      SELECT user_id, session_start, ts AS session_last_event,
+             CAST(n AS BIGINT) AS n_events, FALSE AS closed
+      FROM numbered),
+    closed_rows AS (
+      SELECT s.user_id, min(s.ts) AS session_start,
+             max(s.ts) AS session_last_event,
+             CAST(count(*) AS BIGINT) AS n_events, TRUE AS closed
+      FROM sess s JOIN mx ON s.user_id = mx.user_id
+      WHERE s.sid < mx.mxsid
+      GROUP BY s.user_id, s.sid)
+    SELECT * FROM running UNION ALL SELECT * FROM closed_rows
+    """,
+)
+def stream_sessionize_on_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize ``emit: on_event`` (types.rs:690-697 — the mode
+    native session_window can't express): the stateful sessionizer
+    emits the RUNNING session row after every event (closed=false,
+    n_events = events so far) plus a closed row whenever a gap break
+    retires a session in-stream. The oracle replays both emission
+    streams with window functions; a user's final open session emits
+    only running rows (the 3650-day watermark delay keeps the
+    availableNow flush batch from timing it out, so open-session
+    state is pinned as state, not output).
+
+    Input is coalesced to ONE file => one micro-batch: per-key event
+    order inside a batch is sorted by the operator, and cross-batch
+    order is exactly what the signature-store/state machinery already
+    handles (covered by test_streaming.py multi-batch cases)."""
+    from etl_router_spark.streaming.stateful import streaming_sessionize
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_onevent_")
+    src = f"{wd}/in"
+    (load_table(spark, sf_dir, "events")
+     .filter(F.col("event_type") == "click")
+     .select("user_id", "ts")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "3650 days"))
+    out = streaming_sessionize(
+        stream, ["user_id"], gap="15m", ts_field="ts", emit="both",
+    )
+    path = _run_to_parquet(out, wd)
+    result = spark.read.parquet(path)
+    shutil.rmtree(src, ignore_errors=True)
+    return result.select("user_id", "session_start", "session_last_event",
+                         "n_events", "closed")
