@@ -3573,3 +3573,175 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_column": "event_id", "lower_bound": 0, "upper_bound": 4000,
         "num_partitions": 8,
     }, streaming=False)
+
+
+@query(
+    "source_rabbitmq_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 19 = 0
+    """,
+)
+def source_rabbitmq_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 RabbitMQ source (types.rs:223-231) end-to-end, hermetically:
+    a stdlib-socket receiver speaks AMQP 0-9-1 (the public protocol
+    spec) — protocol header negotiation, Connection.Start/StartOk/
+    Tune/TuneOk/Open/OpenOk, Channel.Open/OpenOk, then Basic.Publish
+    method + content-header + content-body frames — and appends each
+    published message body to staging via atomic rename; the gate
+    publishes fixture events through a raw-frame AMQP client, then
+    drains staging through the source registry (``source_type:
+    rabbitmq``, ``watch: false``)."""
+    import json
+    import os
+    import socket
+    import struct
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_amqp_stage_")
+
+    def _frame(ftype: int, channel: int, payload: bytes) -> bytes:
+        return struct.pack(">BHI", ftype, channel, len(payload)) + payload + b"\xce"
+
+    def _method(channel: int, cls: int, mth: int, args: bytes = b"") -> bytes:
+        return _frame(1, channel, struct.pack(">HH", cls, mth) + args)
+
+    def _shortstr(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">B", len(b)) + b
+
+    def _longstr(b: bytes) -> bytes:
+        return struct.pack(">I", len(b)) + b
+
+    def _recv_exact(conn: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed mid-frame")
+            buf += chunk
+        return buf
+
+    def _read_frame(conn: socket.socket) -> tuple[int, int, bytes]:
+        ftype, channel, size = struct.unpack(">BHI", _recv_exact(conn, 7))
+        payload = _recv_exact(conn, size)
+        assert _recv_exact(conn, 1) == b"\xce"  # frame-end octet
+        return ftype, channel, payload
+
+    def _serve(conn: socket.socket) -> None:
+        assert _recv_exact(conn, 8) == b"AMQP\x00\x00\x09\x01"
+        # Connection.Start: ver 0.9, empty server-props table,
+        # mechanisms PLAIN, locales en_US
+        conn.sendall(_method(0, 10, 10,
+                             b"\x00\x09" + struct.pack(">I", 0)
+                             + _longstr(b"PLAIN") + _longstr(b"en_US")))
+        body_remaining = 0
+        seq = 0
+        while True:
+            try:
+                ftype, channel, payload = _read_frame(conn)
+            except ConnectionError:
+                return
+            if ftype == 1:  # method frame
+                cls, mth = struct.unpack(">HH", payload[:4])
+                if (cls, mth) == (10, 11):  # Connection.StartOk
+                    # Tune: channel-max 0, frame-max 131072, heartbeat 0
+                    conn.sendall(_method(0, 10, 30,
+                                         struct.pack(">HIH", 0, 131072, 0)))
+                elif (cls, mth) == (10, 31):  # Connection.TuneOk
+                    pass
+                elif (cls, mth) == (10, 40):  # Connection.Open
+                    conn.sendall(_method(0, 10, 41, _shortstr("")))
+                elif (cls, mth) == (10, 50):  # Connection.Close
+                    conn.sendall(_method(0, 10, 51))
+                    return
+                elif (cls, mth) == (20, 10):  # Channel.Open
+                    conn.sendall(_method(channel, 20, 11, _longstr(b"")))
+                elif (cls, mth) == (60, 40):  # Basic.Publish
+                    pass  # routing info in args; body follows
+            elif ftype == 2:  # content header: class, weight, body size
+                _cls, _w, body_remaining = struct.unpack(">HHQ", payload[:12])
+                body = b""
+            elif ftype == 3:  # content body
+                body += payload
+                body_remaining -= len(payload)
+                if body_remaining <= 0:
+                    tmp = os.path.join(stage, f".msg_{seq:04d}.tmp")
+                    with open(tmp, "wb") as fh:
+                        fh.write(body)
+                    os.rename(tmp, os.path.join(stage, f"msg_{seq:04d}.json"))
+                    seq += 1
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 19 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            cli.sendall(b"AMQP\x00\x00\x09\x01")
+            ftype, ch, payload = _read_frame(cli)
+            assert (ftype, ch) == (1, 0)
+            assert struct.unpack(">HH", payload[:4]) == (10, 10)  # Start
+            assert b"PLAIN" in payload  # server offered SASL PLAIN
+            # StartOk: empty client-props, PLAIN \0guest\0guest, en_US
+            cli.sendall(_method(0, 10, 11,
+                                struct.pack(">I", 0) + _shortstr("PLAIN")
+                                + _longstr(b"\x00guest\x00guest")
+                                + _shortstr("en_US")))
+            ftype, _, payload = _read_frame(cli)
+            assert struct.unpack(">HH", payload[:4]) == (10, 30)  # Tune
+            _chmax, frame_max, _hb = struct.unpack(">HIH", payload[4:12])
+            cli.sendall(_method(0, 10, 31, struct.pack(">HIH", 0, frame_max, 0)))
+            cli.sendall(_method(0, 10, 40, _shortstr("/") + _shortstr("") + b"\x00"))
+            _, _, payload = _read_frame(cli)
+            assert struct.unpack(">HH", payload[:4]) == (10, 41)  # OpenOk
+            cli.sendall(_method(1, 20, 10, _shortstr("")))
+            _, ch, payload = _read_frame(cli)
+            assert ch == 1 and struct.unpack(">HH", payload[:4]) == (20, 11)
+
+            half = len(rows) // 2
+            for chunk in (rows[:half], rows[half:]):
+                body = "\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode()
+                # Basic.Publish: reserved short, exchange '', routing key
+                cli.sendall(_method(1, 60, 40,
+                                    struct.pack(">H", 0) + _shortstr("")
+                                    + _shortstr("events.ingest") + b"\x00"))
+                # content header: class 60, weight 0, size, no properties
+                cli.sendall(_frame(2, 1, struct.pack(">HHQH", 60, 0, len(body), 0)))
+                # content body, split to prove multi-frame reassembly
+                mid = len(body) // 2
+                cli.sendall(_frame(3, 1, body[:mid]))
+                cli.sendall(_frame(3, 1, body[mid:]))
+            cli.sendall(_method(0, 10, 50))  # Connection.Close
+            _, _, payload = _read_frame(cli)
+            assert struct.unpack(">HH", payload[:4]) == (10, 51)  # CloseOk
+            t.join(timeout=10)
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "rabbitmq", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
