@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "corpus_duplicate_spans",
     "service_process_batch",
     "corpus_mix_target",
+    # round 4 fourth pass: link-graph degree pass (the cheap graph
+    # entry; pagerank's 10-round loop is timed in SCALE.md instead —
+    # its cost is per-round fixed job overhead, not data volume)
+    "graph_degrees",
 ]
 
 

@@ -93,6 +93,7 @@ def pagerank(
     dst: str,
     iterations: int = 10,
     damping: float = 0.85,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Damped PageRank over the distinct directed edge set.
 
@@ -109,51 +110,73 @@ def pagerank(
     epsilon stop; 10 rounds is the usual operating point for ranking
     (values move < 1e-3 after that on power-law graphs).
 
-    Plan per iteration: contributions = edges ⋈ ranks (shuffle on
-    src) -> groupBy(dst) partial-agg; dangling mass = 1-row aggregate
-    riding as a broadcast cross join (never collected); new ranks =
-    nodes left-join contributions. The rank vector (one double per
-    node) is localCheckpoint-ed each round to cut lineage. Node count
-    N likewise stays a broadcast 1-row scalar.
+    Plan: (edges ⋈ out-degree) materializes ONCE before the loop, so
+    each iteration is a single join with the rank vector ->
+    groupBy(dst) partial-agg -> nodes left-join. The node count is
+    read once (one long — the only driver-side scalar; same class as
+    a parquet footer read) and embedded as a literal; dangling mass
+    stays a per-round 1-row aggregate riding as a broadcast cross
+    join. When the graph has at most ``broadcast_nodes`` nodes the
+    rank vector (id + one double) is broadcast-hinted into the
+    contribution join so the EDGE SET NEVER RESHUFFLES across rounds
+    — above that, the join shuffles ranks against the pre-partitioned
+    edges (at 10^9+ nodes pre-bucket both by id to pin even that).
+    The rank vector is localCheckpoint-ed each round to cut lineage.
 
     Returns ``id, pagerank`` (raw double — callers round for
     presentation).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = _canonical_edges(edges, src, dst).persist()
+    e = _canonical_edges(edges, src, dst)
     nodes = nodes_of(e).persist()
-    n_scalar = nodes.agg(F.count("*").cast("double").alias("__n"))
+    n = nodes.count()  # one long to the driver; also materializes nodes
 
     out_d = e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("double").alias("__outdeg")
-    ).persist()
-
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_scalar))
-        .select("id", (F.lit(1.0) / F.col("__n")).alias("pr"))
-        .localCheckpoint(eager=True)
     )
+    # per-edge out-degree resolved once, reused by every iteration
+    edges_deg = (
+        e.join(out_d.withColumnsRenamed({"id": "src"}), "src")
+        .select("src", "dst", "__outdeg")
+        .persist()
+    )
+    dangling_ids = nodes.join(
+        out_d, "id", "left_anti"
+    ).persist()  # nodes with no out-edges
+
+    small = n <= broadcast_nodes
+    ranks = nodes.select(
+        "id", (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    ).localCheckpoint(eager=True)
     for _ in range(iterations):
+        ranks_j = F.broadcast(ranks) if small else ranks
         contrib = (
-            e.join(ranks.join(out_d, "id"), e.src == F.col("id"))
+            edges_deg.join(
+                ranks_j.withColumnsRenamed({"id": "src"}), "src"
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("__outdeg")).alias("__c"))
         )
         dangling = (
-            ranks.join(out_d, "id", "left_anti")
+            ranks.join(
+                F.broadcast(dangling_ids) if small else dangling_ids,
+                "id", "left_semi",
+            )
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm"))
         )
         ranks = (
             nodes.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_scalar))
             .select(
                 "id",
                 (
-                    F.lit(1.0 - damping) / F.col("__n")
+                    F.lit(1.0 - damping) / F.lit(float(n))
                     + F.lit(damping)
-                    * (F.coalesce("__c", F.lit(0.0)) + F.col("__dm") / F.col("__n"))
+                    * (
+                        F.coalesce("__c", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)

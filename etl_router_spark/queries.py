@@ -3355,11 +3355,10 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed after their newest green row) jump to the head of their
 # staleness group.
 _TOUCHED_BOOST = (
-    # r3 commits touched these after their r2 green rows (VERDICT r3):
-    # 7c5a0a5 (dedup plan-build overhead), 3b151b2 (LSH/IVF BLAS guard)
-    "dedup_ngram_jaccard",
-    "similarity_lsh_ann",
-    "similarity_topk",
+    # r4: compact_files gained the zorder_by branch after
+    # sink_compact_roundtrip's newest green row (locally re-verified,
+    # but the hard driver signal should refresh first)
+    "sink_compact_roundtrip",
 )
 
 

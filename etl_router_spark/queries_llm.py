@@ -1861,9 +1861,17 @@ _GRAPH_EDGES_SQL = """
 def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    # pre-distinct the (custkey, suppkey) LONG pairs before stringifying:
+    # the operators' own edge dedup then shuffles ~50k short strings
+    # instead of the raw 600k join output
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
     )
     sn = load_table(spark, sf_dir, "supplier").select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
