@@ -278,6 +278,7 @@ def cmd_compact(args) -> int:
         spark, args.path, fmt=args.format,
         target_file_mb=args.target_mb,
         sort_by=args.sort_by.split(",") if args.sort_by else None,
+        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
     )
     print(f"compacted {args.path} -> {n} file(s)")
     return 0
@@ -335,6 +336,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet")
     p.add_argument("--target-mb", type=int, default=512)
     p.add_argument("--sort-by", help="comma-separated columns for sorted layout")
+    p.add_argument("--zorder-by",
+                   help="comma-separated columns for Z-order (Morton) "
+                        "clustered layout — multi-column min/max pruning")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("backup", help="snapshot a checkpoint dir")
