@@ -93,3 +93,42 @@ def test_triangle_count_hub_orientation(spark):
     assert rows["h"] == 5
     assert rows["s0"] == 1 and rows["s5"] == 1
     assert all(rows[f"s{i}"] == 2 for i in range(1, 5))
+
+
+def test_pagerank_small_graph_broadcasts_ranks(spark):
+    # under broadcast_nodes the contribution join must be a broadcast
+    # hash join (the edge set never reshuffles across rounds). The
+    # returned frame is a localCheckpoint scan, so read the round's
+    # executed plan from the SQL status store instead.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    pagerank(e, "src", "dst", iterations=1)
+    execs = store.executionsList()
+    descs = [
+        execs.apply(i).physicalPlanDescription()
+        for i in range(before, execs.size())
+    ]
+    round_plans = [d for d in descs if "BroadcastHashJoin" in d]
+    assert round_plans, "no broadcast join in any pagerank round plan"
+    assert all("CartesianProduct" not in d for d in descs)
+
+
+def test_pagerank_large_graph_path_does_not_broadcast_ranks(spark):
+    # broadcast_nodes=0 forces the scale path: rank vector joins by
+    # shuffle, no broadcast of node-cardinality data
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    pr = pagerank(e, "src", "dst", iterations=1, broadcast_nodes=0)
+    rows = {r["id"]: r["pagerank"] for r in pr.collect()}
+    small = {r["id"]: r["pagerank"]
+             for r in pagerank(e, "src", "dst", iterations=1).collect()}
+    # both paths agree exactly (cycle: uniform fixpoint)
+    for k in rows:
+        assert rows[k] == pytest.approx(small[k], abs=1e-12)
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    plan = (triangle_count(e, "src", "dst")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan

@@ -743,3 +743,45 @@ class TestAdaptiveQualityFilter:
             df, "score", "grp", quantile=0.25, threshold_round=1
         )
         assert sorted(r["score"] for r in kept.collect()) == [0.2, 0.3]
+
+
+class TestUrlNormalizePropertyVsOracle:
+    def test_randomized_urls_match_duckdb(self, spark):
+        """Randomized URL components cross-checked against the DuckDB
+        twin — pins Java-regex vs RE2 dialect agreement beyond the
+        fixture's variant classes."""
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.text import (
+            normalize_url,
+            normalize_url_oracle_sql,
+        )
+
+        rng = random.Random(20260814)
+        schemes = ["http://", "https://", "HTTP://", "ftp://", ""]
+        hosts = ["Example.com", "www.Example.com", "sub.ex-ample.org",
+                 "EXAMPLE.COM:443", "example.com:80", "example.com:8080"]
+        paths = ["", "/", "/a", "/a/b/", "/A/B//", "/p%20q"]
+        queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&gclid=3",
+                   "?z=9&y=8&x=7", "?a=&b"]
+        frags = ["", "#f", "#a/b?c=1"]
+        urls = [
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(url VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {normalize_url_oracle_sql('url')} FROM t"
+            ).fetchall()
+        ]
+        assert got == want
