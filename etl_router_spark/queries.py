@@ -3744,3 +3744,201 @@ def source_rabbitmq_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         "watch": False,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
+
+
+@query(
+    "source_kinesis_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 23 = 0
+    """,
+)
+def source_kinesis_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Kinesis source (types.rs:190-199) end-to-end, hermetically:
+    a localhost receiver implements the public Kinesis Data Streams
+    HTTP API shape — POST with ``X-Amz-Target:
+    Kinesis_20131202.PutRecord``, JSON body carrying StreamName /
+    PartitionKey / base64 ``Data`` — decodes each record and appends
+    it to staging via atomic rename, answering with ShardId +
+    SequenceNumber; the gate puts fixture events through a real
+    API-shaped client, then drains staging through the source
+    registry (``source_type: kinesis``, ``watch: false``)."""
+    import base64
+    import json
+    import os
+    import tempfile
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_kinesis_stage_")
+    counter = {"n": 0}
+
+    class _Kinesis(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            target = self.headers.get("X-Amz-Target", "")
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if target != "Kinesis_20131202.PutRecord":
+                self.send_response(400)
+                self.end_headers()
+                return
+            data = base64.b64decode(body["Data"])
+            seq = counter["n"]
+            counter["n"] += 1
+            tmp = os.path.join(stage, f".rec_{seq:04d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.rename(tmp, os.path.join(stage, f"rec_{seq:04d}.json"))
+            resp = json.dumps({
+                "ShardId": "shardId-000000000000",
+                "SequenceNumber": str(49590338271490256608559692538361571095921575989136588898 + seq),
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-amz-json-1.1")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Kinesis)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 23 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            payload = "\n".join(
+                json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                            "event_type": r.event_type, "value": r.value})
+                for r in chunk
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/",
+                data=json.dumps({
+                    "StreamName": "events-ingest",
+                    "PartitionKey": "fixture",
+                    "Data": base64.b64encode(payload).decode(),
+                }).encode(),
+                headers={"X-Amz-Target": "Kinesis_20131202.PutRecord",
+                         "Content-Type": "application/x-amz-json-1.1"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                out = json.loads(resp.read())
+                assert out["ShardId"].startswith("shardId-")
+                assert out["SequenceNumber"].isdigit()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return read_source(spark, {
+        "source_type": "kinesis", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+
+
+@query(
+    "source_sqs_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 29 = 0
+    """,
+)
+def source_sqs_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 SQS source (types.rs:233-244) end-to-end, hermetically: a
+    localhost receiver implements the public SQS JSON-protocol API
+    shape — POST with ``X-Amz-Target: AmazonSQS.SendMessage``, JSON
+    body with QueueUrl/MessageBody — appends each message body to
+    staging via atomic rename and answers with MessageId +
+    MD5OfMessageBody (which the client VERIFIES, as real SQS clients
+    do); the gate sends fixture events through the API-shaped client,
+    then drains staging through the source registry."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+    import threading
+    import urllib.request
+    import uuid
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_sqs_stage_")
+    counter = {"n": 0}
+
+    class _Sqs(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            target = self.headers.get("X-Amz-Target", "")
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if target != "AmazonSQS.SendMessage":
+                self.send_response(400)
+                self.end_headers()
+                return
+            msg = body["MessageBody"]
+            seq = counter["n"]
+            counter["n"] += 1
+            tmp = os.path.join(stage, f".msg_{seq:04d}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(msg)
+            os.rename(tmp, os.path.join(stage, f"msg_{seq:04d}.json"))
+            resp = json.dumps({
+                "MessageId": str(uuid.uuid5(uuid.NAMESPACE_URL, f"msg{seq}")),
+                "MD5OfMessageBody": hashlib.md5(msg.encode()).hexdigest(),
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-amz-json-1.0")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Sqs)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 29 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            msg = "\n".join(
+                json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                            "event_type": r.event_type, "value": r.value})
+                for r in chunk
+            )
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/",
+                data=json.dumps({
+                    "QueueUrl": f"http://127.0.0.1:{port}/000000000000/events",
+                    "MessageBody": msg,
+                }).encode(),
+                headers={"X-Amz-Target": "AmazonSQS.SendMessage",
+                         "Content-Type": "application/x-amz-json-1.0"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                out = json.loads(resp.read())
+                # integrity check every real SQS SDK performs
+                import hashlib as _h
+                assert out["MD5OfMessageBody"] == _h.md5(msg.encode()).hexdigest()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return read_source(spark, {
+        "source_type": "sqs", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
