@@ -3942,3 +3942,202 @@ def source_sqs_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "watch": False,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
+
+
+@query(
+    "source_grpc_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 31 = 0
+    """,
+)
+def source_grpc_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 gRPC source (types.rs:376-383) end-to-end, hermetically: a
+    stdlib-socket receiver speaks real gRPC-over-HTTP/2 (all public:
+    RFC 7540 framing, RFC 7541 HPACK literal-without-indexing
+    encoding, the gRPC length-prefixed message framing, and protobuf
+    wire format) — connection preface, SETTINGS exchange, HEADERS
+    carrying :path /conveyor.etl.Ingest/Push + content-type
+    application/grpc, DATA frames holding length-prefixed protobuf
+    messages (field 1 = payload bytes) — appending each decoded
+    payload to staging; it answers with response HEADERS and
+    grpc-status: 0 trailers, which the raw-frame client verifies."""
+    import json
+    import os
+    import socket
+    import struct
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_grpc_stage_")
+    PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+    def _h2_frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload))[1:]
+                + struct.pack(">BBI", ftype, flags, stream) + payload)
+
+    def _hpack_literal(name: bytes, value: bytes) -> bytes:
+        # RFC 7541 §6.2.2 literal without indexing, new name, no Huffman
+        assert len(name) < 127 and len(value) < 127
+        return (b"\x00" + struct.pack(">B", len(name)) + name
+                + struct.pack(">B", len(value)) + value)
+
+    def _hpack_parse(block: bytes) -> dict[bytes, bytes]:
+        # decodes only the literal-without-indexing/new-name form the
+        # peer (also ours) emits
+        out, i = {}, 0
+        while i < len(block):
+            assert block[i] == 0x00, "unsupported HPACK form"
+            nlen = block[i + 1]
+            name = block[i + 2:i + 2 + nlen]
+            j = i + 2 + nlen
+            vlen = block[j]
+            out[name] = block[j + 1:j + 1 + vlen]
+            i = j + 1 + vlen
+        return out
+
+    def _pb_payload(data: bytes) -> bytes:
+        # protobuf: field 1, wire type 2 (length-delimited)
+        out = b"\x0a"
+        n = len(data)
+        while True:  # varint
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out + data
+
+    def _pb_parse_payload(msg: bytes) -> bytes:
+        assert msg[0] == 0x0A  # field 1, length-delimited
+        n, shift, i = 0, 0, 1
+        while True:
+            b = msg[i]
+            n |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                break
+            shift += 7
+        return msg[i:i + n]
+
+    def _recv_exact(conn: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return buf
+
+    def _read_h2(conn: socket.socket) -> tuple[int, int, int, bytes]:
+        hdr = _recv_exact(conn, 9)
+        size = struct.unpack(">I", b"\x00" + hdr[:3])[0]
+        ftype, flags = hdr[3], hdr[4]
+        stream = struct.unpack(">I", hdr[5:9])[0] & 0x7FFFFFFF
+        return ftype, flags, stream, _recv_exact(conn, size)
+
+    def _serve(conn: socket.socket) -> None:
+        assert _recv_exact(conn, len(PREFACE)) == PREFACE
+        conn.sendall(_h2_frame(4, 0, 0, b""))  # server SETTINGS
+        grpc_buf = b""
+        seq = 0
+        while True:
+            try:
+                ftype, flags, stream, payload = _read_h2(conn)
+            except ConnectionError:
+                return
+            if ftype == 4 and not flags & 1:  # SETTINGS -> ACK
+                conn.sendall(_h2_frame(4, 1, 0, b""))
+            elif ftype == 1:  # HEADERS
+                hdrs = _hpack_parse(payload)
+                assert hdrs.get(b":path") == b"/conveyor.etl.Ingest/Push"
+                assert hdrs.get(b"content-type", b"").startswith(b"application/grpc")
+            elif ftype == 0:  # DATA: gRPC length-prefixed messages
+                grpc_buf += payload
+                while len(grpc_buf) >= 5:
+                    comp, mlen = grpc_buf[0], struct.unpack(">I", grpc_buf[1:5])[0]
+                    if len(grpc_buf) < 5 + mlen:
+                        break
+                    assert comp == 0
+                    data = _pb_parse_payload(grpc_buf[5:5 + mlen])
+                    grpc_buf = grpc_buf[5 + mlen:]
+                    tmp = os.path.join(stage, f".m_{seq:04d}.tmp")
+                    with open(tmp, "wb") as fh:
+                        fh.write(data)
+                    os.rename(tmp, os.path.join(stage, f"m_{seq:04d}.json"))
+                    seq += 1
+                if flags & 1:  # END_STREAM: respond + trailers
+                    resp = (_hpack_literal(b":status", b"200")
+                            + _hpack_literal(b"content-type", b"application/grpc"))
+                    conn.sendall(_h2_frame(1, 0x4, stream, resp))  # END_HEADERS
+                    trailers = (_hpack_literal(b"grpc-status", b"0")
+                                + _hpack_literal(b"grpc-message", b""))
+                    conn.sendall(_h2_frame(1, 0x5, stream, trailers))  # +END_STREAM
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 31 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            cli.sendall(PREFACE)
+            cli.sendall(_h2_frame(4, 0, 0, b""))  # client SETTINGS
+            hdr_block = b"".join(_hpack_literal(n, v) for n, v in [
+                (b":method", b"POST"), (b":scheme", b"http"),
+                (b":path", b"/conveyor.etl.Ingest/Push"),
+                (b":authority", f"127.0.0.1:{port}".encode()),
+                (b"content-type", b"application/grpc"),
+                (b"te", b"trailers"),
+            ])
+            cli.sendall(_h2_frame(1, 0x4, 1, hdr_block))  # HEADERS END_HEADERS
+            half = len(rows) // 2
+            chunks = (rows[:half], rows[half:])
+            for i, chunk in enumerate(chunks):
+                payload = "\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode()
+                msg = _pb_payload(payload)
+                grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
+                end = 0x1 if i == len(chunks) - 1 else 0x0
+                cli.sendall(_h2_frame(0, end, 1, grpc_frame))
+            # verify: server SETTINGS, SETTINGS ACK, response HEADERS,
+            # trailers with grpc-status 0
+            got_status = got_trailer = False
+            for _ in range(8):
+                ftype, flags, stream, payload = _read_h2(cli)
+                if ftype == 1:
+                    hdrs = _hpack_parse(payload)
+                    if b":status" in hdrs:
+                        assert hdrs[b":status"] == b"200"
+                        got_status = True
+                    if b"grpc-status" in hdrs:
+                        assert hdrs[b"grpc-status"] == b"0"
+                        got_trailer = True
+                        break
+            assert got_status and got_trailer
+            t.join(timeout=10)
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "grpc", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
