@@ -4141,3 +4141,217 @@ def source_grpc_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "watch": False,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
+
+
+@query(
+    "source_pulsar_staging_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 37 = 0
+    """,
+)
+def source_pulsar_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 Pulsar source (types.rs:213-221) end-to-end, hermetically: a
+    stdlib-socket receiver speaks the public Pulsar binary protocol
+    (pulsar.apache.org/docs/developing-binary-protocol; field numbers
+    per PulsarApi.proto) — [totalSize][commandSize][BaseCommand]
+    framing, CONNECT/CONNECTED, PRODUCER/PRODUCER_SUCCESS, and SEND
+    frames carrying [magic 0x0e01][CRC32C][metadataSize][metadata]
+    [payload] with the checksum VERIFIED server-side over
+    metadataSize+metadata+payload — appending each payload to staging
+    and acking with SEND_RECEIPT, which the raw-frame client checks
+    sequence-by-sequence."""
+    import json
+    import os
+    import socket
+    import struct
+    import tempfile
+    import threading
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_pulsar_stage_")
+
+    # ---- minimal protobuf writers/readers (wire format is public) ----
+    def _varint(n: int) -> bytes:
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+        n = shift = 0
+        while True:
+            b = buf[i]
+            n |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return n, i
+            shift += 7
+
+    def _field_varint(num: int, val: int) -> bytes:
+        return _varint(num << 3) + _varint(val)
+
+    def _field_bytes(num: int, data: bytes) -> bytes:
+        return _varint((num << 3) | 2) + _varint(len(data)) + data
+
+    def _pb_fields(buf: bytes) -> dict[int, list]:
+        out: dict[int, list] = {}
+        i = 0
+        while i < len(buf):
+            tag, i = _read_varint(buf, i)
+            num, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = _read_varint(buf, i)
+            elif wt == 2:
+                ln, i = _read_varint(buf, i)
+                v = buf[i:i + ln]
+                i += ln
+            else:
+                raise AssertionError(f"unexpected wire type {wt}")
+            out.setdefault(num, []).append(v)
+        return out
+
+    # CRC32C (Castagnoli polynomial 0x1EDC6F41 reflected = 0x82F63B78)
+    _crc_table = []
+    for b0 in range(256):
+        c = b0
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        _crc_table.append(c)
+
+    def _crc32c(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for by in data:
+            c = _crc_table[(c ^ by) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    # BaseCommand: type=1 (enum); per-command sub-message fields follow
+    # PulsarApi.proto numbering (connect=2, connected=3, producer=5,
+    # send=6, send_receipt=7, producer_success=17)
+    T_CONNECT, T_CONNECTED = 2, 3
+    T_PRODUCER, T_SEND, T_SEND_RECEIPT, T_PRODUCER_SUCCESS = 5, 6, 7, 17
+
+    def _cmd_frame(cmd: bytes) -> bytes:
+        return struct.pack(">II", 4 + len(cmd), len(cmd)) + cmd
+
+    def _recv_exact(conn: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return buf
+
+    def _read_frame(conn: socket.socket) -> tuple[dict, bytes]:
+        total = struct.unpack(">I", _recv_exact(conn, 4))[0]
+        body = _recv_exact(conn, total)
+        cmd_size = struct.unpack(">I", body[:4])[0]
+        return _pb_fields(body[4:4 + cmd_size]), body[4 + cmd_size:]
+
+    def _serve(conn: socket.socket) -> None:
+        seq_written = 0
+        while True:
+            try:
+                cmd, rest = _read_frame(conn)
+            except ConnectionError:
+                return
+            ctype = cmd[1][0]
+            if ctype == T_CONNECT:
+                connected = _field_bytes(1, b"etl-staging-3.0") + _field_varint(2, 21)
+                conn.sendall(_cmd_frame(
+                    _field_varint(1, T_CONNECTED) + _field_bytes(3, connected)))
+            elif ctype == T_PRODUCER:
+                prod = _pb_fields(cmd[5][0])
+                req_id = prod[3][0]
+                ok = _field_varint(1, req_id) + _field_bytes(2, b"etl-producer-0")
+                conn.sendall(_cmd_frame(
+                    _field_varint(1, T_PRODUCER_SUCCESS) + _field_bytes(17, ok)))
+            elif ctype == T_SEND:
+                send = _pb_fields(cmd[6][0])
+                producer_id, sequence_id = send[1][0], send[2][0]
+                # rest = magic(2) crc(4) metadataSize(4) metadata payload
+                assert rest[:2] == b"\x0e\x01"
+                crc = struct.unpack(">I", rest[2:6])[0]
+                assert _crc32c(rest[6:]) == crc, "CRC32C mismatch"
+                md_size = struct.unpack(">I", rest[6:10])[0]
+                payload = rest[10 + md_size:]
+                tmp = os.path.join(stage, f".m_{seq_written:04d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.rename(tmp, os.path.join(stage, f"m_{seq_written:04d}.json"))
+                seq_written += 1
+                receipt = _field_varint(1, producer_id) + _field_varint(2, sequence_id)
+                conn.sendall(_cmd_frame(
+                    _field_varint(1, T_SEND_RECEIPT) + _field_bytes(7, receipt)))
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_loop() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            _serve(conn)
+
+    t = threading.Thread(target=_accept_loop, daemon=True)
+    t.start()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 37 == 0)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .collect())
+        cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+        with cli:
+            # CONNECT {client_version=1, protocol_version=4}
+            connect = _field_bytes(1, b"etl-gate-client") + _field_varint(4, 21)
+            cli.sendall(_cmd_frame(
+                _field_varint(1, T_CONNECT) + _field_bytes(2, connect)))
+            cmd, _ = _read_frame(cli)
+            assert cmd[1][0] == T_CONNECTED
+            assert b"etl-staging" in _pb_fields(cmd[3][0])[1][0]
+            # PRODUCER {topic=1, producer_id=2, request_id=3}
+            producer = (_field_bytes(1, b"persistent://public/default/events")
+                        + _field_varint(2, 7) + _field_varint(3, 100))
+            cli.sendall(_cmd_frame(
+                _field_varint(1, T_PRODUCER) + _field_bytes(5, producer)))
+            cmd, _ = _read_frame(cli)
+            assert cmd[1][0] == T_PRODUCER_SUCCESS
+            assert _pb_fields(cmd[17][0])[1][0] == 100  # request_id echoed
+            half = len(rows) // 2
+            for seq, chunk in enumerate((rows[:half], rows[half:])):
+                payload = "\n".join(
+                    json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                                "event_type": r.event_type, "value": r.value})
+                    for r in chunk
+                ).encode()
+                # MessageMetadata {producer_name=1, sequence_id=2,
+                # publish_time=3}
+                meta = (_field_bytes(1, b"etl-producer-0")
+                        + _field_varint(2, seq)
+                        + _field_varint(3, 1706400000000))
+                body = struct.pack(">I", len(meta)) + meta + payload
+                send_cmd = _field_varint(1, 7) + _field_varint(2, seq)
+                cmd_bytes = _field_varint(1, T_SEND) + _field_bytes(6, send_cmd)
+                frame_body = (struct.pack(">I", len(cmd_bytes)) + cmd_bytes
+                              + b"\x0e\x01"
+                              + struct.pack(">I", _crc32c(body)) + body)
+                cli.sendall(struct.pack(">I", len(frame_body)) + frame_body)
+                cmd, _ = _read_frame(cli)
+                assert cmd[1][0] == T_SEND_RECEIPT
+                receipt = _pb_fields(cmd[7][0])
+                assert receipt[1][0] == 7 and receipt[2][0] == seq
+    finally:
+        srv.close()
+    return read_source(spark, {
+        "source_type": "pulsar", "staging_path": stage, "format": "json",
+        "watch": False,
+        "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
