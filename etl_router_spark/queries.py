@@ -4355,3 +4355,83 @@ def source_pulsar_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "watch": False,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
+
+
+@query(
+    "source_merge_schema_evolution",
+    f"""
+    SELECT event_id, user_id,
+           CAST(NULL AS DOUBLE) AS value,
+           'v1'                 AS batch_tag
+    FROM {EVENTS_US} WHERE event_id % 41 = 0
+    UNION ALL
+    SELECT event_id, user_id, round(value, 6) AS value, 'v2' AS batch_tag
+    FROM {EVENTS_US} WHERE event_id % 43 = 0
+    """,
+)
+def source_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 ``merge_schema`` (types.rs:269-288 file source): columns
+    added over a dataset's lifetime must reconcile across files
+    instead of trusting the first footer. Two generations are written
+    — v1 without the ``value`` column, v2 with it — and read back
+    through the source registry with ``merge_schema: true``; v1 rows
+    surface the evolved column as NULL. At 100 TB schema drift is a
+    certainty (new producers add fields); mergeSchema reads every
+    footer once, so production pins the reconciled schema explicitly
+    after the first evolution."""
+    import tempfile
+
+    from etl_router_spark.sources.registry import read_source
+
+    root = tempfile.mkdtemp(prefix="etl_mergeschema_") + "/events_evolved"
+    ev = _t(spark, sf_dir, "events")
+    (ev.filter(F.col("event_id") % 41 == 0)
+     .select("event_id", "user_id", F.lit("v1").alias("batch_tag"))
+     .write.parquet(f"{root}/gen=1"))
+    (ev.filter(F.col("event_id") % 43 == 0)
+     .select("event_id", "user_id", F.round("value", 6).alias("value"),
+             F.lit("v2").alias("batch_tag"))
+     .write.parquet(f"{root}/gen=2"))
+    out = read_source(spark, {
+        "source_type": "file", "format": "parquet", "path": root,
+        "merge_schema": True, "recursive": True,
+    }, streaming=False)
+    return out.select("event_id", "user_id", "value", "batch_tag")
+
+
+@query(
+    "source_glob_pattern_filter",
+    f"""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 47 = 0 AND event_type = 'purchase'
+    """,
+)
+def source_glob_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 glob ``pattern`` (types.rs:269-288): partition directories
+    are written per event type, but only files matching the configured
+    glob participate in the scan (pathGlobFilter prunes at file
+    listing, before any footer read — the cheap first-stage filter for
+    mixed-content landing zones)."""
+    import tempfile
+
+    from etl_router_spark.sources.registry import read_source
+
+    root = tempfile.mkdtemp(prefix="etl_glob_") + "/landing"
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 47 == 0)
+          .select("event_id", "event_type", F.round("value", 6).alias("value")))
+    for etype in ("purchase", "click", "error"):
+        (ev.filter(F.col("event_type") == etype)
+         .coalesce(1)
+         .write.json(f"{root}/{etype}"))
+        # rename the part file so the glob has a distinguishing name
+        import glob as _g
+        import os
+        for i, f in enumerate(_g.glob(f"{root}/{etype}/part-*.json")):
+            os.rename(f, f"{root}/{etype}/{etype}_{i}.json")
+    out = read_source(spark, {
+        "source_type": "file", "format": "json", "path": root,
+        "pattern": "purchase_*.json", "recursive": True,
+        "schema": "event_id BIGINT, event_type STRING, value DOUBLE",
+    }, streaming=False)
+    return out.select("event_id", "event_type", "value")
