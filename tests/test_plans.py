@@ -260,3 +260,30 @@ def test_mix_sample_corpus_never_shuffles(plans):
     plan = plans("corpus_mix_target")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_broadcasts_thresholds(plans):
+    """The per-group threshold frame must broadcast back onto the
+    corpus — a shuffle join here would reshuffle the whole corpus for
+    a group-count-sized dimension."""
+    plan = plans("corpus_quality_filter")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_url_normalize_is_shuffle_free(plans):
+    """URL canonicalization is a pure projection: any Exchange means
+    the regex/array pipeline fell out of the scan stage."""
+    plan = plans("text_url_normalize")
+    assert "Exchange" not in plan
+
+
+def test_zorder_keys_single_stats_broadcast(plans):
+    """The z-key plan reads min/max once (one aggregate subtree feeding
+    a broadcast nested-loop of the 1-row stats frame); the interleave
+    itself must stay in the scan projection — no extra shuffle of the
+    fact rows."""
+    plan = plans("sink_zorder_keys")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchanges allowed are the stats aggregate + its
+    # broadcast; the row side must not Exchange
+    assert plan.count("Exchange hashpartitioning") == 0
