@@ -1,0 +1,279 @@
+"""Minimal gRPC-over-HTTP/2 client (and hermetic receiver) for the
+typed gRPC sink — the reference's only first-class sink config
+(``conveyor-etl-dsl/src/types.rs:703-759``: endpoint + retry policy).
+
+Everything here is public protocol: RFC 7540 HTTP/2 framing, RFC 7541
+HPACK (literal-without-indexing form only — both peers in a sink
+deployment negotiate no dynamic table), the gRPC length-prefixed
+message framing, and protobuf wire format (the request message is
+``bytes payload = 1``, the JSON-lines batch).
+
+Scale design: the sink runs ``df.foreachPartition`` — each executor
+partition opens ONE connection and streams its batches as unary calls
+(odd client stream ids per RFC 7540 §5.1.1), so sink parallelism ==
+partition count and no rows ever route through the driver. Failures
+retry per call with the reference's exponential backoff contract
+(``initial * multiplier^n`` capped, ``policy.rs:33-47`` semantics).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+
+H2_PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+
+class GrpcCallError(RuntimeError):
+    def __init__(self, status: int, message: str = ""):
+        super().__init__(f"grpc-status {status}: {message}")
+        self.status = status
+
+
+def h2_frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload))[1:]
+            + struct.pack(">BBI", ftype, flags, stream) + payload)
+
+
+def hpack_literal(name: bytes, value: bytes) -> bytes:
+    """RFC 7541 §6.2.2 literal without indexing, new name, no Huffman."""
+    assert len(name) < 127 and len(value) < 127
+    return (b"\x00" + struct.pack(">B", len(name)) + name
+            + struct.pack(">B", len(value)) + value)
+
+
+def hpack_parse(block: bytes) -> dict[bytes, bytes]:
+    out, i = {}, 0
+    while i < len(block):
+        assert block[i] == 0x00, "unsupported HPACK form"
+        nlen = block[i + 1]
+        name = block[i + 2:i + 2 + nlen]
+        j = i + 2 + nlen
+        vlen = block[j]
+        out[name] = block[j + 1:j + 1 + vlen]
+        i = j + 1 + vlen
+    return out
+
+
+def pb_wrap_payload(data: bytes) -> bytes:
+    """protobuf message {bytes payload = 1} -> wire bytes."""
+    out = b"\x0a"
+    n = len(data)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | (0x80 if n else 0)])
+        if not n:
+            return out + data
+
+
+def pb_unwrap_payload(msg: bytes) -> bytes:
+    assert msg[0] == 0x0A, "expected field 1 length-delimited"
+    n = shift = 0
+    i = 1
+    while True:
+        b = msg[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            break
+        shift += 7
+    return msg[i:i + n]
+
+
+def recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def read_h2(conn: socket.socket) -> tuple[int, int, int, bytes]:
+    hdr = recv_exact(conn, 9)
+    size = struct.unpack(">I", b"\x00" + hdr[:3])[0]
+    stream = struct.unpack(">I", hdr[5:9])[0] & 0x7FFFFFFF
+    return hdr[3], hdr[4], stream, recv_exact(conn, size)
+
+
+class GrpcLinesClient:
+    """One HTTP/2 connection; unary calls on successive odd streams."""
+
+    def __init__(self, host: str, port: int, path: str,
+                 timeout_s: float = 10.0):
+        self.path = path.encode()
+        self.authority = f"{host}:{port}".encode()
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        self.sock.sendall(H2_PREFACE)
+        self.sock.sendall(h2_frame(4, 0, 0, b""))  # SETTINGS
+        self.next_stream = 1
+
+    def call(self, payload: bytes) -> None:
+        """Unary call; raises GrpcCallError on non-zero grpc-status."""
+        stream = self.next_stream
+        self.next_stream += 2
+        hdr_block = b"".join(hpack_literal(n, v) for n, v in [
+            (b":method", b"POST"), (b":scheme", b"http"),
+            (b":path", self.path), (b":authority", self.authority),
+            (b"content-type", b"application/grpc"), (b"te", b"trailers"),
+        ])
+        self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
+        msg = pb_wrap_payload(payload)
+        grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
+        self.sock.sendall(h2_frame(0, 0x1, stream, grpc_frame))  # END_STREAM
+        # read until this stream's trailers
+        while True:
+            ftype, flags, fstream, fpayload = read_h2(self.sock)
+            if ftype == 4 and not flags & 1:  # peer SETTINGS -> ACK
+                self.sock.sendall(h2_frame(4, 1, 0, b""))
+            elif ftype == 1 and fstream == stream:
+                hdrs = hpack_parse(fpayload)
+                if b"grpc-status" in hdrs:
+                    status = int(hdrs[b"grpc-status"])
+                    if status != 0:
+                        raise GrpcCallError(
+                            status, hdrs.get(b"grpc-message", b"").decode())
+                    return
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def send_rows_partition(
+    rows,
+    host: str,
+    port: int,
+    path: str,
+    batch_size: int,
+    to_line,
+    max_retries: int = 3,
+    initial_backoff_ms: int = 100,
+    backoff_multiplier: float = 2.0,
+    max_backoff_ms: int = 30_000,
+) -> None:
+    """foreachPartition body: batch rows to JSON lines, send each batch
+    as one unary call, retrying with the reference's exponential
+    backoff (initial * multiplier^n, capped — policy.rs:33-47). A
+    batch that exhausts retries raises, failing the task (Spark task
+    retry then re-runs the partition — at-least-once, the reference's
+    default sink guarantee)."""
+    client = GrpcLinesClient(host, port, path)
+    try:
+        batch: list[str] = []
+
+        def flush() -> None:
+            nonlocal client
+            if not batch:
+                return
+            payload = "\n".join(batch).encode()
+            for attempt in range(max_retries + 1):
+                try:
+                    client.call(payload)
+                    break
+                except (GrpcCallError, ConnectionError, OSError):
+                    if attempt == max_retries:
+                        raise
+                    delay = min(
+                        initial_backoff_ms * backoff_multiplier ** attempt,
+                        max_backoff_ms,
+                    )
+                    time.sleep(delay / 1000.0)
+                    client.close()
+                    client = GrpcLinesClient(host, port, path)
+            batch.clear()
+
+        for row in rows:
+            batch.append(to_line(row))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+    finally:
+        client.close()
+
+
+class GrpcLinesReceiver:
+    """Hermetic multi-connection gRPC receiver: decodes each unary
+    call's payload and hands it to ``on_payload``; ``fail_first``
+    rejects that many calls with grpc-status 14 (UNAVAILABLE) to
+    exercise the client's retry/backoff path."""
+
+    def __init__(self, on_payload, path: bytes, fail_first: int = 0):
+        import threading
+
+        self.on_payload = on_payload
+        self.path = path
+        self.fail_remaining = fail_first
+        self.calls = 0
+        self._lock = threading.Lock()
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(16)
+        self.port = self.sock.getsockname()[1]
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._accept_thread.start()
+
+    def _accept(self) -> None:
+        import threading
+
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            assert recv_exact(conn, len(H2_PREFACE)) == H2_PREFACE
+            conn.sendall(h2_frame(4, 0, 0, b""))
+            bufs: dict[int, bytes] = {}
+            while True:
+                ftype, flags, stream, payload = read_h2(conn)
+                if ftype == 4 and not flags & 1:
+                    conn.sendall(h2_frame(4, 1, 0, b""))
+                elif ftype == 1:
+                    hdrs = hpack_parse(payload)
+                    if b":path" in hdrs:
+                        assert hdrs[b":path"] == self.path
+                        bufs[stream] = b""
+                elif ftype == 0:
+                    bufs[stream] = bufs.get(stream, b"") + payload
+                    if flags & 1:  # END_STREAM: decode + respond
+                        buf = bufs.pop(stream)
+                        comp, mlen = buf[0], struct.unpack(">I", buf[1:5])[0]
+                        assert comp == 0 and len(buf) == 5 + mlen
+                        data = pb_unwrap_payload(buf[5:5 + mlen])
+                        with self._lock:
+                            self.calls += 1
+                            fail = self.fail_remaining > 0
+                            if fail:
+                                self.fail_remaining -= 1
+                        conn.sendall(h2_frame(1, 0x4, stream, (
+                            hpack_literal(b":status", b"200")
+                            + hpack_literal(b"content-type", b"application/grpc")
+                        )))
+                        if fail:
+                            trailers = (hpack_literal(b"grpc-status", b"14")
+                                        + hpack_literal(b"grpc-message", b"unavailable"))
+                        else:
+                            self.on_payload(data)
+                            trailers = (hpack_literal(b"grpc-status", b"0")
+                                        + hpack_literal(b"grpc-message", b""))
+                        conn.sendall(h2_frame(1, 0x5, stream, trailers))
+        except (ConnectionError, AssertionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass

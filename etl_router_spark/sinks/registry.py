@@ -77,6 +77,37 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
             mode=cfg.get("mode", "overwrite"),
         )
         return
+    if stype == "grpc":
+        # the reference's only TYPED sink (types.rs:703-759): endpoint +
+        # retry policy. Executor-parallel: each partition opens one
+        # HTTP/2 connection and streams its batches as unary gRPC
+        # calls; per-call exponential backoff per the retry config;
+        # exhausted retries fail the task (at-least-once via task
+        # retry, the reference's default delivery guarantee).
+        import json
+
+        from etl_router_spark.sinks.grpc_client import send_rows_partition
+
+        host, port = cfg["endpoint"].rsplit(":", 1)
+        path = cfg.get("path", "/conveyor.etl.Ingest/Push")
+        batch_size = int(cfg.get("batch_size", 500))
+        retry = cfg.get("retry") or {}
+        max_retries = int(retry.get("max_retries", 3))
+        initial_ms = int(retry.get("initial_backoff_ms", 100))
+        mult = float(retry.get("backoff_multiplier", 2.0))
+        max_ms = int(retry.get("max_backoff_ms", 30_000))
+        columns = df.columns
+
+        def _part(rows):
+            send_rows_partition(
+                rows, host, int(port), path, batch_size,
+                lambda r: json.dumps(dict(zip(columns, r)), default=str),
+                max_retries=max_retries, initial_backoff_ms=initial_ms,
+                backoff_multiplier=mult, max_backoff_ms=max_ms,
+            )
+
+        df.foreachPartition(_part)
+        return
     if stype == "kafka":
         (
             df.write.format("kafka")
