@@ -538,3 +538,63 @@ def adaptive_quality_filter(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    max_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary chunking (the retrieval/RAG-standard variant
+    of fixed-window ``chunk_documents``): documents split into
+    sentences on terminal punctuation, consecutive sentences grouped
+    into chunks by cumulative length.
+
+    Chunk rule (deterministic, oracle-matchable): sentence i joins
+    chunk ``floor(chars_before_i / max_chars)`` — prefix-sum
+    assignable in one pass, so a chunk may overrun ``max_chars`` by
+    its final sentence (greedy fit-before-add would need a sequential
+    fold). Sentence order inside a chunk is restored by position, so
+    the reassembled chunk text is exact.
+
+    Plan: split + posexplode (1->N, no shuffle), ONE doc-keyed window
+    for the running length, one (doc, chunk) aggregation. No Python.
+    """
+    sent_delim = "\x1e"
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + sent_delim),
+                    sent_delim,
+                ),
+                lambda s: F.trim(s) != "",
+            )
+        ).alias("pos", "sent"),
+    ).select(id_col, "pos", F.trim("sent").alias("sent"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum(F.length("sent")).over(w), F.lit(0)) / max_chars
+        ).cast("bigint"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_sentences"),
+        )
+    )

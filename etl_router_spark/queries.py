@@ -4494,3 +4494,58 @@ def sink_grpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_type": "file", "format": "json", "path": stage,
         "schema": "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     }, streaming=False)
+
+
+@query(
+    "sink_upsert_by_key",
+    f"""
+    WITH snap AS (
+      SELECT event_id, user_id, event_type, round(value, 6) AS value
+      FROM {EVENTS_US} WHERE event_id % 59 = 0),
+    upd AS (
+      SELECT event_id, user_id, 'updated' AS event_type,
+             round(value * 2, 6) AS value,
+             CASE WHEN user_id % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op
+      FROM {EVENTS_US} WHERE event_id % 61 = 0)
+    SELECT s.* FROM snap s
+    WHERE s.event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM upd WHERE op <> 'delete'
+    """,
+)
+def sink_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-without-a-table-format (``write_sink`` mode=upsert): an
+    initial snapshot lands, then a change batch upserts by key —
+    latest state per merge_key wins, an op column tombstones deletes,
+    untouched keys keep their rows — and the rewrite swaps in with
+    the same atomic rename as compaction. Changed keys cost ONE
+    left_anti join keyed on merge_keys (never a row-by-row driver
+    loop); at real scale pair with partition_by so only touched
+    partitions rewrite, or use a table format's MERGE INTO."""
+    import tempfile
+
+    from etl_router_spark.sinks.registry import write_sink
+    from etl_router_spark.sources.registry import read_source
+
+    target = tempfile.mkdtemp(prefix="etl_upsert_") + "/state"
+    ev = _t(spark, sf_dir, "events")
+    snap = (ev.filter(F.col("event_id") % 59 == 0)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value")))
+    write_sink(snap, {
+        "sink_type": "file", "mode": "upsert", "path": target,
+        "merge_keys": ["event_id"], "order_by": ["event_id"],
+    })
+    updates = (ev.filter(F.col("event_id") % 61 == 0)
+               .select("event_id", "user_id",
+                       F.lit("updated").alias("event_type"),
+                       F.round(F.col("value") * 2, 6).alias("value"),
+                       F.when(F.col("user_id") % 5 == 0, "delete")
+                        .otherwise("upsert").alias("op")))
+    write_sink(updates, {
+        "sink_type": "file", "mode": "upsert", "path": target,
+        "merge_keys": ["event_id"], "order_by": ["event_id"], "op_col": "op",
+    })
+    return read_source(spark, {
+        "source_type": "file", "format": "parquet", "path": target,
+    }, streaming=False).select("event_id", "user_id", "event_type", "value")

@@ -2097,3 +2097,42 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select(
         "doc_id", "url", normalize_url(F.col("url")).alias("url_norm")
     )
+
+
+@query(
+    "corpus_chunk_sentences",
+    r"""
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+                 chr(30)),
+               s -> trim(s) <> '') AS raw
+      FROM documents),
+    sents AS (
+      SELECT doc_id, u.pos, trim(lists.raw[u.pos + 1]) AS sent
+      FROM lists, unnest(range(len(lists.raw))) AS u(pos)),
+    chunked AS (
+      SELECT doc_id, pos, sent,
+             CAST(floor(coalesce(
+               sum(length(sent)) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 200) AS BIGINT) AS chunk_id
+      FROM sents)
+    SELECT doc_id, chunk_id,
+           string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+           CAST(count(*) AS BIGINT)           AS n_sentences
+    FROM chunked GROUP BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking (the retrieval/RAG variant of the
+    fixed-window chunker): sentences split on terminal punctuation,
+    grouped by cumulative-length prefix sum into ~200-char chunks,
+    reassembled in position order. split+posexplode (no shuffle), one
+    doc-keyed window, one aggregation — no Python."""
+    from etl_router_spark.functions.corpus import chunk_by_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_by_sentences(docs, max_chars=200)

@@ -16,6 +16,57 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+def _upsert_file_sink(df: DataFrame, cfg: dict[str, Any], fmt: str, path: str) -> None:
+    """mode=upsert: merge ``df`` into the dataset at ``path`` keyed on
+    ``merge_keys`` (latest-by-``order_by`` wins; optional ``op_col``
+    tombstones deletes), then atomically swap the rewrite in."""
+    spark = df.sparkSession
+    merge_keys = cfg.get("merge_keys")
+    order_by = cfg.get("order_by")
+    if not merge_keys or not order_by:
+        raise ValueError("mode=upsert requires merge_keys and order_by")
+    from etl_router_spark.functions.cdc import cdc_snapshot_merge
+
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(fs_path):
+        # bootstrap: apply the batch against an empty target — latest
+        # per key, deletes tombstoned; target schema excludes op_col
+        from etl_router_spark.functions.cdc import cdc_apply
+
+        df_out = cdc_apply(
+            df, list(merge_keys), list(order_by), op_col=cfg.get("op_col")
+        )
+        if cfg.get("op_col"):
+            df_out = df_out.drop(cfg["op_col"])
+        df_out.write.format(fmt).save(path)
+        return
+    existing = spark.read.format(fmt).load(path)
+    merged = cdc_snapshot_merge(
+        existing,
+        df.select(*existing.columns,
+                  *([cfg["op_col"]] if cfg.get("op_col")
+                    and cfg["op_col"] not in existing.columns else [])),
+        key_cols=list(merge_keys),
+        order_cols=list(order_by),
+        op_col=cfg.get("op_col"),
+    )
+    # atomic swap (same discipline as compact_files): write sibling tmp,
+    # move old aside, move new in, delete old; rollback on failure
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    old = path.rstrip("/") + ".__upsert_old"
+    merged.write.format(fmt).mode("overwrite").save(tmp)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.rename(fs_path, jold):
+        raise IOError(f"upsert: could not move {path} aside")
+    if not fs.rename(jtmp, fs_path):
+        fs.rename(jold, fs_path)
+        raise IOError(f"upsert: could not move merged data into {path}")
+    fs.delete(jold, True)
+
+
 def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
     """Batch write dispatch on sink_type/format."""
     stype = (cfg.get("sink_type") or cfg.get("type") or "file").lower()
@@ -28,6 +79,16 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
         fmt = (cfg.get("format") or "parquet").lower()
         if fmt == "lines":  # reference's line-delimited text (types.rs:280)
             fmt = "text"
+        if (cfg.get("mode") or "").lower() == "upsert":
+            # MERGE-without-a-table-format: latest state per merge_key
+            # wins over the existing dataset (order_by breaks ties, an
+            # op column tombstones). Changed keys cost one left_anti
+            # join keyed on merge_keys; the rewrite swaps in atomically
+            # like compact_files. On object stores / with partial-key
+            # updates, prefer a table format's MERGE INTO — this is
+            # the whole-dataset-rewrite fallback.
+            _upsert_file_sink(df, cfg, fmt, path)
+            return
         writer = df.write.format(fmt).mode(cfg.get("mode", "append"))
         # scale: partition the sink by natural keys -> partition pruning
         # for downstream readers

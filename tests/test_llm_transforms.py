@@ -785,3 +785,61 @@ class TestUrlNormalizePropertyVsOracle:
             ).fetchall()
         ]
         assert got == want
+
+
+class TestChunkBySentences:
+    def test_chunks_split_on_cumulative_length(self, spark):
+        from etl_router_spark.functions.corpus import chunk_by_sentences
+
+        text = "Aaaa bbbb. Cccc dddd! Eeee ffff? Gggg hhhh."
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        # sentences of 10/10/10/10 chars; max_chars=25 ->
+        # chars_before = 0,10,20,30 -> chunks 0,0,0,1
+        rows = {r["chunk_id"]: r for r in
+                chunk_by_sentences(df, max_chars=25).collect()}
+        assert rows[0]["chunk_text"] == "Aaaa bbbb. Cccc dddd! Eeee ffff?"
+        assert rows[0]["n_sentences"] == 3
+        assert rows[1]["chunk_text"] == "Gggg hhhh."
+        assert rows[1]["n_sentences"] == 1
+
+    def test_single_sentence_doc_one_chunk(self, spark):
+        from etl_router_spark.functions.corpus import chunk_by_sentences
+
+        df = spark.createDataFrame(
+            [(1, "no terminal punctuation at all")], "doc_id int, text string"
+        )
+        out = chunk_by_sentences(df, max_chars=5).collect()
+        assert len(out) == 1 and out[0]["chunk_id"] == 0
+
+
+class TestUpsertSink:
+    def test_upsert_merges_and_tombstones(self, spark, tmp_path):
+        from etl_router_spark.sinks.registry import write_sink
+
+        target = str(tmp_path / "state")
+        snap = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+        )
+        write_sink(snap, {"sink_type": "file", "mode": "upsert", "path": target,
+                          "merge_keys": ["k"], "order_by": ["ver"]})
+        upd = spark.createDataFrame(
+            [(2, "b2", 2, "upsert"), (3, "c", 2, "delete"),
+             (4, "d", 2, "upsert"),
+             (4, "d3", 3, "upsert")],  # same key twice: latest ver wins
+            "k int, v string, ver int, op string",
+        )
+        write_sink(upd, {"sink_type": "file", "mode": "upsert", "path": target,
+                         "merge_keys": ["k"], "order_by": ["ver"],
+                         "op_col": "op"})
+        got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+        assert got == {(1, "a"), (2, "b2"), (4, "d3")}
+
+    def test_upsert_requires_keys(self, spark, tmp_path):
+        import pytest as _pt
+
+        from etl_router_spark.sinks.registry import write_sink
+
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        with _pt.raises(ValueError):
+            write_sink(df, {"sink_type": "file", "mode": "upsert",
+                            "path": str(tmp_path / "x")})
