@@ -43,14 +43,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, assume_simple: bool = False
+) -> DataFrame:
     """Distinct directed edges with self-loops dropped (both PageRank
-    and triangle semantics here are simple-graph)."""
-    return (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    and triangle semantics here are simple-graph). ``assume_simple``
+    skips the dedup shuffle when the caller guarantees the edge set is
+    already distinct (e.g. produced by an upstream ``groupBy``/
+    ``distinct``) — at billions of edges that is a whole pass saved."""
+    out = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
     )
+    return out if assume_simple else out.distinct()
 
 
 def nodes_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -62,7 +66,9 @@ def nodes_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
-def degree_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def degree_stats(
+    edges: DataFrame, src: str, dst: str, assume_simple: bool = False
+) -> DataFrame:
     """Per-node degree statistics over the distinct directed edge set.
 
     Returns ``id, out_degree, in_degree, degree`` (degree = out + in;
@@ -71,7 +77,7 @@ def degree_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     merge on id — two narrow shuffles of (id, count) pairs, no row
     wider than a node id ever moves.
     """
-    e = _canonical_edges(edges, src, dst)
+    e = _canonical_edges(edges, src, dst, assume_simple)
     out_d = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
     in_d = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
     return (
@@ -94,6 +100,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     broadcast_nodes: int = 2_000_000,
+    assume_simple: bool = False,
 ) -> DataFrame:
     """Damped PageRank over the distinct directed edge set.
 
@@ -128,7 +135,7 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = _canonical_edges(edges, src, dst)
+    e = _canonical_edges(edges, src, dst, assume_simple)
     nodes = nodes_of(e).persist()
     n = nodes.count()  # one long to the driver; also materializes nodes
 
@@ -184,7 +191,9 @@ def pagerank(
     return ranks.select("id", F.col("pr").alias("pagerank"))
 
 
-def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str, dst: str, assume_simple: bool = False
+) -> DataFrame:
     """Per-node triangle participation counts, direction-blind.
 
     The edge set is first symmetrized to an undirected simple graph,
@@ -200,7 +209,7 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     Returns ``id, triangles`` for every node in at least one triangle.
     """
-    e = _canonical_edges(edges, src, dst)
+    e = _canonical_edges(edges, src, dst, assume_simple)
     und = (
         e.select("src", "dst")
         .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -1902,7 +1902,8 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     two (id, count) shuffles full-outer merged, no adjacency lists."""
     from etl_router_spark.functions.graph import degree_stats
 
-    return degree_stats(_link_graph(spark, sf_dir), "src", "dst")
+    return degree_stats(_link_graph(spark, sf_dir), "src", "dst",
+                        assume_simple=True)
 
 
 def _pagerank_oracle(iterations: int, damping: float) -> str:
@@ -1959,7 +1960,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.functions.graph import pagerank
 
     pr = pagerank(_link_graph(spark, sf_dir), "src", "dst",
-                  iterations=10, damping=0.85)
+                  iterations=10, damping=0.85, assume_simple=True)
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
