@@ -598,3 +598,45 @@ def chunk_by_sentences(
             F.count("*").alias("n_sentences"),
         )
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("low", "middle", "high"),
+    threshold_round: int | None = None,
+) -> DataFrame:
+    """Per-group quantile bucketing of a quality score — the CCNet
+    recipe (Wenzek et al. 2020): each language's documents split into
+    head/middle/tail perplexity tertiles, and downstream sampling
+    draws preferentially from the better buckets instead of hard
+    filtering.
+
+    ``labels[i]`` is assigned where score <= the i-th group quantile
+    (ascending); the last label catches the rest. One aggregation
+    computes all group thresholds (array-typed percentile — a single
+    pass regardless of bucket count); the tiny threshold frame
+    broadcasts back, the corpus never shuffles. ``threshold_round``
+    snaps thresholds to a decimal grid for cross-engine-deterministic
+    boundary comparisons (same contract as adaptive_quality_filter).
+    """
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need exactly one more label than quantiles")
+    thr_expr = F.percentile(
+        F.col(score_col), F.array(*[F.lit(float(q)) for q in quantiles])
+    )
+    if threshold_round is not None:
+        thr_expr = F.transform(thr_expr, lambda t: F.round(t, threshold_round))
+    thr = df.groupBy(group_col).agg(thr_expr.alias("__thr"))
+    bucket = None
+    for i in range(len(quantiles)):
+        cond = F.col(score_col) <= F.col("__thr")[i]
+        bucket = F.when(cond, labels[i]) if bucket is None else bucket.when(cond, labels[i])
+    bucket = bucket.otherwise(labels[-1])
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .withColumn("bucket", bucket)
+        .drop("__thr")
+    )

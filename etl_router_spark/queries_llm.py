@@ -2137,3 +2137,50 @@ def corpus_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_by_sentences(docs, max_chars=200)
+
+
+@query(
+    "corpus_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_WORDS}) AS tok
+      FROM documents WHERE doc_id < 500),
+    freqs AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM toks),
+    lm AS (SELECT tok, ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS logp
+           FROM freqs, total),
+    lp AS (
+      SELECT t.doc_id, t.source, round(avg(lm.logp), 6) AS avg_logprob
+      FROM toks t JOIN lm ON t.tok = lm.tok
+      GROUP BY t.doc_id, t.source),
+    thr AS (
+      SELECT source,
+             round(quantile_cont(avg_logprob, 1.0/3), 6) AS t1,
+             round(quantile_cont(avg_logprob, 2.0/3), 6) AS t2
+      FROM lp GROUP BY source)
+    SELECT lp.doc_id, lp.source, lp.avg_logprob,
+           CASE WHEN avg_logprob <= t1 THEN 'tail'
+                WHEN avg_logprob <= t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM lp JOIN thr ON lp.source = thr.source
+    """,
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): each
+    source's documents tertiled by self-corpus unigram log-probability
+    (higher = more typical = head). Thresholds are one array-percentile
+    aggregation broadcast back; the corpus never shuffles for the
+    bucketing itself."""
+    from etl_router_spark.functions.corpus import quality_buckets
+    from etl_router_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    lp = unigram_logprob(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "avg_logprob")
+    out = quality_buckets(
+        lp, "avg_logprob", "source",
+        quantiles=(1 / 3, 2 / 3), labels=("tail", "middle", "head"),
+        threshold_round=6,
+    )
+    return out.select("doc_id", "source", "avg_logprob", "bucket")

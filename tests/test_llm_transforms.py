@@ -843,3 +843,26 @@ class TestUpsertSink:
         with _pt.raises(ValueError):
             write_sink(df, {"sink_type": "file", "mode": "upsert",
                             "path": str(tmp_path / "x")})
+
+
+class TestQualityBuckets:
+    def test_tertile_assignment(self, spark):
+        from etl_router_spark.functions.corpus import quality_buckets
+
+        rows = [("g", i, float(i)) for i in range(1, 10)]  # 1..9
+        df = spark.createDataFrame(rows, "grp string, id int, score double")
+        out = {r["id"]: r["bucket"]
+               for r in quality_buckets(df, "score", "grp",
+                                        labels=("tail", "middle", "head")).collect()}
+        # t1 = quantile(1/3) of 1..9 = 3.667, t2 = 6.333
+        assert [out[i] for i in range(1, 10)] == (
+            ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3)
+
+    def test_label_arity_checked(self, spark):
+        import pytest as _pt
+
+        from etl_router_spark.functions.corpus import quality_buckets
+
+        df = spark.createDataFrame([("g", 1.0)], "grp string, score double")
+        with _pt.raises(ValueError):
+            quality_buckets(df, "score", "grp", labels=("only", "two", "x", "y"))
