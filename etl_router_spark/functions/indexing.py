@@ -180,3 +180,69 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query top-k documents by BM25 (Robertson et al.; the
+    Lucene-standard positive idf variant ln(1 + (N - df + 0.5) /
+    (df + 0.5))) — the lexical half of hybrid retrieval.
+
+    Plan: postings (doc-term tf) and doc lengths aggregate once; the
+    query term set (distinct per query — tiny) BROADCASTS into the
+    postings join, so the corpus shuffles only for the (query, doc)
+    score aggregation; avgdl/N ride as a broadcast 1-row scalar. Rank
+    orders by the ROUNDED score (6 digits) with id tie-break so top-k
+    membership is FP-deterministic across engines.
+
+    Returns ``query_id, rank, doc_id, score``.
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    stats = df.select(F.count("*").cast("double").alias("__n")).crossJoin(
+        dl.select(F.avg("dl").alias("__avgdl"))
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(query_text_col)), r"\s+"))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            F.log(
+                1 + (F.col("__n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+            )
+            * F.col("tf") * F.lit(k1 + 1)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col("id").alias("doc_id"), "score")
+    )

@@ -2184,3 +2184,161 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_round=6,
     )
     return out.select("doc_id", "source", "avg_logprob", "bucket")
+
+
+# BM25 constants embedded via repr so both engines compute identical
+# doubles (same contract as the PageRank oracle)
+_BM25 = {"k1": repr(1.2), "k1p1": repr(1.2 + 1), "b": repr(0.75),
+         "one_minus_b": repr(1 - 0.75)}
+
+_BM25_CORE_SQL = f"""
+    docs AS (SELECT * FROM documents WHERE doc_id < 500),
+    terms AS (SELECT doc_id AS id, unnest({_WORDS}) AS term FROM docs),
+    tf AS (SELECT id, term, count(*) AS tf FROM terms
+           WHERE term <> '' GROUP BY id, term),
+    dl AS (SELECT id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY id),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY term),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    q AS (SELECT doc_id AS query_id,
+                 unnest(list_distinct(({_WORDS})[1:5])) AS term
+          FROM docs WHERE doc_id IN (10, 20, 30)),
+    scored AS (
+      SELECT q.query_id, tf.id,
+             round(sum(
+               ln(1 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+               * tf.tf * {_BM25["k1p1"]}
+               / (tf.tf + {_BM25["k1"]}
+                  * ({_BM25["one_minus_b"]} + {_BM25["b"]} * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN dfreq d ON d.term = q.term
+      JOIN dl ON dl.id = tf.id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.id),
+    bm25_ranked AS (
+      SELECT query_id, id AS doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, id) AS INT) AS rank
+      FROM scored)
+"""
+
+
+def _bm25_queries(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    from etl_router_spark.functions.text import tokens_col
+
+    queries = (docs.filter(F.col("doc_id").isin(10, 20, 30))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.concat_ws(" ", F.slice(tokens_col("text"), 1, 5))
+                        .alias("query_text")))
+    return docs, queries
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, rank, doc_id, score FROM bm25_ranked WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Lucene-standard positive idf): three
+    fixture queries (each the first 5 words of a chosen document) rank
+    the corpus; query terms broadcast into the postings join, scores
+    rank on the rounded value so top-k membership is FP-deterministic.
+    The seed documents themselves must rank at/near the top — a
+    semantic sanity check the value-hash enforces exactly."""
+    from etl_router_spark.functions.indexing import bm25_topk
+
+    docs, queries = _bm25_queries(spark, sf_dir)
+    return bm25_topk(docs, queries, k=10)
+
+
+@query(
+    "search_rrf_fusion",
+    f"""
+    WITH {_BM25_CORE_SQL},
+    lex AS (SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 20),
+    qv AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe FROM embeddings e
+      WHERE e.vec_id IN (10, 20, 30)),
+    sim AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             list_dot_product(q.qe, c.embedding)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+      FROM qv q JOIN embeddings c ON c.vec_id < 500),
+    vec AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(cos, 6) DESC, doc_id) AS INT) AS rank
+      FROM sim QUALIFY rank <= 20),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id)     AS doc_id,
+             round(coalesce(1.0 / (60 + l.rank), 0)
+                   + coalesce(1.0 / (60 + v.rank), 0), 6) AS rrf
+      FROM lex l FULL JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, doc_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, doc_id) AS INT) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with brute-force
+    cosine vector ranking by Reciprocal Rank Fusion (Cormack et al.
+    2009: score = sum 1/(60 + rank)). Each leg produces a top-20 per
+    query; the fusion is a full outer join on (query, doc) — absent
+    legs contribute 0 — reranked to a top-10. Both legs and the
+    fusion rank on rounded values for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    from etl_router_spark.functions.indexing import bm25_topk
+
+    docs, queries = _bm25_queries(spark, sf_dir)
+    lex = bm25_topk(docs, queries, k=20).select("query_id", "doc_id", "rank")
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    qv = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qemb"), F.col("embedding"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate(
+        F.zip_with(F.col("qemb"), F.col("qemb"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("embedding"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = (qv.crossJoin(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+           .withColumn("cos", dot / (nq * nc)))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("doc_id"))
+    vec = (sim.withColumn("rank", F.row_number().over(wv))
+           .filter(F.col("rank") <= 20)
+           .select("query_id", "doc_id", "rank"))
+
+    l, v = lex.alias("l"), vec.alias("v")
+    fused = (
+        l.join(v, (F.col("l.query_id") == F.col("v.query_id"))
+               & (F.col("l.doc_id") == F.col("v.doc_id")), "full")
+        .select(
+            F.coalesce("l.query_id", "v.query_id").alias("query_id"),
+            F.coalesce("l.doc_id", "v.doc_id").alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("l.rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("v.rank")), F.lit(0.0)), 6
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "rrf",
+                    F.col("rank").cast("int").alias("rank")))
