@@ -421,6 +421,66 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
 
         return unigram_logprob(df, text_col=cfg.get("text_field", "text"),
                                id_col=cfg.get("id_field", "doc_id"))
+    if tt == "url_normalize":
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.text import normalize_url
+
+        return df.withColumn(
+            cfg.get("out_field", "url_norm"),
+            normalize_url(F.col(cfg.get("url_field", "url"))),
+        )
+    if tt == "quality_filter":
+        from etl_router_spark.functions.corpus import adaptive_quality_filter
+
+        return adaptive_quality_filter(
+            df, score_col=cfg["score_field"], group_col=cfg["group_field"],
+            quantile=float(cfg.get("quantile", 0.25)),
+            threshold_round=cfg.get("threshold_round"),
+        )
+    if tt == "quality_buckets":
+        from etl_router_spark.functions.corpus import quality_buckets
+
+        return quality_buckets(
+            df, score_col=cfg["score_field"], group_col=cfg["group_field"],
+            quantiles=tuple(cfg.get("quantiles", (1 / 3, 2 / 3))),
+            labels=tuple(cfg.get("labels", ("tail", "middle", "head"))),
+            threshold_round=cfg.get("threshold_round"),
+        )
+    if tt == "chunk_sentences":
+        from etl_router_spark.functions.corpus import chunk_by_sentences
+
+        return chunk_by_sentences(df, max_chars=int(cfg.get("max_chars", 200)),
+                                  id_col=cfg.get("id_field", "doc_id"),
+                                  text_col=cfg.get("text_field", "text"))
+    if tt == "bm25":
+        # query side declared like lookup's dim: a source config
+        from etl_router_spark.functions.indexing import bm25_topk
+
+        queries = read_source(df.sparkSession, cfg["queries"], streaming=False)
+        return bm25_topk(df, queries,
+                         id_col=cfg.get("id_field", "doc_id"),
+                         text_col=cfg.get("text_field", "text"),
+                         k1=float(cfg.get("k1", 1.2)),
+                         b=float(cfg.get("b", 0.75)),
+                         k=int(cfg.get("k", 10)))
+    if tt in ("pagerank", "degree_stats", "triangle_count"):
+        from etl_router_spark.functions import graph
+
+        src = cfg.get("src_field", "src")
+        dst = cfg.get("dst_field", "dst")
+        simple = bool(cfg.get("assume_simple", False))
+        if tt == "pagerank":
+            return graph.pagerank(
+                df, src, dst,
+                iterations=int(cfg.get("iterations", 10)),
+                damping=float(cfg.get("damping", 0.85)),
+                broadcast_nodes=int(cfg.get("broadcast_nodes", 2_000_000)),
+                assume_simple=simple,
+            )
+        if tt == "degree_stats":
+            return graph.degree_stats(df, src, dst, assume_simple=simple)
+        return graph.triangle_count(df, src, dst, assume_simple=simple)
     return None
 
 

@@ -32,6 +32,8 @@ KNOWN_TRANSFORMS = {
     # user-code extension point (proto/transform.proto ProcessBatch)
     "service",
     "mix_sample", "duplicate_spans", "gopher_filter", "c4_filter",
+    "url_normalize", "quality_filter", "quality_buckets", "chunk_sentences",
+    "bm25", "pagerank", "degree_stats", "triangle_count",
 }
 
 KNOWN_SOURCES = {

@@ -311,3 +311,58 @@ def test_new_llm_transform_types_dispatch(spark, tmp_path):
               "num_hashes": 8, "bands": 4, "threshold": 0.3,
               "cc_algorithm": "star", "emit": "canonical"}, "cl_out")
     assert cl.count() >= 1
+
+
+def test_round4_transform_types_dispatch(spark, tmp_path):
+    # fifth-pass transform types: url_normalize, quality buckets/filter,
+    # chunk_sentences, bm25 (query side as a source config), graph ops
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "docs4")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}",
+          "alpha beta gamma. delta epsilon zeta! " * (1 + i % 3),
+          f"HTTP://WWW.Ex{i % 2}.com:80/p/?b=2&a=1#f")
+         for i in range(12)],
+        "doc_id long, source string, text string, url string",
+    ).write.parquet(src)
+
+    def run(transform_cfg, out_name):
+        out = str(tmp_path / out_name)
+        doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+               "metadata": {"name": out_name},
+               "spec": {"stages": [
+                   {"id": "s", "type": "source",
+                    "config": {"source_type": "file", "format": "parquet", "path": src}},
+                   {"id": "t", "type": "transform", "config": transform_cfg},
+                   {"id": "o", "type": "sink",
+                    "config": {"sink_type": "file", "format": "parquet", "path": out}},
+               ]}}
+        compile_pipeline(spark, parse_manifest_dict(doc)).run()
+        return spark.read.parquet(out)
+
+    u = run({"transform_type": "url_normalize"}, "url_out")
+    assert u.select("url_norm").distinct().count() == 2  # 2 hosts collapse
+
+    ch = run({"transform_type": "chunk_sentences", "max_chars": 30}, "chunk_out")
+    assert {"chunk_id", "chunk_text", "n_sentences"} <= set(ch.columns)
+
+    qb = run({"transform_type": "quality_buckets", "score_field": "doc_id",
+              "group_field": "source"}, "qb_out")
+    assert set(r["bucket"] for r in qb.collect()) == {"tail", "middle", "head"}
+
+    qf = run({"transform_type": "quality_filter", "score_field": "doc_id",
+              "group_field": "source", "quantile": 0.5}, "qf_out")
+    assert 0 < qf.count() < 12
+
+    bm = run({"transform_type": "bm25", "k": 3,
+              "queries": {"source_type": "memory",
+                          "rows": [(1, "alpha beta")],
+                          "schema": "query_id long, query_text string"}},
+             "bm_out")
+    assert bm.count() == 3 and {"query_id", "rank", "doc_id", "score"} == set(bm.columns)
+
+    g = run({"transform_type": "degree_stats", "src_field": "source",
+             "dst_field": "url"}, "deg_out")
+    assert {"id", "out_degree", "in_degree", "degree"} == set(g.columns)
