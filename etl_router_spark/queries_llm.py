@@ -2342,3 +2342,35 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 10)
             .select("query_id", "doc_id", "rrf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+@query(
+    "corpus_decontaminate_semantic",
+    """
+    WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    corpus AS (SELECT vec_id, label FROM embeddings
+               WHERE vec_id >= 50 AND vec_id < 500)
+    SELECT c.vec_id, c.label FROM corpus c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bench b
+      JOIN embeddings ce ON ce.vec_id = c.vec_id
+      WHERE round(list_cosine_similarity(
+              ce.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3)
+    """,
+)
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (the embedding-space complement of the
+    exact n-gram pass): corpus vectors whose cosine against ANY
+    benchmark vector clears the threshold are dropped. The match list
+    is the block-GEMM cross-set join (corpus never collects), the
+    removal one left_anti on ids — the same composition a SemDeDup-
+    style pipeline runs against eval-set embeddings before training."""
+    from etl_router_spark.functions.dedup import embedding_cosine_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 50)
+    corpus = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 500))
+    hits = embedding_cosine_join(
+        corpus, bench, threshold=0.3, left_blocks=2, right_blocks=1
+    ).select(F.col("id_left").alias("vec_id")).distinct()
+    return corpus.join(hits, "vec_id", "left_anti").select("vec_id", "label")
