@@ -4549,3 +4549,43 @@ def sink_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_source(spark, {
         "source_type": "file", "format": "parquet", "path": target,
     }, streaming=False).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "sink_python_datasource_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 67 = 0
+    """,
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-connector WRITER seam (PySpark 4 DataSource writer
+    API, completing the jsonl_queue connector): each partition streams
+    rows to a dot-prefixed temp file invisible to the reader; commit
+    renames every partition's file into place, abort deletes them —
+    all-or-nothing publish, the producer-side mirror of the source's
+    offset tracking. The gate writes 4 partitions through
+    ``df.write.format("jsonl_queue")`` and drains them back through
+    the same DataSource's batch reader."""
+    import tempfile
+
+    from etl_router_spark.sources.python_queue import register
+    from etl_router_spark.sources.registry import read_source
+
+    register(spark)
+    qdir = tempfile.mkdtemp(prefix="etl_pyds_sink_") + "/queue"
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    df = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 67 == 0)
+          .select("event_id", "user_id", "event_type",
+                  F.round("value", 6).alias("value"))
+          .repartition(4))
+    (df.write.format("jsonl_queue")
+     .option("path", qdir).option("schema", schema)
+     .mode("append").save())
+    import glob as _g
+    assert len(_g.glob(qdir + "/batch-*.jsonl")) == 4  # one per partition
+    assert not _g.glob(qdir + "/.part-*")  # no uncommitted temps remain
+    return read_source(spark, {
+        "source_type": "jsonl_queue", "path": qdir, "schema": schema,
+    }, streaming=False)

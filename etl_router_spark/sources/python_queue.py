@@ -27,7 +27,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -93,6 +95,54 @@ class JsonlQueueBatchReader(DataSourceReader):
         yield from _read_file(partition.path, self.schema)
 
 
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlQueueWriter(DataSourceWriter):
+    """Batch writer half of the connector (the PySpark 4 DataSource
+    writer API): each partition streams its rows to a DOT-PREFIXED
+    temp jsonl in the queue directory (invisible to the reader's
+    listing) and reports it in the commit message; ``commit`` renames
+    every temp into place atomically, ``abort`` deletes them — so a
+    failed job publishes nothing and a committed one publishes every
+    partition exactly once. This is the producer seam: a real queue
+    producer replaces the file append with an SDK publish and the
+    commit with flush/acks."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _WroteFile:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(messages):
+            final = m.tmp_path.rsplit("/", 1)[0] + f"/batch-{i:05d}.jsonl"
+            os.rename(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
 class JsonlQueueDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -109,6 +159,11 @@ class JsonlQueueDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> JsonlQueueStreamReader:  # noqa: N802
         return JsonlQueueStreamReader(self.options["path"], schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlQueueWriter:
+        if overwrite:
+            raise ValueError("jsonl_queue is append-only (a queue has no overwrite)")
+        return JsonlQueueWriter(self.options["path"])
 
 
 def register(spark) -> None:
