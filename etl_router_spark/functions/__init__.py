@@ -30,8 +30,24 @@ from etl_router_spark.functions.similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from etl_router_spark.functions.corpus import (  # noqa: F401
+    adaptive_quality_filter,
+    chunk_by_sentences,
     contaminated_ids,
     decontaminate,
     hash_sample,
     pack_sequences,
+    quality_buckets,
 )
+from etl_router_spark.functions.graph import (  # noqa: F401
+    degree_stats,
+    pagerank,
+    triangle_count,
+)
+from etl_router_spark.functions.indexing import (  # noqa: F401
+    bm25_topk,
+    tfidf_topk,
+)
+from etl_router_spark.functions.layout import (  # noqa: F401
+    zorder_key,
+)
+from etl_router_spark.functions.text import normalize_url  # noqa: F401
