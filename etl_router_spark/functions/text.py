@@ -287,7 +287,7 @@ def unigram_logprob(
     doc_toks = df.selectExpr(
         f"{id_col}", f"explode({tokens_sql(text_col)}) AS tok"
     )
-    return (
+    scores = (
         doc_toks.join(lm, "tok", "left")
         .groupBy(id_col)
         .agg(
@@ -295,6 +295,10 @@ def unigram_logprob(
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+    # pass the input columns through (id-keyed join, co-partitioned
+    # with the score aggregation) so the stage composes in manifest
+    # chains — downstream bucketing/filtering needs the domain columns
+    return df.join(scores, id_col)
 
 
 def ngram_counts(

@@ -1098,7 +1098,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.functions.text import unigram_logprob
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return unigram_logprob(docs)
+    return unigram_logprob(docs).select("doc_id", "n_tokens", "avg_logprob")
 
 
 ORACLES["dedup_cluster"] = f"""
@@ -2175,9 +2175,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.functions.text import unigram_logprob
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    lp = unigram_logprob(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).select("doc_id", "source", "avg_logprob")
+    lp = unigram_logprob(docs).select("doc_id", "source", "avg_logprob")
     out = quality_buckets(
         lp, "avg_logprob", "source",
         quantiles=(1 / 3, 2 / 3), labels=("tail", "middle", "head"),

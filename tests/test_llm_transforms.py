@@ -866,3 +866,33 @@ class TestQualityBuckets:
         df = spark.createDataFrame([("g", 1.0)], "grp string, score double")
         with _pt.raises(ValueError):
             quality_buckets(df, "score", "grp", labels=("only", "two", "x", "y"))
+
+
+def test_web_curation_manifest_compiles(spark, tmp_path):
+    """examples/manifests/web-curation.yaml (url canonicalization ->
+    unigram LM -> CCNet buckets -> quartile filter) runs end to end:
+    the unigram stage passes input columns through, so the chained
+    group fields survive."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs = str(tmp_path / "web")
+    spark.createDataFrame(
+        [(i, f"https://www.Site{i % 2}.com/p{i}?utm_source=x",
+          f"s{i % 2}", "alpha beta gamma " * (1 + (i // 2) % 4) + "delta")
+         for i in range(16)],
+        "doc_id long, url string, source string, text string",
+    ).write.parquet(docs)
+
+    with open("examples/manifests/web-curation.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"]["stages"][0]["config"]["path"] = docs
+    doc["spec"]["stages"][-1]["config"]["path"] = str(tmp_path / "curated")
+    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    out = frames["curated"]
+    assert {"doc_id", "url_norm", "source", "avg_logprob", "bucket"} <= set(out.columns)
+    n = out.count()
+    assert 0 < n < 16  # quartile filter dropped each source's tail
+    assert out.filter(~out.url_norm.contains("utm_")).count() == n
