@@ -95,3 +95,65 @@ spec:
     back = spark.read.parquet(f"{tmp_path}/tfidf")
     assert {"id", "term", "tfidf", "rank"} <= set(back.columns)
     assert back.count() > 0
+
+
+def test_bm25_randomized_vs_duckdb(spark):
+    """Randomized corpora + queries: bm25_topk must match a DuckDB
+    re-implementation of the same formula exactly (rounded scores,
+    rank order, top-k membership)."""
+    import random
+
+    import duckdb
+
+    from etl_router_spark.functions.indexing import bm25_topk
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+            for i in range(60)]
+    queries = [(qid, " ".join(rng.sample(vocab, k=3))) for qid in range(4)]
+
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(ddf, qdf, k=7).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE qs(query_id BIGINT, query_text VARCHAR)")
+    con.executemany("INSERT INTO qs VALUES (?, ?)", queries)
+    k1p1, k1, b, omb = repr(1.2 + 1), repr(1.2), repr(0.75), repr(1 - 0.75)
+    want = sorted(tuple(r) for r in con.execute(f"""
+        WITH terms AS (
+          SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+          FROM docs),
+        tf AS (SELECT id, term, count(*) AS tf FROM terms
+               WHERE term <> '' GROUP BY id, term),
+        dl AS (SELECT id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY id),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY term),
+        stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        q AS (SELECT query_id,
+                     unnest(list_distinct(string_split_regex(trim(query_text), '\\s+'))) AS term
+              FROM qs),
+        scored AS (
+          SELECT q.query_id, tf.id,
+                 round(sum(
+                   ln(1 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                   * tf.tf * {k1p1}
+                   / (tf.tf + {k1} * ({omb} + {b} * dl.dl / s.avgdl))), 6) AS score
+          FROM q JOIN tf ON q.term = tf.term
+          JOIN dfreq d ON d.term = q.term
+          JOIN dl ON dl.id = tf.id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.id)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, id) AS INT) AS rank,
+               id AS doc_id, score
+        FROM scored QUALIFY rank <= 7
+    """).fetchall())
+    assert got == want
