@@ -188,6 +188,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # the final rank vector is checkpointed (self-contained RDD);
+    # release the loop-support caches so long-lived sessions running
+    # many graphs don't accumulate executor storage
+    for cached in (edges_deg, dangling_ids, nodes):
+        cached.unpersist()
     return ranks.select("id", F.col("pr").alias("pagerank"))
 
 
