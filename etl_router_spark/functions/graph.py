@@ -101,6 +101,7 @@ def pagerank(
     damping: float = 0.85,
     broadcast_nodes: int = 2_000_000,
     assume_simple: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over the distinct directed edge set.
 
@@ -135,17 +136,33 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = _canonical_edges(edges, src, dst, assume_simple)
+    if weight_col is not None:
+        # weighted variant: a neighbor receives pr(u) * w(u,v) / W(u)
+        # with W(u) the sum of u's outgoing weights — same plan, the
+        # out-degree aggregate becomes a weight sum
+        e = (
+            edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst"),
+                F.col(weight_col).cast("double").alias("__w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        if not assume_simple:
+            e = e.groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+    else:
+        e = _canonical_edges(edges, src, dst, assume_simple).withColumn(
+            "__w", F.lit(1.0)
+        )
     nodes = nodes_of(e).persist()
     n = nodes.count()  # one long to the driver; also materializes nodes
 
     out_d = e.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").cast("double").alias("__outdeg")
+        F.sum("__w").alias("__outdeg")
     )
-    # per-edge out-degree resolved once, reused by every iteration
+    # per-edge out-weight resolved once, reused by every iteration
     edges_deg = (
         e.join(out_d.withColumnsRenamed({"id": "src"}), "src")
-        .select("src", "dst", "__outdeg")
+        .select("src", "dst", "__w", "__outdeg")
         .persist()
     )
     dangling_ids = nodes.join(
@@ -163,7 +180,7 @@ def pagerank(
                 ranks_j.withColumnsRenamed({"id": "src"}), "src"
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pr") / F.col("__outdeg")).alias("__c"))
+            .agg(F.sum(F.col("pr") * F.col("__w") / F.col("__outdeg")).alias("__c"))
         )
         dangling = (
             ranks.join(

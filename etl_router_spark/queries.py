@@ -4589,3 +4589,100 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     return read_source(spark, {
         "source_type": "jsonl_queue", "path": qdir, "schema": schema,
     }, streaming=False)
+
+
+@query(
+    "q_funnel_steps",
+    f"""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM {EVENTS_US} GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click > t_view
+               AND t_purchase > t_click AS s3
+      FROM steps)
+    SELECT CAST(count(*) FILTER (s1) AS BIGINT) AS n_viewed,
+           CAST(count(*) FILTER (s2) AS BIGINT) AS n_clicked_after_view,
+           CAST(count(*) FILTER (s3) AS BIGINT) AS n_purchased_after_click,
+           round(count(*) FILTER (s3) * 1.0
+                 / nullif(count(*) FILTER (s1), 0), 6) AS conversion
+    FROM flags
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (view -> click -> purchase in strict
+    event-time order): the min-timestamp-per-step conditional
+    aggregation collapses each user to one row in ONE groupBy — the
+    scale-safe formulation (the self-join-per-step alternative costs
+    k shuffles and explodes on heavy users). Null comparisons are
+    three-valued on both engines, so 'no click' never counts."""
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.sum(s1.cast("long")).alias("n_viewed"),
+        F.sum(s2.cast("long")).alias("n_clicked_after_view"),
+        F.sum(s3.cast("long")).alias("n_purchased_after_click"),
+        F.round(
+            F.sum(s3.cast("long"))
+            / F.nullif(F.sum(s1.cast("long")), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    f"""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM {EVENTS_US} GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) AS BIGINT) AS week_n
+      FROM {EVENTS_US} e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_n,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity WHERE week_n <= 4
+    GROUP BY cohort_week, week_n
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, then
+    counted distinct per (cohort, weeks-since-cohort). Two shuffles —
+    first-week per user (map-side-combinable min), then the distinct
+    (user, cohort, week) count; the cohort join broadcasts the
+    user->cohort frame at dimension scale or co-shuffles on user_id at
+    fact scale (AQE picks)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n") <= 4)
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count("*").alias("active_users"))
+    )

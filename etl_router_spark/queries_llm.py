@@ -1906,7 +1906,12 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
                         assume_simple=True)
 
 
-def _pagerank_oracle(iterations: int, damping: float) -> str:
+def _pagerank_oracle(
+    iterations: int,
+    damping: float,
+    edges_cte: str | None = None,
+    weighted: bool = False,
+) -> str:
     """Unrolled power-iteration PageRank as chained CTEs (DuckDB has no
     aggregates-in-recursive-CTE, so fixed iterations unroll
 
@@ -1918,21 +1923,23 @@ def _pagerank_oracle(iterations: int, damping: float) -> str:
     blow the file-handle budget re-scanning the parquet per copy."""
     one_minus = repr(1.0 - damping)
     d = repr(damping)
+    outd_expr = "sum(w)" if weighted else "CAST(count(*) AS DOUBLE)"
+    contrib_expr = "sum(p.pr * e.w / o.outdeg)" if weighted else "sum(p.pr / o.outdeg)"
     parts = [
-        _GRAPH_EDGES_SQL.replace(
+        (edges_cte or _GRAPH_EDGES_SQL).replace(
             "edges AS (", "edges AS MATERIALIZED ("
         ),
-        """
+        f"""
     nodes AS MATERIALIZED (SELECT DISTINCT id FROM
               (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
     nn   AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg
+    outd AS MATERIALIZED (SELECT src AS id, {outd_expr} AS outdeg
              FROM edges GROUP BY src),
     pr0  AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)""",
     ]
     for k in range(1, iterations + 1):
         parts.append(f"""
-    c{k} AS MATERIALIZED (SELECT e.dst AS id, sum(p.pr / o.outdeg) AS c
+    c{k} AS MATERIALIZED (SELECT e.dst AS id, {contrib_expr} AS c
              FROM edges e
              JOIN pr{k - 1} p ON e.src = p.id
              JOIN outd o ON e.src = o.id
@@ -2372,3 +2379,62 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
         corpus, bench, threshold=0.3, left_blocks=2, right_blocks=1
     ).select(F.col("id_left").alias("vec_id")).distinct()
     return corpus.join(hits, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_WEIGHTED_EDGES_SQL = """
+    edges AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT 's' || s_suppkey, 'n' || s_nationkey, CAST(1 AS DOUBLE)
+      FROM supplier
+      UNION ALL
+      SELECT 'n' || n_nationkey, 'r' || n_regionkey, CAST(1 AS DOUBLE)
+      FROM nation
+    )
+"""
+
+
+@query(
+    "graph_pagerank_weighted",
+    _pagerank_oracle(iterations=10, damping=0.85,
+                     edges_cte=_WEIGHTED_EDGES_SQL, weighted=True),
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: a neighbor receives pr(u) * w(u,v) / W(u)
+    with W(u) = u's total outgoing weight. The fixture weights the
+    customer->supplier edges by purchase volume (lineitem count), so
+    suppliers with heavier order flow outrank the uniform variant;
+    supplier->nation and nation->region stay weight 1. Same plan shape
+    as the unweighted operator — the out-degree aggregate becomes a
+    weight sum."""
+    from etl_router_spark.functions.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    nr = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    pr = pagerank(cs.unionAll(sn).unionAll(nr), "src", "dst",
+                  iterations=10, damping=0.85,
+                  assume_simple=True, weight_col="w")
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
