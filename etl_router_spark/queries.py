@@ -4686,3 +4686,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_n")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@query(
+    "q_timeseries_resample",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM {EVENTS_US} WHERE event_type = 'purchase'),
+    grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2)    AS total
+      FROM {EVENTS_US} WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT g.bucket,
+           coalesce(a.n, 0)          AS n,
+           coalesce(a.total, 0.0)    AS total
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+)
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (resample-to-grid): hourly purchase
+    aggregates joined onto a COMPLETE hour grid spanning the data, so
+    silent hours surface as explicit zero rows (the shape every
+    monitoring/forecast consumer needs — a missing bucket is
+    indistinguishable from an unobserved one otherwise). The grid is
+    sequence+explode from a 1-row bounds aggregate (broadcast, never
+    driver-collected); grid size = time span, independent of event
+    volume."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    return grid.join(agg, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
