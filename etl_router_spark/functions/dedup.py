@@ -1248,3 +1248,120 @@ def duplicate_span_stats(
             F.when(F.col("n_tokens") > 0, F.col("dup_tokens") / F.col("n_tokens")).otherwise(F.lit(0.0)),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """String-similarity self-join: all pairs with Levenshtein
+    distance <= ``max_distance`` — the classic near-duplicate-key /
+    entity-resolution primitive (record ids, titles, hostnames), via
+    PassJoin-style pigeonhole segment blocking (Li et al., the
+    partition scheme every edit-distance join paper builds on) so the
+    plan never goes quadratic:
+
+    - every string of length m splits into k+1 even segments; if
+      ed(a, b) <= k then b contains one of a's segments EXACTLY, at a
+      start position shifted by at most k (pigeonhole: k edits cannot
+      touch all k+1 segments, and edits shift positions by <= k);
+    - so the candidate join is EQUI on (anchor length, segment index,
+      segment text): the anchor side emits its k+1 segments, the probe
+      side emits, for each anchor length within +-k of its own and
+      each segment slot, the (2k+1) substrings at the allowed shifts —
+      O((2k+1)(k+1)^~) keys per string, constant in corpus size;
+    - candidates dedupe, then the exact ``levenshtein`` filter (JVM
+      codegen, banded by the length filter) confirms.
+
+    Strings shorter than k+1 characters are excluded (their segments
+    would be empty and match everywhere); pair them by brute force in
+    the tail bucket if needed. Output: ``id_a, id_b, distance``.
+    """
+    k = int(max_distance)
+    if k < 1:
+        raise ValueError("max_distance must be >= 1")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("m"),
+    ).filter(F.col("m") >= k + 1)
+
+    # segment i of a length-m string (0-based, 1-based substr start):
+    #   start(i) = i*floor(m/(k+1)) + min(i, m % (k+1)) + 1
+    #   len(i)   = floor(m/(k+1)) + (i < m % (k+1))
+    def seg_start(m, i):
+        return i * F.floor(m / (k + 1)) + F.least(F.lit(i), m % (k + 1)) + 1
+
+    def seg_len(m, i):
+        return F.floor(m / (k + 1)) + (F.lit(i) < m % (k + 1)).cast("int")
+
+    anchors = None
+    for i in range(k + 1):
+        part = s.select(
+            "id", "s", "m", F.lit(i).alias("i"),
+            F.substring("s", seg_start(F.col("m"), i).cast("int"),
+                        seg_len(F.col("m"), i).cast("int")).alias("seg"),
+        )
+        anchors = part if anchors is None else anchors.unionAll(part)
+
+    # probe side: for each anchor length m' in [m-k, m+k] and segment
+    # slot i, the substrings at start(i, m') + d for d in [-k, k]
+    probes = (
+        s.select(
+            "id", "s", F.col("m").alias("n"),
+            F.explode(F.sequence(F.col("m") - k, F.col("m") + k)).alias("m"),
+        )
+        .filter(F.col("m") >= k + 1)
+        .select(
+            "id", "s", "n", "m",
+            F.explode(F.array(*[F.lit(i) for i in range(k + 1)])).alias("i"),
+        )
+        .select(
+            "id", "n", "m", "i",
+            F.explode(F.array(*[F.lit(d) for d in range(-k, k + 1)])).alias("d"),
+            "s",
+        )
+        .withColumn(
+            "__p",
+            (F.col("i") * F.floor(F.col("m") / (k + 1))
+             + F.least(F.col("i"), F.col("m") % (k + 1)) + 1
+             + F.col("d")).cast("int"),
+        )
+        .withColumn(
+            "__l",
+            (F.floor(F.col("m") / (k + 1))
+             + (F.col("i") < F.col("m") % (k + 1)).cast("int")).cast("int"),
+        )
+        # substring() treats start<=0 as from-the-end/clamped — only
+        # in-bounds probes are valid candidates
+        .filter((F.col("__p") >= 1) & (F.col("__p") + F.col("__l") - 1 <= F.col("n")))
+        .select(
+            "id", "n", "m", "i",
+            F.substring("s", F.col("__p"), F.col("__l")).alias("seg"),
+        )
+        .filter(F.length("seg") > 0)
+    )
+    cand = (
+        anchors.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("a.s").alias("s_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    right = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(right, "id_b")
+        .withColumn("distance", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("distance") <= k)
+        .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+    )

@@ -2438,3 +2438,58 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                   iterations=10, damping=0.85,
                   assume_simple=True, weight_col="w")
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+# deterministic near-duplicate string synthesis shared by the
+# edit-distance gate and its oracle: variants of a base key within
+# small edit distances, far strings excluded
+_EDIT_STRINGS_SQL = """
+      SELECT doc_id,
+             'record-' || lpad(CAST(doc_id % 60 AS VARCHAR), 3, '0') || '-'
+             || (CASE doc_id % 5
+                 WHEN 0 THEN 'alpha'
+                 WHEN 1 THEN 'alpfa'
+                 WHEN 2 THEN 'aalpha'
+                 WHEN 3 THEN 'alph'
+                 ELSE 'omega' END) AS s
+      FROM documents WHERE doc_id < 400
+"""
+
+
+@query(
+    "dedup_edit_distance",
+    f"""
+    WITH strs AS ({_EDIT_STRINGS_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+    FROM strs a JOIN strs b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (entity-resolution keys,
+    near-identical titles/hostnames): PassJoin-style pigeonhole
+    segment blocking — k edits cannot touch all k+1 segments and shift
+    positions by at most k, so candidates come from an EQUI join on
+    (anchor length, segment slot, segment text) and only candidates
+    pay the exact levenshtein. The oracle brute-forces the same
+    predicate over every pair, so the gate proves the blocking loses
+    NOTHING (identical pair set, identical distances)."""
+    from etl_router_spark.functions.dedup import edit_distance_pairs
+
+    strs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("record-"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.when(F.col("doc_id") % 5 == 0, "alpha")
+             .when(F.col("doc_id") % 5 == 1, "alpfa")
+             .when(F.col("doc_id") % 5 == 2, "aalpha")
+             .when(F.col("doc_id") % 5 == 3, "alph")
+             .otherwise("omega"),
+        ).alias("s"),
+    )
+    return edit_distance_pairs(strs, max_distance=2, id_col="doc_id", text_col="s")

@@ -896,3 +896,43 @@ def test_web_curation_manifest_compiles(spark, tmp_path):
     n = out.count()
     assert 0 < n < 16  # quartile filter dropped each source's tail
     assert out.filter(~out.url_norm.contains("utm_")).count() == n
+
+
+class TestEditDistancePairs:
+    def test_known_pairs_and_distances(self, spark):
+        from etl_router_spark.functions.dedup import edit_distance_pairs
+
+        rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"),
+                (4, "mittens"), (5, "banana")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in edit_distance_pairs(df, max_distance=2).collect()}
+        # kitten~sitten 1, sitten~sittin 1, kitten~sittin 2,
+        # sitten~mittens 2, kitten~mittens 2; banana far from all,
+        # levenshtein(sittin, mittens) = 3 -> excluded
+        assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 2, (2, 4): 2, (1, 4): 2}
+
+    def test_matches_brute_force_random(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.dedup import edit_distance_pairs
+
+        rng = random.Random(7)
+        alphabet = "abcd"
+        strs = ["".join(rng.choices(alphabet, k=rng.randint(4, 9)))
+                for _ in range(80)]
+        df = spark.createDataFrame(list(enumerate(strs)), "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"], r["distance"])
+               for r in edit_distance_pairs(df, max_distance=2).collect()}
+        a, b = df.alias("a"), df.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.levenshtein("a.text", "b.text").cast("bigint").alias("distance"))
+            .filter(F.col("distance") <= 2).collect()
+        }
+        assert got == brute  # blocking is lossless
