@@ -464,6 +464,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                          k1=float(cfg.get("k1", 1.2)),
                          b=float(cfg.get("b", 0.75)),
                          k=int(cfg.get("k", 10)))
+    if tt == "edit_distance_pairs":
+        from etl_router_spark.functions.dedup import edit_distance_pairs
+
+        return edit_distance_pairs(df, max_distance=int(cfg.get("max_distance", 2)),
+                                   id_col=cfg.get("id_field", "doc_id"),
+                                   text_col=cfg.get("text_field", "text"))
     if tt in ("pagerank", "degree_stats", "triangle_count"):
         from etl_router_spark.functions import graph
 

@@ -34,6 +34,7 @@ KNOWN_TRANSFORMS = {
     "mix_sample", "duplicate_spans", "gopher_filter", "c4_filter",
     "url_normalize", "quality_filter", "quality_buckets", "chunk_sentences",
     "bm25", "pagerank", "degree_stats", "triangle_count",
+    "edit_distance_pairs",
 }
 
 KNOWN_SOURCES = {
