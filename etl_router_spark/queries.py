@@ -3355,10 +3355,14 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed after their newest green row) jump to the head of their
 # staleness group.
 _TOUCHED_BOOST = (
-    # r4: compact_files gained the zorder_by branch after
-    # sink_compact_roundtrip's newest green row (locally re-verified,
-    # but the hard driver signal should refresh first)
+    # r4 code changes behind gates whose newest DRIVER row predates
+    # them (all locally re-verified, but the hard signal should
+    # refresh first): compact_files gained zorder_by; write_sink's
+    # file branch gained the upsert dispatch; unigram_logprob now
+    # passes input columns through
     "sink_compact_roundtrip",
+    "sink_csv_roundtrip",
+    "text_unigram_logprob",
 )
 
 
