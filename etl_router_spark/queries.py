@@ -4742,3 +4742,46 @@ def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
     )
+
+
+@query(
+    "q_event_paths",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM {EVENTS_US}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+    counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path)
+    SELECT path, n FROM counted
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (product analytics): the 10 most common 3-step
+    event-type sequences across user timelines. One user-keyed window
+    pass builds the trigrams (lead, never a self-join), counts
+    map-side combine, and the global top-10 is a TakeOrdered heap with
+    a total ordering (count desc, path asc) so rank-boundary ties are
+    deterministic. Per-user ordering ties broken by event_id — the
+    same total order on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    return counted.orderBy(F.desc("n"), F.asc("path")).limit(10)
