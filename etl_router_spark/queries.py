@@ -4121,7 +4121,12 @@ def source_grpc_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 msg = _pb_payload(payload)
                 grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
                 end = 0x1 if i == len(chunks) - 1 else 0x0
-                cli.sendall(_h2_frame(0, end, 1, grpc_frame))
+                # RFC 7540 frames cap at 16384 bytes: chunk the gRPC
+                # message across DATA frames, END_STREAM on the last
+                for off in range(0, len(grpc_frame), 16384):
+                    piece = grpc_frame[off:off + 16384]
+                    last_piece = off + 16384 >= len(grpc_frame)
+                    cli.sendall(_h2_frame(0, end if last_piece else 0x0, 1, piece))
             # verify: server SETTINGS, SETTINGS ACK, response HEADERS,
             # trailers with grpc-status 0
             got_status = got_trailer = False

@@ -123,7 +123,13 @@ class GrpcLinesClient:
         self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
         msg = pb_wrap_payload(payload)
         grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
-        self.sock.sendall(h2_frame(0, 0x1, stream, grpc_frame))  # END_STREAM
+        # RFC 7540 §4.2: frames are capped at SETTINGS_MAX_FRAME_SIZE
+        # (default 16384) — chunk the gRPC message across DATA frames,
+        # END_STREAM on the last only
+        for off in range(0, len(grpc_frame), 16384):
+            chunk = grpc_frame[off:off + 16384]
+            last = off + 16384 >= len(grpc_frame)
+            self.sock.sendall(h2_frame(0, 0x1 if last else 0x0, stream, chunk))
         # read until this stream's trailers
         while True:
             ftype, flags, fstream, fpayload = read_h2(self.sock)
