@@ -86,3 +86,46 @@ def dequantize_int8(
     return df.withColumn(
         out_col, F.transform(F.col(q_col), lambda q: q.cast("double") * scale)
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_mean",
+    component_round: int | None = None,
+) -> DataFrame:
+    """Mean-pool vectors per group — the standard chunk->document (or
+    document->domain-centroid) embedding aggregation.
+
+    Plan: posexplode to (group, position, value), ONE aggregation
+    keyed on (group, position) with map-side partial sums, then the
+    per-group re-collect orders components by position — vectors
+    re-assemble exactly, no assumption that all rows of a group land
+    on one task and no vector-width-sized state in any single
+    aggregation buffer. ``component_round`` rounds each component
+    (cross-engine FP determinism for oracle checks).
+
+    At 100 TB this is THE safe formulation: the (group, position)
+    key space is |groups| * dim, each cell a running (sum, count) —
+    skew-free even when one group holds millions of chunks.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+    )
+    per_pos = exploded.groupBy(group_col, "__pos").agg(
+        F.avg("__v").alias("__mean")
+    )
+    if component_round is not None:
+        per_pos = per_pos.withColumn("__mean", F.round("__mean", component_round))
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
+                lambda x: x["__mean"],
+            ).alias(out_col),
+            F.count("*").alias("__dim"),
+        )
+        .drop("__dim")
+    )

@@ -77,3 +77,46 @@ def profile_table(
         for c in cols
     ])
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def profile_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n).
+
+    The min/max bounds come from one aggregate riding back as a
+    broadcast 1-row cross join (footer-answerable under the parquet
+    aggregate pushdown); binning is a pure map-side expression and the
+    count one groupBy of at most ``bins`` keys — two cheap jobs at any
+    scale. The top bin is closed (x == max folds in) so every non-null
+    value lands in exactly one bin.
+    """
+    stats = df.agg(
+        F.min(F.col(column).cast("double")).alias("__mn"),
+        F.max(F.col(column).cast("double")).alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / bins
+    bin_col = F.when(
+        F.col("__mx") <= F.col("__mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((F.col(column).cast("double") - F.col("__mn")) / width),
+            F.lit(bins - 1),
+        )
+    ).cast("bigint")
+    return (
+        df.filter(F.col(column).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.round(F.col("__mn") + F.col("bin") * (F.col("__mx") - F.col("__mn")) / bins, 6).alias("lo"),
+            F.round(F.col("__mn") + (F.col("bin") + 1) * (F.col("__mx") - F.col("__mn")) / bins, 6).alias("hi"),
+            "n",
+        )
+    )

@@ -2493,3 +2493,74 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return edit_distance_pairs(strs, max_distance=2, id_col="doc_id", text_col="s")
+
+
+@query(
+    "embedding_mean_pool",
+    """
+    WITH comp AS (
+      SELECT label, u.i AS pos, e.embedding[u.i + 1] AS v
+      FROM embeddings e, unnest(range(len(e.embedding))) AS u(i)),
+    per_pos AS (
+      SELECT label, pos,
+             CAST(round(avg(v), 6) AS DECIMAL(12, 6)) AS m
+      FROM comp GROUP BY label, pos)
+    SELECT label,
+           array_to_string(list(CAST(m AS VARCHAR) ORDER BY pos), ',')
+             AS embedding_mean_csv
+    FROM per_pos GROUP BY label
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label (the chunk->document / class-
+    centroid aggregation): posexplode -> ONE (group, position) keyed
+    aggregation with map-side partial sums -> position-ordered
+    re-collect. No group's vectors ever gather on one task before
+    averaging, so a million-chunk group cannot skew; components round
+    to 6 on both engines before reassembly."""
+    from etl_router_spark.functions.embedding import mean_pool
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = mean_pool(emb, "label", component_round=6)
+    # fixed-scale DECIMAL rendering: double->string would drift into
+    # scientific notation for small components on one engine only
+    return pooled.select(
+        "label",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding_mean"),
+                lambda v: v.cast("decimal(12,6)").cast("string"),
+            ),
+        ).alias("embedding_mean_csv"),
+    )
+
+
+@query(
+    "profile_histogram",
+    """
+    WITH s AS (
+      SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+             max(CAST(o_totalprice AS DOUBLE)) AS mx
+      FROM orders),
+    binned AS (
+      SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - s.mn)
+                              / ((s.mx - s.mn) / 20)), 19) AS BIGINT) AS bin
+      FROM orders, s WHERE o_totalprice IS NOT NULL)
+    SELECT b.bin,
+           round(s.mn + b.bin * (s.mx - s.mn) / 20, 6)       AS lo,
+           round(s.mn + (b.bin + 1) * (s.mx - s.mn) / 20, 6) AS hi,
+           CAST(count(*) AS BIGINT)                           AS n
+    FROM binned b, s
+    GROUP BY b.bin, s.mn, s.mx
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals (the data-profiling
+    companion to profile_table): bounds from one broadcast 1-row
+    aggregate, binning map-side, one <=20-key groupBy. Top bin closed
+    so max lands inside."""
+    from etl_router_spark.functions.profile import profile_histogram as ph
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ph(orders, "o_totalprice", bins=20)

@@ -936,3 +936,35 @@ class TestEditDistancePairs:
             .filter(F.col("distance") <= 2).collect()
         }
         assert got == brute  # blocking is lossless
+
+
+class TestMeanPool:
+    def test_pooled_vector_exact(self, spark):
+        from etl_router_spark.functions.embedding import mean_pool
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 2.0, 3.0]), ("a", [3.0, 4.0, 7.0]), ("b", [5.0, 5.0, 5.0])],
+            "label string, embedding array<double>",
+        )
+        got = {r["label"]: r["embedding_mean"]
+               for r in mean_pool(df, "label").collect()}
+        assert got["a"] == [2.0, 3.0, 5.0]
+        assert got["b"] == [5.0, 5.0, 5.0]
+
+
+class TestProfileHistogram:
+    def test_bins_cover_and_close_top(self, spark):
+        from etl_router_spark.functions.profile import profile_histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        rows = {r["bin"]: r for r in profile_histogram(df, "x", bins=10).collect()}
+        assert sum(r["n"] for r in rows.values()) == 100
+        assert rows[9]["n"] == 10 + 1 - 1  # 90..99 -> top bin holds max
+        assert rows[0]["lo"] == 0.0 and rows[9]["hi"] == 99.0
+
+    def test_constant_column_single_bin(self, spark):
+        from etl_router_spark.functions.profile import profile_histogram
+
+        df = spark.createDataFrame([(7.0,), (7.0,), (None,)], "x double")
+        rows = profile_histogram(df, "x", bins=5).collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
