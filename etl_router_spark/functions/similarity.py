@@ -588,3 +588,45 @@ def train_ivf_centroids(
     feats = rows.select(array_to_vector(F.col("v")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blas",
+) -> DataFrame:
+    """k-NN label assignment: each query takes the majority label of
+    its k exact-cosine neighbors — the standard weak-supervision /
+    label-propagation primitive over an embedded corpus (tag new
+    documents from a labeled seed set).
+
+    Composition: :func:`brute_force_topk` (corpus stays partitioned,
+    queries broadcast) -> neighbor labels via an id-keyed join ->
+    per-query majority with a TOTAL ordering (votes desc, label asc)
+    so ties are deterministic. Output: ``query_id, predicted_label,
+    votes``.
+    """
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(queries, corpus, k=k, id_col=id_col,
+                          vec_col=vec_col, method=method)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__lbl")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__lbl").alias("predicted_label"), "votes")
+    )

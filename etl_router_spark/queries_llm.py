@@ -2564,3 +2564,40 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return ph(orders, "o_totalprice", bins=20)
+
+
+@query(
+    "similarity_knn_classify",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos
+      FROM q, c),
+    nn AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= 5),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM nn GROUP BY query_id, label)
+    SELECT query_id, label AS predicted_label, votes
+    FROM votes
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) = 1
+    """,
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label assignment (weak supervision from a labeled seed
+    corpus): every 50th vector queries the rest; majority of the 5
+    exact-cosine neighbors with a total-order tie-break. Corpus stays
+    partitioned (GEMM batches), queries broadcast."""
+    from etl_router_spark.functions.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    return knn_classify(q, c, label_col="label", k=5)
