@@ -647,6 +647,7 @@ def compile_stages(
                     cfg.get("left_prefix"), cfg.get("right_prefix"),
                     cfg.get("include"), cfg.get("exclude"),
                     broadcast_right=bool(cfg.get("broadcast", False)),
+                    strategy=cfg.get("strategy"),
                 )
             else:
                 base = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)

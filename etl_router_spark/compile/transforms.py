@@ -606,6 +606,7 @@ def apply_join(
     exclude: list[str] | None = None,
     broadcast_right: bool = False,
     time_bound: tuple[str, str, str] | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Equi-join with output shaping (prefix/include/exclude).
 
@@ -615,6 +616,11 @@ def apply_join(
     SURVEY §2.9). ``time_bound=(l_ts, r_ts, interval)`` adds the
     streaming-style time-range predicate. ``broadcast_right`` hints the
     broadcast-hash path for dimension joins.
+
+    ``strategy`` pins the physical join when the optimizer's size
+    estimate is wrong at scale: ``broadcast`` | ``shuffle_hash`` |
+    ``merge`` apply the matching right-side join hint. Leave None for
+    Catalyst/AQE's choice.
     """
     lp = (left_prefix + "_") if left_prefix else ""
     rp = (right_prefix + "_") if right_prefix else ""
@@ -636,7 +642,14 @@ def apply_join(
             )
         )
     pred = reduce(lambda a, b: a & b, preds)
-    r_side = F.broadcast(r_df) if broadcast_right else r_df
+    if strategy is not None:
+        if strategy not in ("broadcast", "shuffle_hash", "merge"):
+            raise ValueError(
+                "join strategy must be broadcast|shuffle_hash|merge, "
+                f"got {strategy!r}")
+        r_side = r_df.hint(strategy)
+    else:
+        r_side = F.broadcast(r_df) if broadcast_right else r_df
     out = l_df.join(r_side, pred, how)
     if include:
         out = out.select(*include)

@@ -161,3 +161,33 @@ def test_asof_nearest_one_sided_matches(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="sideways")
+
+
+class TestJoinStrategyHints:
+    def _frames(self, spark):
+        l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+        r = spark.createDataFrame([(1, "x"), (3, "y")], "k int, rv string")
+        return l, r
+
+    def test_each_strategy_pins_physical_join(self, spark):
+        from etl_router_spark.compile.transforms import apply_join
+
+        l, r = self._frames(spark)
+        for strategy, node in [("broadcast", "BroadcastHashJoin"),
+                               ("shuffle_hash", "ShuffledHashJoin"),
+                               ("merge", "SortMergeJoin")]:
+            out = apply_join(l, r, [{"left_key": "k", "right_key": "k"}],
+                             strategy=strategy)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert node in plan, f"{strategy} -> expected {node}"
+            assert {t["lv"] for t in out.collect()} == {"a"}
+
+    def test_unknown_strategy_rejected(self, spark):
+        import pytest as _pt
+
+        from etl_router_spark.compile.transforms import apply_join
+
+        l, r = self._frames(spark)
+        with _pt.raises(ValueError):
+            apply_join(l, r, [{"left_key": "k", "right_key": "k"}],
+                       strategy="nested_loop")
