@@ -345,3 +345,24 @@ def test_compact_files_partitioned_guard_and_preserve(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert back.filter("bucket = '1'").count() == 666 + 1  # ids 1,4,...,1999
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from etl_router_spark.functions.similarity import knn_classify
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "red"), (2, [0.9, 0.1], "red"),
+         (3, [0.8, 0.2], "blue"), (4, [0.0, 1.0], "blue"),
+         (5, [0.1, 0.9], "blue")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.05, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["query_id"]: (r["predicted_label"], r["votes"])
+           for r in knn_classify(queries, corpus, k=3, method="sql").collect()}
+    # q100's 3 nearest: 1, 2 (red), 3 (blue) -> red 2 votes
+    assert got[100] == ("red", 2)
+    # q200's 3 nearest: 4, 5 (blue), 3 (blue) -> blue 3 votes
+    assert got[200] == ("blue", 3)
