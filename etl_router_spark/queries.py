@@ -4790,3 +4790,37 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return counted.orderBy(F.desc("n"), F.asc("path")).limit(10)
+
+
+@query(
+    "q_window_range_frame",
+    f"""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+             AS trailing_1h_sum,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing_1h_n
+    FROM {EVENTS_US} WHERE user_id < 40
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE window frames (the event-time trailing-window
+    surface ROWS frames can't express — 'sum over the preceding hour'
+    regardless of how many rows that is). One user-keyed window sort;
+    value-based frame bounds evaluate inside the window operator, no
+    self-join. Ties at equal ts aggregate identically on both engines
+    (RANGE includes peers)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return ev.selectExpr(
+        "event_id", "user_id", "ts",
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
+        "AS trailing_1h_sum",
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS trailing_1h_n",
+    )

@@ -2601,3 +2601,35 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 50 == 0)
     c = emb.filter(F.col("vec_id") % 50 != 0)
     return knn_classify(q, c, label_col="label", k=5)
+
+
+@query("dedup_component_sizes", None)  # oracle attached below
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the observability readout
+    every dedup run reports (how much of the corpus is singleton vs
+    boilerplate flood): connected components of the simhash near-dup
+    graph -> per-cluster sizes -> (size, n_clusters) histogram. Two
+    tiny aggregations over the label frame."""
+    from etl_router_spark.functions.dedup import (
+        dedup_clusters,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+    labels = dedup_clusters(docs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_clusters")
+    ).select(F.col("size").cast("bigint").alias("size"), "n_clusters")
+
+
+ORACLES["dedup_component_sizes"] = f"""
+    WITH labels AS (
+      {ORACLES["dedup_cluster"]}
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY size
+"""
