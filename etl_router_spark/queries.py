@@ -4824,3 +4824,38 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS trailing_1h_n",
     )
+
+
+@query(
+    "dlq_expiry_eligibility",
+    f"""
+    SELECT event_id,
+           CAST(event_id % 5 AS BIGINT) AS retry_count,
+           ts AS first_failure
+    FROM {EVENTS_US}
+    WHERE event_id % 5 < 3
+      AND ts >= TIMESTAMP '2024-01-29 00:00:00' - INTERVAL 7 DAY
+    """,
+)
+def dlq_expiry_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ retry-cap + age-based expiry (policy.rs:12-21 max_retries,
+    manager.rs:38-52 expiry): synthesized DLQ rows (retry_count =
+    event_id % 5, first_failure = event ts) filtered through
+    redrive_eligible with a pinned as_of — survivors are exactly the
+    under-cap, under-age rows. Expired/exhausted rows stay in the DLQ
+    table for audit; only survivors re-enter the pipeline."""
+    from etl_router_spark.sinks.dlq import redrive_eligible
+
+    dlq = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 5).cast("bigint").alias("_dlq_retry_count"),
+        F.col("ts").alias("_dlq_first_failure"),
+    )
+    out = redrive_eligible(
+        dlq, max_retries=3, max_age_days=7, as_of="2024-01-29 00:00:00"
+    )
+    return out.select(
+        "event_id",
+        F.col("_dlq_retry_count").alias("retry_count"),
+        F.col("_dlq_first_failure").alias("first_failure"),
+    )

@@ -102,13 +102,17 @@ def redrive_eligible(
     dlq_df: DataFrame,
     max_retries: int = DEFAULT_MAX_RETRIES,
     max_age_days: int = DEFAULT_MAX_AGE_DAYS,
+    as_of=None,
 ) -> DataFrame:
     """Rows still retryable: under the retry cap and not expired
-    (age-based expiry, ``dlq/src/manager.rs:38-52``)."""
+    (age-based expiry, ``dlq/src/manager.rs:38-52``). ``as_of``
+    (Column/literal timestamp) pins "now" for deterministic replays
+    and tests; default is the wall clock."""
+    now = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
     return dlq_df.filter(
         (F.col("_dlq_retry_count") < max_retries)
         & (F.col("_dlq_first_failure")
-           >= F.current_timestamp() - F.expr(f"INTERVAL {int(max_age_days)} DAYS"))
+           >= now - F.expr(f"INTERVAL {int(max_age_days)} DAYS"))
     )
 
 
