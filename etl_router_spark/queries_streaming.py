@@ -937,3 +937,95 @@ def stream_sink_grpc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     }, streaming=False)
     shutil.rmtree(f"{wd}/in", ignore_errors=True)
     return result
+
+
+@query(
+    "stream_late_data_dlq",
+    f"""
+    WITH ev AS (
+      SELECT event_id, ts, user_id FROM {EVENTS_US}),
+    h_old AS (
+      SELECT * FROM ev WHERE user_id % 13 = 0 AND ts < TIMESTAMP '2024-01-25 00:00:00'),
+    a AS (
+      SELECT * FROM ev
+      WHERE ts < TIMESTAMP '2024-01-29 00:00:00'
+        AND NOT (user_id % 13 = 0 AND ts < TIMESTAMP '2024-01-25 00:00:00')),
+    b AS (
+      SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+      UNION ALL SELECT * FROM h_old),
+    wm AS (SELECT max(ts) AS m FROM a)
+    SELECT event_id, ts, 'delivered' AS disposition FROM a
+    UNION ALL
+    SELECT b.event_id, b.ts,
+           CASE WHEN b.ts < wm.m - INTERVAL 2 HOUR THEN 'dlq'
+                ELSE 'delivered' END AS disposition
+    FROM b, wm
+    """,
+)
+def stream_late_data_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data SIDE OUTPUT (the observability the reference's
+    watermark contract implies and Spark's silent state-op drop
+    lacks): per epoch, rows older than the tracked combined watermark
+    minus allowed lateness route to the DLQ with `_dlq_*` context
+    instead of disappearing; the watermark advances AFTER the split
+    (lateness is judged against the frontier as of batch arrival,
+    watermark.rs:121-128). Two forced batches: B carries both
+    beyond-delay stragglers (-> dlq) and fresh rows (-> delivered);
+    the oracle replays the same two-epoch watermark evolution."""
+    import os
+
+    from etl_router_spark.sinks.dlq import to_dlq
+    from etl_router_spark.streaming.watermark import SourceWatermarkTracker
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_latedlq_")
+    src = f"{wd}/in"
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    h_old = (F.col("user_id") % 13 == 0) & (F.col("ts") < "2024-01-25 00:00:00")
+    parts = [
+        ev.filter((F.col("ts") < "2024-01-29 00:00:00") & ~h_old),
+        ev.filter((F.col("ts") >= "2024-01-29 00:00:00") | h_old),
+    ]
+    for i, part in enumerate(parts):
+        tmp = f"{wd}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/{i}.parquet"
+        shutil.move(f"{tmp}/{pf}", dst)
+        t = os.path.getmtime(dst)
+        os.utime(dst, (t - 1000 + i * 100, t - 1000 + i * 100))
+
+    out_dir, dlq_dir = f"{wd}/out", f"{wd}/dlq"
+    tracker = SourceWatermarkTracker(["events"], allowed_lateness=2 * 3600)
+
+    def route_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        tagged = batch_df.withColumn("__src", F.lit("events"))
+        on_time, late = tracker.split_late(tagged, "ts")
+        (on_time.drop("__src")
+         .write.mode("append").parquet(out_dir))
+        late_count = late.count()
+        if late_count:
+            to_dlq(late.drop("__src"), error_code="TIMEOUT",
+                   error_message="event beyond allowed lateness",
+                   failed_stage="watermark", pipeline="late-dlq-gate",
+                   ).write.mode("append").parquet(dlq_dir)
+        tracker.observe_batch(tagged, "__src", "ts")
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(route_epoch)
+         .option("checkpointLocation", f"{wd}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    delivered = spark.read.parquet(out_dir).select(
+        "event_id", "ts", F.lit("delivered").alias("disposition"))
+    if os.path.isdir(dlq_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(dlq_dir)
+    ):
+        dlq = spark.read.parquet(dlq_dir).select(
+            "event_id", "ts", F.lit("dlq").alias("disposition"))
+        delivered = delivered.unionByName(dlq)
+    shutil.rmtree(src, ignore_errors=True)
+    return delivered
