@@ -132,3 +132,27 @@ def test_triangle_plan_has_no_cartesian(spark):
     plan = (triangle_count(e, "src", "dst")
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    # equal weights on every edge must reproduce the unweighted ranks
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    ew = e.selectExpr("src", "dst", "2.5 AS w")
+    plain = {r["id"]: r["pagerank"]
+             for r in pagerank(e, "src", "dst", iterations=4).collect()}
+    weighted = {r["id"]: r["pagerank"]
+                for r in pagerank(ew, "src", "dst", iterations=4,
+                                  weight_col="w").collect()}
+    for k in plain:
+        assert weighted[k] == pytest.approx(plain[k], abs=1e-12)
+
+
+def test_weighted_pagerank_mass_follows_weight(spark):
+    # a -> b (weight 9), a -> c (weight 1): b must strongly outrank c
+    ew = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0)], "src string, dst string, w double")
+    pr = {r["id"]: r["pagerank"]
+          for r in pagerank(ew, "src", "dst", iterations=3,
+                            weight_col="w").collect()}
+    assert pr["b"] > pr["c"]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)

@@ -105,3 +105,31 @@ def test_compact_zorder_sort_by_exclusive(spark, tmp_path):
     spark.range(10).write.parquet(path)
     with pytest.raises(ValueError):
         compact_files(spark, path, zorder_by=["id"], sort_by=["id"])
+
+
+def test_zorder_key_randomized_vs_duckdb_with_negatives(spark):
+    """Random data including negative values and mixed scales must
+    produce identical z-keys in DuckDB (pins the bucket arithmetic
+    across engines — the fixture gate only covers positive columns)."""
+    import random
+
+    import duckdb
+
+    from etl_router_spark.functions.layout import zorder_key, zorder_oracle_sql
+
+    rng = random.Random(20260814)
+    rows = [(i, rng.uniform(-1e4, 1e4), rng.randint(-500, 500))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = dict(
+        (r["id"], r["__zkey"])
+        for r in zorder_key(df, ["x", "y"], bits=12).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, x DOUBLE, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(con.execute(
+        "WITH " + zorder_oracle_sql("t", ["x", "y"], bits=12)
+        + " SELECT id, zkey FROM zkeyed"
+    ).fetchall())
+    assert got == want
