@@ -631,13 +631,35 @@ def simhash_pairs(
     flood sharing a fingerprint — so no task owns more than
     ~C(salt_cap,2) pair work (``_bucket_local_pairs`` recall note).
     """
-    if max_hamming >= blocks:
-        raise ValueError("need max_hamming < blocks for pigeonhole blocking")
     fps = simhash(df, id_col, text_col, bits)
     if cache:
         # see minhash_lsh_pairs: persisting for the salting pre-agg is
         # a scale-time win but a small-input loss; opt-in via cache
         fps = fps.persist()
+    return hamming_pairs(fps, max_hamming=max_hamming, bits=bits,
+                         blocks=blocks, id_col="id", code_col="simhash",
+                         salt_cap=salt_cap)
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    max_hamming: int,
+    bits: int,
+    blocks: int = 4,
+    id_col: str = "id",
+    code_col: str = "simhash",
+    salt_cap: int | None = 512,
+) -> DataFrame:
+    """Generic hamming-distance self-join over any precomputed bit
+    code column (SimHash fingerprints, perceptual image hashes, locality
+    codes): pigeonhole chunk blocking + bucket-local pair generation,
+    never an all-pairs scan. Shared engine behind ``simhash_pairs`` and
+    the multimodal aHash dedup."""
+    if max_hamming >= blocks:
+        raise ValueError("need max_hamming < blocks for pigeonhole blocking")
+    if id_col != "id" or code_col != "simhash":
+        fps = fps.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("simhash"))
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunks = ", ".join(

@@ -211,3 +211,45 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def average_hash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) code per media payload — the
+    image-dedup primitive (bit i set iff pixel i brightens above the
+    image mean; near-identical images land within small hamming
+    distance, the LAION-style near-dup filter).
+
+    With the container's fake decoder the "pixels" are the ``bits``
+    bytes of the payload's sha256 (deterministic, oracle-mirrorable);
+    a real deployment swaps the pixel source for the decoded,
+    downscaled grayscale grid (mapInPandas, like
+    ``extract_media_features``) and keeps the identical bit build.
+    The hash itself is pure JVM column math — zero Python — so only
+    the decode step ever pays the Arrow tax.
+
+    Output: ``(id_col, ahash)`` with ahash in a BIGINT (bits <= 63).
+    Pair generation: feed into ``dedup.hamming_pairs``.
+    """
+    if bits > 56 or bits % 8 != 0:
+        raise ValueError("bits must be a multiple of 8, at most 56")
+    hexd = F.sha2(F.col(media_col), 256)
+    pixels = [
+        F.conv(F.substring(hexd, 2 * i + 1, 2), 16, 10).cast("int")
+        for i in range(bits)
+    ]
+    total = pixels[0]
+    for p in pixels[1:]:
+        total = total + p
+    mean = total / bits  # exact: integer sum over a power-of-two divisor
+    code = F.lit(0).cast("bigint")
+    for i, p in enumerate(pixels):
+        code = code.bitwiseOR(
+            F.when(p.cast("double") > mean, F.lit(1 << i).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    return df.select(F.col(id_col), code.alias("ahash"))

@@ -2633,3 +2633,44 @@ ORACLES["dedup_component_sizes"] = f"""
            CAST(count(*) AS BIGINT) AS n_clusters
     FROM sizes GROUP BY size
 """
+
+
+def _ahash_oracle(bits: int = 32, max_hamming: int = 4) -> str:
+    pixel = lambda i: f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT)"  # noqa: E731
+    total = " + ".join(pixel(i) for i in range(bits))
+    bit_terms = " | ".join(
+        f"(CASE WHEN CAST({pixel(i)} AS DOUBLE) > mean THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH payload AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 500),
+    px AS (SELECT doc_id, h, ({total}) / {bits} AS mean FROM payload),
+    codes AS (SELECT doc_id, CAST(({bit_terms}) AS BIGINT) AS ahash FROM px)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT)) AS BIGINT)
+             AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT)) <= {max_hamming}
+    """
+
+
+@query("multimodal_ahash_pairs", _ahash_oracle(max_hamming=6))
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup plumbing (LAION-style perceptual-hash
+    filter): fake-decoded media payloads -> 32-bit average-hash codes
+    (pure JVM bit math; a real deployment swaps only the pixel
+    source) -> generic pigeonhole ``hamming_pairs`` (shared with
+    SimHash — chunk-blocked, never all-pairs). The oracle brute-forces
+    the identical hash + hamming predicate over every pair, proving
+    the blocking lossless on binary-column codes too."""
+    from etl_router_spark.functions.dedup import hamming_pairs
+    from etl_router_spark.functions.multimodal import attach_fake_media, average_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = attach_fake_media(docs)
+    codes = average_hash(media, media_col="media", id_col="doc_id", bits=32)
+    return hamming_pairs(codes, max_hamming=6, bits=32, blocks=8,
+                         id_col="doc_id", code_col="ahash").select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("bigint").alias("hamming")
+    )
