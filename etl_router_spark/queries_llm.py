@@ -2674,3 +2674,68 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          id_col="doc_id", code_col="ahash").select(
         F.col("id_a"), F.col("id_b"), F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+@query(
+    "corpus_curation_report",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, {_QUALITY_SQL} AS quality FROM documents),
+    dup_keys AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS k
+      FROM documents),
+    dups AS (
+      SELECT CAST(sum(c - 1) AS BIGINT) AS n_exact_dups
+      FROM (SELECT count(*) AS c FROM dup_keys GROUP BY k)),
+    thr AS (
+      SELECT source, round(quantile_cont(quality, 0.25), 6) AS t
+      FROM scored GROUP BY source),
+    kept AS (
+      SELECT count(*) AS n_kept
+      FROM scored s JOIN thr ON s.source = thr.source
+      WHERE s.quality >= thr.t)
+    SELECT CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT)       AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT)     AS n_sources,
+           round(avg(quality), 6)                     AS mean_quality,
+           (SELECT n_exact_dups FROM dups)            AS n_exact_dups,
+           CAST((SELECT n_kept FROM kept) AS BIGINT)  AS n_quality_kept
+    FROM scored
+    """,
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation REPORT (the one-row summary every corpus
+    run emits for run-over-run drift monitoring): corpus size, lang/
+    source cardinalities, mean composite quality, exact-dup surplus,
+    and the per-source quartile-filter survivor count — each figure
+    produced by the SAME operators the pipeline gates verify
+    individually (quality_score, exact_dedup keys,
+    adaptive_quality_filter), composed into one plan."""
+    from etl_router_spark.functions.corpus import adaptive_quality_filter
+    from etl_router_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "lang", "source", "quality")
+    kept = adaptive_quality_filter(
+        scored, "quality", "source", quantile=0.25, threshold_round=6
+    ).agg(F.count("*").alias("n_quality_kept"))
+    # same digest key as exact_dedup (md5 of normalized text)
+    dup_key = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    dups = (
+        docs.select(dup_key.alias("k"))
+        .groupBy("k").agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_exact_dups"))
+    )
+    summary = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(kept))
+        .select("n_docs", "n_langs", "n_sources", "mean_quality",
+                "n_exact_dups", F.col("n_quality_kept").cast("bigint")
+                .alias("n_quality_kept"))
+    )
