@@ -284,6 +284,22 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from etl_router_spark.functions.profile import profile_histogram, profile_table
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("etl-router-profile")
+    df = spark.read.format(args.format).load(args.path)
+    if args.column:
+        out = profile_histogram(df, args.column, bins=args.bins)
+        for r in out.orderBy("bin").collect():
+            bar = "#" * max(1, int(40 * r["n"] / max(1, df.count())))
+            print(f"[{r['lo']:>14.4f} .. {r['hi']:>14.4f})  {r['n']:>9d}  {bar}")
+    else:
+        profile_table(df, exact_distinct=args.exact).show(100, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="etl-router-spark")
     ap.add_argument("--registry", default=DEFAULT_REGISTRY,
@@ -340,6 +356,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated columns for Z-order (Morton) "
                         "clustered layout — multi-column min/max pruning")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("profile", help="column profile or histogram of a dataset")
+    p.add_argument("path")
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--column", help="numeric column: print an equi-width histogram")
+    p.add_argument("--bins", type=int, default=20)
+    p.add_argument("--exact", action="store_true",
+                   help="exact distinct counts (default: HLL approx)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("backup", help="snapshot a checkpoint dir")
     p.add_argument("checkpoint")

@@ -189,3 +189,20 @@ def test_cli_backup_compress_and_retention(tmp_path, capsys):
     assert len(snaps) == 2
     with tarfile.open(snaps[-1]) as t:
         assert any(m.name.endswith("offsets") for m in t.getmembers())
+
+
+def test_cli_profile_table_and_histogram(spark, sf_dir, capsys):
+    from etl_router_spark.cli import build_parser
+
+    ap = build_parser()
+    args = ap.parse_args(["profile", f"{sf_dir}/orders.parquet"])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out and "o_totalprice" in out
+
+    args = ap.parse_args(
+        ["profile", f"{sf_dir}/orders.parquet", "--column", "o_totalprice",
+         "--bins", "5"])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert out.count("..") == 5 and "#" in out
