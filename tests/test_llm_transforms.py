@@ -968,3 +968,34 @@ class TestProfileHistogram:
         df = spark.createDataFrame([(7.0,), (7.0,), (None,)], "x double")
         rows = profile_histogram(df, "x", bins=5).collect()
         assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+
+
+def test_hybrid_search_manifest_compiles(spark, tmp_path):
+    """examples/manifests/hybrid-search.yaml: sentence chunking ->
+    chunk-id mapping -> BM25 against a query source, end to end."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma. delta epsilon zeta! eta theta iota.")
+         for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    queries = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "eta theta")],
+        "query_id long, query_text string",
+    ).write.parquet(queries)
+
+    with open("examples/manifests/hybrid-search.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"]["stages"][0]["config"]["path"] = docs
+    doc["spec"]["stages"][3]["config"]["queries"]["path"] = queries
+    doc["spec"]["stages"][-1]["config"]["path"] = str(tmp_path / "ranked")
+    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    out = frames["rankings"]
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
+    assert out.filter("rank = 1").count() == 2  # both queries ranked
