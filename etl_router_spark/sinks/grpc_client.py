@@ -100,7 +100,13 @@ def read_h2(conn: socket.socket) -> tuple[int, int, int, bytes]:
 
 
 class GrpcLinesClient:
-    """One HTTP/2 connection; unary calls on successive odd streams."""
+    """One HTTP/2 connection; unary calls on successive odd streams.
+
+    Limitation (documented, not enforced): HTTP/2 flow-control
+    WINDOW_UPDATE handling is not implemented — keep each call's
+    payload under the peer's initial window (RFC 7540 default 65535
+    bytes; the sink's batch_size=500 JSON rows stays well under it)
+    or raise the peer's SETTINGS_INITIAL_WINDOW_SIZE."""
 
     def __init__(self, host: str, port: int, path: str,
                  timeout_s: float = 10.0):

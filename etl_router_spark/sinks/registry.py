@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 def _upsert_file_sink(df: DataFrame, cfg: dict[str, Any], fmt: str, path: str) -> None:
     """mode=upsert: merge ``df`` into the dataset at ``path`` keyed on
     ``merge_keys`` (latest-by-``order_by`` wins; optional ``op_col``
-    tombstones deletes), then atomically swap the rewrite in."""
+    tombstones deletes), then atomically swap the rewrite in.
+
+    Single-writer assumption: the rename swap serializes readers
+    against ONE writer; concurrent upserts to the same path race
+    (last swap wins, the loser's merge is lost). Coordinate writers
+    externally, or use a table format (Delta/Iceberg MERGE) where
+    optimistic concurrency is required."""
     spark = df.sparkSession
     merge_keys = cfg.get("merge_keys")
     order_by = cfg.get("order_by")
