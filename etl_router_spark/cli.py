@@ -292,8 +292,10 @@ def cmd_profile(args) -> int:
     df = spark.read.format(args.format).load(args.path)
     if args.column:
         out = profile_histogram(df, args.column, bins=args.bins)
-        for r in out.orderBy("bin").collect():
-            bar = "#" * max(1, int(40 * r["n"] / max(1, df.count())))
+        rows = out.orderBy("bin").collect()
+        total = max(1, sum(r["n"] for r in rows))  # one pass, no per-bin count job
+        for r in rows:
+            bar = "#" * max(1, int(40 * r["n"] / total))
             print(f"[{r['lo']:>14.4f} .. {r['hi']:>14.4f})  {r['n']:>9d}  {bar}")
     else:
         profile_table(df, exact_distinct=args.exact).show(100, truncate=False)

@@ -281,4 +281,9 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )
+    # materialize the (small: one row per triangle-member node) result
+    # so the oriented-edge cache can be released before returning —
+    # otherwise every call leaks executor storage in long sessions
+    per_node = per_node.localCheckpoint(eager=True)
+    oriented.unpersist()
     return per_node

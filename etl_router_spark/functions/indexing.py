@@ -198,9 +198,11 @@ def bm25_topk(
     (df + 0.5))) — the lexical half of hybrid retrieval.
 
     Plan: postings (doc-term tf) and doc lengths aggregate once; the
-    query term set (distinct per query — tiny) BROADCASTS into the
-    postings join, so the corpus shuffles only for the (query, doc)
-    score aggregation; avgdl/N ride as a broadcast 1-row scalar. Rank
+    query term set (distinct per query — tiny) first collects its
+    per-term document frequencies from the df table (map-side, qterms
+    broadcast), and that filtered frame BROADCASTS into the postings
+    join — so the corpus shuffles only for the (query, doc) score
+    aggregation; avgdl/N ride as a broadcast 1-row scalar. Rank
     orders by the ROUNDED score (6 digits) with id tie-break so top-k
     membership is FP-deterministic across engines.
 
@@ -219,9 +221,13 @@ def bm25_topk(
             F.array_distinct(F.split(F.trim(F.col(query_text_col)), r"\s+"))
         ).alias("term"),
     ).filter(F.col("term") != "")
+    # qterms broadcasts into the full per-term df table (map-side), so
+    # only the query terms' document frequencies survive — broadcasting
+    # dfreq itself (one row per distinct corpus term) would OOM at
+    # web-corpus vocabulary sizes
+    qstats = dfreq.join(F.broadcast(qterms), "term")
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(qstats), "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -3495,14 +3495,20 @@ def source_json_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, streaming=False)
     # one pass, both contracts: corrupt flag per row + global counts;
     # DROPMALFORMED row count == PERMISSIVE minus corrupt (checked
-    # against a real DROPMALFORMED read in tests)
-    w = Window.partitionBy()
-    return permissive.select(
+    # against a real DROPMALFORMED read in tests). The counts ride as
+    # a broadcast 1-row aggregate cross join — a Window.partitionBy()
+    # global count would funnel all rows through one task
+    # count(event_id) — null exactly on corrupt rows — instead of a
+    # _corrupt_record predicate: Spark disallows queries over a raw
+    # JSON scan that reference ONLY the internal corrupt column
+    counts = permissive.agg(
+        F.count("*").cast("long").alias("permissive_rows"),
+        F.count("event_id").cast("long").alias("dropmalformed_rows"),
+    )
+    return permissive.crossJoin(F.broadcast(counts)).select(
         "event_id", "event_type",
         F.col("_corrupt_record").isNotNull().alias("was_corrupt"),
-        F.count("*").over(w).cast("long").alias("permissive_rows"),
-        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
-         .over(w).cast("long").alias("dropmalformed_rows"),
+        "permissive_rows", "dropmalformed_rows",
     )
 
 

@@ -3,10 +3,13 @@ typed gRPC sink — the reference's only first-class sink config
 (``conveyor-etl-dsl/src/types.rs:703-759``: endpoint + retry policy).
 
 Everything here is public protocol: RFC 7540 HTTP/2 framing, RFC 7541
-HPACK (literal-without-indexing form only — both peers in a sink
-deployment negotiate no dynamic table), the gRPC length-prefixed
-message framing, and protobuf wire format (the request message is
-``bytes payload = 1``, the JSON-lines batch).
+HPACK (full decoder in ``sinks/hpack.py`` — static + dynamic table,
+all four representation forms, Huffman strings — so responses from
+real servers that index ``:status: 200`` or Huffman-code values decode
+correctly; our own encoder emits the stateless literal-without-indexing
+form, which is always legal), the gRPC length-prefixed message framing,
+and protobuf wire format (the request message is ``bytes payload = 1``,
+the JSON-lines batch).
 
 Scale design: the sink runs ``df.foreachPartition`` — each executor
 partition opens ONE connection and streams its batches as unary calls
@@ -36,24 +39,29 @@ def h2_frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
             + struct.pack(">BBI", ftype, flags, stream) + payload)
 
 
-def hpack_literal(name: bytes, value: bytes) -> bytes:
-    """RFC 7541 §6.2.2 literal without indexing, new name, no Huffman."""
-    assert len(name) < 127 and len(value) < 127
-    return (b"\x00" + struct.pack(">B", len(name)) + name
-            + struct.pack(">B", len(value)) + value)
+from etl_router_spark.sinks.hpack import HpackDecoder, encode_literal
+
+hpack_literal = encode_literal
 
 
 def hpack_parse(block: bytes) -> dict[bytes, bytes]:
-    out, i = {}, 0
-    while i < len(block):
-        assert block[i] == 0x00, "unsupported HPACK form"
-        nlen = block[i + 1]
-        name = block[i + 2:i + 2 + nlen]
-        j = i + 2 + nlen
-        vlen = block[j]
-        out[name] = block[j + 1:j + 1 + vlen]
-        i = j + 1 + vlen
-    return out
+    """One-shot parse with a fresh decoder — only valid for a block
+    that makes no dynamic-table back-references (e.g. our own
+    encoder's output).  Connection loops hold a ``HpackDecoder``."""
+    return HpackDecoder().decode_dict(block)
+
+
+def headers_fragment(flags: int, payload: bytes) -> bytes:
+    """Strip RFC 7540 §6.2 PADDED / PRIORITY fields from a HEADERS
+    frame payload, returning the raw header-block fragment."""
+    i = 0
+    pad = 0
+    if flags & 0x8:  # PADDED
+        pad = payload[0]
+        i = 1
+    if flags & 0x20:  # PRIORITY: 4-byte dep + 1-byte weight
+        i += 5
+    return payload[i:len(payload) - pad]
 
 
 def pb_wrap_payload(data: bytes) -> bytes:
@@ -116,6 +124,9 @@ class GrpcLinesClient:
         self.sock.sendall(H2_PREFACE)
         self.sock.sendall(h2_frame(4, 0, 0, b""))  # SETTINGS
         self.next_stream = 1
+        # HPACK dynamic-table state is connection-scoped (RFC 7541
+        # §2.2): one decoder for every response block on this socket
+        self.hpack = HpackDecoder()
 
     def call(self, payload: bytes) -> None:
         """Unary call; raises GrpcCallError on non-zero grpc-status."""
@@ -136,13 +147,27 @@ class GrpcLinesClient:
             chunk = grpc_frame[off:off + 16384]
             last = off + 16384 >= len(grpc_frame)
             self.sock.sendall(h2_frame(0, 0x1 if last else 0x0, stream, chunk))
-        # read until this stream's trailers
+        # read until this stream's trailers; header blocks may span
+        # HEADERS + CONTINUATION frames (END_HEADERS terminates)
+        hdr_buf = b""
+        hdr_open = False
         while True:
             ftype, flags, fstream, fpayload = read_h2(self.sock)
             if ftype == 4 and not flags & 1:  # peer SETTINGS -> ACK
                 self.sock.sendall(h2_frame(4, 1, 0, b""))
+            elif ftype == 6 and not flags & 1:  # PING -> ACK
+                self.sock.sendall(h2_frame(6, 1, 0, fpayload))
             elif ftype == 1 and fstream == stream:
-                hdrs = hpack_parse(fpayload)
+                hdr_buf = headers_fragment(flags, fpayload)
+                hdr_open = not flags & 0x4
+            elif ftype == 9 and fstream == stream and hdr_open:
+                hdr_buf += fpayload
+                hdr_open = not flags & 0x4
+            else:
+                continue
+            if ftype in (1, 9) and not hdr_open:
+                hdrs = self.hpack.decode_dict(hdr_buf)
+                hdr_buf = b""
                 if b"grpc-status" in hdrs:
                     status = int(hdrs[b"grpc-status"])
                     if status != 0:
@@ -246,12 +271,22 @@ class GrpcLinesReceiver:
             assert recv_exact(conn, len(H2_PREFACE)) == H2_PREFACE
             conn.sendall(h2_frame(4, 0, 0, b""))
             bufs: dict[int, bytes] = {}
+            dec = HpackDecoder()  # connection-scoped (RFC 7541 §2.2)
+            hdr_buf: dict[int, bytes] = {}  # open header blocks
             while True:
                 ftype, flags, stream, payload = read_h2(conn)
                 if ftype == 4 and not flags & 1:
                     conn.sendall(h2_frame(4, 1, 0, b""))
-                elif ftype == 1:
-                    hdrs = hpack_parse(payload)
+                elif ftype == 6 and not flags & 1:  # PING -> ACK
+                    conn.sendall(h2_frame(6, 1, 0, payload))
+                elif ftype == 1 or (ftype == 9 and stream in hdr_buf):
+                    if ftype == 1:
+                        hdr_buf[stream] = headers_fragment(flags, payload)
+                    else:
+                        hdr_buf[stream] += payload
+                    if not flags & 0x4:  # END_HEADERS not yet seen
+                        continue
+                    hdrs = dec.decode_dict(hdr_buf.pop(stream))
                     if b":path" in hdrs:
                         assert hdrs[b":path"] == self.path
                         bufs[stream] = b""

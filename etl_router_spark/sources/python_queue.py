@@ -5,8 +5,8 @@ when no first-party Spark connector exists).
 ``JsonlQueueDataSource`` implements the PySpark 4 DataSource API over a
 drained-queue directory: a consumer daemon appends complete ``*.jsonl``
 files (one JSON message per line) and the source streams them with real
-offset tracking — ``{"count": N}`` over the lexicographically sorted
-file list, one InputPartition per new file, committed through the
+offset tracking — ``{"last": "<filename>"}`` over the lexicographically
+sorted file list, one InputPartition per new file, committed through the
 checkpoint like any Spark source. This is the same pull-model bridge as
 the ``staging_path`` file stream, but demonstrates the full custom-
 connector seam: a socket/AMQP/SDK consumer replaces ``_read_file`` in
@@ -59,20 +59,41 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _offset_cut(files: list[str], off: dict) -> int:
+    """Index of the first file NOT covered by ``off``.
+
+    Offsets are ``{"last": "<filename>"}`` — the lexicographically
+    greatest published file at snapshot time.  Filename offsets stay
+    correct when the listing shifts (a count offset silently re-reads
+    or skips rows if any file sorts before an already-counted one).
+    Legacy ``{"count": N}`` checkpoints from older runs still resolve.
+    """
+    if "last" in off:
+        last = off["last"]
+        if not last:
+            return 0
+        import bisect
+
+        return bisect.bisect_right(files, last)
+    return off.get("count", 0)
+
+
 class JsonlQueueStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.schema = schema
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"count": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"count": len(_list_files(self.path))}
+        files = _list_files(self.path)
+        return {"last": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_files(self.path)[start["count"]:end["count"]]
-        return [_FilePartition(os.path.join(self.path, f)) for f in files]
+        files = _list_files(self.path)
+        lo, hi = _offset_cut(files, start), _offset_cut(files, end)
+        return [_FilePartition(os.path.join(self.path, f)) for f in files[lo:hi]]
 
     def read(self, partition: _FilePartition):
         yield from _read_file(partition.path, self.schema)
@@ -131,8 +152,19 @@ class JsonlQueueWriter(DataSourceWriter):
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
+        # Per-job unique, commit-time-monotonic names: a second append
+        # job to the same queue dir must never rename over an earlier
+        # job's committed batches (fixed batch-{i} names silently lost
+        # data), and names must sort after everything already published
+        # so the reader's filename offset covers them.  time_ns gives
+        # the monotonic prefix across sequential jobs; the uuid breaks
+        # ties if two drivers commit in the same nanosecond.
+        import time
+        import uuid
+
+        job = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
         for i, m in enumerate(messages):
-            final = m.tmp_path.rsplit("/", 1)[0] + f"/batch-{i:05d}.jsonl"
+            final = m.tmp_path.rsplit("/", 1)[0] + f"/batch-{job}-{i:05d}.jsonl"
             os.rename(m.tmp_path, final)
 
     def abort(self, messages) -> None:
