@@ -144,7 +144,42 @@ def kafka_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
     return opts
 
 
+#: Spark's kafka-connector output schema, reconstructed by the staging
+#: branch below so downstream envelope code sees identical shapes.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset BIGINT, timestamp TIMESTAMP, timestampType INT, "
+    "headers ARRAY<STRUCT<key: STRING, value: BINARY>>"
+)
+
+_KAFKA_STAGING_SCHEMA = (
+    "topic STRING, partition INT, offset BIGINT, timestamp BIGINT, "
+    "key STRING, value STRING, headers ARRAY<STRUCT<key: STRING, value: STRING>>"
+)
+
+
 def _read_kafka(spark, cfg, streaming):
+    staging = cfg.get("staging_path")
+    if staging:
+        # Hermetic/bridge path: a consumer (e.g. the wire-protocol gate
+        # broker in sources/kafka_wire.py) drains records to jsonl with
+        # binary fields base64-coded; reconstruct the connector's exact
+        # wire schema so from_kafka/promote run unchanged.
+        raw = _file_reader(
+            spark,
+            {**cfg, "format": "json", "schema": _KAFKA_STAGING_SCHEMA,
+             "watch": cfg.get("watch", False)},
+            streaming, staging,
+        )
+        return raw.selectExpr(
+            "unbase64(key) AS key",
+            "unbase64(value) AS value",
+            "topic", "partition", "offset",
+            "timestamp_millis(timestamp) AS timestamp",
+            "CAST(0 AS INT) AS timestampType",  # CreateTime
+            "transform(headers, h -> struct(h.key AS key, "
+            "unbase64(h.value) AS value)) AS headers",
+        )
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     reader = reader.options(**kafka_reader_options(cfg))
     try:
