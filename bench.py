@@ -68,7 +68,42 @@ BENCH_QUERIES = [
     # entry; pagerank's 10-round loop is timed in SCALE.md instead —
     # its cost is per-round fixed job overhead, not data volume)
     "graph_degrees",
+    # round 5: operator-only twin of graph_degrees over a
+    # pre-materialized edge parquet — graph_degrees' 1.07 s was mostly
+    # its orders x lineitem fixture join, so fixture and operator cost
+    # are now tracked separately (VERDICT r4 #7)
+    "graph_degrees_op",
 ]
+
+# r4 flagged three regressions (+11..23%) with no commit touching their
+# code paths — suspected scheduler noise under the widened query set.
+# Give exactly those queries more reps so the min is a tighter
+# steady-state estimate (VERDICT r4 #2).
+EXTRA_RUNS = {
+    "dedup_embedding_cosine": 5,
+    "text_fingerprint": 5,
+    "similarity_topk": 5,
+}
+
+_EDGE_PARQUET: dict[str, str] = {}
+
+
+def _graph_degrees_op(spark, sf_dir: str):
+    """degree_stats over a pre-materialized edge parquet: the first
+    call per SF pays the one-time fixture write (excluded by min-of-N),
+    later reps time ONLY the operator's two (id, count) shuffles."""
+    from etl_router_spark.functions.graph import degree_stats
+    from etl_router_spark.queries_llm import _link_graph
+
+    path = _EDGE_PARQUET.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="etl_bench_edges_") + "/edges"
+        _link_graph(spark, sf_dir).write.parquet(path)
+        _EDGE_PARQUET[sf_dir] = path
+    return degree_stats(spark.read.parquet(path), "src", "dst",
+                        assume_simple=True)
 
 
 def main() -> None:
@@ -82,7 +117,8 @@ def main() -> None:
     from etl_router_spark.session import get_spark
 
     spark = get_spark("etl_router_spark_bench")
-    queries = all_queries()
+    queries = dict(all_queries())
+    queries["graph_degrees_op"] = _graph_degrees_op
 
     # warm-up: run every query once at the smallest SF so JVM startup,
     # plan codegen and JIT are excluded from the timed runs (steady-state
@@ -105,7 +141,7 @@ def main() -> None:
     for name in bench_queries:
         fn = queries[name]
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(max(runs, EXTRA_RUNS.get(name, 0))):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_router_spark.functions.iterate import materialize
 from etl_router_spark.functions.text import h60_sql, shingles, shingles_sql, tokens_col, tokens_sql
 from etl_router_spark.io import spread_small_scan
 
@@ -691,6 +692,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 25,
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = min id
     reachable through the pair graph.
@@ -713,25 +715,32 @@ def connected_components(
     Both raise RuntimeError if ``max_iterations`` is hit before the
     fixed point: silently truncating a dedup clustering would keep or
     drop the WRONG documents downstream with no signal.
+
+    ``checkpoint_dir``: per-round materialization is an executor-local
+    checkpoint by default (fastest, but lost on executor death); pass
+    a shared-filesystem path to use reliable fault-tolerant
+    ``checkpoint()`` instead — the right setting for long cluster jobs
+    (``functions/iterate.py``).
     """
     edges = (
         pairs.selectExpr(f"{id_a} AS u", f"{id_b} AS v")
         .filter("u <> v")
     )
     if algorithm == "star":
-        return _cc_alternating_star(edges, max_iterations)
+        return _cc_alternating_star(edges, max_iterations, checkpoint_dir)
     if algorithm != "label":
         raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
-    # localCheckpoint (not persist): iterative plans re-embed their full
+    # materialize (not persist): iterative plans re-embed their full
     # upstream tree every round — persist short-circuits execution but
     # Catalyst still re-analyzes the ever-growing logical plan (driver
-    # OOM by round ~5 when the pair generator is itself a big plan).
-    # localCheckpoint truncates lineage to the materialized partitions.
-    # On a fault-tolerant cluster run, swap for checkpoint() with a
-    # checkpoint dir — same shape, recoverable blocks.
-    sym = edges.union(edges.selectExpr("v AS u", "u AS v")).localCheckpoint(eager=True)
+    # OOM by round ~5 when the pair generator is itself a big plan);
+    # checkpointing truncates lineage to the materialized partitions
+    # (reliable + recoverable when checkpoint_dir is set)
+    sym = materialize(
+        edges.union(edges.selectExpr("v AS u", "u AS v")), checkpoint_dir)
     nodes = sym.select(F.col("u").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    labels = materialize(
+        nodes.select("id", F.col("id").alias("comp")), checkpoint_dir)
     changed = -1
     for _ in range(max_iterations):
         neigh = (
@@ -739,13 +748,13 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("ucomp").alias("ncomp"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         changed = new_labels.join(
             labels.selectExpr("id", "comp AS old_comp"), "id"
@@ -764,7 +773,9 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
-def _cc_alternating_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+def _cc_alternating_star(
+    edges: DataFrame, max_iterations: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
     Kiveris et al. 2014: repeatedly rewrite the edge set so every node
@@ -782,13 +793,13 @@ def _cc_alternating_star(edges: DataFrame, max_iterations: int) -> DataFrame:
     independent of graph diameter — this is the deep-chain escalation
     path from the "label" default.
     """
-    nodes = (
+    nodes = materialize(
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
-    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    cur = materialize(edges.select("u", "v").distinct(), checkpoint_dir)
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -820,7 +831,7 @@ def _cc_alternating_star(edges: DataFrame, max_iterations: int) -> DataFrame:
 
     converged = False
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = materialize(_small_star(_large_star(cur)), checkpoint_dir)
         # fixed point iff the edge sets are identical; both are distinct
         # sets so two anti-join counts decide it (metadata-sized work —
         # star edge sets shrink toward one edge per non-root node)

@@ -10,7 +10,8 @@ pipeline needs, each as a composition of DataFrame joins/aggregations
 - ``degree_stats``        per-node in/out degree + total (one shuffle)
 - ``pagerank``            damped PageRank with dangling-mass
                           redistribution; fixed iteration count,
-                          ``localCheckpoint`` lineage cuts per round
+                          per-round lineage cuts (local or reliable
+                          checkpoint via ``checkpoint_dir=``)
 - ``triangle_count``      per-node triangle counts via degree-ordered
                           orientation (each triangle counted once)
 
@@ -24,12 +25,12 @@ Scale notes (100 TB / billions of edges):
   wider than one node's neighborhood; the only scalars that leave the
   executors are single-row aggregates (node count, dangling mass) that
   ride as broadcast 1-row cross joins — no ``collect()`` on any path.
-- PageRank materializes each iteration with an eager
-  ``localCheckpoint``: lineage would otherwise double per round and
-  re-execute the whole prefix on each action (same discipline as
-  ``dedup.connected_components``). On a real cluster prefer
-  ``spark.cleaner.referenceTracking`` defaults + checkpoint dir for
-  >50 iterations.
+- PageRank materializes each iteration eagerly (lineage would
+  otherwise double per round and re-execute the whole prefix on each
+  action — same discipline as ``dedup.connected_components``):
+  executor-local checkpoint by default, reliable fault-tolerant
+  ``checkpoint()`` when ``checkpoint_dir=`` is passed (cluster jobs
+  that must survive executor loss mid-iteration).
 - ``triangle_count`` orients edges from the lower-degree endpoint to
   the higher (ties by id), so a node of degree d contributes at most
   C(d_oriented, 2) wedge checks and hub nodes never explode — the
@@ -41,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from etl_router_spark.functions.iterate import materialize
 
 
 def _canonical_edges(
@@ -102,6 +105,7 @@ def pagerank(
     broadcast_nodes: int = 2_000_000,
     assume_simple: bool = False,
     weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over the distinct directed edge set.
 
@@ -129,7 +133,11 @@ def pagerank(
     contribution join so the EDGE SET NEVER RESHUFFLES across rounds
     — above that, the join shuffles ranks against the pre-partitioned
     edges (at 10^9+ nodes pre-bucket both by id to pin even that).
-    The rank vector is localCheckpoint-ed each round to cut lineage.
+    The rank vector is materialized each round to cut lineage:
+    executor-local checkpoint by default, or a reliable fault-tolerant
+    ``checkpoint()`` when ``checkpoint_dir`` is set (survives executor
+    loss mid-iteration — use it for long cluster jobs; see
+    ``functions/iterate.py``).
 
     Returns ``id, pagerank`` (raw double — callers round for
     presentation).
@@ -170,9 +178,10 @@ def pagerank(
     ).persist()  # nodes with no out-edges
 
     small = n <= broadcast_nodes
-    ranks = nodes.select(
-        "id", (F.lit(1.0) / F.lit(float(n))).alias("pr")
-    ).localCheckpoint(eager=True)
+    ranks = materialize(
+        nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("pr")),
+        checkpoint_dir,
+    )
     for _ in range(iterations):
         ranks_j = F.broadcast(ranks) if small else ranks
         contrib = (
@@ -189,7 +198,7 @@ def pagerank(
             )
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm"))
         )
-        ranks = (
+        ranks = materialize(
             nodes.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -202,8 +211,8 @@ def pagerank(
                         + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     # the final rank vector is checkpointed (self-contained RDD);
     # release the loop-support caches so long-lived sessions running
@@ -214,7 +223,11 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str, dst: str, assume_simple: bool = False
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    assume_simple: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts, direction-blind.
 
@@ -284,6 +297,6 @@ def triangle_count(
     # materialize the (small: one row per triangle-member node) result
     # so the oriented-edge cache can be released before returning —
     # otherwise every call leaks executor storage in long sessions
-    per_node = per_node.localCheckpoint(eager=True)
+    per_node = materialize(per_node, checkpoint_dir)
     oriented.unpersist()
     return per_node

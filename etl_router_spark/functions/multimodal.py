@@ -7,12 +7,14 @@ columns independently of payloads.
 
 The Spark-side machinery here (schemas, batch iteration via
 ``mapInPandas``, Arrow transfer, partition discipline) is real and
-tested. The *decoders* (JPEG decode, audio resample, video frame
-sampling) need native libs not present in this container, so the decode
-step is stubbed: ``decoder="fake"`` produces deterministic
-pseudo-features derived from the bytes (testable end-to-end), while
-``decoder="real"`` raises NotImplementedError at the exact seam where
-PIL/torchaudio/pyav would plug in.
+tested. The *decoders* are probed at import: when Pillow is on the
+image, ``decoder="real"`` in ``extract_media_features`` /
+``resize_images`` / ``average_hash`` decodes actual pixels through the
+same mapInPandas seam; when it isn't (this container), the real paths
+raise NotImplementedError at the exact plug-in line and
+``decoder="fake"`` produces deterministic pseudo-features derived from
+the bytes, so the plumbing stays testable end-to-end either way.
+Audio/video real decoding (torchaudio/pyav) remains seam-only.
 """
 
 from __future__ import annotations
@@ -25,6 +27,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # opportunistic: Pillow is not in this container, but real
+    from PIL import Image as _PILImage  # cluster images may carry it
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised via skipif tests
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -86,17 +96,32 @@ def extract_media_features(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                # seam for PIL.Image.open / torchaudio.load / av.open —
-                # native decoders are not available in this container
-                raise NotImplementedError(
-                    "real media decoding requires PIL/torchaudio/pyav; "
-                    "install them on the cluster image and implement here"
-                )
+                if not HAS_PIL:
+                    # torchaudio/pyav (audio/video) stay seam-only; for
+                    # images Pillow is probed at import
+                    raise NotImplementedError(
+                        "real media decoding requires Pillow (images) — "
+                        "install it on the cluster image; audio/video "
+                        "decoders (torchaudio/pyav) plug in here"
+                    )
+                import io as _io
+
+                def pixel_features(b: bytes) -> list[float]:
+                    # decode -> grayscale -> feature_dim x 1 thumbnail:
+                    # the mean-pooled luminance stripe, scaled to [0,1]
+                    img = _PILImage.open(_io.BytesIO(bytes(b)))
+                    strip = img.convert("L").resize((feature_dim, 1))
+                    return [p / 255.0 for p in strip.getdata()]
+
+                feats = pdf[media_col].map(pixel_features)
+            else:
+                feats = pdf[media_col].map(
+                    lambda b: _fake_features(bytes(b), feature_dim))
             out = pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": pdf[media_col].map(len).astype("int64"),
                 "content_digest": pdf[media_col].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                "feature": pdf[media_col].map(lambda b: _fake_features(bytes(b), feature_dim)),
+                "feature": feats,
             })
             yield out
 
@@ -135,10 +160,27 @@ def resize_images(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image resize requires PIL; on the cluster image: "
-                    "Image.open(BytesIO(b)).resize((width, height)).tobytes()"
-                )
+                if not HAS_PIL:
+                    raise NotImplementedError(
+                        "real image resize requires Pillow; install it on "
+                        "the cluster image"
+                    )
+                import io as _io
+
+                def real_resize(b: bytes) -> bytes:
+                    img = _PILImage.open(_io.BytesIO(bytes(b)))
+                    resized = img.convert("RGB").resize((width, height))
+                    buf = _io.BytesIO()
+                    resized.save(buf, format="PNG")  # lossless re-encode
+                    return buf.getvalue()
+
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": pdf[media_col].map(real_resize),
+                    "width": width,
+                    "height": height,
+                })
+                continue
             n = width * height
 
             def stretch(b: bytes) -> bytes:
@@ -218,25 +260,59 @@ def average_hash(
     media_col: str = "media",
     id_col: str = "doc_id",
     bits: int = 32,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Perceptual average-hash (aHash) code per media payload — the
     image-dedup primitive (bit i set iff pixel i brightens above the
     image mean; near-identical images land within small hamming
     distance, the LAION-style near-dup filter).
 
-    With the container's fake decoder the "pixels" are the ``bits``
-    bytes of the payload's sha256 (deterministic, oracle-mirrorable);
-    a real deployment swaps the pixel source for the decoded,
-    downscaled grayscale grid (mapInPandas, like
-    ``extract_media_features``) and keeps the identical bit build.
-    The hash itself is pure JVM column math — zero Python — so only
-    the decode step ever pays the Arrow tax.
+    ``decoder="fake"`` (default, oracle-mirrorable): the "pixels" are
+    the ``bits`` bytes of the payload's sha256, and the hash is pure
+    JVM column math — zero Python. ``decoder="real"`` (needs Pillow,
+    probed at import): the textbook aHash pixel source — decode,
+    grayscale, downscale to an 8 x bits/8 grid — through mapInPandas,
+    with the identical mean/bit build, so only the decode pays the
+    Arrow tax.
 
     Output: ``(id_col, ahash)`` with ahash in a BIGINT (bits <= 63).
     Pair generation: feed into ``dedup.hamming_pairs``.
     """
     if bits > 56 or bits % 8 != 0:
         raise ValueError("bits must be a multiple of 8, at most 56")
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+    if decoder == "real":
+        if not HAS_PIL:
+            raise NotImplementedError(
+                "real average_hash requires Pillow; install it on the "
+                "cluster image (decoder='fake' runs everywhere)"
+            )
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io as _io
+
+            for pdf in batches:
+                def ahash(b: bytes) -> int:
+                    img = _PILImage.open(_io.BytesIO(bytes(b)))
+                    grid = img.convert("L").resize((8, bits // 8))
+                    pixels = list(grid.getdata())
+                    mean = sum(pixels) / bits
+                    code = 0
+                    for i, p in enumerate(pixels):
+                        if p > mean:
+                            code |= 1 << i
+                    return code
+
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "ahash": pdf[media_col].map(ahash).astype("int64"),
+                })
+
+        narrowed = df.select(id_col, media_col)
+        id_type = narrowed.schema[id_col].dataType.simpleString()
+        return narrowed.mapInPandas(
+            process, schema=f"{id_col} {id_type}, ahash bigint")
     hexd = F.sha2(F.col(media_col), 256)
     pixels = [
         F.conv(F.substring(hexd, 2 * i + 1, 2), 16, 10).cast("int")

@@ -1029,3 +1029,118 @@ def stream_late_data_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         delivered = delivered.unionByName(dlq)
     shutil.rmtree(src, ignore_errors=True)
     return delivered
+
+
+@query(
+    "stream_idle_source_promotion",
+    f"""
+    WITH ev AS (SELECT user_id, event_id, ts FROM {EVENTS_US}),
+         mid AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS m FROM ev),
+         hot1 AS (SELECT max(ts) AS w FROM ev, mid
+                  WHERE user_id % 2 = 0 AND event_id < mid.m),
+         hot2 AS (SELECT max(ts) AS w FROM ev, mid
+                  WHERE user_id % 2 = 0 AND event_id >= mid.m),
+         cold1 AS (SELECT max(ts) AS w FROM ev, mid
+                   WHERE user_id % 2 = 1 AND event_id < mid.m)
+    SELECT 'hot'  AS source_id, epoch_us(w) AS watermark_us,
+           false  AS idle FROM hot1
+    UNION ALL
+    SELECT 'hot', epoch_us(hot2.w), false FROM hot2, hot1
+    WHERE hot2.w > hot1.w
+    UNION ALL
+    SELECT 'cold', epoch_us(w), false FROM cold1
+    UNION ALL
+    SELECT 'cold', 4102444800000000, true
+    UNION ALL
+    SELECT 'hot', 4102444800000000, true
+    """,
+)
+def stream_idle_source_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-source watermark promotion (SURVEY §2.6, watermark.rs:
+    130-147) as a REAL streaming execution: the distributed
+    ``applyInPandasWithState`` tracker (``streaming/watermark.py:
+    track_source_watermarks``) runs over two micro-batches
+    (``maxFilesPerTrigger=1``) — batch 1 carries both sources, batch 2
+    only the 'hot' source, so the 'cold' source's
+    ProcessingTimeTimeout fires first and 'hot' follows once the
+    stream goes fully quiet; each promotes its watermark to processing
+    time exactly once. Determinism: the promotion clock is injected
+    (pinned to 2100-01-01T00:00:00Z), so the oracle reproduces every
+    emitted watermark-change row — per-source data watermarks as
+    max(ts) per batch (the batch-2 'hot' row conditional on the max
+    actually advancing) plus both pinned idle promotions. The harness
+    polls the exactly-once file sink until both promotions commit
+    (ProcessingTimeTimeout keeps ``shouldRunAnotherBatch`` true, so an
+    availableNow drain would never self-terminate — a documented
+    Spark sharp edge, hence the processing-time trigger + bounded
+    observation stop)."""
+    import os
+
+    from etl_router_spark.streaming.watermark import track_source_watermarks
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_idle_")
+    src = f"{wd}/in"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+    mid = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).collect()[0][0]
+    batch1 = ev.filter(F.col("event_id") < mid)
+    batch2 = ev.filter((F.col("event_id") >= mid) & (F.col("user_id") % 2 == 0))
+    for i, b in enumerate([batch1, batch2]):
+        tmp = f"{wd}/b{i}"
+        b.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/file_{i:02d}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        # file-stream batching orders by modification time: pin it
+        os.utime(dst, (1_600_000_000 + 600 * i, 1_600_000_000 + 600 * i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.lit("cold")).alias("source_id"),
+            F.col("ts").alias("event_time"),
+        )
+    )
+    tracked = track_source_watermarks(
+        stream, source_field="source_id", ts_field="event_time",
+        idle_timeout="10ms",
+        promotion_clock=lambda: 4102444800.0,  # 2100-01-01T00:00:00Z
+    )
+    import time as _time
+
+    out = f"{wd}/out"
+    q = (
+        tracked.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # both promotions are pinned and fire at most once (the tracker
+        # re-arms only on advance); wait until the exactly-once sink
+        # has committed them, then stop
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).filter("idle").count() >= 2:
+                    break
+            except Exception:
+                pass  # sink not committed yet
+            _time.sleep(1.0)
+        else:
+            raise TimeoutError("idle promotions did not commit in 180s")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    result = (
+        spark.read.parquet(out)
+        .select("source_id", F.unix_micros("watermark").alias("watermark_us"),
+                "idle")
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return result

@@ -149,6 +149,7 @@ def track_source_watermarks(
     source_field: str = "source_id",
     ts_field: str = "event_time",
     idle_timeout: str | None = None,
+    promotion_clock=None,
 ) -> DataFrame:
     """Stateful per-source watermark stream (the timer variant).
 
@@ -163,6 +164,12 @@ def track_source_watermarks(
     Emits ``(source_id, watermark timestamp, idle flag)`` on every
     change; ``min(watermark) over sources`` downstream of this stream
     is the reference's combined watermark.
+
+    ``promotion_clock``: seconds-returning callable used as the
+    processing-time source for idle promotion (default wall clock).
+    Injectable so the ``stream_idle_source_promotion`` oracle gate can
+    pin a deterministic promoted watermark — the reference tracker's
+    clock is injected the same way in its tests (watermark.rs:130-147).
     """
     from etl_router_spark.model.parser import parse_duration
 
@@ -180,7 +187,8 @@ def track_source_watermarks(
         (wm_us,) = state.get if state.exists else (None,)
         if state.hasTimedOut:
             # idle promotion: watermark follows processing time
-            now_us = int(time.time() * 1_000_000)
+            now_s = promotion_clock() if promotion_clock is not None else time.time()
+            now_us = int(now_s * 1_000_000)
             if wm_us is None or now_us > wm_us:
                 wm_us = now_us
                 state.update((wm_us,))
@@ -189,8 +197,14 @@ def track_source_watermarks(
                     "watermark": [pd.Timestamp(wm_us, unit="us")],
                     "idle": [True],
                 })
-            if idle_s is not None:
-                state.setTimeoutDuration(int(idle_s * 1000))
+                # re-arm ONLY after an actual advance: wall-clock runs
+                # keep promoting while idle (the reference tracker's
+                # repeated advance_idle_sources), but once the clock
+                # stops advancing past the watermark, re-arming would
+                # schedule no-data micro-batches forever and an
+                # availableNow drain could never terminate
+                if idle_s is not None:
+                    state.setTimeoutDuration(int(idle_s * 1000))
             return
         batch_max = None
         for pdf in pdfs:

@@ -358,3 +358,21 @@ def test_dedup_canonical_star_algorithm(spark):
         r.doc_id for r in dedup_canonical(docs, pairs, algorithm="star").collect()
     )
     assert kept == [0, 4, 5, 7]
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    # both algorithms accept checkpoint_dir= for fault-tolerant
+    # reliable checkpoints; results identical to the local default
+    from etl_router_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string")
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for algo in ("label", "star"):
+        ck = str(tmp_path / f"ck_{algo}")
+        got = {r.id: r.component
+               for r in connected_components(
+                   pairs, algorithm=algo, checkpoint_dir=ck).collect()}
+        assert got == want, algo
+        import glob
+        assert glob.glob(ck + "/*/rdd-*"), f"{algo}: no checkpoint data"

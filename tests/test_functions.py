@@ -264,9 +264,60 @@ def test_multimodal_plumbing(documents):
 
 
 def test_multimodal_real_decoder_is_stubbed(documents):
+    from etl_router_spark.functions.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("Pillow installed: the real seam executes (tested below)")
     media = attach_fake_media(documents.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_media_features(media, decoder="real").collect()
+
+
+def _pil_png_rows(spark, colors):
+    """(doc_id, media=PNG bytes) fixture — only callable under PIL."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i, rgb in enumerate(colors):
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 16), rgb).save(buf, format="PNG")
+        rows.append((i, bytearray(buf.getvalue())))
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_multimodal_real_decoder_with_pil(spark):
+    # opportunistic real path: runs only where Pillow exists (cluster
+    # images); the container default exercises the fake-decoder gates
+    pytest.importorskip("PIL")
+    from etl_router_spark.functions.multimodal import (
+        average_hash,
+        extract_media_features,
+        resize_images,
+    )
+
+    media = _pil_png_rows(spark, [(0, 0, 0), (255, 255, 255), (200, 10, 10)])
+    feats = {r.doc_id: r.feature
+             for r in extract_media_features(media, decoder="real").collect()}
+    assert all(len(v) == 8 for v in feats.values())
+    assert max(feats[0]) == 0.0 and min(feats[1]) == 1.0  # black vs white
+
+    resized = resize_images(media, 8, 8, decoder="real").collect()
+    assert all((r.width, r.height) == (8, 8) for r in resized)
+    import io
+
+    from PIL import Image
+
+    for r in resized:
+        img = Image.open(io.BytesIO(bytes(r.media)))
+        assert img.size == (8, 8)
+
+    codes = {r.doc_id: r.ahash
+             for r in average_hash(media, decoder="real").collect()}
+    # uniform images have no above-mean pixels -> code 0; and the two
+    # uniform images collide (that IS the near-dup property)
+    assert codes[0] == codes[1] == 0
 
 
 def test_ivf_topk_recall(embeddings):

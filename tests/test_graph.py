@@ -156,3 +156,35 @@ def test_weighted_pagerank_mass_follows_weight(spark):
                             weight_col="w").collect()}
     assert pr["b"] > pr["c"]
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir= swaps the per-round localCheckpoint for a
+    # fault-tolerant reliable checkpoint(): results identical, and
+    # RDD checkpoint blocks actually land under the directory
+    ck = str(tmp_path / "ck")
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    local = {r["id"]: r["pagerank"]
+             for r in pagerank(e, "src", "dst", iterations=3).collect()}
+    reliable = {r["id"]: r["pagerank"]
+                for r in pagerank(e, "src", "dst", iterations=3,
+                                  checkpoint_dir=ck).collect()}
+    for k in local:
+        assert reliable[k] == pytest.approx(local[k], abs=1e-12)
+    import glob
+    assert glob.glob(ck + "/*/rdd-*"), "no reliable checkpoint data written"
+
+
+def test_triangle_count_releases_cache(spark):
+    # the oriented-edge cache must not survive the call (storage leak
+    # in long-lived sessions); result materializes via localCheckpoint
+    before = {r.id() for r in
+              spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    out = triangle_count(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]), "src", "dst")
+    assert {r["id"]: r["triangles"] for r in out.collect()} == {
+        "a": 1, "b": 1, "c": 1}
+    leaked = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+              if r.id() not in before and "localCheckpoint" not in r.name()]
+    assert not [r for r in leaked if r.numCachedPartitions() > 0
+                and "Exchange" in (r.name() or "")], leaked
