@@ -2486,14 +2486,16 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     records, per-record headers, CRC32C verified server-side); the
     gate's raw-protocol producer handshakes, discovers partitions via
     Metadata, and produces one batch per partition (keys, JSON values,
-    a ``src: wire`` header, fixture-ms timestamps). The broker assigns
-    per-partition offsets in arrival order; decoded records drain to
-    staging, come back through ``source_type: kafka`` +
-    ``staging_path`` (reconstructing the connector's exact wire
-    schema), and run the full ``from_kafka`` -> ``promote`` envelope
-    path. The oracle recomputes the broker's offset bookkeeping as a
-    window over the fixture — so offsets, idempotency keys, headers,
-    timestamps, and payloads are all value-checked end-to-end."""
+    a ``src: wire`` header, fixture-ms timestamps); a raw-protocol
+    CONSUMER then Fetches every partition back from offset 0
+    (re-verifying CRCs) and drains the decoded records to staging —
+    a full produce→consume roundtrip over the wire. The staging comes
+    back through ``source_type: kafka`` + ``staging_path``
+    (reconstructing the connector's exact wire schema) and runs the
+    full ``from_kafka`` -> ``promote`` envelope path. The oracle
+    recomputes the broker's offset bookkeeping as a window over the
+    fixture — so offsets, idempotency keys, headers, timestamps, and
+    payloads are all value-checked end-to-end."""
     import base64
     import json
     import os
@@ -2502,14 +2504,13 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.model.envelope import from_kafka, promote
     from etl_router_spark.sources.kafka_wire import (
         KafkaWireBroker,
+        KafkaWireConsumer,
         KafkaWireProducer,
     )
     from etl_router_spark.sources.registry import read_source
 
     stage = tempfile.mkdtemp(prefix="etl_kafka_wire_")
-    received: list[tuple] = []
-    broker = KafkaWireBroker(
-        lambda *rec: received.append(rec), topics={"events": 4})
+    broker = KafkaWireBroker(topics={"events": 4})
     try:
         rows = (_t(spark, sf_dir, "events")
                 .filter(F.col("event_id") % 13 == 1)
@@ -2536,21 +2537,32 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     assert producer.produce("events", p, batch) == 0
         finally:
             producer.close()
-        assert len(received) == len(rows)
-        # drain broker-decoded records to staging, one jsonl/partition
+        # consume everything back over the wire (Fetch v4 from offset
+        # 0, CRCs re-verified) and drain to staging, one jsonl/partition
         b64 = lambda b: None if b is None else base64.b64encode(b).decode()  # noqa: E731
-        by_part: dict[int, list[str]] = {}
-        for topic, part, offset, ts_ms, key, value, headers in received:
-            by_part.setdefault(part, []).append(json.dumps({
-                "topic": topic, "partition": part, "offset": offset,
-                "timestamp": ts_ms, "key": b64(key), "value": b64(value),
-                "headers": [{"key": hk, "value": b64(hv)} for hk, hv in headers],
-            }))
-        for part, lines in by_part.items():
-            tmp = os.path.join(stage, f".part_{part}.tmp")
-            with open(tmp, "w") as fh:
-                fh.write("\n".join(lines))
-            os.rename(tmp, os.path.join(stage, f"part_{part}.jsonl"))
+        consumer = KafkaWireConsumer("127.0.0.1", broker.port)
+        try:
+            total = 0
+            for p in partitions:
+                hw, records = consumer.fetch("events", p, offset=0)
+                assert len(records) == hw  # drained to the high watermark
+                total += len(records)
+                if not records:
+                    continue
+                lines = [json.dumps({
+                    "topic": "events", "partition": p, "offset": r["offset"],
+                    "timestamp": r["timestamp"], "key": b64(r["key"]),
+                    "value": b64(r["value"]),
+                    "headers": [{"key": hk, "value": b64(hv)}
+                                for hk, hv in r["headers"]],
+                }) for r in records]
+                tmp = os.path.join(stage, f".part_{p}.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(lines))
+                os.rename(tmp, os.path.join(stage, f"part_{p}.jsonl"))
+            assert total == len(rows)
+        finally:
+            consumer.close()
     finally:
         broker.close()
     wire = read_source(spark, {

@@ -10,18 +10,20 @@ guide (kafka.apache.org/protocol):
 - request/response framing: int32 size prefix + request header v1
   (api_key, api_version, correlation_id, client_id),
 - ApiVersions v0 (key 18), Metadata v0 (key 3), Produce v3 (key 0),
+  Fetch v4 (key 1),
 - the magic-2 ("v2") RecordBatch on-disk/wire format: zigzag-varint
   record fields, per-record headers, and a CRC32C (Castagnoli,
   RFC 3720 §B.4) integrity check over the post-CRC batch bytes —
-  the broker VERIFIES the checksum, so a malformed producer fails
-  loudly rather than corrupting staging.
+  verified by the broker on Produce AND re-verified by the consumer
+  on Fetch, so corruption fails loudly in either direction.
 
-The broker assigns per-partition offsets in arrival order and hands
-each decoded record (topic, partition, offset, timestamp, key, value,
-headers) to a callback — the gate's callback appends JSON-lines to a
-staging dir via atomic rename, which ``source_type: kafka`` +
-``staging_path`` reads back into Spark's Kafka wire schema for the
-``from_kafka`` envelope path (``model/envelope.py``).
+The broker assigns per-partition offsets in arrival order and retains
+produced batches in an in-memory log; the gate's consumer Fetches
+them back over the wire and appends JSON-lines to a staging dir via
+atomic rename, which ``source_type: kafka`` + ``staging_path`` reads
+into Spark's Kafka wire schema for the ``from_kafka`` envelope path
+(``model/envelope.py``) — a full produce→consume roundtrip with no
+shortcut around the protocol.
 
 Scale note: this broker exists so the Kafka PATH (option mapping,
 envelope promotion, offset bookkeeping) is correctness-gated without a
@@ -228,21 +230,27 @@ def request(api_key: int, api_version: int, correlation_id: int,
 
 # --- hermetic broker -------------------------------------------------
 
-API_PRODUCE, API_METADATA, API_VERSIONS = 0, 3, 18
+API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
 
 
 class KafkaWireBroker:
-    """Single-node broker: ApiVersions v0, Metadata v0, Produce v3.
+    """Single-node broker: ApiVersions v0, Metadata v0, Produce v3,
+    Fetch v4 — enough for a full produce→consume roundtrip over the
+    wire.
 
+    Produced batches are retained in an in-memory log (base offsets
+    rewritten to their assigned positions, CRC untouched — baseOffset
+    is outside the checksum), so a consumer can Fetch them back.
     ``on_record(topic, partition, offset, ts_ms, key, value, headers)``
-    fires once per decoded record with the broker-assigned offset
-    (per-partition arrival order, like a real log).
+    optionally fires once per decoded record at produce time.
     """
 
-    def __init__(self, on_record, topics: dict[str, int]):
+    def __init__(self, on_record=None, topics: dict[str, int] | None = None):
         self.on_record = on_record
-        self.topics = topics  # name -> partition count
+        self.topics = topics or {}  # name -> partition count
         self._offsets: dict[tuple[str, int], int] = {}
+        # per-partition retained log: [(base_offset, batch_bytes)]
+        self._log: dict[tuple[str, int], list[tuple[int, bytes]]] = {}
         self._lock = threading.Lock()
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -270,13 +278,15 @@ class KafkaWireBroker:
                 if api_key == API_VERSIONS:
                     resp = struct.pack(">hi", 0, 3) + b"".join(
                         struct.pack(">hhh", k, 0, v)
-                        for k, v in [(API_PRODUCE, 3), (API_METADATA, 0),
-                                     (API_VERSIONS, 0)]
+                        for k, v in [(API_PRODUCE, 3), (API_FETCH, 4),
+                                     (API_METADATA, 0), (API_VERSIONS, 0)]
                     )
                 elif api_key == API_METADATA:
                     resp = self._metadata(body)
                 elif api_key == API_PRODUCE:
                     resp = self._produce(body)
+                elif api_key == API_FETCH:
+                    resp = self._fetch(body)
                 else:
                     raise ValueError(f"unsupported api_key {api_key}")
                 send_frame(conn, struct.pack(">i", corr) + resp)
@@ -334,15 +344,52 @@ class KafkaWireBroker:
                 with self._lock:
                     first = self._offsets.get((topic, partition), 0)
                     self._offsets[(topic, partition)] = first + len(records)
-                for j, rec in enumerate(records):
-                    self.on_record(topic, partition, first + j,
-                                   rec["timestamp"], rec["key"],
-                                   rec["value"], rec["headers"])
+                    # retain for Fetch with the assigned base offset
+                    # stamped in (bytes 0-7; not covered by the CRC)
+                    self._log.setdefault((topic, partition), []).append(
+                        (first, struct.pack(">q", first) + record_set[8:]))
+                if self.on_record is not None:
+                    for j, rec in enumerate(records):
+                        self.on_record(topic, partition, first + j,
+                                       rec["timestamp"], rec["key"],
+                                       rec["value"], rec["headers"])
                 # partition, error_code=0, base_offset, log_append_time
                 part_resps += struct.pack(">ihqq", partition, 0, first, -1)
             resp_topics += enc_str(topic) + struct.pack(">i", n_parts) + part_resps
         return (struct.pack(">i", n_topics) + resp_topics
                 + struct.pack(">i", 0))  # throttle_time_ms
+
+    def _fetch(self, body: bytes) -> bytes:
+        # Fetch v4: replica_id i32, max_wait i32, min_bytes i32,
+        # max_bytes i32, isolation_level i8, [topics: name,
+        # [partitions: partition i32, fetch_offset i64, max_bytes i32]]
+        i = 4 + 4 + 4 + 4 + 1
+        (n_topics,) = struct.unpack_from(">i", body, i)
+        i += 4
+        resp_topics = b""
+        for _ in range(n_topics):
+            topic, i = dec_str(body, i)
+            (n_parts,) = struct.unpack_from(">i", body, i)
+            i += 4
+            part_resps = b""
+            for _ in range(n_parts):
+                partition, fetch_offset = struct.unpack_from(">iq", body, i)
+                i += 12 + 4  # + partition_max_bytes (honored trivially)
+                with self._lock:
+                    hw = self._offsets.get((topic, partition), 0)
+                    batches = [
+                        raw for base, raw
+                        in self._log.get((topic, partition), [])
+                        if base >= fetch_offset
+                    ]
+                record_set = b"".join(batches)
+                # partition, error=0, high_watermark,
+                # last_stable_offset, aborted_txns (empty), records
+                part_resps += struct.pack(">ihqq", partition, 0, hw, hw)
+                part_resps += struct.pack(">i", 0)  # no aborted txns
+                part_resps += struct.pack(">i", len(record_set)) + record_set
+            resp_topics += enc_str(topic) + struct.pack(">i", n_parts) + part_resps
+        return struct.pack(">i", 0) + struct.pack(">i", n_topics) + resp_topics
 
     def close(self) -> None:
         try:
@@ -351,9 +398,9 @@ class KafkaWireBroker:
             pass
 
 
-class KafkaWireProducer:
-    """Minimal producer: ApiVersions handshake, Metadata discovery,
-    then Produce with acks=-1. One connection, sequential calls."""
+class KafkaWireClient:
+    """Shared connection plumbing: ApiVersions handshake + Metadata
+    discovery over one socket, sequential correlated calls."""
 
     def __init__(self, host: str, port: int, client_id: str = "etl-gate"):
         self.client_id = client_id
@@ -411,6 +458,16 @@ class KafkaWireProducer:
             assert terr == 0, f"topic error {terr}"
         return sorted(parts)
 
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class KafkaWireProducer(KafkaWireClient):
+    """Minimal producer: Produce v3 with acks=-1."""
+
     def produce(self, topic: str, partition: int,
                 records: list[tuple[int, bytes | None, bytes | None,
                                     list[tuple[str, bytes]]]]) -> int:
@@ -430,8 +487,50 @@ class KafkaWireProducer:
         assert part == partition and err == 0, f"produce error {err}"
         return base_offset
 
-    def close(self) -> None:
-        try:
-            self.sock.close()
-        except OSError:
-            pass
+
+class KafkaWireConsumer(KafkaWireClient):
+    """Minimal consumer: Fetch v4 from an explicit offset.
+
+    Simplification vs a real log: the hermetic broker returns only
+    batches whose BASE offset is >= fetch_offset (batch-granular log
+    with no mid-batch addressing) — exact for a from-zero drain, which
+    is what the staging gate does.
+    """
+
+    def fetch(self, topic: str, partition: int, offset: int = 0
+              ) -> tuple[int, list[dict]]:
+        """-> (high_watermark, records[{offset, timestamp, key, value,
+        headers}]) for everything at/after ``offset``."""
+        body = (
+            struct.pack(">iiii", -1, 500, 1, 1 << 24) + b"\x00"  # READ_UNCOMMITTED
+            + struct.pack(">i", 1) + enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, 1 << 24)
+        )
+        resp = self._call(API_FETCH, 4, body)
+        i = 4  # throttle_time_ms
+        (n_topics,) = struct.unpack_from(">i", resp, i)
+        i += 4
+        assert n_topics == 1
+        _t, i = dec_str(resp, i)
+        (n_parts,) = struct.unpack_from(">i", resp, i)
+        i += 4
+        assert n_parts == 1
+        part, err, hw, _lso = struct.unpack_from(">ihqq", resp, i)
+        i += 22
+        assert part == partition and err == 0, f"fetch error {err}"
+        (n_aborted,) = struct.unpack_from(">i", resp, i)
+        i += 4 + 12 * max(n_aborted, 0)
+        (set_len,) = struct.unpack_from(">i", resp, i)
+        i += 4
+        record_set = resp[i:i + set_len]
+        out: list[dict] = []
+        j = 0
+        while j < len(record_set):
+            (_base, batch_len) = struct.unpack_from(">qi", record_set, j)
+            batch = record_set[j:j + 12 + batch_len]
+            j += 12 + batch_len
+            base, records = parse_record_batch(batch)  # CRC re-verified
+            for k, rec in enumerate(records):
+                out.append({"offset": base + k, **rec})
+        return hw, out

@@ -93,3 +93,34 @@ def test_broker_unknown_topic_metadata_error():
             p.close()
     finally:
         broker.close()
+
+
+def test_fetch_roundtrip_consumer():
+    broker = KafkaWireBroker(topics={"events": 2})
+    try:
+        from etl_router_spark.sources.kafka_wire import KafkaWireConsumer
+
+        p = KafkaWireProducer("127.0.0.1", broker.port)
+        try:
+            assert p.api_versions()[1] == (0, 4)  # Fetch up to v4
+            p.produce("events", 0, RECS)
+            p.produce("events", 0, RECS[:1])
+        finally:
+            p.close()
+        c = KafkaWireConsumer("127.0.0.1", broker.port)
+        try:
+            hw, records = c.fetch("events", 0, offset=0)
+            assert hw == 4 and [r["offset"] for r in records] == [0, 1, 2, 3]
+            assert records[0]["key"] == b"k1"
+            assert records[3]["value"] == b'{"a":1}'
+            assert records[0]["headers"] == [("src", b"wire")]
+            # batch-granular resume: offset 3 returns only batch 2
+            hw, tail = c.fetch("events", 0, offset=3)
+            assert hw == 4 and [r["offset"] for r in tail] == [3]
+            # empty partition
+            hw, none = c.fetch("events", 1, offset=0)
+            assert hw == 0 and none == []
+        finally:
+            c.close()
+    finally:
+        broker.close()
