@@ -129,3 +129,122 @@ def mean_pool(
         )
         .drop("__dim")
     )
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    center: bool = True,
+) -> dict:
+    """Train a PCA projection over an embedding column; returns
+    ``{"mean", "components" (k x d), "explained_variance"}`` as plain
+    Python lists for ``pca_project``.
+
+    Plan (the only scale-safe PCA formulation for tall-skinny data):
+    one Arrow-batched pass computes per-partition partials
+    ``(n, sum, X^T X)`` — d + d^2 doubles per PARTITION, never per row
+    — which reduce DISTRIBUTED via a (position, value) explode +
+    groupBy-sum, so the driver receives exactly d^2 + d scalars plus a
+    count regardless of corpus size. The d x d eigendecomposition then
+    runs driver-side (d is embedding width, ~10^2 — the same
+    metadata-class scalar traffic as IVF centroid training in
+    ``similarity.py``). Eigenvector sign is fixed (largest-|.|
+    coordinate positive) so retraining is deterministic.
+
+    Like ``train_ivf_centroids``, training is pytest-verified by
+    invariants (orthonormality, variance ordering, projection variance
+    == eigenvalue); the projection itself is oracle-gated with pinned
+    components (``embedding_pca_project``).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_train: empty input")
+    d = len(first[0])
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>").persist()
+    try:
+        n_total = parts.agg(F.sum("n")).collect()[0][0] or 0
+        if n_total < 2:
+            raise ValueError("pca_train needs at least 2 vectors")
+        # element-wise reduction stays distributed; the driver only
+        # collects the d + d^2 reduced cells
+        s_rows = (parts.select(F.posexplode("s").alias("pos", "v"))
+                  .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+        g_rows = (parts.select(F.posexplode("g").alias("pos", "v"))
+                  .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+    finally:
+        parts.unpersist()
+    s = np.zeros(d)
+    for r in s_rows:
+        s[r["pos"]] = r["v"]
+    g = np.zeros(d * d)
+    for r in g_rows:
+        g[r["pos"]] = r["v"]
+    g = g.reshape(d, d)
+    mean = s / n_total if center else np.zeros(d)
+    cov = (g - n_total * np.outer(mean, mean)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = []
+    variance = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        components.append(v.tolist())
+        variance.append(float(max(evals[idx], 0.0)))
+    return {"mean": mean.tolist(), "components": components,
+            "explained_variance": variance}
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each vector onto ``components`` (k x d): per output dim
+    one ``zip_with`` product + sequential ``aggregate`` fold — pure
+    JVM higher-order functions, zero Python, no shuffle, and the
+    left-to-right fold order is IEEE-reproducible cross-engine (same
+    discipline as ``l2_normalize``)."""
+    vec = F.col(vec_col)
+    outs = []
+    for comp in components:
+        carr = F.array(*[F.lit(float(c)) for c in comp])
+        if mean is not None:
+            marr = F.array(*[F.lit(float(m)) for m in mean])
+            centered = F.zip_with(vec, marr,
+                                  lambda x, m: x.cast("double") - m)
+            prod = F.zip_with(centered, carr, lambda x, c: x * c)
+        else:
+            prod = F.zip_with(vec, carr, lambda x, c: x.cast("double") * c)
+        outs.append(F.aggregate(prod, F.lit(0.0), lambda a, x: a + x))
+    return df.withColumn(out_col, F.array(*outs))

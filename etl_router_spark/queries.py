@@ -3504,6 +3504,7 @@ _TOUCHED_BOOST = (
 _DEFER_NEW = (
     "source_kafka_wire_roundtrip",
     "stream_idle_source_promotion",
+    "embedding_pca_project",
 )
 
 

@@ -2739,3 +2739,61 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_exact_dups", F.col("n_quality_kept").cast("bigint")
                 .alias("n_quality_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round 5) — pinned components so the pure-JVM fold is
+# oracle-checkable; training itself is pytest-verified by invariants
+# (tests/test_functions.py::test_pca_train_invariants), the
+# train_ivf_centroids precedent.
+# ---------------------------------------------------------------------------
+
+_PCA_K, _PCA_D = 4, 64
+
+
+def _pca_pinned_components() -> list[list[float]]:
+    """Deterministic k x d matrix (no RNG; values in [-0.9, 0.9])."""
+    return [
+        [((53 * i + 97 * j) % 19 - 9) / 10.0 for j in range(_PCA_D)]
+        for i in range(_PCA_K)
+    ]
+
+
+def _pca_oracle_sql() -> str:
+    """Explicit left-associated sums mirror Spark's sequential
+    ``aggregate`` fold bit-for-bit; constants embedded via repr."""
+    dims = []
+    for comp in _pca_pinned_components():
+        terms = " + ".join(
+            f"v[{j + 1}] * ({c!r})" for j, c in enumerate(comp))
+        dims.append(f"CAST(CAST(floor(({terms}) * 1000000) AS BIGINT) AS VARCHAR)")
+    joined = ", ".join(dims)
+    return f"""
+    WITH t AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id, array_to_string([{joined}], ',') AS proj_e6
+    FROM t
+    """
+
+
+@query("embedding_pca_project", _pca_oracle_sql())
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding column onto a pinned 4 x 64
+    component matrix (``functions/embedding.py:pca_project``): per
+    output dim one ``zip_with`` product + sequential ``aggregate``
+    fold — zero Python, no shuffle, identical IEEE fold order on both
+    engines. The distributed trainer (``pca_train``: per-partition
+    (n, sum, X^T X) partials reduced via posexplode-groupBy so the
+    driver sees d^2 + d scalars) is invariant-tested in pytest."""
+    from etl_router_spark.functions.embedding import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, _pca_pinned_components())
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", *[
+            F.floor(F.col("pca")[i] * 1e6).cast("bigint").cast("string")
+            for i in range(_PCA_K)
+        ]).alias("proj_e6"),
+    )

@@ -417,3 +417,41 @@ def test_knn_classify_majority_and_ties(spark):
     assert got[100] == ("red", 2)
     # q200's 3 nearest: 4, 5 (blue), 3 (blue) -> blue 3 votes
     assert got[200] == ("blue", 3)
+
+
+def test_pca_train_invariants(embeddings):
+    import numpy as np
+
+    from etl_router_spark.functions.embedding import pca_project, pca_train
+
+    model = pca_train(embeddings.limit(400), k=4)
+    comps = np.array(model["components"])
+    ev = model["explained_variance"]
+    # orthonormal components, variance sorted descending
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert all(ev[i] >= ev[i + 1] >= 0 for i in range(3))
+    # deterministic retrain (sign convention pins the eigenvectors)
+    again = pca_train(embeddings.limit(400), k=4)
+    assert np.allclose(comps, np.array(again["components"]), atol=1e-9)
+    # projection variance matches the eigenvalues (the PCA property)
+    proj = pca_project(embeddings.limit(400), model["components"],
+                       mean=model["mean"]).select("pca").collect()
+    p = np.array([r["pca"] for r in proj])
+    assert np.allclose(p.var(axis=0, ddof=1), ev, rtol=1e-6)
+    # top-1 direction explains at least as much variance as any axis
+    x = np.stack([r["embedding"] for r in
+                  embeddings.limit(400).select("embedding").collect()]).astype(float)
+    assert ev[0] >= x.var(axis=0, ddof=1).max() - 1e-9
+
+
+def test_pca_project_without_mean(embeddings):
+    import numpy as np
+
+    from etl_router_spark.functions.embedding import pca_project
+
+    comps = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(2)]
+    rows = pca_project(embeddings.limit(5), comps).select(
+        "embedding", "pca").collect()
+    for r in rows:
+        assert np.allclose(r["pca"], [r["embedding"][0], r["embedding"][1]],
+                           atol=1e-7)

@@ -124,3 +124,29 @@ def test_fetch_roundtrip_consumer():
             c.close()
     finally:
         broker.close()
+
+
+def test_record_batch_property_roundtrip():
+    # randomized structural coverage: any combination of null/empty
+    # keys, values, headers, and timestamp spreads must survive the
+    # wire encode/parse exactly
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob = st.one_of(st.none(), st.binary(max_size=64))
+    header = st.tuples(st.text(max_size=8), blob)
+    record = st.tuples(
+        st.integers(min_value=0, max_value=2**42),  # timestamp ms
+        blob, blob, st.lists(header, max_size=3),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(record, min_size=1, max_size=8),
+           st.integers(min_value=0, max_value=2**31))
+    def check(records, base_offset):
+        base, out = parse_record_batch(build_record_batch(base_offset, records))
+        assert base == base_offset
+        assert [(r["timestamp"], r["key"], r["value"], r["headers"])
+                for r in out] == records
+
+    check()
