@@ -329,6 +329,33 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return quantize_int8(df, vec_col=cfg.get("vec_field", "embedding"),
                              out_col=cfg.get("out_field", "q_embedding"),
                              scale_col=cfg.get("scale_field", "q_scale"))
+    if tt == "embedding_mean_pool":
+        from etl_router_spark.functions.embedding import mean_pool
+
+        return mean_pool(df, group_col=cfg.get("group_field", "doc_id"),
+                         vec_col=cfg.get("vec_field", "embedding"))
+    if tt == "embedding_pca_project":
+        from etl_router_spark.functions.embedding import pca_project
+
+        # components: inline k x d matrix, or a path to a JSON file
+        # produced by pca_train (the train step is a driver-side job,
+        # not a row transform — run it once, persist the model)
+        comps = cfg.get("components")
+        if isinstance(comps, str):
+            import json as _json
+
+            with open(comps) as fh:
+                model = _json.load(fh)
+            comps = model["components"]
+            mean = cfg.get("mean", model.get("mean"))
+        else:
+            mean = cfg.get("mean")
+        if not comps:
+            raise ValueError("embedding_pca_project requires components "
+                             "(inline matrix or pca_train JSON path)")
+        return pca_project(df, comps, mean=mean,
+                           vec_col=cfg.get("vec_field", "embedding"),
+                           out_col=cfg.get("out_field", "pca"))
     if tt == "tfidf":
         from etl_router_spark.functions.indexing import tfidf_topk
 

@@ -34,7 +34,7 @@ KNOWN_TRANSFORMS = {
     "mix_sample", "duplicate_spans", "gopher_filter", "c4_filter",
     "url_normalize", "quality_filter", "quality_buckets", "chunk_sentences",
     "bm25", "pagerank", "degree_stats", "triangle_count",
-    "edit_distance_pairs",
+    "edit_distance_pairs", "embedding_mean_pool", "embedding_pca_project",
 }
 
 KNOWN_SOURCES = {

@@ -999,3 +999,38 @@ def test_hybrid_search_manifest_compiles(spark, tmp_path):
     out = frames["rankings"]
     assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
     assert out.filter("rank = 1").count() == 2  # both queries ranked
+
+
+def test_embedding_mean_pool_manifest(spark, sf_dir, tmp_path):
+    out = _run(spark, f"{sf_dir}/embeddings.parquet",
+               {"transform_type": "embedding_mean_pool",
+                "group_field": "label"}, str(tmp_path / "o"))
+    rows = out.collect()
+    assert {len(r.embedding_mean) for r in rows} == {64}
+    assert len(rows) == out.select("label").distinct().count()
+
+
+def test_embedding_pca_project_manifest(spark, sf_dir, tmp_path):
+    import json
+
+    import numpy as np
+
+    # model file path form: persist a pca_train result, reference it
+    from etl_router_spark.functions.embedding import pca_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_train(emb.limit(100), k=3)
+    mpath = str(tmp_path / "pca.json")
+    with open(mpath, "w") as fh:
+        json.dump(model, fh)
+    out = _run(spark, f"{sf_dir}/embeddings.parquet",
+               {"transform_type": "embedding_pca_project",
+                "components": mpath}, str(tmp_path / "o"))
+    rows = out.limit(5).collect()
+    assert all(len(r.pca) == 3 for r in rows)
+    # inline matrix form
+    out2 = _run(spark, f"{sf_dir}/embeddings.parquet",
+                {"transform_type": "embedding_pca_project",
+                 "components": [[1.0] + [0.0] * 63]}, str(tmp_path / "o2"))
+    r = out2.limit(1).collect()[0]
+    assert np.isclose(r.pca[0], float(r.embedding[0]), atol=1e-7)
