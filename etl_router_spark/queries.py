@@ -3505,6 +3505,7 @@ _DEFER_NEW = (
     "source_kafka_wire_roundtrip",
     "stream_idle_source_promotion",
     "embedding_pca_project",
+    "stream_cdc_apply",
 )
 
 

@@ -1144,3 +1144,90 @@ def stream_idle_source_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_cdc_apply",
+    f"""
+    WITH log AS (SELECT user_id, event_id, ts, event_type,
+                        round(value, 6) AS value,
+                        CASE WHEN event_type = 'error' THEN 'delete'
+                             ELSE 'upsert' END AS op
+                 FROM {EVENTS_US}),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM log)
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (S13/S14's downstream half, types.rs:346-364
+    + functions/cdc.py): a changelog derived from the fixture events
+    ('error' rows are delete tombstones, ordered by commit time then
+    log sequence) replays through TWO foreachBatch epochs into the
+    upsert file sink — epoch 1 bootstraps the snapshot via
+    ``cdc_apply``, epoch 2 merges strictly-later changes via
+    ``cdc_snapshot_merge`` (latest-by-(ts, event_id) wins, deletes
+    tombstone, re-inserts resurrect). The epoch boundary is the exact
+    median commit time, so per-key replay order is preserved across
+    epochs — the condition under which epoch-wise apply equals
+    full-log replay, which is exactly what the oracle computes with a
+    window over the whole log. Gate passes iff the epoched streaming
+    state machine lands on the same final table."""
+    import os
+
+    from etl_router_spark.sinks.registry import write_sink
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_cdc_")
+    src = f"{wd}/in"
+    os.makedirs(src)
+    log = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type",
+                F.round("value", 6).alias("value"))
+        .withColumn("op", F.when(F.col("event_type") == "error",
+                                 F.lit("delete")).otherwise(F.lit("upsert")))
+    )
+    # exact median commit time: ties land in epoch 1, so epoch 2 is
+    # strictly later and tombstone dropping stays order-safe
+    t_mid = log.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5) AS p").collect()[0][0]
+    epochs = [
+        log.filter(F.col("ts").cast("double") <= t_mid),
+        log.filter(F.col("ts").cast("double") > t_mid),
+    ]
+    for i, e in enumerate(epochs):
+        tmp = f"{wd}/b{i}"
+        e.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/file_{i:02d}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_600_000_000 + 600 * i,) * 2)
+    target = f"{wd}/state"
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_sink(batch_df, {
+            "sink_type": "file", "format": "parquet", "path": target,
+            "mode": "upsert", "merge_keys": ["user_id"],
+            "order_by": ["ts", "event_id"], "op_col": "op",
+        })
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(target).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type", "value",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return result
