@@ -513,7 +513,10 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             )
         if tt == "degree_stats":
             return graph.degree_stats(df, src, dst, assume_simple=simple)
-        return graph.triangle_count(df, src, dst, assume_simple=simple)
+        # lazy in manifest pipelines: compile/explain must not execute
+        # the triangle job at plan-construction time
+        return graph.triangle_count(df, src, dst, assume_simple=simple,
+                                    eager=False)
     return None
 
 

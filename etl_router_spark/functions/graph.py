@@ -228,6 +228,7 @@ def triangle_count(
     dst: str,
     assume_simple: bool = False,
     checkpoint_dir: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts, direction-blind.
 
@@ -294,6 +295,12 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )
+    if not eager:
+        # lazy mode for plan-inspection callers (manifest compile /
+        # `explain`): the result stays a plan; the oriented cache is
+        # then released only by session end or caller unpersist — the
+        # pre-round-5 tradeoff, opt-in
+        return per_node
     # materialize the (small: one row per triangle-member node) result
     # so the oriented-edge cache can be released before returning —
     # otherwise every call leaks executor storage in long sessions

@@ -17,16 +17,17 @@ materialized partitions; they differ in fault tolerance:
   long-running cluster jobs.
 
 The reliable checkpoint directory is SparkContext-global; this helper
-(re)points it at the requested path only when it changed, so per-round
-calls don't spray one UUID subdirectory per materialization.
+re-points it at the requested path before every reliable checkpoint —
+a cached "already set" shortcut would silently trust a stale value if
+anything else called ``setCheckpointDir`` in between, voiding the
+fault-tolerance contract (blocks landing on the wrong filesystem).
+``setCheckpointDir`` is a driver-side mkdir: one UUID subdirectory per
+call, noise-level cost next to writing the checkpoint data itself.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-
-#: applicationId -> last checkpoint dir this helper set
-_LAST_DIR: dict[str, str] = {}
 
 
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
@@ -39,7 +40,5 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    if _LAST_DIR.get(sc.applicationId) != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-        _LAST_DIR[sc.applicationId] = checkpoint_dir
+    sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)

@@ -38,6 +38,14 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate name would silently SHADOW an existing gate
+        # (dict assignment), dropping its oracle coverage while
+        # inheriting its driver history — fail loudly instead
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate gate registration: {name!r} already exists "
+                f"({QUERIES[name].__module__}.{QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -3505,7 +3513,7 @@ _DEFER_NEW = (
     "source_kafka_wire_roundtrip",
     "stream_idle_source_promotion",
     "embedding_pca_project",
-    "stream_cdc_apply",
+    "stream_cdc_upsert_epochs",
 )
 
 

@@ -1147,7 +1147,7 @@ def stream_idle_source_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_cdc_apply",
+    "stream_cdc_upsert_epochs",
     f"""
     WITH log AS (SELECT user_id, event_id, ts, event_type,
                         round(value, 6) AS value,
@@ -1161,8 +1161,8 @@ def stream_idle_source_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1 AND op <> 'delete'
     """,
 )
-def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply (S13/S14's downstream half, types.rs:346-364
+def stream_cdc_upsert_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-wise streaming CDC upsert (S13/S14's downstream half, types.rs:346-364
     + functions/cdc.py): a changelog derived from the fixture events
     ('error' rows are delete tombstones, ordered by commit time then
     log sequence) replays through TWO foreachBatch epochs into the

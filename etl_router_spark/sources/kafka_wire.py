@@ -276,10 +276,10 @@ class KafkaWireBroker:
                 _client, i = dec_str(req, 8)
                 body = req[i:]
                 if api_key == API_VERSIONS:
-                    resp = struct.pack(">hi", 0, 3) + b"".join(
-                        struct.pack(">hhh", k, 0, v)
-                        for k, v in [(API_PRODUCE, 3), (API_FETCH, 4),
-                                     (API_METADATA, 0), (API_VERSIONS, 0)]
+                    apis = [(API_PRODUCE, 3), (API_FETCH, 4),
+                            (API_METADATA, 0), (API_VERSIONS, 0)]
+                    resp = struct.pack(">hi", 0, len(apis)) + b"".join(
+                        struct.pack(">hhh", k, 0, v) for k, v in apis
                     )
                 elif api_key == API_METADATA:
                     resp = self._metadata(body)
@@ -520,7 +520,8 @@ class KafkaWireConsumer(KafkaWireClient):
         i += 22
         assert part == partition and err == 0, f"fetch error {err}"
         (n_aborted,) = struct.unpack_from(">i", resp, i)
-        i += 4 + 12 * max(n_aborted, 0)
+        # aborted-txn entry = producer_id i64 + first_offset i64 = 16B
+        i += 4 + 16 * max(n_aborted, 0)
         (set_len,) = struct.unpack_from(">i", resp, i)
         i += 4
         record_set = resp[i:i + set_len]

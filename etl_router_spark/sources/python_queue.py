@@ -152,13 +152,19 @@ class JsonlQueueWriter(DataSourceWriter):
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
-        # Per-job unique, commit-time-monotonic names: a second append
-        # job to the same queue dir must never rename over an earlier
-        # job's committed batches (fixed batch-{i} names silently lost
-        # data), and names must sort after everything already published
-        # so the reader's filename offset covers them.  time_ns gives
-        # the monotonic prefix across sequential jobs; the uuid breaks
-        # ties if two drivers commit in the same nanosecond.
+        # Per-job unique names: a second append job to the same queue
+        # dir must never rename over an earlier job's committed
+        # batches (fixed batch-{i} names silently lost data). time_ns
+        # makes names monotonic across SEQUENTIAL jobs, so the
+        # reader's filename offset covers each new commit; the uuid
+        # breaks ties if two drivers commit in the same nanosecond.
+        # CONCURRENT commits remain single-reader-unsafe: the stamp is
+        # taken at commit start, not atomically with the renames, so a
+        # stalled committer can publish a name that sorts BEFORE an
+        # offset the reader already snapshotted and be skipped. Run
+        # one appender per queue dir (or one dir per producer) when a
+        # streaming reader is attached — same single-writer contract
+        # as the upsert sink.
         import time
         import uuid
 

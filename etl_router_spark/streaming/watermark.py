@@ -189,7 +189,8 @@ def track_source_watermarks(
             # idle promotion: watermark follows processing time
             now_s = promotion_clock() if promotion_clock is not None else time.time()
             now_us = int(now_s * 1_000_000)
-            if wm_us is None or now_us > wm_us:
+            promoted = wm_us is None or now_us > wm_us
+            if promoted:
                 wm_us = now_us
                 state.update((wm_us,))
                 yield pd.DataFrame({
@@ -197,14 +198,19 @@ def track_source_watermarks(
                     "watermark": [pd.Timestamp(wm_us, unit="us")],
                     "idle": [True],
                 })
-                # re-arm ONLY after an actual advance: wall-clock runs
-                # keep promoting while idle (the reference tracker's
-                # repeated advance_idle_sources), but once the clock
-                # stops advancing past the watermark, re-arming would
-                # schedule no-data micro-batches forever and an
-                # availableNow drain could never terminate
-                if idle_s is not None:
-                    state.setTimeoutDuration(int(idle_s * 1000))
+            # Re-arm rules: after an advance (wall-clock runs keep
+            # promoting while idle — the reference tracker's repeated
+            # advance_idle_sources) AND when the clock is still BEHIND
+            # the watermark (future-dated events: the timer must stay
+            # alive so promotion resumes once the clock catches up —
+            # disarming here would stall this source's watermark until
+            # new data arrived). Disarm ONLY at now == previous wm:
+            # that value can only be our own last promotion under a
+            # frozen clock, where re-arming would schedule no-data
+            # micro-batches forever and an availableNow drain could
+            # never terminate.
+            if idle_s is not None and (promoted or now_us < wm_us):
+                state.setTimeoutDuration(int(idle_s * 1000))
             return
         batch_max = None
         for pdf in pdfs:

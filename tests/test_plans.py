@@ -287,3 +287,26 @@ def test_zorder_keys_single_stats_broadcast(plans):
     # the only exchanges allowed are the stats aggregate + its
     # broadcast; the row side must not Exchange
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_pca_project_is_pure_jvm_and_shuffle_free(plans):
+    # the projection gate must stay zero-Python (no Arrow/Python eval
+    # nodes) and narrow (no Exchange): per-row zip_with + fold only
+    plan = plans("embedding_pca_project")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_bm25_broadcast_is_query_sized(plans):
+    # the df-frequency table must never broadcast whole: the broadcast
+    # feeding the postings join must be qstats = dfreq JOIN
+    # bcast(qterms), i.e. the FIRST BroadcastExchange subtree in the
+    # printed plan contains BOTH the query-term explode AND the dfreq
+    # count aggregate. The pre-fix plan (tf ⋈ bcast(qterms) ⋈
+    # bcast(dfreq)) prints the bare qterms exchange first — no count
+    # aggregate inside — so a regression fails this assertion.
+    plan = plans("text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    first_bcast = plan.split("BroadcastExchange")[1]
+    assert "Generate explode" in first_bcast, first_bcast
+    assert "count(1)" in first_bcast, first_bcast
