@@ -283,6 +283,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return pack_sequences(df, max_tokens=int(cfg.get("max_tokens", 2048)),
                               id_col=cfg.get("id_field", "doc_id"),
                               token_count_col=cfg.get("token_count_field", "n_tokens"))
+    if tt == "pack_boundaries":
+        from etl_router_spark.functions.corpus import pack_with_boundaries
+
+        return pack_with_boundaries(df, max_tokens=int(cfg.get("max_tokens", 2048)),
+                                    id_col=cfg.get("id_field", "doc_id"),
+                                    token_count_col=cfg.get("token_count_field", "n_tokens"))
     if tt == "repetition_stats":
         from etl_router_spark.functions.text import repetition_stats
 

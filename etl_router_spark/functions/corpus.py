@@ -640,3 +640,70 @@ def quality_buckets(
         .withColumn("bucket", bucket)
         .drop("__thr")
     )
+
+
+def pack_with_boundaries(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """One row per training window: the ordered document composition a
+    data loader needs to build block-diagonal attention masks for
+    packed pretraining batches (documents straddle windows; attention
+    must not cross document boundaries).
+
+    Builds on ``pack_sequences``'s distributed prefix sum, then
+    explodes each document over the windows its token span covers
+    (``sequence(first_win, last_win)`` — per-doc fan-out is
+    ceil(n_tokens / max_tokens), never corpus-sized) and re-groups by
+    window. The only added shuffle is the window groupBy, keyed on
+    seq_index — uniformly distributed by construction, skew-free.
+
+    Output per ``seq_index``: ``doc_ids`` + ``boundaries`` (window
+    offsets where each document begins; a carried-over document starts
+    at 0), ``carried_in`` (window opens mid-document), ``n_docs``, and
+    ``filled_tokens`` (== max_tokens except the final window).
+
+    Zero-token documents are excluded — they occupy no positions, so
+    every other document's placement is unchanged.
+    """
+    nonempty = df.filter(F.col(token_count_col) > 0)
+    packed = pack_sequences(nonempty, max_tokens, id_col=id_col,
+                            token_count_col=token_count_col,
+                            num_shards=num_shards)
+    last_tok = F.col("token_start") + F.col(token_count_col) - 1
+    spans = packed.select(
+        F.col(id_col), F.col(token_count_col), F.col("token_start"),
+        F.explode(F.sequence(
+            F.floor(F.col("token_start") / max_tokens),
+            F.floor(last_tok / max_tokens),
+        )).alias("seq_index"),
+    )
+    win_start = F.col("seq_index") * max_tokens
+    entry = F.struct(
+        F.greatest(F.col("token_start") - win_start, F.lit(0).cast("long"))
+         .alias("offset"),
+        F.col(id_col).alias("doc_id"),
+        (F.col("token_start") < win_start).alias("carried"),
+        (
+            F.least(F.col("token_start") + F.col(token_count_col),
+                    win_start + max_tokens)
+            - F.greatest(F.col("token_start"), win_start)
+        ).alias("tokens"),
+    )
+    grouped = (
+        spans.select("seq_index", entry.alias("e"))
+        .groupBy("seq_index")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+    )
+    return grouped.select(
+        "seq_index",
+        F.transform("es", lambda e: e["doc_id"]).alias("doc_ids"),
+        F.transform("es", lambda e: e["offset"]).alias("boundaries"),
+        F.col("es")[0]["carried"].alias("carried_in"),
+        F.size("es").cast("long").alias("n_docs"),
+        F.aggregate("es", F.lit(0).cast("long"),
+                    lambda acc, e: acc + e["tokens"]).alias("filled_tokens"),
+    )

@@ -3514,6 +3514,7 @@ _DEFER_NEW = (
     "stream_idle_source_promotion",
     "embedding_pca_project",
     "stream_cdc_upsert_epochs",
+    "corpus_pack_boundaries",
 )
 
 

@@ -2797,3 +2797,62 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_PCA_K)
         ]).alias("proj_e6"),
     )
+
+
+@query(
+    "corpus_pack_boundaries",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_WORDS}) AS n FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS token_start
+      FROM t WHERE n > 0),
+    spans AS (
+      SELECT doc_id, n, token_start,
+             unnest(generate_series(
+               CAST(floor(token_start / 2048) AS BIGINT),
+               CAST(floor((token_start + n - 1) / 2048) AS BIGINT)
+             )) AS seq_index
+      FROM c),
+    e AS (
+      SELECT seq_index, doc_id,
+             greatest(token_start - seq_index * 2048, 0) AS off,
+             token_start < seq_index * 2048 AS carried,
+             least(token_start + n, (seq_index + 1) * 2048)
+               - greatest(token_start, seq_index * 2048) AS tokens
+      FROM spans)
+    SELECT seq_index,
+           array_to_string(list(CAST(doc_id AS VARCHAR)
+                                ORDER BY off, doc_id), ',') AS doc_ids,
+           array_to_string(list(CAST(off AS VARCHAR)
+                                ORDER BY off, doc_id), ',') AS boundaries,
+           bool_or(carried)                                  AS carried_in,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(tokens) AS BIGINT)                       AS filled_tokens
+    FROM e GROUP BY seq_index
+    """,
+)
+def corpus_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-level packing readout for attention-mask construction
+    (``functions/corpus.py:pack_with_boundaries``): every 2048-token
+    training window with its ordered document ids, boundary offsets,
+    carry-over flag, and fill count. Distributed prefix sum + span
+    explode + one seq_index-keyed groupBy; the oracle rebuilds the
+    same layout with window prefix sums and generate_series."""
+    from etl_router_spark.functions.corpus import pack_with_boundaries
+    from etl_router_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    out = pack_with_boundaries(docs, max_tokens=2048)
+    return out.select(
+        "seq_index",
+        F.concat_ws(",", F.transform("doc_ids",
+                                     lambda d: d.cast("string"))).alias("doc_ids"),
+        F.concat_ws(",", F.transform("boundaries",
+                                     lambda b: b.cast("string"))).alias("boundaries"),
+        "carried_in", "n_docs", "filled_tokens",
+    )

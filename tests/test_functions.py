@@ -455,3 +455,39 @@ def test_pca_project_without_mean(embeddings):
     for r in rows:
         assert np.allclose(r["pca"], [r["embedding"][0], r["embedding"][1]],
                            atol=1e-7)
+
+
+def test_pack_with_boundaries_sequential_truth(spark):
+    from etl_router_spark.functions.corpus import pack_with_boundaries
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(60)] + [(99, 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = {r.seq_index: r for r in
+           pack_with_boundaries(df, max_tokens=512, num_shards=5).collect()}
+    # sequential ground truth
+    windows: dict[int, list[tuple[int, int, int]]] = {}
+    running = 0
+    for i, n in rows:
+        if n == 0:
+            continue  # zero-token docs excluded
+        first, last = running // 512, (running + n - 1) // 512
+        for w in range(first, last + 1):
+            off = max(running - w * 512, 0)
+            tok = min(running + n, (w + 1) * 512) - max(running, w * 512)
+            windows.setdefault(w, []).append((off, i, tok))
+        running += n
+    assert set(out) == set(windows)
+    for w, entries in windows.items():
+        entries.sort()
+        r = out[w]
+        assert list(r.doc_ids) == [e[1] for e in entries]
+        assert list(r.boundaries) == [e[0] for e in entries]
+        assert r.carried_in == (entries[0][0] == 0 and w > 0
+                                and any(e[1] == entries[0][1]
+                                        for e in windows.get(w - 1, [])))
+        assert r.n_docs == len(entries)
+        assert r.filled_tokens == sum(e[2] for e in entries)
+        if (w + 1) * 512 <= running:
+            assert r.filled_tokens == 512  # interior windows are full
+    # excluded zero-token doc appears nowhere
+    assert all(99 not in r.doc_ids for r in out.values())
