@@ -3515,6 +3515,7 @@ _DEFER_NEW = (
     "embedding_pca_project",
     "stream_cdc_upsert_epochs",
     "corpus_pack_boundaries",
+    "text_bpe_tokenize",
 )
 
 

@@ -2856,3 +2856,26 @@ def corpus_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      lambda b: b.cast("string"))).alias("boundaries"),
         "carried_in", "n_docs", "filled_tokens",
     )
+
+
+@query("text_bpe_tokenize")  # no SQL oracle: BPE is iterative per word
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-exact BPE tokenization over the documents table with a
+    pinned merge table (``functions/text.py:bpe_tokenize``). Greedy
+    merge application is inherently iterative, so there is no DuckDB
+    twin — the driver records the rows-only check; the algorithm
+    itself is pinned by hand-computed merge sequences in
+    tests/test_functions.py (test_bpe_tokenize_*)."""
+    from etl_router_spark.functions.text import bpe_tokenize
+
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g</w>"),
+        ("a", "n"), ("an", "d</w>"), ("e", "r</w>"), ("o", "n</w>"),
+        ("r", "e"), ("o", "f</w>"), ("t", "o</w>"), ("e", "n"),
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id", "bpe_tokens_n",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 12)).alias("head_tokens"),
+    )

@@ -491,3 +491,37 @@ def test_pack_with_boundaries_sequential_truth(spark):
             assert r.filled_tokens == 512  # interior windows are full
     # excluded zero-token doc appears nowhere
     assert all(99 not in r.doc_ids for r in out.values())
+
+
+def test_bpe_tokenize_hand_computed(spark):
+    from etl_router_spark.functions.text import bpe_tokenize
+
+    # Sennrich-style merge table: l+o -> lo, lo+w -> low, e+r</w> -> er</w>
+    merges = [("l", "o"), ("lo", "w"), ("e", "r</w>"), ("n", "e"),
+              ("ne", "w"), ("new", "er</w>")]
+    df = spark.createDataFrame(
+        [(1, "lower low newer"), (2, ""), (3, "lower lower")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in
+            bpe_tokenize(df, merges, text_col="text").collect()}
+    # "lower" = l o w e r</w> -> low + er</w>; "low" = l o w</w> stops
+    # at lo + w</w> (no (lo, w</w>) merge); "newer" merges all the way
+    # to one token via n+e, ne+w, e+r</w>, new+er</w>
+    assert list(rows[1].bpe_tokens) == [
+        "low", "er</w>", "lo", "w</w>", "newer</w>"]
+    assert rows[1].bpe_tokens_n == 5
+    assert list(rows[2].bpe_tokens) == [] and rows[2].bpe_tokens_n == 0
+    # merge PRIORITY (rank order), not left-to-right scanning: both
+    # words identical -> identical encodings via the per-batch cache
+    assert list(rows[3].bpe_tokens) == ["low", "er</w>", "low", "er</w>"]
+
+
+def test_bpe_tokenize_rank_priority(spark):
+    from etl_router_spark.functions.text import bpe_tokenize
+
+    # "abc": with rank (b,c) < (a,b), greedy-by-rank gives a + bc;
+    # naive left-to-right pairing would give ab + c
+    merges = [("b", "c</w>"), ("a", "b")]
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    (row,) = bpe_tokenize(df, merges).collect()
+    assert list(row.bpe_tokens) == ["a", "bc</w>"]

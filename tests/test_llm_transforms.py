@@ -589,6 +589,16 @@ def test_round4_example_manifests_compile(spark, tmp_path):
         for st in doc["spec"]["stages"]:
             if st["config"].get("transform_type") == "hash_sample":
                 st["config"]["rate"] = 1.0  # 2-row fixture: keep everything
+            if st["config"].get("transform_type") == "embedding_pca_project":
+                # the example references a persisted pca_train model;
+                # supply one matching the 2-dim fixture vectors
+                import json
+
+                mpath = str(tmp_path / "pca.json")
+                with open(mpath, "w") as mfh:
+                    json.dump({"mean": [0.0, 0.0],
+                               "components": [[0.6, 0.8]]}, mfh)
+                st["config"]["components"] = mpath
         frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
         assert frames[sink_key].count() >= 1
 
