@@ -2594,6 +2594,77 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_mongodb_wire_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value,
+           epoch_us(ts) AS ts_us
+    FROM {EVENTS_US}
+    WHERE event_id % 13 = 2 AND round(value, 6) >= 100.0
+    """,
+)
+def source_mongodb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 MongoDB source at the WIRE level (types.rs:366-374),
+    upgrading the last service-less connector from option-contract-only
+    to a hermetic protocol gate: a stdlib-socket server speaks OP_MSG
+    with a from-scratch BSON codec (``sources/mongo_wire.py``); the
+    gate's raw-protocol client handshakes (hello), INSERTs fixture
+    events over the wire in two batches, then queries them back with a
+    server-side filter (``value >= 100`` — evaluated by the server,
+    not the client) through REAL cursor paging (batchSize + getMore),
+    drains the result to staging, and re-enters Spark via
+    ``source_type: mongodb`` + ``staging_path``. The oracle recomputes
+    the same filter over the fixture, so the BSON roundtrip, the
+    filter evaluation, and the cursor drain are all value-checked."""
+    import json
+    import os
+    import tempfile
+
+    from etl_router_spark.sources.mongo_wire import (
+        MongoWireClient,
+        MongoWireServer,
+    )
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_mongo_wire_")
+    server = MongoWireServer()
+    try:
+        rows = (_t(spark, sf_dir, "events")
+                .filter(F.col("event_id") % 13 == 2)
+                .select("event_id", "user_id", "event_type",
+                        F.round("value", 6).alias("value"),
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+                .collect())
+        docs = [{"event_id": r.event_id, "user_id": r.user_id,
+                 "event_type": r.event_type, "value": float(r.value),
+                 "ts_us": r.ts_us} for r in rows]
+        client = MongoWireClient("127.0.0.1", server.port)
+        try:
+            assert client.hello()["maxWireVersion"] >= 6
+            half = len(docs) // 2
+            n = (client.insert("appdb", "events", docs[:half])
+                 + client.insert("appdb", "events", docs[half:]))
+            assert n == len(docs)
+            # server-side filter + cursor paging (several getMore trips)
+            got = client.find_all("appdb", "events",
+                                  {"value": {"$gte": 100.0}},
+                                  batch_size=120)
+        finally:
+            client.close()
+        tmp = os.path.join(stage, ".batch.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(d) for d in got))
+        os.rename(tmp, os.path.join(stage, "batch_00000.jsonl"))
+    finally:
+        server.close()
+    return read_source(spark, {
+        "source_type": "mongodb", "database": "appdb", "collection": "events",
+        "uri": f"mongodb://127.0.0.1:{server.port}", "staging_path": stage,
+        "schema": ("event_id BIGINT, user_id BIGINT, event_type STRING, "
+                   "value DOUBLE, ts_us BIGINT"),
+    }, streaming=False)
+
+
+@query(
     "source_redis_staging_roundtrip",
     f"""
     SELECT event_id, user_id, event_type, round(value, 6) AS value
@@ -3516,6 +3587,7 @@ _DEFER_NEW = (
     "stream_cdc_upsert_epochs",
     "corpus_pack_boundaries",
     "text_bpe_tokenize",
+    "source_mongodb_wire_roundtrip",
 )
 
 

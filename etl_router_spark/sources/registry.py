@@ -247,6 +247,18 @@ def mongodb_reader_options(cfg: dict[str, Any]) -> dict[str, str]:
 
 
 def _read_mongodb(spark, cfg, streaming):
+    staging = cfg.get("staging_path")
+    if staging:
+        # bridge path: a consumer (e.g. the OP_MSG wire client in
+        # sources/mongo_wire.py) drains find-cursor batches to jsonl;
+        # Spark reads the directory pull-based, same as every queue
+        # connector's staging pattern
+        return _file_reader(
+            spark,
+            {**cfg, "format": cfg.get("format", "json"),
+             "watch": cfg.get("watch", False)},
+            streaming, staging,
+        )
     reader = (spark.readStream if streaming else spark.read).format("mongodb")
     reader = reader.options(**mongodb_reader_options(cfg))
     try:
