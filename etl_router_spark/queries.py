@@ -2594,6 +2594,278 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_s3_api_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 19 = 3
+    """,
+)
+def source_s3_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 S3 source (types.rs:290-303) over the public REST API shape,
+    hermetically — the same treatment the Kinesis/SQS gates got: a
+    localhost server answers GET ``/{{bucket}}?list-type=2`` with real
+    ListObjectsV2 XML (Contents/ETag/IsTruncated/
+    NextContinuationToken) and GET ``/{{bucket}}/{{key}}`` with object
+    bytes + MD5 ETag; the gate's raw urllib client LISTS the prefix
+    with ``max-keys``-driven pagination (several continuation trips),
+    fetches every object, VERIFIES each ETag against the downloaded
+    bytes, and drains to staging — which ``source_type: s3`` +
+    ``staging_path`` (the documented no-hadoop-aws bridge) reads back.
+    A decoy object outside the prefix pins prefix filtering. The s3a://
+    classpath path stays the cluster route (SCALE.md probe)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+    import threading
+    import urllib.request
+    import xml.etree.ElementTree as ET
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, quote, urlparse
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_s3_stage_")
+    rows = (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 19 == 3)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value"))
+            .collect())
+    # bucket contents: the fixture sliced into 5 jsonl objects under
+    # events/, plus a decoy under another prefix
+    objects: dict[str, bytes] = {}
+    for i in range(5):
+        chunk = rows[i::5]
+        objects[f"events/part-{i:02d}.jsonl"] = "\n".join(
+            json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                        "event_type": r.event_type, "value": r.value})
+            for r in chunk
+        ).encode()
+    objects["other/decoy.jsonl"] = b'{"event_id": -1}'
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - silence
+            pass
+
+        def do_GET(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            parts = parsed.path.lstrip("/").split("/", 1)
+            bucket = parts[0]
+            if bucket != "etl-fixtures":
+                self.send_error(404)
+                return
+            if len(parts) == 1 or not parts[1]:
+                q = parse_qs(parsed.query)
+                assert q.get("list-type") == ["2"], "ListObjectsV2 only"
+                prefix = q.get("prefix", [""])[0]
+                max_keys = int(q.get("max-keys", ["1000"])[0])
+                start = q.get("continuation-token", [""])[0]
+                keys = sorted(k for k in objects if k.startswith(prefix)
+                              and k > start)
+                page, rest = keys[:max_keys], keys[max_keys:]
+                xml = ['<?xml version="1.0" encoding="UTF-8"?>',
+                       '<ListBucketResult xmlns='
+                       '"http://s3.amazonaws.com/doc/2006-03-01/">',
+                       f"<Name>{bucket}</Name><Prefix>{prefix}</Prefix>",
+                       f"<KeyCount>{len(page)}</KeyCount>",
+                       f"<MaxKeys>{max_keys}</MaxKeys>",
+                       f"<IsTruncated>{'true' if rest else 'false'}</IsTruncated>"]
+                if rest:
+                    xml.append(f"<NextContinuationToken>{page[-1]}"
+                               "</NextContinuationToken>")
+                for k in page:
+                    md5 = hashlib.md5(objects[k]).hexdigest()
+                    xml.append(f"<Contents><Key>{k}</Key>"
+                               f"<Size>{len(objects[k])}</Size>"
+                               f'<ETag>"{md5}"</ETag></Contents>')
+                body = "".join(xml + ["</ListBucketResult>"]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            key = parts[1]
+            blob = objects.get(key)
+            if blob is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("ETag", f'"{hashlib.md5(blob).hexdigest()}"')
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ns = {"s3": "http://s3.amazonaws.com/doc/2006-03-01/"}
+        base = f"http://127.0.0.1:{port}/etl-fixtures"
+        token = ""
+        listed: list[tuple[str, str]] = []
+        while True:  # ListObjectsV2 with pagination (max-keys=2)
+            url = (f"{base}?list-type=2&prefix=events/&max-keys=2"
+                   + (f"&continuation-token={quote(token)}" if token else ""))
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                root = ET.fromstring(resp.read())
+            for c in root.findall("s3:Contents", ns):
+                listed.append((c.find("s3:Key", ns).text,
+                               c.find("s3:ETag", ns).text.strip('"')))
+            if root.find("s3:IsTruncated", ns).text != "true":
+                break
+            token = root.find("s3:NextContinuationToken", ns).text
+        assert len(listed) == 5 and all(k.startswith("events/")
+                                        for k, _ in listed)
+        for key, etag in listed:  # fetch + integrity-verify + drain
+            with urllib.request.urlopen(f"{base}/{key}", timeout=10) as resp:
+                blob = resp.read()
+                assert resp.headers["ETag"].strip('"') == etag
+            assert hashlib.md5(blob).hexdigest() == etag, "ETag mismatch"
+            name = key.rsplit("/", 1)[1]
+            tmp = os.path.join(stage, f".{name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.rename(tmp, os.path.join(stage, name))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return read_source(spark, {
+        "source_type": "s3", "bucket": "etl-fixtures", "prefix": "events/",
+        "format": "json", "staging_path": stage, "watch": False,
+        "schema": ("event_id BIGINT, user_id BIGINT, event_type STRING, "
+                   "value DOUBLE"),
+    }, streaming=False)
+
+
+@query(
+    "source_gcs_api_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 19 = 4
+    """,
+)
+def source_gcs_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 GCS source over the public JSON API shape (S9's twin): a
+    localhost server answers ``GET /storage/v1/b/{{bucket}}/o`` with
+    the objects.list JSON (items + nextPageToken paging, base64
+    ``md5Hash`` per the GCS contract) and ``?alt=media`` with object
+    bytes; the gate lists the prefix with ``maxResults``-driven
+    pagination, downloads each object, verifies the base64 MD5, and
+    drains to staging for ``source_type: gcs`` + ``staging_path``.
+    The gs:// classpath path stays the cluster route."""
+    import base64
+    import hashlib
+    import json
+    import os
+    import tempfile
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, quote, unquote, urlparse
+
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tempfile.mkdtemp(prefix="etl_gcs_stage_")
+    rows = (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 19 == 4)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value"))
+            .collect())
+    objects: dict[str, bytes] = {}
+    for i in range(4):
+        chunk = rows[i::4]
+        objects[f"events/part-{i:02d}.jsonl"] = "\n".join(
+            json.dumps({"event_id": r.event_id, "user_id": r.user_id,
+                        "event_type": r.event_type, "value": r.value})
+            for r in chunk
+        ).encode()
+    objects["other/decoy.jsonl"] = b'{"event_id": -1}'
+    b64md5 = lambda b: base64.b64encode(hashlib.md5(b).digest()).decode()  # noqa: E731
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - silence
+            pass
+
+        def do_GET(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            q = parse_qs(parsed.query)
+            prefix_path = "/storage/v1/b/etl-fixtures/o"
+            if parsed.path == prefix_path:  # objects.list
+                prefix = q.get("prefix", [""])[0]
+                max_results = int(q.get("maxResults", ["1000"])[0])
+                start = q.get("pageToken", [""])[0]
+                keys = sorted(k for k in objects if k.startswith(prefix)
+                              and k > start)
+                page, rest = keys[:max_results], keys[max_results:]
+                doc = {"kind": "storage#objects", "items": [
+                    {"kind": "storage#object", "name": k,
+                     "bucket": "etl-fixtures",
+                     "size": str(len(objects[k])),
+                     "md5Hash": b64md5(objects[k])} for k in page]}
+                if rest:
+                    doc["nextPageToken"] = page[-1]
+                body = json.dumps(doc).encode()
+                ctype = "application/json"
+            elif parsed.path.startswith(prefix_path + "/"):
+                key = unquote(parsed.path[len(prefix_path) + 1:])
+                blob = objects.get(key)
+                if blob is None or q.get("alt") != ["media"]:
+                    self.send_error(404)
+                    return
+                body = blob
+                ctype = "application/octet-stream"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}/storage/v1/b/etl-fixtures/o"
+        token = ""
+        listed: list[tuple[str, str]] = []
+        while True:  # objects.list with pageToken paging (maxResults=3)
+            url = (f"{base}?prefix=events/&maxResults=3"
+                   + (f"&pageToken={quote(token)}" if token else ""))
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                doc = json.loads(resp.read())
+            listed += [(it["name"], it["md5Hash"]) for it in doc["items"]]
+            token = doc.get("nextPageToken", "")
+            if not token:
+                break
+        assert len(listed) == 4 and all(k.startswith("events/")
+                                        for k, _ in listed)
+        for key, md5h in listed:
+            with urllib.request.urlopen(
+                    f"{base}/{quote(key, safe='')}?alt=media",
+                    timeout=10) as resp:
+                blob = resp.read()
+            assert b64md5(blob) == md5h, "md5Hash mismatch"
+            name = key.rsplit("/", 1)[1]
+            tmp = os.path.join(stage, f".{name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.rename(tmp, os.path.join(stage, name))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return read_source(spark, {
+        "source_type": "gcs", "bucket": "etl-fixtures", "prefix": "events/",
+        "format": "json", "staging_path": stage, "watch": False,
+        "schema": ("event_id BIGINT, user_id BIGINT, event_type STRING, "
+                   "value DOUBLE"),
+    }, streaming=False)
+
+
+@query(
     "source_mongodb_wire_roundtrip",
     f"""
     SELECT event_id, user_id, event_type, round(value, 6) AS value,
@@ -3588,6 +3860,8 @@ _DEFER_NEW = (
     "corpus_pack_boundaries",
     "text_bpe_tokenize",
     "source_mongodb_wire_roundtrip",
+    "source_s3_api_roundtrip",
+    "source_gcs_api_roundtrip",
 )
 
 

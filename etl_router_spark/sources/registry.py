@@ -106,12 +106,25 @@ def _read_file(spark, cfg, streaming):
 
 def _read_s3(spark, cfg, streaming):
     # S3 source (types.rs:290-303): bucket/prefix/format; poll_interval
-    # maps to the file-stream trigger.
+    # maps to the file-stream trigger. staging_path = the drained-object
+    # bridge (a lister/fetcher daemon mirrors the prefix locally) for
+    # environments without hadoop-aws on the classpath — exercised
+    # end-to-end by the hermetic S3-API gate.
+    staging = cfg.get("staging_path")
+    if staging:
+        return _file_reader(
+            spark, {**cfg, "watch": cfg.get("watch", False)}, streaming, staging
+        )
     uri = f"s3a://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
     return _file_reader(spark, cfg, streaming, uri)
 
 
 def _read_gcs(spark, cfg, streaming):
+    staging = cfg.get("staging_path")
+    if staging:
+        return _file_reader(
+            spark, {**cfg, "watch": cfg.get("watch", False)}, streaming, staging
+        )
     uri = f"gs://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
     return _file_reader(spark, cfg, streaming, uri)
 
