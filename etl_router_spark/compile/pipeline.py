@@ -283,6 +283,20 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return pack_sequences(df, max_tokens=int(cfg.get("max_tokens", 2048)),
                               id_col=cfg.get("id_field", "doc_id"),
                               token_count_col=cfg.get("token_count_field", "n_tokens"))
+    if tt == "kafka_envelope":
+        # Kafka wire schema -> envelope -> typed columns, the manifest
+        # face of model/envelope.py (offset -> sequence_number,
+        # topic:partition:offset -> idempotency_key, headers ->
+        # metadata, payload parsed once by from_json)
+        from etl_router_spark.model.envelope import from_kafka, promote
+
+        env = from_kafka(df, record_type=cfg.get("record_type"),
+                         source_id=cfg.get("source_id"))
+        schema = cfg.get("payload_schema")
+        if not schema:
+            raise ValueError("kafka_envelope requires payload_schema (DDL)")
+        return promote(env, schema,
+                       keep_envelope=bool(cfg.get("keep_envelope", True)))
     if tt == "pack_boundaries":
         from etl_router_spark.functions.corpus import pack_with_boundaries
 

@@ -196,7 +196,13 @@ class MongoWireServer:
         try:
             while True:
                 req_id, cmd = read_msg(conn)
-                send_msg(conn, req_id + 1, req_id, self._dispatch(cmd))
+                try:
+                    reply = self._dispatch(cmd)
+                except Exception as exc:  # noqa: BLE001 - surface as ok:0
+                    # a command error must come back as an error reply,
+                    # not a dead connection
+                    reply = {"ok": 0.0, "errmsg": repr(exc), "code": 2}
+                send_msg(conn, req_id + 1, req_id, reply)
         except (ConnectionError, OSError, ValueError):
             pass
         finally:
@@ -220,8 +226,12 @@ class MongoWireServer:
                 rows = [d for d in self._data.get((db, coll), [])
                         if match(d, cmd.get("filter"))]
             for field, direction in (cmd.get("sort") or {}).items():
-                rows.sort(key=lambda d: d.get(field),
-                          reverse=direction < 0)
+                # null/missing sorts lowest (MongoDB's ordering) and a
+                # missing field must not TypeError against typed values
+                rows.sort(
+                    key=lambda d: (d.get(field) is not None, d.get(field)),
+                    reverse=direction < 0,
+                )
             return self._page(rows, f"{db}.{coll}",
                               int(cmd.get("batchSize", 101)), first=True)
         if name == "getMore":

@@ -111,10 +111,8 @@ def _read_s3(spark, cfg, streaming):
     # environments without hadoop-aws on the classpath — exercised
     # end-to-end by the hermetic S3-API gate.
     staging = cfg.get("staging_path")
-    if staging:
-        return _file_reader(
-            spark, {**cfg, "watch": cfg.get("watch", False)}, streaming, staging
-        )
+    if staging:  # _file_reader already defaults watch=False
+        return _file_reader(spark, cfg, streaming, staging)
     uri = f"s3a://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
     return _file_reader(spark, cfg, streaming, uri)
 
@@ -122,9 +120,7 @@ def _read_s3(spark, cfg, streaming):
 def _read_gcs(spark, cfg, streaming):
     staging = cfg.get("staging_path")
     if staging:
-        return _file_reader(
-            spark, {**cfg, "watch": cfg.get("watch", False)}, streaming, staging
-        )
+        return _file_reader(spark, cfg, streaming, staging)
     uri = f"gs://{cfg['bucket']}/{cfg.get('prefix', '').lstrip('/')}"
     return _file_reader(spark, cfg, streaming, uri)
 
@@ -267,9 +263,7 @@ def _read_mongodb(spark, cfg, streaming):
         # Spark reads the directory pull-based, same as every queue
         # connector's staging pattern
         return _file_reader(
-            spark,
-            {**cfg, "format": cfg.get("format", "json"),
-             "watch": cfg.get("watch", False)},
+            spark, {**cfg, "format": cfg.get("format", "json")},
             streaming, staging,
         )
     reader = (spark.readStream if streaming else spark.read).format("mongodb")

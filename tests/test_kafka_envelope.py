@@ -172,3 +172,48 @@ def test_idle_source_policy_applied(spark, events, tmp_path):
     assert spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy") == "max"
     execu.await_termination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 200
+
+
+def test_kafka_cdc_stream_manifest_end_to_end(spark, tmp_path):
+    """The kafka-cdc-stream example must compile AND apply tombstone
+    semantics correctly: deletes reach the upsert sink (the compaction
+    stage must NOT filter them) so already-materialized keys die, and
+    later re-inserts resurrect keys. The kafka source is overridden
+    with a memory source carrying the connector's exact wire schema."""
+    import datetime as dt
+    import json
+
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.sources.registry import KAFKA_WIRE_SCHEMA
+
+    def wire_row(offset, account, lsn, op, balance):
+        payload = {"account_id": account,
+                   "committed_at": f"2024-01-01T00:00:{lsn:02d}",
+                   "lsn": lsn, "op": op, "balance": balance}
+        return (bytearray(str(account).encode()),
+                bytearray(json.dumps(payload).encode()),
+                "app.accounts.changelog", 0, offset,
+                dt.datetime(2024, 1, 1, 0, 0, lsn), 0, [])
+
+    rows = [
+        wire_row(0, 1, 1, "upsert", 10.0),
+        wire_row(1, 1, 2, "upsert", 20.0),   # account 1 -> survives at 20
+        wire_row(2, 2, 1, "upsert", 5.0),
+        wire_row(3, 2, 2, "delete", None),   # account 2 -> tombstoned
+        wire_row(4, 3, 1, "delete", None),
+        wire_row(5, 3, 2, "upsert", 7.0),    # account 3 -> resurrected
+    ]
+    with open("examples/manifests/kafka-cdc-stream.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"].pop("streaming", None)  # drive the batch twin
+    doc["spec"]["stages"][0]["config"] = {
+        "source_type": "memory", "rows": rows, "schema": KAFKA_WIRE_SCHEMA}
+    doc["spec"]["stages"][-1]["config"]["path"] = str(tmp_path / "state")
+    m = parse_manifest_dict(doc)
+    compile_pipeline(spark, m).run()
+    got = {r.account_id: r.balance
+           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert got == {1: 20.0, 3: 7.0}
