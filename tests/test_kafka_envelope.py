@@ -217,3 +217,44 @@ def test_kafka_cdc_stream_manifest_end_to_end(spark, tmp_path):
     got = {r.account_id: r.balance
            for r in spark.read.parquet(str(tmp_path / "state")).collect()}
     assert got == {1: 20.0, 3: 7.0}
+
+
+def test_kafka_staging_streaming_read(spark, tmp_path):
+    """The kafka staging bridge must also serve as a STREAM: watch the
+    drained directory, reconstruct the wire schema, and run the
+    envelope promotion inside a streaming query."""
+    import base64
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.model.envelope import from_kafka, promote
+    from etl_router_spark.sources.registry import read_source
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    recs = [{"topic": "t", "partition": p, "offset": o,
+             "timestamp": 1_700_000_000_000 + o,
+             "key": base64.b64encode(str(p).encode()).decode(),
+             "value": base64.b64encode(
+                 json.dumps({"k": p, "v": o * 1.5}).encode()).decode(),
+             "headers": []}
+            for p in (0, 1) for o in (0, 1, 2)]
+    (stage / "part_0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs))
+    wire = read_source(spark, {
+        "source_type": "kafka", "topic": "t",
+        "brokers": "127.0.0.1:9", "staging_path": str(stage),
+        "watch": True,
+    }, streaming=True)
+    assert wire.isStreaming
+    typed = promote(from_kafka(wire), "k INT, v DOUBLE", keep_envelope=True)
+    q = (typed.writeStream.format("memory").queryName("kafka_staging_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM kafka_staging_stream").collect()
+    assert len(rows) == 6
+    by_key = {(r.k, r.sequence_number): r for r in rows}
+    assert by_key[(1, 2)].v == 3.0
+    assert by_key[(0, 0)].idempotency_key == "t:0:0"
