@@ -58,6 +58,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _stage_write(stage_dir: str, name: str, data: bytes | str) -> None:
+    """Atomic staging publish (dot-prefixed temp + rename, invisible to
+    listings until complete) — the wire/API gates' shared drain step."""
+    import os
+
+    tmp = os.path.join(stage_dir, f".{name}.tmp")
+    with open(tmp, "wb" if isinstance(data, bytes) else "w") as fh:
+        fh.write(data)
+    os.rename(tmp, os.path.join(stage_dir, name))
+
+
 # The events oracle base: DuckDB keeps TIMESTAMP_NS from the parquet
 # while Spark floors to microseconds; CAST(ts AS TIMESTAMP) floors the
 # oracle identically.
@@ -2564,10 +2575,7 @@ def source_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "headers": [{"key": hk, "value": b64(hv)}
                                 for hk, hv in r["headers"]],
                 }) for r in records]
-                tmp = os.path.join(stage, f".part_{p}.tmp")
-                with open(tmp, "w") as fh:
-                    fh.write("\n".join(lines))
-                os.rename(tmp, os.path.join(stage, f"part_{p}.jsonl"))
+                _stage_write(stage, f"part_{p}.jsonl", "\n".join(lines))
             assert total == len(rows)
         finally:
             consumer.close()
@@ -2723,11 +2731,7 @@ def source_s3_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob = resp.read()
                 assert resp.headers["ETag"].strip('"') == etag
             assert hashlib.md5(blob).hexdigest() == etag, "ETag mismatch"
-            name = key.rsplit("/", 1)[1]
-            tmp = os.path.join(stage, f".{name}.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(blob)
-            os.rename(tmp, os.path.join(stage, name))
+            _stage_write(stage, key.rsplit("/", 1)[1], blob)
     finally:
         srv.shutdown()
         srv.server_close()
@@ -2849,11 +2853,7 @@ def source_gcs_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     timeout=10) as resp:
                 blob = resp.read()
             assert b64md5(blob) == md5h, "md5Hash mismatch"
-            name = key.rsplit("/", 1)[1]
-            tmp = os.path.join(stage, f".{name}.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(blob)
-            os.rename(tmp, os.path.join(stage, name))
+            _stage_write(stage, key.rsplit("/", 1)[1], blob)
     finally:
         srv.shutdown()
         srv.server_close()
@@ -2922,10 +2922,8 @@ def source_mongodb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                                   batch_size=120)
         finally:
             client.close()
-        tmp = os.path.join(stage, ".batch.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(json.dumps(d) for d in got))
-        os.rename(tmp, os.path.join(stage, "batch_00000.jsonl"))
+        _stage_write(stage, "batch_00000.jsonl",
+                     "\n".join(json.dumps(d) for d in got))
     finally:
         server.close()
     return read_source(spark, {

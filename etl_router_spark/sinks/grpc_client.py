@@ -25,6 +25,9 @@ import socket
 import struct
 import time
 
+from etl_router_spark.netio import recv_exact
+from etl_router_spark.sinks.hpack import HpackDecoder, encode_literal
+
 H2_PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
 
 
@@ -38,8 +41,6 @@ def h2_frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
     return (struct.pack(">I", len(payload))[1:]
             + struct.pack(">BBI", ftype, flags, stream) + payload)
 
-
-from etl_router_spark.sinks.hpack import HpackDecoder, encode_literal
 
 hpack_literal = encode_literal
 
@@ -88,16 +89,6 @@ def pb_unwrap_payload(msg: bytes) -> bytes:
             break
         shift += 7
     return msg[i:i + n]
-
-
-def recv_exact(conn: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed mid-frame")
-        buf += chunk
-    return buf
 
 
 def read_h2(conn: socket.socket) -> tuple[int, int, int, bytes]:

@@ -37,6 +37,8 @@ import socket
 import struct
 import threading
 
+from etl_router_spark.netio import recv_exact
+
 # --- CRC32C (Castagnoli), reflected poly 0x82F63B78 ------------------
 
 _CRC32C_TABLE = []
@@ -203,14 +205,7 @@ def parse_record_batch(buf: bytes) -> tuple[int, list[dict]]:
 
 # --- framing ---------------------------------------------------------
 
-def _recv_exact(conn: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed mid-frame")
-        buf += chunk
-    return buf
+_recv_exact = recv_exact
 
 
 def read_frame(conn: socket.socket) -> bytes:

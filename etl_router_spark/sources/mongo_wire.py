@@ -32,6 +32,8 @@ import socket
 import struct
 import threading
 
+from etl_router_spark.netio import recv_exact
+
 # --- BSON (scalar subset) --------------------------------------------
 
 
@@ -106,14 +108,7 @@ def bson_decode(buf: bytes) -> dict:
 OP_MSG = 2013
 
 
-def _recv_exact(conn: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed mid-message")
-        buf += chunk
-    return buf
+_recv_exact = recv_exact
 
 
 def send_msg(conn: socket.socket, request_id: int, response_to: int,
