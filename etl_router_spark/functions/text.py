@@ -678,3 +678,75 @@ def bpe_tokenize(
                        for f in df.schema.fields)
     schema = f"{fields}, {out_col} array<string>, {out_col}_n bigint"
     return df.mapInPandas(process, schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+    max_vocab: int = 100_000,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus (Sennrich et al. 2016),
+    returning merges in rank order for ``bpe_tokenize``.
+
+    Scale shape — the standard decomposition: BPE training operates on
+    the WORD-FREQUENCY table, not the corpus, so the only corpus-scale
+    work is ONE explode + groupBy pass; the table is then capped at
+    ``max_vocab`` most-frequent words (Heaps' law keeps true vocab ~
+    sqrt(corpus); capping is standard practice) and the iterative merge
+    loop runs driver-side over that vocab-sized table — the same
+    metadata-class driver work as ``pca_train``'s eigendecomposition
+    and IVF centroid training. Deterministic: ties in pair count break
+    to the lexicographically smallest pair, and the vocab cap orders by
+    (count desc, word asc).
+
+    Stops early when no pair reaches ``min_pair_count``.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    rows = (
+        df.select(F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    freqs: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        w = r["w"]
+        syms = tuple(list(w[:-1]) + [w[-1] + end_of_word])
+        freqs[syms] = freqs.get(syms, 0) + r["c"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in freqs.items():
+            for pair in zip(syms, syms[1:]):
+                pairs[pair] = pairs.get(pair, 0) + c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < min_pair_count:
+            break
+        best = min(p for p, c in pairs.items() if c == top)
+        a, b = best
+        ab = a + b
+        new_freqs: dict[tuple[str, ...], int] = {}
+        for syms, c in freqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_freqs[key] = new_freqs.get(key, 0) + c
+        freqs = new_freqs
+        merges.append(best)
+    return merges

@@ -525,3 +525,36 @@ def test_bpe_tokenize_rank_priority(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
     (row,) = bpe_tokenize(df, merges).collect()
     assert list(row.bpe_tokens) == ["a", "bc</w>"]
+
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich paper's worked example, under this module's
+    fused end-of-word convention ("newest" = n e w e s t</w>): vocab
+    {low:5, lower:2, newest:6, widest:3} learns (e,s) with count 9
+    first, then (es,t</w>) 9, then (l,o) 7 — the same merge sequence
+    the paper derives, with its separate </w> token folded into the
+    final character (the subword-nmt variant bpe_tokenize applies)."""
+    from etl_router_spark.functions.text import bpe_tokenize, bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string")
+    merges = bpe_train(df, num_merges=5, min_pair_count=1)
+    assert merges[:3] == [("e", "s"), ("es", "t</w>"), ("l", "o")]
+    # deterministic retrain
+    assert merges == bpe_train(df, num_merges=5, min_pair_count=1)
+    # enough merges reassemble the most frequent word into one token
+    full = bpe_train(df, num_merges=30, min_pair_count=1)
+    toks = {r.doc_id: list(r.bpe_tokens) for r in
+            bpe_tokenize(df.limit(20), full).collect()}
+    for i, w in list(enumerate(words))[:20]:
+        assert toks[i] == [w + "</w>"], (w, toks[i])
+
+
+def test_bpe_train_min_pair_count_stops(spark):
+    from etl_router_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
+    # every pair occurs once: with the default min_pair_count=2 no
+    # merge is learnable
+    assert bpe_train(df, num_merges=10) == []
