@@ -283,6 +283,22 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return pack_sequences(df, max_tokens=int(cfg.get("max_tokens", 2048)),
                               id_col=cfg.get("id_field", "doc_id"),
                               token_count_col=cfg.get("token_count_field", "n_tokens"))
+    if tt == "bpe_tokenize":
+        from etl_router_spark.functions.text import bpe_tokenize
+
+        merges = cfg.get("merges")
+        if isinstance(merges, str):
+            # a bpe_train result persisted as JSON: [["a","b"], ...]
+            import json as _json
+
+            with open(merges) as fh:
+                merges = _json.load(fh)
+        if not merges:
+            raise ValueError("bpe_tokenize requires merges "
+                             "(inline pair list or bpe_train JSON path)")
+        return bpe_tokenize(df, [tuple(m) for m in merges],
+                            text_col=cfg.get("text_field", "text"),
+                            out_col=cfg.get("out_field", "bpe_tokens"))
     if tt == "kafka_envelope":
         # Kafka wire schema -> envelope -> typed columns, the manifest
         # face of model/envelope.py (offset -> sequence_number,

@@ -35,7 +35,7 @@ KNOWN_TRANSFORMS = {
     "url_normalize", "quality_filter", "quality_buckets", "chunk_sentences",
     "bm25", "pagerank", "degree_stats", "triangle_count",
     "edit_distance_pairs", "embedding_mean_pool", "embedding_pca_project",
-    "pack_boundaries", "kafka_envelope",
+    "pack_boundaries", "kafka_envelope", "bpe_tokenize",
 }
 
 KNOWN_SOURCES = {

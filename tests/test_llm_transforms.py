@@ -1044,3 +1044,20 @@ def test_embedding_pca_project_manifest(spark, sf_dir, tmp_path):
                  "components": [[1.0] + [0.0] * 63]}, str(tmp_path / "o2"))
     r = out2.limit(1).collect()[0]
     assert np.isclose(r.pca[0], float(r.embedding[0]), atol=1e-7)
+
+
+def test_bpe_tokenize_manifest(spark, sf_dir, tmp_path):
+    import json
+
+    from etl_router_spark.functions.text import bpe_train
+
+    docs = f"{sf_dir}/documents.parquet"
+    merges = bpe_train(spark.read.parquet(docs), num_merges=10)
+    mpath = str(tmp_path / "merges.json")
+    with open(mpath, "w") as fh:
+        json.dump(merges, fh)
+    out = _run(spark, docs,
+               {"transform_type": "bpe_tokenize", "merges": mpath},
+               str(tmp_path / "o"))
+    rows = out.limit(5).collect()
+    assert all(r.bpe_tokens_n == len(r.bpe_tokens) > 0 for r in rows)
