@@ -3858,6 +3858,7 @@ _DEFER_NEW = (
     "corpus_pack_boundaries",
     "text_bpe_tokenize",
     "source_mongodb_wire_roundtrip",
+    "stream_sink_jdbc_exactly_once",
     "source_s3_api_roundtrip",
     "source_gcs_api_roundtrip",
 )

@@ -1231,3 +1231,74 @@ def stream_cdc_upsert_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_sink_jdbc_exactly_once",
+    f"""
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM {EVENTS_US} WHERE event_id % 11 = 5
+    """,
+)
+def stream_sink_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming into an RDBMS (§2.8 + S13's sink half,
+    on embedded Derby): two micro-batches flow through the
+    delete-then-insert epoch protocol
+    (``streaming/exactly_once.py:jdbc_idempotent_writer``), then the
+    gate ADVERSARIALLY replays both failure windows — a full epoch
+    redelivery after the marker committed (must skip), and a
+    crash-between-data-and-marker (marker removed, epoch re-run: the
+    delete clears the half-write before re-append) — and reads the
+    table back through the partitioned JDBC source. The oracle is the
+    plain fixture slice: any duplicate or loss under replay breaks the
+    value hash."""
+    import os
+    import tempfile
+
+    from etl_router_spark.sources.registry import read_source
+    from etl_router_spark.streaming.exactly_once import jdbc_idempotent_writer
+
+    wd = tempfile.mkdtemp(prefix="etl_jdbc_eo_")
+    url = f"jdbc:derby:{wd}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = f"{wd}/in"
+    os.makedirs(src)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 11 == 5)
+          .select("event_id", "user_id", F.round("value", 6).alias("value")))
+    mid = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).collect()[0][0]
+    batches = [ev.filter(F.col("event_id") < mid),
+               ev.filter(F.col("event_id") >= mid)]
+    for i, b in enumerate(batches):
+        tmp = f"{wd}/b{i}"
+        b.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/file_{i:02d}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_600_000_000 + 600 * i,) * 2)
+    writer = jdbc_idempotent_writer(url, "events_eo", driver)
+    schema = spark.read.parquet(src).schema
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(writer)
+         .option("checkpointLocation", f"{wd}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # adversarial replays against the committed table:
+    # 1) full redelivery of epoch 0 (marker present) -> must no-op
+    writer(batches[0], 0)
+    # 2) crash window: marker for epoch 1 lost after data landed ->
+    #    the re-run must delete the half-write before re-appending
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM etl_epochs WHERE epoch_id = 1")
+    st.close()
+    conn.close()
+    writer(batches[1], 1)
+
+    return read_source(spark, {
+        "source_type": "jdbc", "url": url, "table": "events_eo",
+        "driver": driver,
+    }, streaming=False).select("event_id", "user_id", "value")

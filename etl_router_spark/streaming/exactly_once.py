@@ -115,3 +115,98 @@ def dedupe_idempotency(df: DataFrame, key: str = "idempotency_key",
     if df.isStreaming and within_watermark:
         return df.dropDuplicatesWithinWatermark([key])
     return df.dropDuplicates([key])
+
+
+def jdbc_idempotent_writer(
+    url: str,
+    table: str,
+    driver: str,
+    epochs_table: str = "etl_epochs",
+    epoch_col: str = "etl_epoch",
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once foreachBatch into an RDBMS: the delete-then-insert
+    epoch protocol (the production pattern for JDBC sinks, where the
+    file sink's atomic rename does not exist).
+
+    Per epoch: (1) if the epoch's row exists in ``epochs_table`` the
+    whole epoch is a DUPLICATE and is skipped; (2) otherwise DELETE the
+    epoch's rows from ``table`` (clears a half-written crash window),
+    (3) append the batch stamped with ``epoch_col``, (4) insert the
+    epoch marker — the commit point. A crash between (3) and (4)
+    replays into (2)'s delete, so the data lands exactly once no matter
+    where the failure hits; marker-before-data would instead LOSE the
+    epoch. Marker checks ride the same database as the data (one
+    durability domain — the same placement rule as the file-sink
+    markers above).
+    """
+    from pyspark.sql import functions as F
+
+    def _connect(spark):
+        jvm = spark._jvm  # noqa: SLF001 - DriverManager for marker SQL
+        jvm.java.lang.Class.forName(driver)
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def _ensure_epochs_table(spark) -> None:
+        conn = _connect(spark)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f"CREATE TABLE {epochs_table} (epoch_id BIGINT PRIMARY KEY)")
+            except Exception:
+                pass  # exists
+            st.close()
+        finally:
+            conn.close()
+
+    def _data_table_exists(conn) -> bool:
+        # Spark's JDBC writer passes ``dbtable`` through UNQUOTED (the
+        # database applies its case fold — Derby/Postgres differ) while
+        # QUOTING column names; probe the metadata under both casings
+        for candidate in (table, table.upper(), table.lower()):
+            rs = conn.getMetaData().getTables(None, None, candidate, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _ensure_epochs_table(spark)
+        conn = _connect(spark)
+        try:
+            st = conn.createStatement()
+            rs = st.executeQuery(
+                f"SELECT 1 FROM {epochs_table} WHERE epoch_id = {int(epoch_id)}")
+            committed = rs.next()
+            rs.close()
+            if committed:
+                st.close()
+                return  # replayed epoch: DUPLICATE, skip entirely
+            if _data_table_exists(conn):
+                # table name UNQUOTED (created unquoted -> folded, so
+                # unquoted SQL folds identically); epoch column QUOTED
+                # (Spark's writer quotes column identifiers at CREATE)
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "{epoch_col}" = {int(epoch_id)}')
+            st.close()
+        finally:
+            conn.close()
+        (
+            batch_df.withColumn(epoch_col, F.lit(int(epoch_id)))
+            .write.format("jdbc")
+            .option("url", url).option("dbtable", table)
+            .option("driver", driver).mode("append").save()
+        )
+        conn = _connect(spark)
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(
+                f"INSERT INTO {epochs_table} VALUES ({int(epoch_id)})")
+            st.close()
+        finally:
+            conn.close()
+
+    return write_epoch

@@ -124,3 +124,36 @@ def test_mark_epoch_atomic_content(tmp_path):
     mark_epoch(str(tmp_path / "m"), 0)  # idempotent re-mark
     assert epoch_committed(str(tmp_path / "m"), 0)
     assert not epoch_committed(str(tmp_path / "m"), 1)
+
+
+def test_jdbc_idempotent_writer_replay_windows(spark, tmp_path):
+    """Every failure window of the delete-then-insert epoch protocol:
+    committed-epoch redelivery no-ops, and a lost-marker replay
+    (crash between data and marker) deletes the half-write first."""
+    from etl_router_spark.streaming.exactly_once import jdbc_idempotent_writer
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    writer = jdbc_idempotent_writer(url, "t_eo", driver,
+                                    epochs_table="eo_epochs")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b0, 0)  # full redelivery: marker exists -> skip
+
+    def count():
+        return (spark.read.format("jdbc").option("url", url)
+                .option("dbtable", "t_eo").option("driver", driver)
+                .load().count())
+
+    assert count() == 3
+    # crash window: marker lost after epoch 1's data landed
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM eo_epochs WHERE epoch_id = 1")
+    st.close()
+    conn.close()
+    writer(b1, 1)  # must delete the old epoch-1 rows before re-append
+    assert count() == 3
