@@ -160,6 +160,9 @@ def decode_int(block: bytes, i: int, prefix_bits: int) -> tuple[int, int]:
         return value, i
     shift = 0
     while True:
+        if shift > 63:  # bound like a 64-bit varint; RFC 7541 §5.1 allows
+            # arbitrarily large integers but no sane peer sends one
+            raise ValueError("HPACK integer exceeds 64 bits (malformed input)")
         b = block[i]
         i += 1
         value += (b & 0x7F) << shift

@@ -83,6 +83,8 @@ def enc_varint(n: int) -> bytes:
 def dec_varint(buf: bytes, i: int) -> tuple[int, int]:
     n = shift = 0
     while True:
+        if shift > 63:  # 64-bit varint = at most 10 continuation bytes
+            raise ValueError("varint exceeds 64 bits (malformed input)")
         b = buf[i]
         i += 1
         n |= (b & 0x7F) << shift
@@ -311,9 +313,10 @@ class KafkaWireBroker:
             out += struct.pack(">h", 0) + enc_str(t)
             out += struct.pack(">i", n_parts)
             for p in range(n_parts):
-                out += struct.pack(">hiii", 0, p, 0, 1)  # leader=broker 0
-                out += struct.pack(">i", 0)  # replicas
-                out += struct.pack(">i", 0)  # isr
+                # err=0, partition=p, leader=broker 0, replicas_count=1
+                out += struct.pack(">hiii", 0, p, 0, 1)
+                out += struct.pack(">i", 0)  # the sole replica's id (broker 0)
+                out += struct.pack(">i", 0)  # isr_count=0 (empty isr array)
         return out
 
     def _produce(self, body: bytes) -> bytes:
