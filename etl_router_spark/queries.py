@@ -3834,34 +3834,30 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed after their newest green row) jump to the head of their
 # staleness group.
 _TOUCHED_BOOST = (
-    # r5 code changes behind gates whose newest DRIVER row predates
-    # them (all locally re-verified this round, but the hard signal
-    # should refresh first): triangle_count now releases its cache via
-    # localCheckpoint; the jsonl_queue writer gained per-job batch
-    # names + filename offsets; the gRPC client/receiver switched to
-    # the full HPACK decoder
+    # code changes behind gates whose newest DRIVER row predates them
+    # (locally re-verified, but the hard signal should refresh first):
+    # r5 gave triangle_count a localCheckpoint cache release and moved
+    # the gRPC client/receiver to the full HPACK decoder (both gates'
+    # newest driver row is r4); r7 added HTTP/2 flow-control window
+    # tracking to the gRPC client + WINDOW_UPDATE emission to the
+    # hermetic receiver, which sits behind every gRPC gate
+    # (source_jsonl_queue_roundtrip's r5 writer change got its fresh
+    # r6 row — pruned)
     "graph_triangles",
     "sink_grpc_roundtrip",
-    "source_jsonl_queue_roundtrip",
+    "stream_sink_grpc_exactly_once",
+    "source_grpc_staging_roundtrip",
 )
 
 # Gates REGISTERED this round: rank them after every already-known
 # gate so the driver's ~50-slot window burns down the verification
-# backlog (28 never-checked r4 gates + the round-1-stale set) instead
-# of being consumed by brand-new additions. New gates are verified
-# locally (scripts/check_correctness.py) until the backlog clears.
-_DEFER_NEW = (
-    "source_kafka_wire_roundtrip",
-    "stream_idle_source_promotion",
-    "embedding_pca_project",
-    "stream_cdc_upsert_epochs",
-    "corpus_pack_boundaries",
-    "text_bpe_tokenize",
-    "source_mongodb_wire_roundtrip",
-    "stream_sink_jdbc_exactly_once",
-    "source_s3_api_roundtrip",
-    "source_gcs_api_roundtrip",
-)
+# backlog instead of being consumed by brand-new additions. New gates
+# are verified locally (scripts/check_correctness.py) until the
+# backlog clears. Emptied in r7: the backlog is burned (no gate's
+# newest driver row predates r3), so the 10 round-5 additions this
+# protected now rank in the fresh tier — first after failures — and
+# the r7 window covers all 10 plus 40 of the r3-stale set.
+_DEFER_NEW = ()
 
 
 def _driver_history() -> tuple[dict, set]:
