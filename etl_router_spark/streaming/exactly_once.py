@@ -23,11 +23,49 @@ both survive or vanish together).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
 from etl_router_spark.sinks.registry import write_sink
+
+# SQL identifiers this module interpolates into raw statements (the
+# marker-protocol SQL runs over plain java.sql, outside Spark's quoted
+# writer path) — restrict to the unquoted-identifier grammar so a
+# malicious/typo'd config can't smuggle SQL
+_SQL_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# "table already exists" SQLStates: Derby X0Y32, MySQL/SQLServer 42S01,
+# Postgres 42P07 — the ONLY failure CREATE TABLE is allowed to swallow
+# (permission/schema/connection errors must propagate, not vanish)
+_TABLE_EXISTS_SQLSTATES = frozenset({"X0Y32", "42S01", "42P07"})
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not _SQL_IDENT.match(name or ""):
+        raise ValueError(
+            f"{what} {name!r} is not a valid SQL identifier "
+            "(expected ^[A-Za-z_][A-Za-z0-9_]*$)")
+    return name
+
+
+def _sql_state(exc: BaseException) -> str | None:
+    """SQLState of a py4j-wrapped java.sql.SQLException (walking the
+    cause chain — Derby nests the stated exception)."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            return str(state)
+        try:
+            je = je.getCause()
+        except Exception:
+            return None
+    return None
 
 
 def epoch_committed(marker_dir: str, epoch_id: int) -> bool:
@@ -138,8 +176,16 @@ def jdbc_idempotent_writer(
     epoch. Marker checks ride the same database as the data (one
     durability domain — the same placement rule as the file-sink
     markers above).
+
+    ``table``/``epochs_table``/``epoch_col`` are interpolated into raw
+    SQL, so they are validated as plain identifiers at construction
+    (fail fast, not at the first epoch inside a running stream).
     """
     from pyspark.sql import functions as F
+
+    _check_ident(table, "table")
+    _check_ident(epochs_table, "epochs_table")
+    _check_ident(epoch_col, "epoch_col")
 
     def _connect(spark):
         jvm = spark._jvm  # noqa: SLF001 - DriverManager for marker SQL
@@ -153,8 +199,13 @@ def jdbc_idempotent_writer(
             try:
                 st.executeUpdate(
                     f"CREATE TABLE {epochs_table} (epoch_id BIGINT PRIMARY KEY)")
-            except Exception:
-                pass  # exists
+            except Exception as exc:
+                # swallow ONLY "already exists" (the expected race on
+                # every epoch after the first); permission / schema /
+                # syntax failures propagate instead of hiding until
+                # the epoch-marker SELECT fails confusingly later
+                if _sql_state(exc) not in _TABLE_EXISTS_SQLSTATES:
+                    raise
             st.close()
         finally:
             conn.close()

@@ -157,3 +157,40 @@ def test_jdbc_idempotent_writer_replay_windows(spark, tmp_path):
     conn.close()
     writer(b1, 1)  # must delete the old epoch-1 rows before re-append
     assert count() == 3
+
+
+def test_jdbc_writer_rejects_bad_identifiers(tmp_path):
+    """Identifier validation happens at CONSTRUCTION (fail fast), not
+    at the first epoch inside a running stream — and it closes the
+    SQL-interpolation hole in the raw marker-protocol statements."""
+    import pytest
+
+    from etl_router_spark.streaming.exactly_once import jdbc_idempotent_writer
+
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    for bad in ('t; DROP TABLE x', 'a b', '1tab', '', 'x"y'):
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc_idempotent_writer(url, bad, driver)
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc_idempotent_writer(url, "ok", driver, epochs_table=bad)
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc_idempotent_writer(url, "ok", driver, epoch_col=bad)
+
+
+def test_jdbc_writer_create_failure_propagates(spark, tmp_path):
+    """A CREATE TABLE failure that is NOT 'already exists' must raise,
+    not be silently swallowed: 'select' passes the identifier regex but
+    is a Derby reserved word, so CREATE fails with a syntax error
+    (SQLState 42X01) — exactly the class of permission/schema failure
+    the old blanket `except: pass` used to hide."""
+    import pytest
+
+    from etl_router_spark.streaming.exactly_once import jdbc_idempotent_writer
+
+    url = f"jdbc:derby:{tmp_path}/db3;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    writer = jdbc_idempotent_writer(url, "t_ok", driver, epochs_table="select")
+    b0 = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(Exception, match="(?i)syntax|select"):
+        writer(b0, 0)
