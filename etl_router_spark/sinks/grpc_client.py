@@ -101,11 +101,14 @@ def read_h2(conn: socket.socket) -> tuple[int, int, int, bytes]:
 class GrpcLinesClient:
     """One HTTP/2 connection; unary calls on successive odd streams.
 
-    Limitation (documented, not enforced): HTTP/2 flow-control
-    WINDOW_UPDATE handling is not implemented — keep each call's
-    payload under the peer's initial window (RFC 7540 default 65535
-    bytes; the sink's batch_size=500 JSON rows stays well under it)
-    or raise the peer's SETTINGS_INITIAL_WINDOW_SIZE."""
+    Flow control (RFC 7540 §5.2, §6.9) is tracked and ENFORCED on the
+    send path: the connection and per-stream send windows start at
+    65535, SETTINGS_INITIAL_WINDOW_SIZE re-bases open stream windows
+    (§6.9.2), WINDOW_UPDATE replenishes, and ``call`` blocks — reading
+    frames, which is what delivers the replenishment — whenever the
+    next DATA chunk would overrun ``min(conn, stream)`` window. A
+    payload of any size is therefore safe against a real gRPC server;
+    nothing is ever written beyond what the peer advertised."""
 
     def __init__(self, host: str, port: int, path: str,
                  timeout_s: float = 10.0):
@@ -118,53 +121,99 @@ class GrpcLinesClient:
         # HPACK dynamic-table state is connection-scoped (RFC 7541
         # §2.2): one decoder for every response block on this socket
         self.hpack = HpackDecoder()
+        # send-direction flow control (RFC 7540 §6.9.1 initial values;
+        # the peer's SETTINGS/WINDOW_UPDATE frames move them)
+        self.conn_window = 65535
+        self.peer_initial_window = 65535
+        self.max_frame_size = 16384
+        self.stream_windows: dict[int, int] = {}
+
+    def _apply_settings(self, payload: bytes) -> None:
+        """Peer SETTINGS: INITIAL_WINDOW_SIZE (0x4) re-bases every open
+        stream's window by the delta (§6.9.2 — it does NOT touch the
+        connection window); MAX_FRAME_SIZE (0x5) caps our DATA frames."""
+        for off in range(0, len(payload) - 5, 6):
+            ident, value = struct.unpack_from(">HI", payload, off)
+            if ident == 0x4:
+                delta = value - self.peer_initial_window
+                self.peer_initial_window = value
+                for s in self.stream_windows:
+                    self.stream_windows[s] += delta
+            elif ident == 0x5:
+                self.max_frame_size = value
 
     def call(self, payload: bytes) -> None:
         """Unary call; raises GrpcCallError on non-zero grpc-status."""
         stream = self.next_stream
         self.next_stream += 2
+        self.stream_windows[stream] = self.peer_initial_window
         hdr_block = b"".join(hpack_literal(n, v) for n, v in [
             (b":method", b"POST"), (b":scheme", b"http"),
             (b":path", self.path), (b":authority", self.authority),
             (b"content-type", b"application/grpc"), (b"te", b"trailers"),
         ])
-        self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
-        msg = pb_wrap_payload(payload)
-        grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
-        # RFC 7540 §4.2: frames are capped at SETTINGS_MAX_FRAME_SIZE
-        # (default 16384) — chunk the gRPC message across DATA frames,
-        # END_STREAM on the last only
-        for off in range(0, len(grpc_frame), 16384):
-            chunk = grpc_frame[off:off + 16384]
-            last = off + 16384 >= len(grpc_frame)
-            self.sock.sendall(h2_frame(0, 0x1 if last else 0x0, stream, chunk))
-        # read until this stream's trailers; header blocks may span
-        # HEADERS + CONTINUATION frames (END_HEADERS terminates)
+        # response state threaded through both the send-blocked reads
+        # and the response loop: header blocks may span HEADERS +
+        # CONTINUATION frames (END_HEADERS terminates the block)
         hdr_buf = b""
         hdr_open = False
-        while True:
+        status: list[tuple[int, str]] = []
+
+        def process_frame() -> None:
+            nonlocal hdr_buf, hdr_open
             ftype, flags, fstream, fpayload = read_h2(self.sock)
-            if ftype == 4 and not flags & 1:  # peer SETTINGS -> ACK
+            if ftype == 4 and not flags & 1:  # peer SETTINGS -> apply+ACK
+                self._apply_settings(fpayload)
                 self.sock.sendall(h2_frame(4, 1, 0, b""))
             elif ftype == 6 and not flags & 1:  # PING -> ACK
                 self.sock.sendall(h2_frame(6, 1, 0, fpayload))
+            elif ftype == 8:  # WINDOW_UPDATE (§6.9)
+                inc = struct.unpack(">I", fpayload)[0] & 0x7FFFFFFF
+                if fstream == 0:
+                    self.conn_window += inc
+                elif fstream in self.stream_windows:
+                    self.stream_windows[fstream] += inc
+            elif ftype == 3 and fstream == stream:  # RST_STREAM
+                err = struct.unpack(">I", fpayload)[0]
+                raise ConnectionError(f"RST_STREAM error {err}")
             elif ftype == 1 and fstream == stream:
                 hdr_buf = headers_fragment(flags, fpayload)
                 hdr_open = not flags & 0x4
             elif ftype == 9 and fstream == stream and hdr_open:
                 hdr_buf += fpayload
                 hdr_open = not flags & 0x4
-            else:
-                continue
-            if ftype in (1, 9) and not hdr_open:
+            if ftype in (1, 9) and fstream == stream and not hdr_open:
                 hdrs = self.hpack.decode_dict(hdr_buf)
                 hdr_buf = b""
                 if b"grpc-status" in hdrs:
-                    status = int(hdrs[b"grpc-status"])
-                    if status != 0:
-                        raise GrpcCallError(
-                            status, hdrs.get(b"grpc-message", b"").decode())
-                    return
+                    status.append((int(hdrs[b"grpc-status"]),
+                                   hdrs.get(b"grpc-message", b"").decode()))
+
+        self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
+        msg = pb_wrap_payload(payload)
+        grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
+        off = 0
+        while off < len(grpc_frame) and not status:
+            # §5.2: each DATA chunk must fit BOTH windows; when they
+            # are exhausted, block on the peer's frames — that is
+            # where WINDOW_UPDATE arrives (this is the wait the old
+            # implementation documented but did not implement)
+            avail = min(self.conn_window, self.stream_windows[stream])
+            if avail <= 0:
+                process_frame()
+                continue
+            chunk = grpc_frame[off:off + min(avail, self.max_frame_size)]
+            off += len(chunk)
+            last = off >= len(grpc_frame)
+            self.sock.sendall(h2_frame(0, 0x1 if last else 0x0, stream, chunk))
+            self.conn_window -= len(chunk)
+            self.stream_windows[stream] -= len(chunk)
+        while not status:
+            process_frame()
+        del self.stream_windows[stream]
+        st, smsg = status[0]
+        if st != 0:
+            raise GrpcCallError(st, smsg)
 
     def close(self) -> None:
         try:
@@ -283,6 +332,13 @@ class GrpcLinesReceiver:
                         bufs[stream] = b""
                 elif ftype == 0:
                     bufs[stream] = bufs.get(stream, b"") + payload
+                    if payload:
+                        # replenish both windows as data is consumed
+                        # (RFC 7540 §6.9) — without this a sender that
+                        # honors flow control stalls at 65535 bytes
+                        inc = struct.pack(">I", len(payload))
+                        conn.sendall(h2_frame(8, 0, 0, inc))
+                        conn.sendall(h2_frame(8, 0, stream, inc))
                     if flags & 1:  # END_STREAM: decode + respond
                         buf = bufs.pop(stream)
                         comp, mlen = buf[0], struct.unpack(">I", buf[1:5])[0]
