@@ -2858,23 +2858,98 @@ def corpus_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_tokenize")  # no SQL oracle: BPE is iterative per word
+# pinned merge table for the text_bpe_tokenize gate (shared by the
+# Spark gate and its independent recursive-CTE oracle below)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g</w>"),
+    ("a", "n"), ("an", "d</w>"), ("e", "r</w>"), ("o", "n</w>"),
+    ("r", "e"), ("o", "f</w>"), ("t", "o</w>"), ("e", "n"),
+]
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """INDEPENDENT reference implementation of greedy BPE merge
+    application (Sennrich et al. 2016) as a DuckDB recursive CTE —
+    written against the published algorithm, not by importing the
+    engine's tokenizer, so the value-hash comparison is a real
+    cross-check rather than self-agreement.
+
+    Shape: split text on whitespace; each DISTINCT word starts as its
+    characters with ``</w>`` fused onto the last one; per recursion
+    step the LOWEST-rank adjacent pair (leftmost on ties — matched by
+    taking list_min of ranks then the first position) merges; a word
+    stops producing rows when no pair is in the merge table, and
+    ``max_by(parts, d)`` recovers its final state. Tokens never contain
+    spaces (they come from whitespace-split words), so ``' '`` is a
+    collision-free pair separator. ``nullif(list_position(..),0)``
+    because DuckDB's list_position signals a miss as 0, not NULL."""
+    ranks = "[" + ", ".join(f"'{l} {r}'" for l, r in merges) + "]"
+    return f"""
+    WITH RECURSIVE
+    words_raw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    doc_words AS (
+      SELECT doc_id, u[1] AS word, u[2] AS word_idx
+      FROM words_raw, UNNEST(list_zip(ws, range(1, len(ws)+1))) AS t(u)
+    ),
+    dw AS (SELECT DISTINCT word FROM doc_words),
+    init AS (
+      SELECT word,
+             list_append(list_transform(range(1, length(word)), i -> word[i]),
+                         word[length(word)] || '</w>') AS parts
+      FROM dw
+    ),
+    step(word, parts, d) AS (
+      SELECT word, parts, 0 FROM init
+      UNION ALL
+      SELECT word,
+             parts[1:bj-1] || [parts[bj] || parts[bj+1]] || parts[bj+2:],
+             d + 1
+      FROM (
+        SELECT word, parts, d,
+               list_min(list_filter(rks, x -> x IS NOT NULL)) AS br,
+               list_position(rks,
+                 list_min(list_filter(rks, x -> x IS NOT NULL))) AS bj
+        FROM (
+          SELECT word, parts, d,
+                 list_transform(range(1, len(parts)),
+                   j -> nullif(list_position({ranks},
+                          parts[j] || ' ' || parts[j+1]), 0)) AS rks
+          FROM step WHERE len(parts) > 1
+        )
+      ) WHERE br IS NOT NULL
+    ),
+    tok AS (SELECT word, max_by(parts, d) AS parts FROM step GROUP BY word),
+    flat AS (
+      SELECT dwo.doc_id, flatten(list(t.parts ORDER BY dwo.word_idx)) AS toks
+      FROM doc_words dwo JOIN tok t USING (word)
+      GROUP BY dwo.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(f.toks), 0) AS BIGINT) AS bpe_tokens_n,
+           coalesce(array_to_string(f.toks[1:12], ' '), '') AS head_tokens
+    FROM documents d LEFT JOIN flat f USING (doc_id)
+    """
+
+
+@query("text_bpe_tokenize", _bpe_oracle_sql(_BPE_MERGES))
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-exact BPE tokenization over the documents table with a
     pinned merge table (``functions/text.py:bpe_tokenize``). Greedy
-    merge application is inherently iterative, so there is no DuckDB
-    twin — the driver records the rows-only check; the algorithm
-    itself is pinned by hand-computed merge sequences in
-    tests/test_functions.py (test_bpe_tokenize_*)."""
+    merge application is iterative per word, so the engine side runs
+    as Arrow ``mapInPandas``; the DuckDB twin is an independent
+    recursive-CTE implementation of the same published algorithm
+    (``_bpe_oracle_sql``), closing the last rows-only gate of the
+    registry. The algorithm is additionally pinned by hand-computed
+    merge sequences in tests/test_functions.py (test_bpe_tokenize_*)."""
     from etl_router_spark.functions.text import bpe_tokenize
 
-    merges = [
-        ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g</w>"),
-        ("a", "n"), ("an", "d</w>"), ("e", "r</w>"), ("o", "n</w>"),
-        ("r", "e"), ("o", "f</w>"), ("t", "o</w>"), ("e", "n"),
-    ]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = bpe_tokenize(docs, merges)
+    out = bpe_tokenize(docs, _BPE_MERGES)
     return out.select(
         "doc_id", "bpe_tokens_n",
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 12)).alias("head_tokens"),
