@@ -137,6 +137,30 @@ def main() -> None:
     # round 3 after observing cross-run swings larger than any code
     # change being measured
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # calibration: a pinned scan+aggregate over lineitem whose code
+    # never changes round-to-round, timed exactly like the headline
+    # queries. Two consecutive rounds showed ±20% per-query cross-round
+    # noise with zero code change (r4→r5 proven by A/B, r5→r6 by the
+    # empty diff); dividing a query's cross-round delta by the
+    # calibration delta separates machine drift from real regressions.
+    def _calibration(spark_, sf_dir_: str):
+        from pyspark.sql import functions as F
+        return (
+            spark_.read.parquet(f"{sf_dir_}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_extendedprice").alias("s"),
+                 F.avg("l_discount").alias("a"))
+        )
+
+    cal_best = float("inf")
+    for _ in range(max(runs, 5)):
+        t0 = time.perf_counter()
+        _calibration(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cal_best = min(cal_best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in bench_queries:
         fn = queries[name]
@@ -159,6 +183,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": round(cal_best, 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
     }))
     spark.stop()

@@ -225,8 +225,25 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     top = rev.orderBy(F.col("revenue").desc(), "p_partkey").limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey"))
-    return top.withColumn("rnk", F.row_number().over(w))
+    # rank WITHOUT a window: an unpartitioned row_number would plan a
+    # WindowExec that logs a move-all-data-to-one-partition warning on
+    # every run (a constant partition key doesn't help — Catalyst folds
+    # it away). The 10 survivors instead pack into one sorted array
+    # (struct compares field-by-field, so (-revenue, p_partkey) gives
+    # revenue desc / key asc) and posexplode's position is the rank —
+    # same bounded single-partition cost, clean bench tails.
+    packed = top.select(F.struct(
+        (-F.col("revenue")).alias("negrev"), F.col("p_partkey"),
+        F.col("p_name"), F.col("p_brand"), F.col("revenue")).alias("s"))
+    return (
+        packed.agg(F.sort_array(F.collect_list("s")).alias("rows"))
+        .select(F.posexplode("rows").alias("pos", "r"))
+        .select(F.col("r.p_partkey").alias("p_partkey"),
+                F.col("r.p_name").alias("p_name"),
+                F.col("r.p_brand").alias("p_brand"),
+                F.col("r.revenue").alias("revenue"),
+                (F.col("pos") + 1).cast("int").alias("rnk"))
+    )
 
 
 @query(
