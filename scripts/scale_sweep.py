@@ -1,0 +1,116 @@
+"""Empirical scale-curve sweep: time the expensive operators at two
+scale factors and report the wall-time ratio.
+
+The correctness gates deliberately cap their document subsets (oracle
+tractability), so the per-round bench can't see how the OPERATORS scale
+— this sweep calls the operator functions over the FULL tables at each
+SF. Generate the large SF first:
+
+    python scripts/gen_scale_data.py --out /tmp/sf1 --scale 10
+    python scripts/scale_sweep.py /root/testdata/sf0.1 /tmp/sf1
+
+Interpretation at 10x rows: a shuffle-bound operator should land at
+ratio <= ~10 once the fixed per-job overhead (measured by the
+calibration row) is subtracted; super-linear growth beyond the
+operator's documented complexity is a found scale bug. Pair-generation
+operators are expected ~quadratic ON THIS CORPUS (fixed 31-word vocab
+=> posting-list length grows linearly with corpus size; real corpora
+grow vocab by Heaps' law) — the sweep prints candidate-volume context
+for those instead of calling linear scaling a failure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _ops():
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import line_dedup
+    from etl_router_spark.functions.dedup import (
+        duplicate_ngram_spans,
+        embedding_cosine_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from etl_router_spark.functions.graph import degree_stats
+    from etl_router_spark.io import load_table
+    from etl_router_spark.queries import all_queries
+
+    QUERIES = all_queries()
+
+    def docs(spark, sf):
+        return load_table(spark, sf, "documents")
+
+    def emb(spark, sf):
+        return load_table(spark, sf, "embeddings")
+
+    return {
+        # pure-SQL anchors (full tables by nature; gate == operator)
+        "q1_pricing_summary": QUERIES["q1_pricing_summary"],
+        "q3_revenue_by_priority": QUERIES["q3_revenue_by_priority"],
+        "q18_large_orders": QUERIES["q18_large_orders"],
+        "q_top_parts_by_revenue": QUERIES["q_top_parts_by_revenue"],
+        "graph_degrees_full": QUERIES["graph_degrees"],
+        # operators over the FULL corpus (gates cap these)
+        "ngram_jaccard_full": lambda s, sf: ngram_jaccard_pairs(
+            docs(s, sf), n=3, threshold=0.12),
+        "minhash_lsh_full": lambda s, sf: minhash_lsh_pairs(
+            docs(s, sf), num_hashes=8, bands=4, threshold=0.5),
+        "simhash_pairs_full": lambda s, sf: simhash_pairs(
+            docs(s, sf), max_hamming=3, bits=32, blocks=4),
+        "embedding_cosine_full": lambda s, sf: embedding_cosine_pairs(
+            emb(s, sf), threshold=0.38, method="block", num_blocks=8),
+        "line_dedup_full": lambda s, sf: line_dedup(
+            docs(s, sf), tokens_per_line=8).select(
+                "doc_id", "n_lines", "n_lines_kept"),
+        "duplicate_spans_full": lambda s, sf: duplicate_ngram_spans(
+            docs(s, sf), n=5),
+        # calibration: fixed scan+agg, the per-job overhead yardstick
+        "calibration_scan_agg": lambda s, sf: (
+            s.read.parquet(f"{sf}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_extendedprice").alias("s"))),
+    }
+
+
+def main() -> None:
+    sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    runs = 3
+
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    ops = _ops()
+    out: dict[str, dict] = {}
+    for name, fn in ops.items():
+        row: dict = {}
+        for label, sf in (("small", sf_small), ("big", sf_big)):
+            best = float("inf")
+            rows = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["big"] / row["small"], 2)
+        out[name] = row
+        print(f"{name:28s} {row['small']:8.3f}s -> {row['big']:8.3f}s  "
+              f"x{row['ratio']}", flush=True)
+    print(json.dumps({"small": sf_small, "big": sf_big, "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
