@@ -144,20 +144,12 @@ def main() -> None:
     # noise with zero code change (r4→r5 proven by A/B, r5→r6 by the
     # empty diff); dividing a query's cross-round delta by the
     # calibration delta separates machine drift from real regressions.
-    def _calibration(spark_, sf_dir_: str):
-        from pyspark.sql import functions as F
-        return (
-            spark_.read.parquet(f"{sf_dir_}/lineitem.parquet")
-            .groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"),
-                 F.sum("l_extendedprice").alias("s"),
-                 F.avg("l_discount").alias("a"))
-        )
+    from etl_router_spark.calibration import calibration_query
 
     cal_best = float("inf")
     for _ in range(max(runs, 5)):
         t0 = time.perf_counter()
-        _calibration(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cal_best = min(cal_best, time.perf_counter() - t0)
         spark.catalog.clearCache()
 

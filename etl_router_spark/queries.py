@@ -3864,6 +3864,9 @@ _TOUCHED_BOOST = (
     "sink_grpc_roundtrip",
     "stream_sink_grpc_exactly_once",
     "source_grpc_staging_roundtrip",
+    # r7: rank attachment rewritten sort_array/posexplode (newest
+    # driver row r3 predates the change)
+    "q_top_parts_by_revenue",
 )
 
 # Gates REGISTERED this round: rank them after every already-known

@@ -108,7 +108,11 @@ class GrpcLinesClient:
     frames, which is what delivers the replenishment — whenever the
     next DATA chunk would overrun ``min(conn, stream)`` window. A
     payload of any size is therefore safe against a real gRPC server;
-    nothing is ever written beyond what the peer advertised."""
+    nothing is ever written beyond what the peer advertised. The
+    receive direction is covered too: every server DATA frame is
+    acknowledged with connection+stream WINDOW_UPDATEs, so a
+    long-lived connection (one per executor partition) can't starve
+    the server's send window across thousands of unary responses."""
 
     def __init__(self, host: str, port: int, path: str,
                  timeout_s: float = 10.0):
@@ -173,6 +177,13 @@ class GrpcLinesClient:
                     self.conn_window += inc
                 elif fstream in self.stream_windows:
                     self.stream_windows[fstream] += inc
+            elif ftype == 0 and fpayload:
+                # receive-side flow control: acknowledge server DATA
+                # (response messages) so a long-lived connection never
+                # starves the server's send window toward us
+                inc = struct.pack(">I", len(fpayload))
+                self.sock.sendall(h2_frame(8, 0, 0, inc))
+                self.sock.sendall(h2_frame(8, 0, fstream, inc))
             elif ftype == 3 and fstream == stream:  # RST_STREAM
                 err = struct.unpack(">I", fpayload)[0]
                 raise ConnectionError(f"RST_STREAM error {err}")
@@ -189,28 +200,33 @@ class GrpcLinesClient:
                     status.append((int(hdrs[b"grpc-status"]),
                                    hdrs.get(b"grpc-message", b"").decode()))
 
-        self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
-        msg = pb_wrap_payload(payload)
-        grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
-        off = 0
-        while off < len(grpc_frame) and not status:
-            # §5.2: each DATA chunk must fit BOTH windows; when they
-            # are exhausted, block on the peer's frames — that is
-            # where WINDOW_UPDATE arrives (this is the wait the old
-            # implementation documented but did not implement)
-            avail = min(self.conn_window, self.stream_windows[stream])
-            if avail <= 0:
+        try:
+            self.sock.sendall(h2_frame(1, 0x4, stream, hdr_block))
+            msg = pb_wrap_payload(payload)
+            grpc_frame = b"\x00" + struct.pack(">I", len(msg)) + msg
+            off = 0
+            while off < len(grpc_frame) and not status:
+                # §5.2: each DATA chunk must fit BOTH windows; when
+                # they are exhausted, block on the peer's frames —
+                # that is where WINDOW_UPDATE arrives (this is the
+                # wait the old implementation documented but lacked)
+                avail = min(self.conn_window, self.stream_windows[stream])
+                if avail <= 0:
+                    process_frame()
+                    continue
+                chunk = grpc_frame[off:off + min(avail, self.max_frame_size)]
+                off += len(chunk)
+                last = off >= len(grpc_frame)
+                self.sock.sendall(
+                    h2_frame(0, 0x1 if last else 0x0, stream, chunk))
+                self.conn_window -= len(chunk)
+                self.stream_windows[stream] -= len(chunk)
+            while not status:
                 process_frame()
-                continue
-            chunk = grpc_frame[off:off + min(avail, self.max_frame_size)]
-            off += len(chunk)
-            last = off >= len(grpc_frame)
-            self.sock.sendall(h2_frame(0, 0x1 if last else 0x0, stream, chunk))
-            self.conn_window -= len(chunk)
-            self.stream_windows[stream] -= len(chunk)
-        while not status:
-            process_frame()
-        del self.stream_windows[stream]
+        finally:
+            # error exits (RST_STREAM, socket timeout) must not leak
+            # the per-stream window on a connection the caller retries
+            self.stream_windows.pop(stream, None)
         st, smsg = status[0]
         if st != 0:
             raise GrpcCallError(st, smsg)

@@ -50,6 +50,20 @@ def _check_ident(name: str, what: str) -> str:
     return name
 
 
+def _jdbc_table_exists(conn, name: str) -> bool:
+    """DB-agnostic existence probe via DatabaseMetaData. Spark's JDBC
+    writer passes ``dbtable`` through UNQUOTED (the database applies
+    its case fold — Derby/Postgres differ), so probe both casings."""
+    for candidate in (name, name.upper(), name.lower()):
+        rs = conn.getMetaData().getTables(None, None, candidate, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
 def _sql_state(exc: BaseException) -> str | None:
     """SQLState of a py4j-wrapped java.sql.SQLException (walking the
     cause chain — Derby nests the stated exception)."""
@@ -195,33 +209,25 @@ def jdbc_idempotent_writer(
     def _ensure_epochs_table(spark) -> None:
         conn = _connect(spark)
         try:
+            if _jdbc_table_exists(conn, epochs_table):
+                return  # the common every-epoch path: metadata, no DDL
             st = conn.createStatement()
             try:
                 st.executeUpdate(
                     f"CREATE TABLE {epochs_table} (epoch_id BIGINT PRIMARY KEY)")
             except Exception as exc:
-                # swallow ONLY "already exists" (the expected race on
-                # every epoch after the first); permission / schema /
-                # syntax failures propagate instead of hiding until
-                # the epoch-marker SELECT fails confusingly later
-                if _sql_state(exc) not in _TABLE_EXISTS_SQLSTATES:
+                # swallow ONLY "already exists" — either the metadata
+                # probe confirms a concurrent create won the race
+                # (DB-agnostic), or the SQLState is a known
+                # table-exists code. Permission / schema / syntax
+                # failures propagate instead of hiding until the
+                # epoch-marker SELECT fails confusingly later
+                if not (_jdbc_table_exists(conn, epochs_table)
+                        or _sql_state(exc) in _TABLE_EXISTS_SQLSTATES):
                     raise
             st.close()
         finally:
             conn.close()
-
-    def _data_table_exists(conn) -> bool:
-        # Spark's JDBC writer passes ``dbtable`` through UNQUOTED (the
-        # database applies its case fold — Derby/Postgres differ) while
-        # QUOTING column names; probe the metadata under both casings
-        for candidate in (table, table.upper(), table.lower()):
-            rs = conn.getMetaData().getTables(None, None, candidate, None)
-            try:
-                if rs.next():
-                    return True
-            finally:
-                rs.close()
-        return False
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -236,7 +242,7 @@ def jdbc_idempotent_writer(
             if committed:
                 st.close()
                 return  # replayed epoch: DUPLICATE, skip entirely
-            if _data_table_exists(conn):
+            if _jdbc_table_exists(conn, table):
                 # table name UNQUOTED (created unquoted -> folded, so
                 # unquoted SQL folds identically); epoch column QUOTED
                 # (Spark's writer quotes column identifiers at CREATE)

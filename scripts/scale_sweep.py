@@ -30,8 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _ops():
-    from pyspark.sql import functions as F
-
+    from etl_router_spark.calibration import calibration_query
     from etl_router_spark.functions.corpus import line_dedup
     from etl_router_spark.functions.dedup import (
         duplicate_ngram_spans,
@@ -73,12 +72,9 @@ def _ops():
                 "doc_id", "n_lines", "n_lines_kept"),
         "duplicate_spans_full": lambda s, sf: duplicate_ngram_spans(
             docs(s, sf), n=5),
-        # calibration: fixed scan+agg, the per-job overhead yardstick
-        "calibration_scan_agg": lambda s, sf: (
-            s.read.parquet(f"{sf}/lineitem.parquet")
-            .groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"),
-                 F.sum("l_extendedprice").alias("s"))),
+        # calibration: the SAME pinned scan+agg bench.py emits as its
+        # "calibration" field — one shared definition by construction
+        "calibration_scan_agg": calibration_query,
     }
 
 
