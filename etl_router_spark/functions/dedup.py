@@ -82,6 +82,24 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
+class CandidateBudgetExceeded(RuntimeError):
+    """Raised by ``ngram_jaccard_pairs(max_candidates=...)`` when the
+    pre-flight Σ C(df, 2) estimate exceeds the caller's budget — the
+    fail-fast alternative to launching a quadratic pair shuffle."""
+
+    def __init__(self, estimate: int, budget: int):
+        super().__init__(
+            f"ngram_jaccard_pairs would generate ~{estimate:,} candidate "
+            f"pairs (budget: {budget:,}). Shingle document frequencies "
+            "scale with this corpus (vocabulary saturation); either set "
+            "an absolute max_df to bound per-shingle fan-out, or use "
+            "minhash_lsh_pairs, whose bucket keys come from whole-"
+            "document signatures (see SCALE.md round-7 measurements)."
+        )
+        self.estimate = estimate
+        self.budget = budget
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,6 +110,7 @@ def ngram_jaccard_pairs(
     max_df_frac: float | None = 0.5,
     cache: bool = False,
     pair_chunk: int = 2048,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with n-gram-set Jaccard >= threshold.
 
@@ -115,6 +134,19 @@ def ngram_jaccard_pairs(
     EXACT: the pair multiset is identical to the single-task explode
     (within-chunk pairs keep the y > x filter; cross-chunk pairs need
     none because consecutive sorted chunks are totally ordered).
+
+    ``max_candidates``: opt-in pre-flight budget on the candidate-pair
+    volume Σ C(df, 2) over surviving posting lists (one cheap aggregate
+    over the already-grouped postings — the exchange is reused by the
+    main plan). Chunk blocking bounds PER-TASK work, but nothing bounds
+    TOTAL candidate volume — on corpora whose shingle df grows with
+    corpus size (vocabulary saturation; measured ~100x candidates for
+    10x docs on the fixture corpus, SCALE.md round 7), the expansion is
+    inherently quadratic. With a budget set, the operator raises
+    ``CandidateBudgetExceeded`` BEFORE launching the quadratic shuffle,
+    with the measured estimate and the two mitigations (absolute
+    ``max_df``; the MinHash-LSH path) in the message — at 100 TB a
+    wrong plan should fail in seconds, not run for days.
     """
     # postings carry h60(shingle), not the shingle text: the persisted
     # list, the df-cap aggregation and the self-join all move/compare
@@ -153,6 +185,20 @@ def ngram_jaccard_pairs(
         # paying persist materialization (0.97s vs 1.81s at sf0.1).
         # Keep the knob for callers that layer further consumers on top.
         grouped = grouped.persist()
+    if max_candidates is not None:
+        # one-row aggregate over the grouped postings (driver sees a
+        # single long — metadata-class, same audit category as the
+        # hot-list probe below; the groupBy exchange is reused by the
+        # main plan, so the pre-flight costs one cheap reduce)
+        est_row = grouped.select(
+            F.sum(
+                (F.size("ids").cast("bigint")
+                 * (F.size("ids").cast("bigint") - 1) / 2).cast("bigint")
+            ).alias("est")
+        ).first()
+        estimate = int(est_row["est"] or 0)
+        if estimate > max_candidates:
+            raise CandidateBudgetExceeded(estimate, max_candidates)
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")

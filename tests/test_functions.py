@@ -558,3 +558,23 @@ def test_bpe_train_min_pair_count_stops(spark):
     # every pair occurs once: with the default min_pair_count=2 no
     # merge is learnable
     assert bpe_train(df, num_merges=10) == []
+
+
+def test_ngram_candidate_budget(spark):
+    """max_candidates fails fast BEFORE the quadratic pair shuffle when
+    the Sigma C(df,2) pre-flight estimate exceeds the budget, names the
+    estimate and mitigations, and passes untouched under budget."""
+    import pytest
+
+    from etl_router_spark.functions.dedup import CandidateBudgetExceeded
+
+    rows = [(i, "shared alpha beta gamma delta epsilon") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # every doc shares every shingle: 4 shingles x C(10,2) = 180 pairs
+    with pytest.raises(CandidateBudgetExceeded) as ei:
+        ngram_jaccard_pairs(df, threshold=0.1, max_candidates=100)
+    assert ei.value.estimate == 180 and ei.value.budget == 100
+    assert "minhash_lsh_pairs" in str(ei.value)
+    # generous budget: identical results to the unguarded call
+    ok = ngram_jaccard_pairs(df, threshold=0.1, max_candidates=10_000)
+    assert ok.count() == ngram_jaccard_pairs(df, threshold=0.1).count()
