@@ -83,18 +83,16 @@ def exact_dedup(
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 class CandidateBudgetExceeded(RuntimeError):
-    """Raised by ``ngram_jaccard_pairs(max_candidates=...)`` when the
-    pre-flight Σ C(df, 2) estimate exceeds the caller's budget — the
-    fail-fast alternative to launching a quadratic pair shuffle."""
+    """Raised by the pair-generation operators when the pre-flight
+    Σ C(bucket, 2) candidate estimate exceeds ``max_candidates`` — the
+    fail-fast alternative to launching a quadratic pair shuffle. At
+    100 TB a wrong plan should fail in seconds, not run for days."""
 
-    def __init__(self, estimate: int, budget: int):
+    def __init__(self, estimate: int, budget: int,
+                 op: str = "pair generation", advice: str = ""):
         super().__init__(
-            f"ngram_jaccard_pairs would generate ~{estimate:,} candidate "
-            f"pairs (budget: {budget:,}). Shingle document frequencies "
-            "scale with this corpus (vocabulary saturation); either set "
-            "an absolute max_df to bound per-shingle fan-out, or use "
-            "minhash_lsh_pairs, whose bucket keys come from whole-"
-            "document signatures (see SCALE.md round-7 measurements)."
+            f"{op} would generate ~{estimate:,} candidate pairs "
+            f"(budget: {budget:,}). {advice}".rstrip()
         )
         self.estimate = estimate
         self.budget = budget
@@ -198,7 +196,15 @@ def ngram_jaccard_pairs(
         ).first()
         estimate = int(est_row["est"] or 0)
         if estimate > max_candidates:
-            raise CandidateBudgetExceeded(estimate, max_candidates)
+            raise CandidateBudgetExceeded(
+                estimate, max_candidates, op="ngram_jaccard_pairs",
+                advice=(
+                    "Shingle document frequencies scale with this corpus "
+                    "(vocabulary saturation); either set an absolute "
+                    "max_df to bound per-shingle fan-out, or use "
+                    "minhash_lsh_pairs, whose bucket keys come from "
+                    "whole-document signatures (see SCALE.md round-7 "
+                    "measurements)."))
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -329,9 +335,17 @@ def minhash_signatures(
 
 
 def _bucket_local_pairs(
-    buckets: DataFrame, key_cols: list[str], salt_cap: int | None
+    buckets: DataFrame, key_cols: list[str], salt_cap: int | None,
+    max_candidates: int | None = None,
+    op: str = "pair generation", advice: str = "",
 ) -> DataFrame:
     """Ordered (x, y) member-struct pairs within each bucket.
+
+    ``max_candidates``: opt-in pre-flight budget on Σ C(bucket, 2) —
+    one count-aggregate over the bucket keys (map-side combined; the
+    same shape as the hot-bucket detection pass), raising
+    ``CandidateBudgetExceeded`` before any pair materializes. Salting
+    bounds PER-TASK work; this bounds TOTAL volume.
 
     ``buckets``: one row per (member, bucket); every non-key column is
     carried in the member struct, which MUST lead with ``id``.
@@ -358,6 +372,20 @@ def _bucket_local_pairs(
     broadcast back), so organic corpora pay one cheap broadcast-hash
     probe and keep the single-aggregation plan shape.
     """
+    if max_candidates is not None:
+        est_row = (
+            buckets.groupBy(*key_cols).count()
+            .select(F.sum(
+                (F.col("count").cast("bigint")
+                 * (F.col("count").cast("bigint") - 1) / 2).cast("bigint")
+            ).alias("est"))
+            .first()
+        )
+        estimate = int(est_row["est"] or 0)
+        if estimate > max_candidates:
+            raise CandidateBudgetExceeded(estimate, max_candidates,
+                                          op=op, advice=advice)
+
     member = F.struct(*[c for c in buckets.columns if c not in key_cols])
 
     def _plain() -> DataFrame:
@@ -478,6 +506,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     cache: bool = False,
     salt_cap: int | None = 512,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
@@ -524,7 +553,13 @@ def minhash_lsh_pairs(
         f"array({', '.join(sig_cols)}) AS sig",
         f"explode(array({band_keys})) AS band_key",
     )
-    pairs = _bucket_local_pairs(buckets, ["band_key"], salt_cap)
+    pairs = _bucket_local_pairs(
+        buckets, ["band_key"], salt_cap, max_candidates,
+        op="minhash_lsh_pairs",
+        advice=("Band buckets are saturated; raise rows-per-band "
+                "selectivity (more num_hashes at fixed bands, or fewer "
+                "bands) so bucket membership requires longer signature "
+                "agreement, or keep salt_cap for bounded per-task work."))
     agree = "size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), t -> t))"
     return (
         pairs.selectExpr(
@@ -664,6 +699,7 @@ def simhash_pairs(
     blocks: int = 4,
     cache: bool = False,
     salt_cap: int | None = 512,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -685,7 +721,7 @@ def simhash_pairs(
         fps = fps.persist()
     return hamming_pairs(fps, max_hamming=max_hamming, bits=bits,
                          blocks=blocks, id_col="id", code_col="simhash",
-                         salt_cap=salt_cap)
+                         salt_cap=salt_cap, max_candidates=max_candidates)
 
 
 def hamming_pairs(
@@ -696,6 +732,7 @@ def hamming_pairs(
     id_col: str = "id",
     code_col: str = "simhash",
     salt_cap: int | None = 512,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Generic hamming-distance self-join over any precomputed bit
     code column (SimHash fingerprints, perceptual image hashes, locality
@@ -714,7 +751,13 @@ def hamming_pairs(
         for i in range(blocks)
     )
     blocked = fps.selectExpr("id", "simhash", f"explode(array({chunks})) AS blk")
-    pairs = _bucket_local_pairs(blocked, ["blk"], salt_cap)
+    pairs = _bucket_local_pairs(
+        blocked, ["blk"], salt_cap, max_candidates,
+        op="hamming_pairs",
+        advice=("Fingerprint chunks are saturated (many codes share "
+                "chunk values); widen the code (more bits) or raise "
+                "blocks so chunks carry more distinguishing bits, or "
+                "keep salt_cap for bounded per-task work."))
     return (
         pairs.selectExpr(
             "x.id AS id_a",

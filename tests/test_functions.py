@@ -578,3 +578,29 @@ def test_ngram_candidate_budget(spark):
     # generous budget: identical results to the unguarded call
     ok = ngram_jaccard_pairs(df, threshold=0.1, max_candidates=10_000)
     assert ok.count() == ngram_jaccard_pairs(df, threshold=0.1).count()
+
+
+def test_bucket_pair_candidate_budget(spark):
+    """max_candidates on the bucket-local pair operators (LSH banding,
+    hamming pigeonhole) fails fast before pairs materialize."""
+    import pytest
+
+    from etl_router_spark.functions.dedup import (
+        CandidateBudgetExceeded,
+        hamming_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "same text every doc alpha beta") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with pytest.raises(CandidateBudgetExceeded, match="minhash_lsh_pairs"):
+        minhash_lsh_pairs(df, num_hashes=8, bands=4, max_candidates=10)
+    ok = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_candidates=10**6)
+    assert ok.count() == 12 * 11 // 2  # identical docs: every pair
+
+    fps = spark.createDataFrame([(i, 0) for i in range(10)],
+                                "id bigint, simhash bigint")
+    with pytest.raises(CandidateBudgetExceeded, match="hamming_pairs"):
+        hamming_pairs(fps, max_hamming=3, bits=32, max_candidates=5)
+    assert hamming_pairs(fps, max_hamming=3, bits=32,
+                         max_candidates=10**6).count() == 45
