@@ -145,6 +145,11 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return exact_dedup(df, cfg.get("text_field", "text"),
                            cfg.get("id_field", "doc_id"),
                            normalize=bool(cfg.get("normalize", True)))
+    # optional pre-flight candidate budget (pair-generation types):
+    # fail fast with CandidateBudgetExceeded instead of launching a
+    # quadratic pair shuffle on a saturated corpus
+    mc = cfg.get("max_candidates")
+    mc = int(mc) if mc is not None else None
     if tt == "dedup_minhash":
         from etl_router_spark.functions.dedup import minhash_lsh_pairs
 
@@ -153,7 +158,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                  threshold=float(cfg.get("threshold", 0.8)),
                                  text_col=cfg.get("text_field", "text"),
                                  id_col=cfg.get("id_field", "doc_id"),
-                                 salt_cap=cfg.get("salt_cap", 512))
+                                 salt_cap=cfg.get("salt_cap", 512),
+                                 max_candidates=mc)
     if tt == "dedup_ngram":
         from etl_router_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -162,7 +168,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                    n=int(cfg.get("n", 3)),
                                    threshold=float(cfg.get("threshold", 0.8)),
                                    max_df=cfg.get("max_df"),
-                                   pair_chunk=int(cfg.get("pair_chunk", 2048)))
+                                   pair_chunk=int(cfg.get("pair_chunk", 2048)),
+                                   max_candidates=mc)
     if tt == "dedup_simhash":
         from etl_router_spark.functions.dedup import simhash_pairs
 
@@ -170,7 +177,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              bits=int(cfg.get("bits", 64)),
                              text_col=cfg.get("text_field", "text"),
                              id_col=cfg.get("id_field", "doc_id"),
-                             salt_cap=cfg.get("salt_cap", 512))
+                             salt_cap=cfg.get("salt_cap", 512),
+                             max_candidates=mc)
     if tt == "dedup_embedding":
         if cfg.get("method") == "lsh":
             from etl_router_spark.functions.dedup import embedding_lsh_pairs

@@ -1061,3 +1061,16 @@ def test_bpe_tokenize_manifest(spark, sf_dir, tmp_path):
                str(tmp_path / "o"))
     rows = out.limit(5).collect()
     assert all(r.bpe_tokens_n == len(r.bpe_tokens) > 0 for r in rows)
+
+
+def test_dedup_manifest_candidate_budget(spark, sf_dir, tmp_path):
+    """max_candidates flows from the YAML stage config into the
+    operator's pre-flight budget: a saturated corpus fails fast at
+    compile-run time instead of launching the quadratic pair shuffle."""
+    from etl_router_spark.functions.dedup import CandidateBudgetExceeded
+
+    with pytest.raises(CandidateBudgetExceeded, match="minhash_lsh_pairs"):
+        _run(spark, f"{sf_dir}/documents.parquet",
+             {"transform_type": "dedup_minhash", "num_hashes": 8,
+              "bands": 4, "threshold": 0.5, "max_candidates": 1},
+             str(tmp_path / "o"))
