@@ -16,7 +16,9 @@ from etl_router_spark.functions.text import (  # noqa: F401
     shingles,
 )
 from etl_router_spark.functions.dedup import (  # noqa: F401
+    CandidateBudgetExceeded,
     exact_dedup,
+    hamming_pairs,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
