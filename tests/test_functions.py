@@ -604,3 +604,60 @@ def test_bucket_pair_candidate_budget(spark):
         hamming_pairs(fps, max_hamming=3, bits=32, max_candidates=5)
     assert hamming_pairs(fps, max_hamming=3, bits=32,
                          max_candidates=10**6).count() == 45
+
+
+def test_bpe_tokenize_property_random(spark):
+    """Property check: bpe_tokenize agrees with an independent
+    in-test reference implementation of greedy lowest-rank-leftmost
+    merge application on randomized corpora/merge tables (one Spark
+    round-trip over many generated docs — hypothesis-style coverage
+    without per-example job overhead)."""
+    import random
+
+    from etl_router_spark.functions.text import bpe_tokenize
+
+    rng = random.Random(1347)
+    alphabet = "abcde"
+    # random merge table over plausible subword units
+    units = list(alphabet) + [a + b for a in alphabet for b in alphabet]
+    units += [u + "</w>" for u in alphabet] + ["</w>"]
+    merges = []
+    seen = set()
+    while len(merges) < 25:
+        p = (rng.choice(units), rng.choice(units))
+        if p not in seen:
+            seen.add(p)
+            merges.append(p)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_word(w):
+        parts = (list(w[:-1]) + [w[-1] + "</w>"]) if w else ["</w>"]
+        while len(parts) > 1:
+            best, br = None, len(ranks)
+            for j in range(len(parts) - 1):
+                r = ranks.get((parts[j], parts[j + 1]))
+                if r is not None and r < br:
+                    best, br = j, r
+            if best is None:
+                break
+            parts[best:best + 2] = [parts[best] + parts[best + 1]]
+        return parts
+
+    docs = []
+    for i in range(120):
+        n_words = rng.randint(0, 12)
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(n_words)]
+        docs.append((i, " ".join(words)))
+    docs.append((120, None))  # null text
+    docs.append((121, "   "))  # whitespace-only
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: (list(r.bpe_tokens), r.bpe_tokens_n)
+           for r in bpe_tokenize(df, merges).collect()}
+    for doc_id, text in docs:
+        want = []
+        for w in (text or "").split():
+            want.extend(ref_word(w))
+        assert got[doc_id] == (want, len(want)), doc_id
