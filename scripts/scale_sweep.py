@@ -31,7 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def _ops():
     from etl_router_spark.calibration import calibration_query
-    from etl_router_spark.functions.corpus import line_dedup
+    from etl_router_spark.functions.corpus import (
+        global_shuffle,
+        line_dedup,
+        pack_sequences,
+    )
+    from etl_router_spark.functions.graph import pagerank
+    from etl_router_spark.functions.indexing import tfidf_cosine_pairs
+    from etl_router_spark.functions.similarity import brute_force_topk
+    from etl_router_spark.queries_llm import _link_graph
     from etl_router_spark.functions.dedup import (
         duplicate_ngram_spans,
         embedding_cosine_pairs,
@@ -72,6 +80,18 @@ def _ops():
                 "doc_id", "n_lines", "n_lines_kept"),
         "duplicate_spans_full": lambda s, sf: duplicate_ngram_spans(
             docs(s, sf), n=5),
+        # second wave (round 7, extended): the remaining expensive
+        # operator families over full tables
+        "similarity_topk_full": lambda s, sf: brute_force_topk(
+            emb(s, sf).filter("vec_id < 20"), emb(s, sf), k=5),
+        "pagerank_5it_full": lambda s, sf: pagerank(
+            _link_graph(s, sf), "src", "dst", iterations=5),
+        "pack_sequences_full": lambda s, sf: pack_sequences(
+            docs(s, sf).selectExpr(
+                "doc_id", "size(split(text, ' ')) AS n_tokens"),
+            max_tokens=512),
+        "global_shuffle_full": lambda s, sf: global_shuffle(docs(s, sf)),
+        "tfidf_cosine_full": lambda s, sf: tfidf_cosine_pairs(docs(s, sf)),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
@@ -83,10 +103,15 @@ def main() -> None:
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     runs = 3
 
+    import os
+
     from etl_router_spark.session import get_spark
 
     spark = get_spark("scale_sweep")
     ops = _ops()
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only.split(",")}
     out: dict[str, dict] = {}
     for name, fn in ops.items():
         row: dict = {}
