@@ -1,0 +1,89 @@
+"""Compare two bench.py outputs with calibration-normalized deltas.
+
+Rounds 4-6 each burned analysis time re-litigating ±20% per-query
+cross-round swings that A/B tests kept proving were machine drift.
+bench.py now emits a pinned ``calibration`` measurement; this tool
+divides each query's cross-round ratio by the calibration ratio and
+flags only what remains.
+
+Usage:
+    python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.25]
+
+Accepts either a raw bench JSON line or the driver's BENCH_r{N}.json
+wrapper (bench line inside its "tail" field). Files without a
+``calibration`` field (pre-round-7) fall back to raw ratios, flagged as
+UNNORMALIZED.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as fh:
+        data = json.load(fh)
+    if "queries" in data:
+        return data
+    # driver wrapper: find the bench JSON line inside "tail"
+    tail = data.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        # the bench line is the one carrying a queries map
+        if line.startswith("{") and '"queries"' in line:
+            try:
+                cand = json.loads(re.sub(r"^[^{]*", "", line))
+            except json.JSONDecodeError:
+                continue
+            if "queries" in cand:
+                return cand
+    raise ValueError(f"{path}: no bench JSON line found")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.25,
+                    help="flag normalized ratios beyond this (and below "
+                         "its reciprocal)")
+    args = ap.parse_args()
+
+    old, new = load_bench(args.old), load_bench(args.new)
+    cal_old, cal_new = old.get("calibration"), new.get("calibration")
+    normalized = bool(cal_old and cal_new)
+    drift = (cal_new / cal_old) if normalized else 1.0
+    tag = (f"calibration {cal_old:.3f}s -> {cal_new:.3f}s "
+           f"(machine drift x{drift:.2f})" if normalized
+           else "UNNORMALIZED (a side lacks the calibration field)")
+    print(f"# {tag}; flag threshold x{args.threshold}")
+
+    flagged = 0
+    for name in sorted(set(old["queries"]) & set(new["queries"])):
+        a, b = old["queries"][name], new["queries"][name]
+        if not a:
+            continue
+        norm = (b / a) / drift
+        mark = ""
+        if norm >= args.threshold:
+            mark, flagged = "REGRESSED", flagged + 1
+        elif norm <= 1 / args.threshold:
+            mark = "improved"
+        if mark:
+            print(f"{name:32s} {a:7.3f}s -> {b:7.3f}s  "
+                  f"norm x{norm:.2f}  {mark}")
+    only_old = set(old["queries"]) - set(new["queries"])
+    only_new = set(new["queries"]) - set(old["queries"])
+    if only_old:
+        print(f"# dropped queries: {sorted(only_old)}")
+    if only_new:
+        print(f"# new queries: {sorted(only_new)}")
+    print(f"# total {old['value']:.3f}s -> {new['value']:.3f}s; "
+          f"{flagged} regression(s) beyond drift")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
