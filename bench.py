@@ -3,7 +3,12 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": total_sec, "unit": "sec",
- "queries": {name: sec, ...}, "sf": "..."}
+ "queries": {name: sec, ...}, "calibration": sec, "sf": "..."}
+
+"calibration" is a pinned scan+aggregate (etl_router_spark/calibration.py)
+whose code never changes — compare rounds with scripts/bench_compare.py,
+which divides per-query deltas by the calibration delta to cancel
+machine drift.
 
 Each query is forced with a noop sink write (full materialization of
 every output column — no count() short-circuits), timed after a small

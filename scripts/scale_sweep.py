@@ -9,6 +9,9 @@ SF. Generate the large SF first:
     python scripts/gen_scale_data.py --out /tmp/sf1 --scale 10
     python scripts/scale_sweep.py /root/testdata/sf0.1 /tmp/sf1
 
+``SPARK_GRAFT_SWEEP_ONLY=op1,op2`` filters the op set (same convention
+as bench.py's SPARK_GRAFT_BENCH_ONLY).
+
 Interpretation at 10x rows: a shuffle-bound operator should land at
 ratio <= ~10 once the fixed per-job overhead (measured by the
 calibration row) is subtracted; super-linear growth beyond the
