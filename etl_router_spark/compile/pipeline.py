@@ -189,7 +189,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                        threshold=float(cfg.get("threshold", 0.95)),
                                        planes=int(cfg.get("planes", 8)),
                                        tables=int(cfg.get("tables", 2)),
-                                       salt_cap=cfg.get("salt_cap", 512))
+                                       salt_cap=cfg.get("salt_cap", 512),
+                                       max_candidates=mc)
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
         return embedding_cosine_pairs(df, id_col=cfg.get("id_field", "vec_id"),

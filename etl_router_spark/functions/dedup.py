@@ -135,8 +135,9 @@ def ngram_jaccard_pairs(
 
     ``max_candidates``: opt-in pre-flight budget on the candidate-pair
     volume Σ C(df, 2) over surviving posting lists (one cheap aggregate
-    over the already-grouped postings — the exchange is reused by the
-    main plan). Chunk blocking bounds PER-TASK work, but nothing bounds
+    over the grouped postings, which are persisted while the budget is
+    on so the estimate job and the main plan share one execution of the
+    shingle pipeline). Chunk blocking bounds PER-TASK work, but nothing bounds
     TOTAL candidate volume — on corpora whose shingle df grows with
     corpus size (vocabulary saturation; measured ~100x candidates for
     10x docs on the fixture corpus, SCALE.md round 7), the expansion is
@@ -186,8 +187,12 @@ def ngram_jaccard_pairs(
     if max_candidates is not None:
         # one-row aggregate over the grouped postings (driver sees a
         # single long — metadata-class, same audit category as the
-        # hot-list probe below; the groupBy exchange is reused by the
-        # main plan, so the pre-flight costs one cheap reduce)
+        # hot-list probe below). Exchange reuse does NOT span separate
+        # actions, so persist the grouped postings while the budget is
+        # on: the estimate job and the main plan then share one
+        # execution of the shingle pipeline instead of running it twice
+        if not cache:
+            grouped = grouped.persist()
         est_row = grouped.select(
             F.sum(
                 (F.size("ids").cast("bigint")
@@ -196,6 +201,7 @@ def ngram_jaccard_pairs(
         ).first()
         estimate = int(est_row["est"] or 0)
         if estimate > max_candidates:
+            grouped.unpersist()
             raise CandidateBudgetExceeded(
                 estimate, max_candidates, op="ngram_jaccard_pairs",
                 advice=(
@@ -341,11 +347,18 @@ def _bucket_local_pairs(
 ) -> DataFrame:
     """Ordered (x, y) member-struct pairs within each bucket.
 
-    ``max_candidates``: opt-in pre-flight budget on Σ C(bucket, 2) —
-    one count-aggregate over the bucket keys (map-side combined; the
-    same shape as the hot-bucket detection pass), raising
-    ``CandidateBudgetExceeded`` before any pair materializes. Salting
-    bounds PER-TASK work; this bounds TOTAL volume.
+    ``max_candidates``: opt-in pre-flight budget on the pair volume the
+    plan will ACTUALLY materialize — Σ C(m, 2) per bucket, except that
+    buckets over ``salt_cap`` are costed at their salted volume
+    (ceil(m/cap) sub-buckets of ≤ cap members + the hub replica, an
+    upper bound that is far below C(m, 2) for hot buckets), so the
+    budget never aborts a plan whose salting already tamed it. One
+    count-aggregate over the bucket keys, raising
+    ``CandidateBudgetExceeded`` before any pair materializes; while
+    the budget is on, ``buckets`` is persisted so the estimate job,
+    the hot-bucket detection pass and the main plan share ONE
+    execution of the (potentially expensive) upstream subtree instead
+    of three. Salting bounds PER-TASK work; this bounds TOTAL volume.
 
     ``buckets``: one row per (member, bucket); every non-key column is
     carried in the member struct, which MUST lead with ``id``.
@@ -373,16 +386,26 @@ def _bucket_local_pairs(
     probe and keep the single-aggregation plan shape.
     """
     if max_candidates is not None:
+        buckets = buckets.persist()
+        m = F.col("count").cast("bigint")
+        plain_pairs = m * (m - 1) / 2
+        if salt_cap is None:
+            per_bucket = plain_pairs
+        else:
+            # salted volume upper bound: ceil(m/cap) sub-buckets, each
+            # ≤ cap members + the hub replica → C(cap+1, 2) pairs
+            cap = F.lit(int(salt_cap))
+            salted_pairs = (F.ceil(m / cap).cast("bigint")
+                            * ((cap + 1) * cap / 2))
+            per_bucket = F.when(m > cap, salted_pairs).otherwise(plain_pairs)
         est_row = (
             buckets.groupBy(*key_cols).count()
-            .select(F.sum(
-                (F.col("count").cast("bigint")
-                 * (F.col("count").cast("bigint") - 1) / 2).cast("bigint")
-            ).alias("est"))
+            .select(F.sum(per_bucket.cast("bigint")).alias("est"))
             .first()
         )
         estimate = int(est_row["est"] or 0)
         if estimate > max_candidates:
+            buckets.unpersist()
             raise CandidateBudgetExceeded(estimate, max_candidates,
                                           op=op, advice=advice)
 
@@ -559,7 +582,7 @@ def minhash_lsh_pairs(
         advice=("Band buckets are saturated; raise rows-per-band "
                 "selectivity (more num_hashes at fixed bands, or fewer "
                 "bands) so bucket membership requires longer signature "
-                "agreement, or keep salt_cap for bounded per-task work."))
+                "agreement. The estimate already accounts for salting."))
     agree = "size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), t -> t))"
     return (
         pairs.selectExpr(
@@ -756,8 +779,8 @@ def hamming_pairs(
         op="hamming_pairs",
         advice=("Fingerprint chunks are saturated (many codes share "
                 "chunk values); widen the code (more bits) or raise "
-                "blocks so chunks carry more distinguishing bits, or "
-                "keep salt_cap for bounded per-task work."))
+                "blocks so chunks carry more distinguishing bits. The "
+                "estimate already accounts for salting."))
     return (
         pairs.selectExpr(
             "x.id AS id_a",
@@ -1010,6 +1033,7 @@ def embedding_lsh_pairs(
     planes: int = 8,
     tables: int = 2,
     salt_cap: int | None = 512,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH buckets —
     the 100 TB path PAST block GEMM: :func:`embedding_cosine_pairs`
@@ -1036,7 +1060,13 @@ def embedding_lsh_pairs(
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS vec",
         f"explode({keys}) AS bucket",
     )
-    pairs = _bucket_local_pairs(buckets, ["bucket"], salt_cap)
+    pairs = _bucket_local_pairs(
+        buckets, ["bucket"], salt_cap, max_candidates,
+        op="embedding_lsh_pairs",
+        advice=("Hyperplane buckets are saturated (near-identical "
+                "embeddings); raise planes for finer buckets, or "
+                "pre-dedup exact duplicates first. The estimate "
+                "already accounts for salting."))
     cos = F.round(cosine_cols(F.col("x.vec"), F.col("y.vec")), 6)
     return (
         pairs.select(

@@ -624,8 +624,9 @@ def bpe_tokenize(
 
     Output: input columns + ``out_col`` (array of token strings) +
     ``{out_col}_n`` (token count). Verified in pytest against
-    hand-computed merge sequences; not SQL-expressible, so no DuckDB
-    oracle (the gate is rows-only by design).
+    hand-computed merge sequences and a randomized property suite, and
+    value-checked by the gate's independent recursive-CTE BPE oracle in
+    DuckDB (``queries_llm._bpe_oracle_sql``).
     """
     from collections.abc import Iterator
 

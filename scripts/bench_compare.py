@@ -27,14 +27,17 @@ def load_bench(path: str) -> dict:
         data = json.load(fh)
     if "queries" in data:
         return data
-    # driver wrapper: find the bench JSON line inside "tail"
-    tail = data.get("tail", "")
-    for line in reversed(tail.splitlines()):
-        line = line.strip()
-        # the bench line is the one carrying a queries map
-        if line.startswith("{") and '"queries"' in line:
+    # driver wrapper: the parsed bench dict rides in "parsed"; fall
+    # back to scanning "tail" (stripping any log prefix interleaved on
+    # the bench line) for wrappers that predate the field
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed
+    for line in reversed(data.get("tail", "").splitlines()):
+        m = re.search(r"\{.*\"queries\".*\}", line)
+        if m:
             try:
-                cand = json.loads(re.sub(r"^[^{]*", "", line))
+                cand = json.loads(m.group(0))
             except json.JSONDecodeError:
                 continue
             if "queries" in cand:

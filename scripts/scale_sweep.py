@@ -114,7 +114,13 @@ def main() -> None:
     ops = _ops()
     only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
     if only:
-        ops = {k: v for k, v in ops.items() if k in only.split(",")}
+        wanted = [x.strip() for x in only.split(",") if x.strip()]
+        unknown = [x for x in wanted if x not in ops]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SWEEP_ONLY names unknown ops {unknown}; "
+                f"known: {sorted(ops)}")
+        ops = {k: ops[k] for k in wanted}
     out: dict[str, dict] = {}
     for name, fn in ops.items():
         row: dict = {}

@@ -661,3 +661,39 @@ def test_bpe_tokenize_property_random(spark):
         for w in (text or "").split():
             want.extend(ref_word(w))
         assert got[doc_id] == (want, len(want)), doc_id
+
+
+def test_budget_estimate_accounts_for_salting(spark):
+    """The pre-flight costs hot buckets at their SALTED volume: with
+    salt_cap=10, 100 identical docs estimate ceil(100/10)*C(11,2)=550
+    pairs per band bucket (4 bands -> 2200), not C(100,2)*4=19800 — a
+    budget of 3000 passes where the naive estimate would abort."""
+    from etl_router_spark.functions.dedup import (
+        CandidateBudgetExceeded,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "same text every doc alpha beta") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ok = minhash_lsh_pairs(df, num_hashes=8, bands=4, salt_cap=10,
+                           max_candidates=3000)
+    assert ok.count() > 0  # within the salting-aware budget
+    with pytest.raises(CandidateBudgetExceeded):  # still enforceable
+        minhash_lsh_pairs(df, num_hashes=8, bands=4, salt_cap=10,
+                          max_candidates=1000)
+
+
+def test_embedding_lsh_candidate_budget(spark):
+    """embedding_lsh_pairs honors the same budget as the other
+    bucket-local pair operators."""
+    from etl_router_spark.functions.dedup import (
+        CandidateBudgetExceeded,
+        embedding_lsh_pairs,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(CandidateBudgetExceeded, match="embedding_lsh_pairs"):
+        embedding_lsh_pairs(df, dim=4, max_candidates=5)
+    ok = embedding_lsh_pairs(df, dim=4, max_candidates=10**6)
+    assert ok.count() == 30 * 29 // 2  # identical vectors: every pair
