@@ -23,6 +23,8 @@ results are reproducible across engines and test oracles are exact.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +84,36 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
+def _release_on_gc(result: DataFrame, pinned: list[DataFrame]) -> DataFrame:
+    """Tie budget-guard persists to the RESULT's lifetime.
+
+    The ``max_candidates`` pre-flight persists an intermediate frame so
+    the estimate job, the hot-bucket probe and the main plan share one
+    execution of the upstream subtree — but Spark's CacheManager never
+    auto-evicts, so without a release the cached partitions would
+    accumulate across repeated budgeted calls in a long-lived session.
+    Unpersisting eagerly would instead drop the cache before the
+    caller's first action (losing the sharing the persist exists for),
+    so the release is deferred to when the caller lets go of the result
+    DataFrame — after their action, in any loop-shaped workload — via a
+    ``weakref.finalize`` that issues non-blocking unpersists. Session
+    teardown races are swallowed: unpersist on a stopped context is a
+    no-op concern, not an error path.
+    """
+    if pinned:
+        frames = list(pinned)
+
+        def _release() -> None:
+            for f in frames:
+                try:
+                    f.unpersist(False)
+                except Exception:
+                    pass
+
+        weakref.finalize(result, _release)
+    return result
+
+
 class CandidateBudgetExceeded(RuntimeError):
     """Raised by the pair-generation operators when the pre-flight
     Σ C(bucket, 2) candidate estimate exceeds ``max_candidates`` — the
@@ -184,15 +216,19 @@ def ngram_jaccard_pairs(
         # paying persist materialization (0.97s vs 1.81s at sf0.1).
         # Keep the knob for callers that layer further consumers on top.
         grouped = grouped.persist()
+    pinned: list[DataFrame] = []
     if max_candidates is not None:
         # one-row aggregate over the grouped postings (driver sees a
         # single long — metadata-class, same audit category as the
         # hot-list probe below). Exchange reuse does NOT span separate
         # actions, so persist the grouped postings while the budget is
         # on: the estimate job and the main plan then share one
-        # execution of the shingle pipeline instead of running it twice
+        # execution of the shingle pipeline instead of running it twice.
+        # Budget-induced (not caller-requested cache=True) persists are
+        # released when the caller drops the result — _release_on_gc
         if not cache:
             grouped = grouped.persist()
+            pinned.append(grouped)
         est_row = grouped.select(
             F.sum(
                 (F.size("ids").cast("bigint")
@@ -271,13 +307,13 @@ def ngram_jaccard_pairs(
     # no broadcast hint on sizes: it is |docs| rows — tiny here, but at
     # corpus scale far past the broadcast threshold; AQE picks broadcast
     # when the runtime size allows and shuffle-join when it doesn't
-    return (
+    return _release_on_gc(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    , pinned)
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +380,7 @@ def _bucket_local_pairs(
     buckets: DataFrame, key_cols: list[str], salt_cap: int | None,
     max_candidates: int | None = None,
     op: str = "pair generation", advice: str = "",
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Ordered (x, y) member-struct pairs within each bucket.
 
@@ -387,6 +424,10 @@ def _bucket_local_pairs(
     """
     if max_candidates is not None:
         buckets = buckets.persist()
+        if pinned is not None:
+            # released when the caller drops the result DataFrame —
+            # see _release_on_gc (the operator entry points attach it)
+            pinned.append(buckets)
         m = F.col("count").cast("bigint")
         plain_pairs = m * (m - 1) / 2
         if salt_cap is None:
@@ -576,15 +617,17 @@ def minhash_lsh_pairs(
         f"array({', '.join(sig_cols)}) AS sig",
         f"explode(array({band_keys})) AS band_key",
     )
+    pinned: list[DataFrame] = []
     pairs = _bucket_local_pairs(
         buckets, ["band_key"], salt_cap, max_candidates,
         op="minhash_lsh_pairs",
         advice=("Band buckets are saturated; raise rows-per-band "
                 "selectivity (more num_hashes at fixed bands, or fewer "
                 "bands) so bucket membership requires longer signature "
-                "agreement. The estimate already accounts for salting."))
+                "agreement. The estimate already accounts for salting."),
+        pinned=pinned)
     agree = "size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), t -> t))"
-    return (
+    return _release_on_gc(
         pairs.selectExpr(
             "x.id AS id_a",
             "y.id AS id_b",
@@ -598,7 +641,7 @@ def minhash_lsh_pairs(
         # shuffle this way
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()  # a pair can collide in several bands
-    )
+    , pinned)
 
 
 def minhash_lsh_join(
@@ -774,14 +817,16 @@ def hamming_pairs(
         for i in range(blocks)
     )
     blocked = fps.selectExpr("id", "simhash", f"explode(array({chunks})) AS blk")
+    pinned: list[DataFrame] = []
     pairs = _bucket_local_pairs(
         blocked, ["blk"], salt_cap, max_candidates,
         op="hamming_pairs",
         advice=("Fingerprint chunks are saturated (many codes share "
                 "chunk values); widen the code (more bits) or raise "
                 "blocks so chunks carry more distinguishing bits. The "
-                "estimate already accounts for salting."))
-    return (
+                "estimate already accounts for salting."),
+        pinned=pinned)
+    return _release_on_gc(
         pairs.selectExpr(
             "x.id AS id_a",
             "y.id AS id_b",
@@ -792,7 +837,7 @@ def hamming_pairs(
         # dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
+    , pinned)
 
 
 # ---------------------------------------------------------------------------
@@ -1060,15 +1105,17 @@ def embedding_lsh_pairs(
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS vec",
         f"explode({keys}) AS bucket",
     )
+    pinned: list[DataFrame] = []
     pairs = _bucket_local_pairs(
         buckets, ["bucket"], salt_cap, max_candidates,
         op="embedding_lsh_pairs",
         advice=("Hyperplane buckets are saturated (near-identical "
                 "embeddings); raise planes for finer buckets, or "
                 "pre-dedup exact duplicates first. The estimate "
-                "already accounts for salting."))
+                "already accounts for salting."),
+        pinned=pinned)
     cos = F.round(cosine_cols(F.col("x.vec"), F.col("y.vec")), 6)
-    return (
+    return _release_on_gc(
         pairs.select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
@@ -1076,7 +1123,7 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()
-    )
+    , pinned)
 
 
 def embedding_cosine_pairs(

@@ -42,23 +42,54 @@ _SQL_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _TABLE_EXISTS_SQLSTATES = frozenset({"X0Y32", "42S01", "42P07"})
 
 
-def _check_ident(name: str, what: str) -> str:
-    if not _SQL_IDENT.match(name or ""):
+def _check_ident(name: str, what: str, dotted: bool = False) -> str:
+    """Validate a name against the unquoted-identifier grammar. With
+    ``dotted=True`` a schema-qualified name (``schema.table``) is
+    accepted by validating each dot-separated segment independently —
+    the injection protection is identical, but configs that address a
+    table through a schema prefix keep working."""
+    segments = (name or "").split(".") if dotted else [name or ""]
+    if not segments or not all(_SQL_IDENT.match(s) for s in segments):
+        grammar = ("dot-separated ^[A-Za-z_][A-Za-z0-9_]*$ segments"
+                   if dotted else "^[A-Za-z_][A-Za-z0-9_]*$")
         raise ValueError(
             f"{what} {name!r} is not a valid SQL identifier "
-            "(expected ^[A-Za-z_][A-Za-z0-9_]*$)")
+            f"(expected {grammar})")
     return name
+
+
+def _like_escape(pattern: str, esc: str) -> str:
+    """Escape JDBC metadata LIKE wildcards (``_`` matches any single
+    char, ``%`` any run) with the driver's search-string escape, so a
+    probe for ``etl_epochs`` cannot false-positive on ``ETLXEPOCHS``."""
+    if not esc:
+        return pattern
+    return (pattern.replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%"))
 
 
 def _jdbc_table_exists(conn, name: str) -> bool:
     """DB-agnostic existence probe via DatabaseMetaData. Spark's JDBC
     writer passes ``dbtable`` through UNQUOTED (the database applies
-    its case fold — Derby/Postgres differ), so probe both casings."""
-    for candidate in (name, name.upper(), name.lower()):
-        rs = conn.getMetaData().getTables(None, None, candidate, None)
+    its case fold — Derby/Postgres differ), so probe both casings.
+    ``getTables`` treats its arguments as LIKE patterns, so wildcards
+    are escaped AND the returned TABLE_NAME is compared back to the
+    candidate — belt and braces against drivers whose
+    ``getSearchStringEscape`` is empty/unsupported."""
+    md = conn.getMetaData()
+    try:
+        esc = md.getSearchStringEscape() or ""
+    except Exception:
+        esc = ""
+    schema, _, table = name.rpartition(".")
+    for fold in (str, str.upper, str.lower):
+        schema_pat = _like_escape(fold(schema), esc) if schema else None
+        rs = md.getTables(None, schema_pat, _like_escape(fold(table), esc), None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if str(rs.getString("TABLE_NAME")).lower() == table.lower():
+                    return True
         finally:
             rs.close()
     return False
@@ -197,8 +228,8 @@ def jdbc_idempotent_writer(
     """
     from pyspark.sql import functions as F
 
-    _check_ident(table, "table")
-    _check_ident(epochs_table, "epochs_table")
+    _check_ident(table, "table", dotted=True)
+    _check_ident(epochs_table, "epochs_table", dotted=True)
     _check_ident(epoch_col, "epoch_col")
 
     def _connect(spark):

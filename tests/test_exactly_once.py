@@ -194,3 +194,59 @@ def test_jdbc_writer_create_failure_propagates(spark, tmp_path):
     b0 = spark.createDataFrame([(1, "a")], "id long, v string")
     with pytest.raises(Exception, match="(?i)syntax|select"):
         writer(b0, 0)
+
+
+def test_jdbc_writer_schema_qualified_names(spark, tmp_path):
+    """Schema-qualified table names (``wh.events``) are valid configs:
+    each dot-separated segment is validated independently, the
+    existence probe splits schema/table, and the full delete-then-
+    insert protocol works end-to-end inside a non-default schema."""
+    from etl_router_spark.streaming.exactly_once import jdbc_idempotent_writer
+
+    url = f"jdbc:derby:{tmp_path}/db4;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE SCHEMA wh")
+    st.close()
+    conn.close()
+    writer = jdbc_idempotent_writer(url, "wh.t_eo", driver,
+                                    epochs_table="wh.eo_epochs")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    writer(b0, 0)
+    writer(b0, 0)  # replay: marker in wh.eo_epochs -> skip
+    got = (spark.read.format("jdbc").option("url", url)
+           .option("dbtable", "wh.t_eo").option("driver", driver)
+           .load().count())
+    assert got == 2
+    # the column stays single-segment: dots rejected there
+    import pytest
+    with pytest.raises(ValueError, match="identifier"):
+        jdbc_idempotent_writer(url, "ok", driver, epoch_col="a.b")
+
+
+def test_jdbc_table_exists_escapes_like_wildcards(spark, tmp_path):
+    """``getTables`` treats its name argument as a LIKE pattern where
+    ``_`` matches any char — a probe for ``etl_epochs`` must NOT
+    false-positive on ``ETLXEPOCHS`` (the probe is load-bearing: it
+    gates CREATE TABLE and confirms the swallowed already-exists
+    path)."""
+    from etl_router_spark.streaming.exactly_once import _jdbc_table_exists
+
+    url = f"jdbc:derby:{tmp_path}/db5;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE ETLXEPOCHS (epoch_id BIGINT)")
+    st.close()
+    assert not _jdbc_table_exists(conn, "etl_epochs")
+    assert _jdbc_table_exists(conn, "etlxepochs")
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE etl_epochs (epoch_id BIGINT)")
+    st.close()
+    assert _jdbc_table_exists(conn, "etl_epochs")
+    conn.close()

@@ -606,6 +606,46 @@ def test_bucket_pair_candidate_budget(spark):
                          max_candidates=10**6).count() == 45
 
 
+def test_budget_persist_released_on_result_gc(spark):
+    """The max_candidates pre-flight persists intermediates so the
+    estimate job and main plan share one upstream execution — but a
+    long-lived session making repeated budgeted calls must not
+    accumulate cached partitions: dropping the result DataFrame
+    releases the budget-pinned persists (weakref.finalize ->
+    non-blocking unpersist)."""
+    import gc
+
+    from etl_router_spark.functions.dedup import (
+        hamming_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    gc.collect()
+    base = n_persistent()
+    rows = [(i, f"doc {i} alpha beta gamma {i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    res = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_candidates=10**6)
+    assert n_persistent() > base  # pinned while the result is alive
+    res.count()
+    del res
+    gc.collect()
+    assert n_persistent() == base
+    # ngram path pins `grouped`; hamming path pins `blocked` — same contract
+    res2 = ngram_jaccard_pairs(df, threshold=0.1, max_candidates=10_000)
+    fps = spark.createDataFrame([(i, i) for i in range(10)],
+                                "id bigint, simhash bigint")
+    res3 = hamming_pairs(fps, max_hamming=3, bits=32, max_candidates=10**6)
+    assert n_persistent() > base
+    del res2, res3
+    gc.collect()
+    assert n_persistent() == base
+
+
 def test_bpe_tokenize_property_random(spark):
     """Property check: bpe_tokenize agrees with an independent
     in-test reference implementation of greedy lowest-rank-leftmost
