@@ -59,9 +59,18 @@ def _with_watermark(df: DataFrame, wm_cfg: dict[str, Any] | None,
     return df.withWatermark(field, duration_to_interval(lateness))
 
 
-def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession) -> DataFrame:
-    """Dispatch one transform stage config to the operator library."""
-    cfg = stage.config
+def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession,
+                          limits: dict[str, Any] | None = None) -> DataFrame:
+    """Dispatch one transform stage config to the operator library.
+
+    ``limits``: pipeline-level declarative capacity limits
+    (``spec.limits`` — max_candidates/max_df/salt_cap/max_postings,
+    the reference's settings.rs pattern). They act as DEFAULTS for any
+    stage whose operator accepts the knob; an explicit per-stage config
+    value always wins. Operators that take none of the keys ignore
+    them, so the merge is semantics-free outside the guarded types.
+    """
+    cfg = {**limits, **stage.config} if limits else stage.config
     tt = stage.transform_type
     if tt == "filter":
         return T.apply_filter(df, cfg["condition"], negate=bool(cfg.get("negate", False)))
@@ -446,15 +455,20 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         method = cfg.get("method", "simhash")
         id_col = cfg.get("id_field", "doc_id")
         text_col = cfg.get("text_field", "text")
+        mc_cluster = cfg.get("max_candidates")
+        mc_cluster = int(mc_cluster) if mc_cluster is not None else None
+        salt_cap = cfg.get("salt_cap", 512)
         if method == "simhash":
             pairs = simhash_pairs(df, id_col=id_col, text_col=text_col,
                                   max_hamming=int(cfg.get("max_hamming", 3)),
-                                  bits=int(cfg.get("bits", 64)))
+                                  bits=int(cfg.get("bits", 64)),
+                                  salt_cap=salt_cap, max_candidates=mc_cluster)
         elif method == "minhash":
             pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
                                       num_hashes=int(cfg.get("num_hashes", 128)),
                                       bands=int(cfg.get("bands", 32)),
-                                      threshold=float(cfg.get("threshold", 0.8)))
+                                      threshold=float(cfg.get("threshold", 0.8)),
+                                      salt_cap=salt_cap, max_candidates=mc_cluster)
         else:
             raise ValueError(f"dedup_cluster: unknown method {method!r}")
         algorithm = cfg.get("cc_algorithm", "label")
@@ -726,7 +740,8 @@ def compile_stages(
                 )
             else:
                 base = inputs[0] if len(inputs) == 1 else apply_fan_in(inputs, None)
-                df = apply_transform_stage(base, stage, spark)
+                df = apply_transform_stage(base, stage, spark,
+                                           limits=pipeline.limits)
                 side = getattr(df, "_etl_dlq_side", None)
                 if side is not None:
                     dlq_frames[sid] = side

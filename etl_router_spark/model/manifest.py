@@ -125,6 +125,16 @@ class Pipeline:
     # dlq reference, manifest.rs:105-149); failed/invalid side-outputs
     # are enriched with _dlq_* columns and written here
     dlq: dict[str, Any] | None = None
+    # pipeline-level declarative capacity limits (the reference makes
+    # every capacity knob declarative config, settings.rs:24-29 — here
+    # the Spark-scale equivalents): defaults inherited by every stage
+    # whose operator accepts the knob, overridable per stage. Keys:
+    # max_candidates (pair-generation pre-flight budget — exceeded ⇒
+    # CandidateBudgetExceeded before any quadratic shuffle), max_df
+    # (absolute posting-list document-frequency cap), salt_cap
+    # (hot-bucket salting threshold), max_postings (inverted-index
+    # posting-list truncation)
+    limits: dict[str, Any] = field(default_factory=dict)
 
     # -- graph helpers (dag.rs:234-375 equivalents) -------------------
     def outgoing(self, stage_id: str) -> list[Edge]:

@@ -135,6 +135,7 @@ def parse_manifest_dict(doc: dict[str, Any]) -> Pipeline:
         enabled=spec.get("enabled", True),
         metadata={k: str(v) for k, v in (meta.get("labels") or {}).items()},
         dlq=spec.get("dlq"),
+        limits=dict(spec.get("limits") or {}),
     )
 
     raw_stages = spec.get("stages") or []

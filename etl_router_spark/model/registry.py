@@ -143,6 +143,7 @@ def resolve(registry: Registry, pipeline_res: Resource) -> Pipeline:
     p = Pipeline(
         id=pipeline_res.name, name=pipeline_res.name,
         enabled=bool(spec.get("enabled", True)), metadata=dict(pipeline_res.labels),
+        limits=dict(spec.get("limits") or {}),
     )
 
     src = registry.get("Source", src_name, ns)

@@ -49,12 +49,26 @@ class ValidationError(ValueError):
     pass
 
 
+# spec.limits — pipeline-level declarative capacity limits (the
+# reference's settings.rs pattern: every capacity knob is config).
+# Validated at parse/compile time so a typo'd limit fails fast instead
+# of silently not guarding anything.
+KNOWN_LIMITS = {"max_candidates", "max_df", "salt_cap", "max_postings"}
+
+
 def validate_pipeline(p: Pipeline) -> None:
     errors: list[str] = []
     if not p.name:
         errors.append("pipeline name must not be empty")
     if not p.stages:
         errors.append("pipeline must have at least one stage")
+
+    for k, v in (p.limits or {}).items():
+        if k not in KNOWN_LIMITS:
+            errors.append(
+                f"unknown limit {k!r} (known: {sorted(KNOWN_LIMITS)})")
+        elif not isinstance(v, int) or isinstance(v, bool) or v < 1:
+            errors.append(f"limit {k!r} must be a positive integer, got {v!r}")
 
     for s in p.stages.values():
         errors.extend(_validate_stage(s))

@@ -3848,8 +3848,10 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Within tiers 2-3 we round-robin across operator families (name
 # prefix) so a head-capped harness reaches every family instead of
 # exhausting one; gates listed in _TOUCHED_BOOST (implementation
-# changed after their newest green row) jump to the head of their
-# staleness group.
+# changed after their newest green row) form a head tier directly
+# after the failed/never-checked gates — post-change evidence beats
+# round-number staleness, since a gate whose code moved is the one
+# whose old green row proves the least.
 _TOUCHED_BOOST = (
     # code changes behind gates whose newest DRIVER row predates them
     # (locally re-verified, but the hard signal should refresh first):
@@ -3857,16 +3859,21 @@ _TOUCHED_BOOST = (
     # the gRPC client/receiver to the full HPACK decoder (both gates'
     # newest driver row is r4); r7 added HTTP/2 flow-control window
     # tracking to the gRPC client + WINDOW_UPDATE emission to the
-    # hermetic receiver, which sits behind every gRPC gate
-    # (source_jsonl_queue_roundtrip's r5 writer change got its fresh
-    # r6 row — pruned)
+    # hermetic receiver, which sits behind every gRPC gate.
+    # (q_top_parts_by_revenue's r7 rank rewrite got its fresh r7 row —
+    # pruned, as did source_jsonl_queue_roundtrip at r6.)
     "graph_triangles",
     "sink_grpc_roundtrip",
     "stream_sink_grpc_exactly_once",
     "source_grpc_staging_roundtrip",
-    # r7: rank attachment rewritten sort_array/posexplode (newest
-    # driver row r3 predates the change)
-    "q_top_parts_by_revenue",
+    # r8: budget-persist lifetime now GC-tied (_release_on_gc) behind
+    # the pair-generation gates; newest driver rows are r6/r7
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    # r8: identifier validation + LIKE-escaped existence probe behind
+    # the JDBC exactly-once epoch protocol (newest row r7)
+    "stream_sink_jdbc_exactly_once",
 )
 
 # Gates REGISTERED this round: rank them after every already-known
@@ -3940,11 +3947,12 @@ def _signal_order(names) -> list[str]:
     for n in names:
         if n in newest and n not in latest_failed:
             groups.setdefault(newest[n], []).append(n)
-    ordered = failed + _family_round_robin(fresh)
+    checked = {n for n in names if n in newest and n not in latest_failed}
+    boosted = [n for n in _TOUCHED_BOOST if n in checked]
+    ordered = failed + _family_round_robin(fresh) + boosted
     for rnd in sorted(groups):
-        grp = groups[rnd]
-        boosted = [n for n in _TOUCHED_BOOST if n in grp]
-        ordered += boosted + _family_round_robin([n for n in grp if n not in _TOUCHED_BOOST])
+        ordered += _family_round_robin(
+            [n for n in groups[rnd] if n not in _TOUCHED_BOOST])
     return ordered + deferred
 
 

@@ -366,3 +366,98 @@ def test_round4_transform_types_dispatch(spark, tmp_path):
     g = run({"transform_type": "degree_stats", "src_field": "source",
              "dst_field": "url"}, "deg_out")
     assert {"id", "out_degree", "in_degree", "degree"} == set(g.columns)
+
+
+def test_pipeline_limits_declarative_scale_guards(spark, tmp_path):
+    """spec.limits — pipeline-level declarative capacity limits (the
+    reference makes every capacity knob declarative config,
+    settings.rs:24-29). A pipeline-level max_candidates reaches the
+    pair-generation operators as a default, a per-stage value
+    overrides it, and unknown/invalid limits fail validation."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.dedup import CandidateBudgetExceeded
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.model.validation import ValidationError, validate_pipeline
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "shared alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    def doc(limits, transform_cfg, name):
+        return {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": name},
+                "spec": {"limits": limits, "stages": [
+                    {"id": "s", "type": "source",
+                     "config": {"source_type": "file", "format": "parquet",
+                                "path": src}},
+                    {"id": "t", "type": "transform", "config": transform_cfg},
+                    {"id": "o", "type": "sink",
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": str(tmp_path / name)}},
+                ]}}
+
+    ngram = {"transform_type": "dedup_ngram", "threshold": 0.1}
+    # pipeline-level budget: every doc shares every shingle -> the
+    # 4 * C(10,2) = 180-candidate estimate trips a limit of 100
+    with pytest.raises(CandidateBudgetExceeded):
+        compile_pipeline(
+            spark, parse_manifest_dict(doc({"max_candidates": 100}, ngram, "a")))
+    # per-stage override beats the pipeline default
+    compiled = compile_pipeline(
+        spark, parse_manifest_dict(
+            doc({"max_candidates": 100},
+                {**ngram, "max_candidates": 10_000}, "b")))
+    compiled.run()
+    assert spark.read.parquet(str(tmp_path / "b")).count() > 0
+    # pipeline-level max_df as an absolute df-cap default: cap 2 on a
+    # corpus where every shingle has df=10 -> no surviving postings
+    compiled = compile_pipeline(
+        spark, parse_manifest_dict(doc({"max_df": 2}, ngram, "c")))
+    compiled.run()
+    assert spark.read.parquet(str(tmp_path / "c")).count() == 0
+    # unknown / non-positive limits fail validation, not silently no-op
+    with pytest.raises(ValidationError, match="unknown limit"):
+        validate_pipeline(parse_manifest_dict(
+            doc({"max_candidate": 5}, ngram, "d")))
+    with pytest.raises(ValidationError, match="positive integer"):
+        validate_pipeline(parse_manifest_dict(
+            doc({"max_candidates": 0}, ngram, "e")))
+    with pytest.raises(ValidationError, match="positive integer"):
+        validate_pipeline(parse_manifest_dict(
+            doc({"salt_cap": "lots"}, ngram, "f")))
+
+
+def test_dedup_cluster_inherits_limits(spark, tmp_path):
+    """dedup_cluster forwards salt_cap/max_candidates into its pair
+    generation (the example manifest sets salt_cap on this stage), and
+    the pipeline-level limits reach it like any other guarded type."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.dedup import CandidateBudgetExceeded
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "identical text every doc alpha beta") for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "cl"},
+           "spec": {"limits": {"max_candidates": 10}, "stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": src}},
+               {"id": "t", "type": "transform",
+                "config": {"transform_type": "dedup_cluster",
+                           "method": "minhash", "num_hashes": 8,
+                           "bands": 4, "threshold": 0.5}},
+               {"id": "o", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}},
+           ]}}
+    with pytest.raises(CandidateBudgetExceeded):
+        compile_pipeline(spark, parse_manifest_dict(doc))
+    doc["spec"]["limits"]["max_candidates"] = 10**6
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 12
