@@ -1,0 +1,310 @@
+"""Product quantization (PQ) for embedding columns: train / encode /
+asymmetric-distance (ADC) top-k search.
+
+The 100 TB memory story: a ``d``-dim float32 embedding is ``4·d`` bytes;
+its PQ code is ``m`` small integers (one codebook index per subspace) —
+a 64-dim vector at m=4 compresses 256 B → 4 B. At scale that is the
+difference between an ANN index that fits executor memory and one that
+doesn't, which is why every production vector store (FAISS IVFPQ,
+ScaNN, SPANN) quantizes before it searches.
+
+Spark-first shapes (mirrors ``similarity.py``):
+
+- ``pq_train``: one distributed k-means per subspace over vector
+  SLICES (MLlib; optionally on a deterministic hash-sample). The
+  fitted model is ``m·k`` sub-vectors — metadata-class, collected once.
+- ``pq_encode``: codebooks embed as literal arrays into a pure column
+  expression — assignment is map-side, whole-stage-codegen'd, the
+  corpus never shuffles and no Python runs per row.
+- ``pq_adc_topk``: each query precomputes its look-up table
+  LUT[i][j] = ||q_i − c_ij||² once (m·k doubles, in-plan); scoring a
+  corpus code is then m array lookups + adds — no vector arithmetic
+  per (query, corpus) pair, and the corpus side of the join carries
+  only (id, m-byte code). ``method="blas"`` streams Arrow batches
+  through numpy fancy-indexing and emits batch-local top-k (the
+  ``brute_force_topk`` reduction shape: the all-pairs score matrix
+  never materializes).
+
+Determinism discipline (same rules as the LSH/IVF operators): distances
+round to 1e-6 before argmin/rank, ties break on the lowest centroid /
+neighbor id, and ``deterministic_codebooks`` derives codebook literals
+from md5 — so the DuckDB oracle regenerates bit-identical constants and
+the whole encode→ADC pipeline is value-checkable cross-engine.
+
+Reference parity: the reference ships no vector search; this extends
+the engine's LLM-pipeline surface (SURVEY §2 addendum) alongside
+IVF/LSH ANN.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "deterministic_codebooks",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+]
+
+
+def deterministic_codebooks(dim: int, m: int = 4, k: int = 16) -> list[list[list[float]]]:
+    """md5-derived pinned codebooks (``m`` subspaces × ``k`` centroids
+    × ``dim/m`` components in [-1, 1]) — the no-RNG-state stand-in for
+    trained codebooks, so operator gates and SQL oracles embed the SAME
+    literals (the ``_hyperplane`` recipe in ``similarity.py``)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = []
+    for i in range(m):
+        cents = []
+        for j in range(k):
+            vec = []
+            for t in range(sub):
+                h = hashlib.md5(f"pq|{i}|{j}|{t}".encode()).digest()
+                v = int.from_bytes(h[:8], "big") / 2**64
+                vec.append(2.0 * v - 1.0)
+            cents.append(vec)
+        books.append(cents)
+    return books
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: independent distributed k-means per subspace
+    over vector slices. Returns ``codebooks[m][k][dim/m]``.
+
+    Scale: each of the ``m`` jobs reduces to a k-means over
+    ``dim/m``-wide rows — MLlib's implementation aggregates
+    per-partition partial sums, so the driver traffic is k sub-vectors
+    per iteration per subspace, independent of corpus size.
+    ``sample_fraction`` trains on a deterministic hash-sample (the
+    ``train_ivf_centroids`` recipe: quantizer structure needs a sample,
+    not the corpus). Centroids are rounded to 1e-6 so a codebook can be
+    re-embedded as literals without drift across retrains on identical
+    data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rows = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if sample_fraction is not None:
+        bucket = F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1_000_000))
+        rows = rows.filter(bucket < F.lit(int(sample_fraction * 1_000_000)))
+    # one cached pass feeds all m slice trainings
+    rows = rows.persist()
+    try:
+        books = []
+        for i in range(m):
+            feats = rows.select(
+                array_to_vector(F.expr(f"slice(v, {i * sub + 1}, {sub})")).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + i, maxIter=max_iter).fit(feats)
+            books.append([
+                [round(float(x), 6) for x in c] for c in model.clusterCenters()
+            ])
+        return books
+    finally:
+        rows.unpersist()
+
+
+def _slice_sql(vec_sql: str, i: int, sub: int) -> str:
+    return f"slice({vec_sql}, {i * sub + 1}, {sub})"
+
+
+def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """||slice − centroid||² as generated SQL text (string-built for the
+    same reason as ``_dot_sql``: thousands of py4j round trips vs one
+    parse), rounded to 1e-6 so argmin/rank decisions are identical
+    across engines despite fold-order FP drift."""
+    arr = "array(" + ",".join(f"{x!r}D" for x in centroid) + ")"
+    return (f"round(aggregate(zip_with({vec_sql}, {arr}, "
+            f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x), 6)")
+
+
+def pq_code_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL for the m-element PQ code array of a vector column: per
+    subspace, argmin (first-occurrence, i.e. lowest centroid id on
+    ties) over the k rounded squared distances."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for i in range(m):
+        s = _slice_sql(vec_sql, i, sub)
+        dists = "array(" + ", ".join(_sqdist_sql(s, c) for c in codebooks[i]) + ")"
+        codes.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_lut_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL for a query's flat ADC look-up table (subspace-major:
+    LUT[i*k + j] = ||q_i − c_ij||², rounded)."""
+    sub = len(codebooks[0][0])
+    cells = []
+    for i, book in enumerate(codebooks):
+        s = _slice_sql(vec_sql, i, sub)
+        cells.extend(_sqdist_sql(s, c) for c in book)
+    return "array(" + ", ".join(cells) + ")"
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, pq_code array<int>) per row — pure map-side column
+    expression over literal codebooks: no shuffle, no Python, the
+    encoded corpus is ``m`` ints per vector (persist/write THIS at
+    scale, not the raw vectors)."""
+    cols = [id_col, f"{pq_code_sql(f'CAST({vec_col} AS ARRAY<DOUBLE>)', codebooks)} AS {out_col}"]
+    if keep_vec:
+        cols.insert(1, vec_col)
+    return df.selectExpr(*cols)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance:
+    (query_id, neighbor_id, rank, adc_dist), rank by distance ASC,
+    neighbor id tie-break, self-matches excluded.
+
+    ``method="sql"`` (engine-portable, oracle twin): queries build
+    their LUT in-plan and broadcast; the corpus side encodes map-side
+    and joins carrying only (id, code). Scoring is ``m`` array lookups
+    per pair via a fold over ``sequence(0, m-1)``.
+
+    ``method="blas"``: the numpy scale path — the collected query LUTs
+    broadcast as one (q, m, k) tensor; each corpus partition encodes
+    its Arrow batch with one argmin per subspace, scores every query
+    against the batch by fancy-indexing ``lut[:, i, codes[:, i]]``,
+    and emits only batch-local top-k (global re-rank sees
+    ~q·k·batches rows — the ``brute_force_topk`` shape).
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    if method == "sql":
+        q = queries.selectExpr(
+            f"{id_col} AS query_id",
+            f"{pq_lut_sql(f'CAST({vec_col} AS ARRAY<DOUBLE>)', codebooks)} AS lut",
+        )
+        c = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col,
+                      out_col="code").withColumnRenamed(id_col, "neighbor_id")
+        score = (f"round(aggregate(sequence(0, {m - 1}), 0D, (acc, i) -> "
+                 f"acc + element_at(lut, i * {kc} + element_at(code, i + 1) + 1)), 6)")
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .selectExpr("query_id", "neighbor_id", f"{score} AS adc_dist")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_dist")
+        )
+    if method != "blas":
+        raise ValueError("method must be 'sql' or 'blas'")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = len(codebooks[0][0])
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc_dist double")
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    # (q, m, k): ||q_i - c_ij||^2, rounded like the SQL twin
+    q_sl = q_mat.reshape(len(q_ids), len(books), sub)
+    lut = np.round(
+        ((q_sl[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3), 6)
+    sc = corpus.sparkSession.sparkContext
+    b_qids, b_lut, b_books = sc.broadcast(q_ids), sc.broadcast(lut), sc.broadcast(books)
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def topk_block(batches):
+        qi, lt, bk = b_qids.value, b_lut.value, b_books.value
+        mm, _, ss = bk.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["v"]), dtype=np.float64).reshape(len(c_ids), mm, ss)
+            # per-subspace rounded distances -> argmin = batch codes
+            d = np.round(((c[:, :, None, :] - bk[None, :, :, :]) ** 2).sum(axis=3), 6)
+            codes = d.argmin(axis=2)  # (n, m); ties -> lowest id, like SQL
+            # scores[q, n] = sum_i lut[q, i, codes[n, i]]
+            scores = np.round(
+                lt[:, np.arange(mm)[None, :], codes].sum(axis=2), 6)
+            scores[qi[:, None] == c_ids[None, :]] = np.inf  # self-exclude
+            out_q, out_n, out_s = [], [], []
+            for row_i in range(len(qi)):
+                row = scores[row_i]
+                order = np.lexsort((c_ids, row))[:k]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), qi[row_i]))
+                out_n.append(c_ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc_dist": np.concatenate(out_s),
+            })
+
+    c_rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    partial = c_rows.mapInPandas(topk_block, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -3880,11 +3880,13 @@ _TOUCHED_BOOST = (
 # gate so the driver's ~50-slot window burns down the verification
 # backlog instead of being consumed by brand-new additions. New gates
 # are verified locally (scripts/check_correctness.py) until the
-# backlog clears. Emptied in r7: the backlog is burned (no gate's
-# newest driver row predates r3), so the 10 round-5 additions this
-# protected now rank in the fresh tier — first after failures — and
-# the r7 window covers all 10 plus 40 of the r3-stale set.
-_DEFER_NEW = ()
+# backlog clears. Emptied in r7 (backlog burned); r8 defers the new
+# product-quantization gates so the window leads with the touched
+# gRPC/dedup/JDBC gates and the 10 r3-stale names instead.
+_DEFER_NEW = (
+    "embedding_pq_encode",
+    "embedding_pq_adc_topk",
+)
 
 
 def _driver_history() -> tuple[dict, set]:

@@ -1369,6 +1369,117 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# product quantization (functions/pq.py): pinned md5-derived codebooks so
+# the DuckDB twin regenerates bit-identical constants (the _hyperplane /
+# pinned-PCA-components precedent); training itself is invariant-verified
+# in tests/test_pq.py
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K = 4, 8
+
+
+def _pq_books():
+    from etl_router_spark.functions.pq import deterministic_codebooks
+
+    return deterministic_codebooks(64, m=_PQ_M, k=_PQ_K)
+
+
+def _pq_sqdist_duck(vec_sql: str, a: int, b: int, centroid: list[float]) -> str:
+    arr = "[" + ", ".join(f"{x!r}" for x in centroid) + "]::DOUBLE[]"
+    return (f"round(list_sum(list_transform(list_zip({vec_sql}[{a}:{b}], {arr}), "
+            f"u -> (u[1]-u[2])*(u[1]-u[2]))), 6)")
+
+
+def _pq_code_duck(vec_sql: str, books) -> str:
+    sub = len(books[0][0])
+    codes = []
+    for i, book in enumerate(books):
+        a, b = i * sub + 1, (i + 1) * sub
+        d = "[" + ", ".join(_pq_sqdist_duck(vec_sql, a, b, c) for c in book) + "]"
+        codes.append(f"CAST(list_position({d}, list_min({d})) - 1 AS INTEGER)")
+    return "[" + ", ".join(codes) + "]"
+
+
+def _pq_lut_duck(vec_sql: str, books) -> str:
+    sub = len(books[0][0])
+    cells = []
+    for i, book in enumerate(books):
+        a, b = i * sub + 1, (i + 1) * sub
+        cells.extend(_pq_sqdist_duck(vec_sql, a, b, c) for c in book)
+    return "[" + ", ".join(cells) + "]"
+
+
+def _pq_encode_oracle() -> str:
+    books = _pq_books()
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform({_pq_code_duck('v', books)},
+             x -> CAST(x AS VARCHAR)), ',') AS pq_code
+    FROM v
+    """
+
+
+def _pq_adc_oracle(n_queries: int, k: int) -> str:
+    books = _pq_books()
+    score = " + ".join(
+        f"q.lut[{i * _PQ_K} + e.code[{i + 1}] + 1]" for i in range(_PQ_M))
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    enc AS (SELECT vec_id, {_pq_code_duck('v', books)} AS code FROM v),
+    q AS (SELECT vec_id AS query_id, {_pq_lut_duck('v', books)} AS lut
+          FROM v WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({score}, 6) AS adc_dist
+      FROM q JOIN enc e ON e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("embedding_pq_encode", None)  # oracle attached below (generated)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embeddings table with pinned codebooks (m=4, k=8):
+    64 floats (256 B) -> 4 codebook indexes. Assignment is a pure
+    map-side column expression over literal centroids — no shuffle, no
+    Python, whole-stage codegen (``functions/pq.py:pq_encode``)."""
+    from etl_router_spark.functions.pq import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, _pq_books())
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("pq_code",
+            lambda x: x.cast("string"))).alias("pq_code"),
+    )
+
+
+@query("embedding_pq_adc_topk", None)  # oracle attached below (generated)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-5 for 10 queries: each query builds
+    its m*k look-up table in-plan and broadcasts; the corpus side joins
+    carrying only (id, 4-int code) and scoring is 4 array lookups per
+    pair (``functions/pq.py:pq_adc_topk``). The numpy twin
+    (method="blas", batch-local top-k) is equality-tested against this
+    path in tests/test_pq.py; recall vs exact L2 is measured there with
+    TRAINED codebooks."""
+    from etl_router_spark.functions.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb.filter(F.col("vec_id") < 10), emb,
+                       _pq_books(), k=5, method="sql")
+
+
+ORACLES["embedding_pq_encode"] = _pq_encode_oracle()
+ORACLES["embedding_pq_adc_topk"] = _pq_adc_oracle(n_queries=10, k=5)
+
+
 @query(
     "asof_join_forward",
     """
