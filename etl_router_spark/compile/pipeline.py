@@ -219,6 +219,46 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return brute_force_topk(queries, df, k=int(cfg.get("k", 5)),
                                 id_col=cfg.get("id_field", "vec_id"),
                                 vec_col=cfg.get("vec_field", "embedding"))
+    if tt in ("pq_encode", "pq_topk"):
+        # product quantization (functions/pq.py): codebooks come from
+        # explicit config, training over the input frame, or the
+        # deterministic md5-derived set — in that precedence order
+        from etl_router_spark.functions.pq import (
+            deterministic_codebooks,
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        dim = int(cfg["dim"])
+        m = int(cfg.get("m", 4))
+        kc = int(cfg.get("k_centroids", 16))
+        books = cfg.get("codebooks")
+        if books is None and cfg.get("train"):
+            books = pq_train(df, m=m, k=kc,
+                             vec_col=cfg.get("vec_field", "embedding"),
+                             id_col=cfg.get("id_field", "vec_id"),
+                             sample_fraction=cfg.get("sample_fraction"))
+        elif books is None:
+            books = deterministic_codebooks(dim, m=m, k=kc)
+        if tt == "pq_encode":
+            return pq_encode(df, books,
+                             id_col=cfg.get("id_field", "vec_id"),
+                             vec_col=cfg.get("vec_field", "embedding"),
+                             keep_vec=bool(cfg.get("keep_vec", False)))
+        from etl_router_spark.compile.conditions import compile_condition
+        from etl_router_spark.model.conditions import Condition
+
+        queries = df
+        qcond = cfg.get("query_condition")
+        if qcond is not None:
+            if isinstance(qcond, dict):
+                qcond = Condition.from_dict(qcond)
+            queries = df.filter(compile_condition(qcond))
+        return pq_adc_topk(queries, df, books, k=int(cfg.get("k", 5)),
+                           id_col=cfg.get("id_field", "vec_id"),
+                           vec_col=cfg.get("vec_field", "embedding"),
+                           method=cfg.get("method", "blas"))
     if tt == "text_stats":
         from etl_router_spark.functions.text import text_stats
 

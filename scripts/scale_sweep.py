@@ -95,10 +95,129 @@ def _ops():
             max_tokens=512),
         "global_shuffle_full": lambda s, sf: global_shuffle(docs(s, sf)),
         "tfidf_cosine_full": lambda s, sf: tfidf_cosine_pairs(docs(s, sf)),
+        # third wave (round 8): the families still unmeasured — temporal
+        # joins, CDC replay, index builds, BPE tokenize, PQ, windowed
+        # agg/sessionize (event-time state machinery in batch mode)
+        "asof_join_full": lambda s, sf: _asof_full(s, sf),
+        "range_join_full": lambda s, sf: _range_full(s, sf),
+        "cdc_apply_full": lambda s, sf: _cdc_full(s, sf),
+        "inverted_index_full": lambda s, sf: _inv_index_full(s, sf),
+        "bpe_tokenize_full": lambda s, sf: _bpe_full(s, sf),
+        "pq_encode_full": lambda s, sf: _pq_encode_full(s, sf),
+        "pq_adc_topk_full": lambda s, sf: _pq_adc_full(s, sf),
+        "window_agg_full": lambda s, sf: _window_agg_full(s, sf),
+        "sessionize_full": lambda s, sf: _sessionize_full(s, sf),
+        "connected_components_full": lambda s, sf: _cc_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
     }
+
+
+def _events(s, sf):
+    from etl_router_spark.io import load_table
+
+    return load_table(s, sf, "events")
+
+
+def _asof_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.joins import asof_join
+
+    ev = _events(s, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                     direction="backward")
+
+
+def _range_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.joins import range_join
+
+    ev = _events(s, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    return range_join(purchases, clicks, "ts", "ts", -3600.0, 0.0,
+                      on="user_id", bucket_sec=3600.0)
+
+
+def _cdc_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.cdc import cdc_apply
+
+    ev = _events(s, sf).withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete")
+               .otherwise("upsert"))
+    return cdc_apply(ev, key_cols=["user_id"],
+                     order_cols=["ts", "event_id"], op_col="op")
+
+
+def _inv_index_full(s, sf):
+    from etl_router_spark.functions.indexing import inverted_index
+    from etl_router_spark.io import load_table
+
+    return inverted_index(load_table(s, sf, "documents"), max_postings=100)
+
+
+def _bpe_full(s, sf):
+    from etl_router_spark.functions.text import bpe_tokenize
+    from etl_router_spark.io import load_table
+    from etl_router_spark.queries_llm import _BPE_MERGES
+
+    docs = load_table(s, sf, "documents").select("doc_id", "text")
+    return bpe_tokenize(docs, _BPE_MERGES).select("doc_id", "bpe_tokens_n")
+
+
+def _pq_encode_full(s, sf):
+    from etl_router_spark.functions.pq import deterministic_codebooks, pq_encode
+    from etl_router_spark.io import load_table
+
+    emb = load_table(s, sf, "embeddings")
+    return pq_encode(emb, deterministic_codebooks(64, m=4, k=16))
+
+
+def _pq_adc_full(s, sf):
+    from etl_router_spark.functions.pq import deterministic_codebooks, pq_adc_topk
+    from etl_router_spark.io import load_table
+
+    emb = load_table(s, sf, "embeddings")
+    return pq_adc_topk(emb.filter("vec_id < 20"), emb,
+                       deterministic_codebooks(64, m=4, k=16),
+                       k=5, method="blas")
+
+
+def _window_agg_full(s, sf):
+    from etl_router_spark.compile.transforms import apply_aggregate
+
+    return apply_aggregate(
+        _events(s, sf), ["user_id"],
+        [{"field": "value", "function": "sum", "output_field": "total"},
+         {"field": "event_id", "function": "count", "output_field": "n"}],
+        {"type": "tumbling", "size": "1h"}, "ts")
+
+
+def _sessionize_full(s, sf):
+    from etl_router_spark.compile.transforms import apply_sessionize
+
+    return apply_sessionize(
+        _events(s, sf), ["user_id"], "30m",
+        [{"field": "value", "function": "sum", "output_field": "total"}],
+        "ts")
+
+
+def _cc_full(s, sf):
+    from etl_router_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    return dedup_clusters(docs, pairs, algorithm="star")
 
 
 def main() -> None:

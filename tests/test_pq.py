@@ -107,3 +107,39 @@ def test_pq_train_rejects_bad_shapes(spark, emb):
     empty = emb.filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty"):
         pq_train(empty, m=4)
+
+
+def test_pq_manifest_transform_types(spark, sf_dir, tmp_path):
+    """pq_encode / pq_topk as first-class manifest transform_types:
+    deterministic codebooks by default, trained when train: true."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    def doc(transform_cfg, name):
+        return {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": name},
+                "spec": {"stages": [
+                    {"id": "s", "type": "source",
+                     "config": {"source_type": "file", "format": "parquet",
+                                "path": f"{sf_dir}/embeddings.parquet"}},
+                    {"id": "t", "type": "transform", "config": transform_cfg},
+                    {"id": "o", "type": "sink",
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": str(tmp_path / name)}},
+                ]}}
+
+    compile_pipeline(spark, parse_manifest_dict(
+        doc({"transform_type": "pq_encode", "dim": 64, "m": 4,
+             "k_centroids": 8}, "enc"))).run()
+    enc = spark.read.parquet(str(tmp_path / "enc"))
+    assert set(enc.columns) == {"vec_id", "pq_code"}
+    assert enc.selectExpr("max(size(pq_code))").first()[0] == 4
+
+    compile_pipeline(spark, parse_manifest_dict(
+        doc({"transform_type": "pq_topk", "dim": 64, "k": 3,
+             "query_condition": {"type": "expression",
+                                 "expression": "vec_id < 4"}},
+            "topk"))).run()
+    tk = spark.read.parquet(str(tmp_path / "topk"))
+    assert set(tk.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
+    assert tk.count() == 4 * 3
