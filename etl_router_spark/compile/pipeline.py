@@ -255,6 +255,15 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             if isinstance(qcond, dict):
                 qcond = Condition.from_dict(qcond)
             queries = df.filter(compile_condition(qcond))
+        if cfg.get("nprobe") is not None:
+            # IVF-PQ: coarse cells prune candidates before ADC ranking
+            from etl_router_spark.functions.pq import ivfpq_topk
+
+            return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
+                              nprobe=int(cfg["nprobe"]),
+                              n_centroids=int(cfg.get("n_centroids", 8)),
+                              id_col=cfg.get("id_field", "vec_id"),
+                              vec_col=cfg.get("vec_field", "embedding"))
         return pq_adc_topk(queries, df, books, k=int(cfg.get("k", 5)),
                            id_col=cfg.get("id_field", "vec_id"),
                            vec_col=cfg.get("vec_field", "embedding"),

@@ -48,6 +48,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -305,6 +306,99 @@ def pq_adc_topk(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (
         partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _centroid_dists_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
+    """Array of rounded full-dim squared distances to each centroid,
+    in the given centroid order."""
+    return "array(" + ", ".join(
+        _sqdist_sql(vec_sql, cv) for _, cv in cents) + ")"
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition — an IVF coarse quantizer
+    prunes the corpus to the query's ``nprobe`` nearest cells, PQ ADC
+    ranks only those candidates. Output: (query_id, neighbor_id, rank,
+    adc_dist), rank by ADC distance ASC / neighbor id, self excluded.
+
+    Why this is THE 100 TB ANN shape: candidate generation costs an
+    equi-join on centroid id (corpus assignment is a map-side literal
+    expression — the corpus never shuffles for it, matching
+    ``ivf_topk``), scoring costs m array lookups per candidate over
+    m-byte codes (no vector arithmetic, no full-width vectors moving),
+    and both model artifacts (centroids + codebooks) are literal
+    metadata. Compute follows probed-cell occupancy, memory follows
+    code bytes — neither follows corpus size × query count.
+
+    ``centroids``: (cid, vector) list; defaults to the ``n_centroids``
+    lowest-id corpus vectors (``ivf_topk``'s deterministic stand-in —
+    production trains them with ``train_ivf_centroids`` /
+    ``pq_train``-style sampled k-means). Assignment + probing use the
+    SAME rounded-L2 + lowest-cid-tie rule on both sides, so the DuckDB
+    oracle is value-exact.
+    """
+    if centroids is None:
+        rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    d_arr = _centroid_dists_sql(vec, centroids)
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
+    # corpus: nearest cell (rounded-L2 argmin, first-occurrence = lowest
+    # position; centroid list is sorted by cid so that IS lowest-cid)
+    assign = (f"element_at({cid_arr}, "
+              f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{assign} AS cid",
+        f"{pq_code_sql(vec, codebooks)} AS code",
+    )
+    # queries: nprobe nearest cells via a sorted (dist, cid) struct
+    # array — array_sort orders by dist then cid, the same tie rule
+    probe_structs = "array(" + ", ".join(
+        f"named_struct('dist', {_sqdist_sql(vec, cv)}, 'cid', {cid})"
+        for cid, cv in centroids) + ")"
+    probes = (f"transform(slice(array_sort({probe_structs}), 1, {nprobe}), "
+              f"x -> x.cid)")
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"explode({probes}) AS cid",
+        f"{pq_lut_sql(vec, codebooks)} AS lut",
+    )
+    score = (f"round(aggregate(sequence(0, {m - 1}), 0D, (acc, i) -> "
+             f"acc + element_at(lut, i * {kc} + element_at(code, i + 1) + 1)), 6)")
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{score} AS adc_dist")
+    )
+    # a corpus vector lives in exactly ONE cell, so probes cannot
+    # produce duplicate (query, neighbor) candidates — no distinct
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )

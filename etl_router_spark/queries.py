@@ -3886,6 +3886,7 @@ _TOUCHED_BOOST = (
 _DEFER_NEW = (
     "embedding_pq_encode",
     "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
 )
 
 

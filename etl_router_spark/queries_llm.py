@@ -1476,8 +1476,61 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _pq_books(), k=5, method="sql")
 
 
+def _ivfpq_oracle(n_centroids: int, nprobe: int, n_queries: int, k: int) -> str:
+    books = _pq_books()
+    full_dist = ("round(list_sum(list_transform(list_zip(x.v, ct.cv), "
+                 "u -> (u[1]-u[2])*(u[1]-u[2]))), 6)")
+    score = " + ".join(
+        f"q.lut[{i * _PQ_K} + e.code[{i + 1}] + 1]" for i in range(_PQ_M))
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {n_centroids}),
+    assign AS (SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT x.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY {full_dist}, ct.cid) AS rn
+        FROM v x CROSS JOIN cent ct) t WHERE rn = 1),
+    enc AS (SELECT vec_id, {_pq_code_duck('v', books)} AS code FROM v),
+    probe AS (SELECT vec_id AS query_id, cid FROM (
+        SELECT x.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY {full_dist}, ct.cid) AS rn
+        FROM v x CROSS JOIN cent ct WHERE x.vec_id < {n_queries}) t
+        WHERE rn <= {nprobe}),
+    q AS (SELECT vec_id AS query_id, {_pq_lut_duck('v', books)} AS lut
+          FROM v WHERE vec_id < {n_queries}),
+    cand AS (SELECT p.query_id, a.neighbor_id
+             FROM probe p JOIN assign a USING (cid)
+             WHERE a.neighbor_id <> p.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id, round({score}, 6) AS adc_dist
+               FROM cand c JOIN q USING (query_id)
+               JOIN enc e ON e.vec_id = c.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("embedding_ivfpq_topk", None)  # oracle attached below (generated)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 for 10 queries (8 cells, nprobe=2, pinned m=4/k=8
+    codebooks): coarse cells prune candidates via a map-side literal
+    assignment + centroid-id equi-join, PQ ADC ranks only the probed
+    cells' members (``functions/pq.py:ivfpq_topk``) — the FAISS IVFPQ
+    composition with zero corpus shuffle for candidate generation and
+    m-byte codes on the scoring join."""
+    from etl_router_spark.functions.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb.filter(F.col("vec_id") < 10), emb, _pq_books(),
+                      k=5, nprobe=2, n_centroids=8)
+
+
 ORACLES["embedding_pq_encode"] = _pq_encode_oracle()
 ORACLES["embedding_pq_adc_topk"] = _pq_adc_oracle(n_queries=10, k=5)
+ORACLES["embedding_ivfpq_topk"] = _ivfpq_oracle(
+    n_centroids=8, nprobe=2, n_queries=10, k=5)
 
 
 @query(

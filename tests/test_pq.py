@@ -143,3 +143,71 @@ def test_pq_manifest_transform_types(spark, sf_dir, tmp_path):
     tk = spark.read.parquet(str(tmp_path / "topk"))
     assert set(tk.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
     assert tk.count() == 4 * 3
+
+
+def test_ivfpq_topk_subset_of_adc(spark, emb):
+    """IVF-PQ equals full PQ ADC restricted to the probed cells: every
+    returned neighbor must also appear in the unpruned ADC ranking at
+    an equal-or-better distance, and recall against full ADC top-k is
+    substantial (cells prune, probing recovers)."""
+    from etl_router_spark.functions.pq import ivfpq_topk
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    q = emb.filter("vec_id < 6")
+    full = {(r.query_id, r.neighbor_id): r.adc_dist
+            for r in pq_adc_topk(q, emb, books, k=100, method="sql").collect()}
+    got = ivfpq_topk(q, emb, books, k=5, nprobe=2, n_centroids=8).collect()
+    assert len(got) == 6 * 5
+    for r in got:
+        # the ADC distance of a candidate is identical whether or not
+        # IVF pruned around it
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+    top = {(r.query_id, r.neighbor_id)
+           for r in pq_adc_topk(q, emb, books, k=5, method="sql").collect()}
+    hit = len(top & {(r.query_id, r.neighbor_id) for r in got}) / len(top)
+    assert hit >= 0.3, hit  # 2/8 cells probed
+
+
+def test_ivfpq_probes_widen_recall(spark, emb):
+    from etl_router_spark.functions.pq import ivfpq_topk
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    q = emb.filter("vec_id < 6")
+    top = {(r.query_id, r.neighbor_id)
+           for r in pq_adc_topk(q, emb, books, k=5, method="sql").collect()}
+
+    def recall(nprobe):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivfpq_topk(q, emb, books, k=5, nprobe=nprobe,
+                                   n_centroids=8).collect()}
+        return len(top & got) / len(top)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 == 1.0  # probing every cell == exact ADC
+    assert r2 <= r8
+
+
+def test_pq_topk_manifest_ivfpq(spark, sf_dir, tmp_path):
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "ivfpq"},
+           "spec": {"stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": f"{sf_dir}/embeddings.parquet"}},
+               {"id": "t", "type": "transform",
+                "config": {"transform_type": "pq_topk", "dim": 64, "k": 3,
+                           "m": 4, "k_centroids": 8,
+                           "nprobe": 2, "n_centroids": 8,
+                           "query_condition": {"type": "expression",
+                                               "expression": "vec_id < 4"}}},
+               {"id": "o", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}},
+           ]}}
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
+    assert out.count() == 4 * 3
