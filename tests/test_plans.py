@@ -310,3 +310,34 @@ def test_bm25_broadcast_is_query_sized(plans):
     first_bcast = plan.split("BroadcastExchange")[1]
     assert "Generate explode" in first_bcast, first_bcast
     assert "count(1)" in first_bcast, first_bcast
+
+
+def test_pq_encode_is_map_side_only(spark, sf_dir):
+    """PQ encoding must not shuffle: literal-codebook assignment is a
+    pure column expression over the scan."""
+    from etl_router_spark.functions.pq import deterministic_codebooks, pq_encode
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (pq_encode(emb, deterministic_codebooks(64, m=4, k=8))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_ivfpq_candidates_join_broadcast_no_cartesian(spark, sf_dir):
+    """IVF-PQ candidate generation is a broadcast equi-join on the
+    centroid id — the corpus side must not shuffle for it and no
+    cartesian/nested-loop join may appear."""
+    from etl_router_spark.functions.pq import deterministic_codebooks, ivfpq_topk
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (ivfpq_topk(emb.filter("vec_id < 10"), emb,
+                       deterministic_codebooks(64, m=4, k=8),
+                       k=5, nprobe=2, n_centroids=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only exchanges are the broadcast itself + the final per-query
+    # ranking window — the corpus scan side feeds the join directly
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
