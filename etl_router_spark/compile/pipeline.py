@@ -268,6 +268,30 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            id_col=cfg.get("id_field", "vec_id"),
                            vec_col=cfg.get("vec_field", "embedding"),
                            method=cfg.get("method", "blas"))
+    if tt == "quality_classifier":
+        # model-based quality filter (fastText recipe): weights from
+        # explicit config, training over the input frame (label_field),
+        # or the deterministic md5-derived set — same precedence as pq
+        from etl_router_spark.functions.classifier import (
+            deterministic_weights,
+            quality_classifier_apply,
+            quality_classifier_train,
+        )
+
+        ws, bias = cfg.get("weights"), cfg.get("bias", 0.0)
+        if ws is None and cfg.get("label_field"):
+            ws, bias = quality_classifier_train(
+                df, cfg["label_field"],
+                text_col=cfg.get("text_field", "text"),
+                num_features=int(cfg.get("num_features", 256)),
+                max_iter=int(cfg.get("max_iter", 50)),
+                reg_param=float(cfg.get("reg_param", 0.0)))
+        elif ws is None:
+            ws, bias = deterministic_weights(int(cfg.get("num_features", 256)))
+        return quality_classifier_apply(
+            df, list(ws), float(bias),
+            text_col=cfg.get("text_field", "text"),
+            threshold=float(cfg.get("threshold", 0.5)))
     if tt == "text_stats":
         from etl_router_spark.functions.text import text_stats
 

@@ -36,7 +36,7 @@ KNOWN_TRANSFORMS = {
     "bm25", "pagerank", "degree_stats", "triangle_count",
     "edit_distance_pairs", "embedding_mean_pool", "embedding_pca_project",
     "pack_boundaries", "kafka_envelope", "bpe_tokenize",
-    "pq_encode", "pq_topk",
+    "pq_encode", "pq_topk", "quality_classifier",
 }
 
 KNOWN_SOURCES = {

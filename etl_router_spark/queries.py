@@ -3887,6 +3887,7 @@ _DEFER_NEW = (
     "embedding_pq_encode",
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
+    "text_quality_classifier",
 )
 
 

@@ -1527,10 +1527,56 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=5, nprobe=2, n_centroids=8)
 
 
+def _quality_classifier_oracle() -> str:
+    from etl_router_spark.functions.classifier import deterministic_weights
+
+    ws, bias = deterministic_weights(64)
+    w_list = "[" + ", ".join(f"{w!r}" for w in ws) + "]::DOUBLE[]"
+    bucket = f"CAST({_h60_sql('tk')} % 64 AS INT)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-((CASE WHEN len(toks) > 0 THEN
+               list_sum(list_transform(toks,
+                 tk -> ({w_list})[{bucket} + 1])) / len(toks)
+               ELSE 0.0 END) + {bias!r}))), 6) AS quality_score
+      FROM t)
+    SELECT doc_id, quality_score,
+           CAST(quality_score >= 0.5 AS INT) AS quality_label
+    FROM s
+    """
+
+
+@query("text_quality_classifier", None)  # oracle attached below (generated)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (fastText recipe) with pinned
+    md5-derived weights over hashed-BOW features: one token pass per
+    row, weights as a literal array, fully map-side
+    (``functions/classifier.py``). Training is pytest-verified
+    (tests/test_classifier.py: separates labeled corpora at >=95%
+    accuracy); the gate value-checks the apply mechanics the way the
+    PCA/PQ gates pin their trained artifacts."""
+    from etl_router_spark.functions.classifier import (
+        deterministic_weights,
+        quality_classifier_apply,
+    )
+
+    ws, bias = deterministic_weights(64)
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_apply(docs, ws, bias).select(
+        "doc_id", "quality_score", "quality_label")
+
+
 ORACLES["embedding_pq_encode"] = _pq_encode_oracle()
 ORACLES["embedding_pq_adc_topk"] = _pq_adc_oracle(n_queries=10, k=5)
 ORACLES["embedding_ivfpq_topk"] = _ivfpq_oracle(
     n_centroids=8, nprobe=2, n_queries=10, k=5)
+ORACLES["text_quality_classifier"] = _quality_classifier_oracle()
 
 
 @query(
