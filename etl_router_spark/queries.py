@@ -3867,10 +3867,12 @@ _TOUCHED_BOOST = (
     "stream_sink_grpc_exactly_once",
     "source_grpc_staging_roundtrip",
     # r8: budget-persist lifetime now GC-tied (_release_on_gc) behind
-    # the pair-generation gates; newest driver rows are r6/r7
+    # the pair-generation gates; newest driver rows are r4-r7
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "multimodal_ahash_pairs",
     # r8: identifier validation + LIKE-escaped existence probe behind
     # the JDBC exactly-once epoch protocol (newest row r7)
     "stream_sink_jdbc_exactly_once",
