@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     # its orders x lineitem fixture join, so fixture and operator cost
     # are now tracked separately (VERDICT r4 #7)
     "graph_degrees_op",
+    # round 8: the new operator families, tracked from birth — PQ
+    # encode (map-side literal codebooks), IVF-PQ search (broadcast
+    # cell join + ADC), model-based quality scoring (literal weights)
+    "embedding_pq_encode",
+    "embedding_ivfpq_topk",
+    "text_quality_classifier",
 ]
 
 # r4 flagged three regressions (+11..23%) with no commit touching their
