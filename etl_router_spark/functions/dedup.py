@@ -1091,6 +1091,18 @@ def embedding_lsh_pairs(
     exact. Hyperplanes are md5-derived literals (same constants the
     DuckDB oracle embeds — no RNG state to ship).
 
+    **Scaling rule (measured, SCALE.md "Exact → LSH crossover"):**
+    bucket count is ``2**planes`` per table, so with FIXED planes the
+    candidate volume grows ~n²/2^planes — still quadratic (measured
+    ×12.9 wall at 10× rows with planes=8). Scale
+    ``planes ≈ log2(n / target_occupancy)`` (~8 at 2k vectors, 12 at
+    20k, 22 at 20M) to hold occupancy constant; cost is then
+    tables·n·occupancy candidate cosines — linear in n (measured back
+    to ×5.2 at 10× rows). Below ~10⁵ vectors the exact block-GEMM path
+    (:func:`embedding_cosine_pairs`) is outright faster (BLAS per-pair
+    cost ≪ expression-evaluated cosine); above it, exact is infeasible
+    and this path with ``max_candidates`` set is the 100 TB route.
+
     Bucket pair generation reuses the salted collect_list machinery
     (:func:`_bucket_local_pairs`): a degenerate corpus of near-identical
     embeddings cannot single-task the job. Output: (id_a < id_b,
@@ -1146,6 +1158,16 @@ def embedding_cosine_pairs(
     LSH cannot replace this when the threshold is low (at 0.38 a
     3-plane/4-table scheme misses ~33% of true pairs); for
     high-threshold near-dup use the banded paths above.
+
+    **Crossover rule (measured, SCALE.md "Exact → LSH crossover"):**
+    exact all-pairs is O(n²) by contract but BLAS-dense — measured
+    ×2.29 wall at 10× rows (= 100× pairs) on 20k×64-d, where it still
+    beats the best-tuned :func:`embedding_lsh_pairs` (1.71 s vs
+    4.89 s). The wall-clock crossover sits around 10⁵–10⁶ vectors for
+    64-d; beyond that (or at any 100 TB corpus) flip to
+    ``embedding_lsh_pairs`` with ``planes ≈ log2(n/occupancy)`` and a
+    ``max_candidates`` budget. Keep this exact path for low thresholds
+    (< ~0.6), re-rank stages, and per-block/per-bucket sub-problems.
 
     ``method="blas"``: single-broadcast GEMM — the whole corpus is
     collected, normalized and broadcast once; fastest when the corpus

@@ -108,10 +108,26 @@ def _ops():
         "window_agg_full": lambda s, sf: _window_agg_full(s, sf),
         "sessionize_full": lambda s, sf: _sessionize_full(s, sf),
         "connected_components_full": lambda s, sf: _cc_full(s, sf),
+        # crossover pair (round 8): the SAME high-threshold near-dup
+        # task on the SAME corpus, exact block GEMM vs hyperplane LSH —
+        # the measured basis for the exact->LSH flip rule in SCALE.md
+        "embedding_block_hi_full": lambda s, sf: embedding_cosine_pairs(
+            emb(s, sf), threshold=0.9, method="block", num_blocks=8),
+        "embedding_lsh_full": lambda s, sf: _emb_lsh_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
     }
+
+
+def _emb_lsh_full(s, sf):
+    from etl_router_spark.functions.dedup import embedding_lsh_pairs
+    from etl_router_spark.io import load_table
+
+    emb = load_table(s, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_lsh_pairs(emb, dim=dim, threshold=0.9,
+                               planes=8, tables=2)
 
 
 def _events(s, sf):
