@@ -189,6 +189,16 @@ def main() -> None:
         "calibration": round(cal_best, 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
     }))
+    # Human summary on stderr (stdout stays the one-JSON-line contract):
+    # the calibration-normalized total is the cross-round comparable
+    # number — divide two rounds' normalized totals and machine drift
+    # cancels (scripts/bench_compare.py does this per-query).
+    print(
+        f"# {len(timings)} queries, total {total:.3f}s; "
+        f"calibration {cal_best:.3f}s; "
+        f"calibration-normalized total x{total / cal_best:.1f}",
+        file=sys.stderr,
+    )
     spark.stop()
 
 

@@ -57,10 +57,14 @@ def main() -> int:
     old, new = load_bench(args.old), load_bench(args.new)
     cal_old, cal_new = old.get("calibration"), new.get("calibration")
     normalized = bool(cal_old and cal_new)
+    missing_cal = [label for label, cal in
+                   ((args.old, cal_old), (args.new, cal_new)) if not cal]
     drift = (cal_new / cal_old) if normalized else 1.0
     tag = (f"calibration {cal_old:.3f}s -> {cal_new:.3f}s "
            f"(machine drift x{drift:.2f})" if normalized
-           else "UNNORMALIZED (a side lacks the calibration field)")
+           else f"UNNORMALIZED — no calibration field in: {missing_cal} "
+                "(pre-round-7 bench output); raw ratios below include "
+                "machine drift")
     print(f"# {tag}; flag threshold x{args.threshold}")
 
     flagged = 0
@@ -85,7 +89,11 @@ def main() -> int:
         print(f"# new queries: {sorted(only_new)}")
     print(f"# total {old['value']:.3f}s -> {new['value']:.3f}s; "
           f"{flagged} regression(s) beyond drift")
-    return 1 if flagged else 0
+    if flagged:
+        return 1
+    # exit 2 (not silent success) when normalization was impossible —
+    # a "0 regressions" verdict from raw ratios is not trustworthy
+    return 2 if missing_cal else 0
 
 
 if __name__ == "__main__":
