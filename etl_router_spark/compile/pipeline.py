@@ -196,7 +196,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                        id_col=cfg.get("id_field", "vec_id"),
                                        vec_col=cfg.get("vec_field", "embedding"),
                                        threshold=float(cfg.get("threshold", 0.95)),
-                                       planes=int(cfg.get("planes", 8)),
+                                       planes=(cfg["planes"]
+                                               if cfg.get("planes") == "auto"
+                                               else int(cfg.get("planes", 8))),
                                        tables=int(cfg.get("tables", 2)),
                                        salt_cap=cfg.get("salt_cap", 512),
                                        max_candidates=mc)

@@ -23,6 +23,7 @@ results are reproducible across engines and test oracles are exact.
 
 from __future__ import annotations
 
+import math
 import weakref
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1075,10 +1076,11 @@ def embedding_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 8,
+    planes: int | str = 8,
     tables: int = 2,
     salt_cap: int | None = 512,
     max_candidates: int | None = None,
+    target_occupancy: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH buckets —
     the 100 TB path PAST block GEMM: :func:`embedding_cosine_pairs`
@@ -1102,6 +1104,12 @@ def embedding_lsh_pairs(
     (:func:`embedding_cosine_pairs`) is outright faster (BLAS per-pair
     cost ≪ expression-evaluated cosine); above it, exact is infeasible
     and this path with ``max_candidates`` set is the 100 TB route.
+    ``planes="auto"`` applies that rule in-plan: one count aggregate
+    over the corpus (cheap next to the pair join it sizes; pass an
+    explicit int to skip the extra scan) derives
+    ``max(4, ceil(log2(n / target_occupancy)))``, so a pipeline that
+    grows 1000× between runs re-tunes itself instead of silently going
+    quadratic.
 
     Bucket pair generation reuses the salted collect_list machinery
     (:func:`_bucket_local_pairs`): a degenerate corpus of near-identical
@@ -1110,6 +1118,13 @@ def embedding_lsh_pairs(
     distinct.
     """
     from etl_router_spark.functions.similarity import lsh_bucket_keys_sql
+
+    if planes == "auto":
+        n = df.count()
+        planes = max(4, math.ceil(math.log2(max(n, 1) / target_occupancy))
+                     if n > target_occupancy else 0)
+    elif not isinstance(planes, int):
+        raise ValueError(f"planes must be an int or 'auto', got {planes!r}")
 
     keys = lsh_bucket_keys_sql(f"CAST({vec_col} AS ARRAY<DOUBLE>)", dim, planes, tables)
     buckets = df.selectExpr(

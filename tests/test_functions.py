@@ -737,3 +737,28 @@ def test_embedding_lsh_candidate_budget(spark):
         embedding_lsh_pairs(df, dim=4, max_candidates=5)
     ok = embedding_lsh_pairs(df, dim=4, max_candidates=10**6)
     assert ok.count() == 30 * 29 // 2  # identical vectors: every pair
+
+
+def test_embedding_lsh_auto_planes(spark):
+    """planes="auto" derives log2(n/occupancy) from a corpus count and
+    produces the same pairs as the explicit setting it resolves to
+    (SCALE.md crossover rule: fixed planes are quadratic at scale)."""
+    import random
+
+    from etl_router_spark.functions.dedup import embedding_lsh_pairs
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    # plant a near-dup pair so the output is non-trivial
+    rows.append((1000, [v * 1.01 for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # n=41, occupancy 8 -> ceil(log2(41/8)) = 3 -> floor of 4 applies
+    auto = embedding_lsh_pairs(df, dim=8, threshold=0.95, planes="auto")
+    explicit = embedding_lsh_pairs(df, dim=8, threshold=0.95, planes=4)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, explicit.collect()))
+    assert any(r.id_a == 0 and r.id_b == 1000 for r in auto.collect())
+
+    with pytest.raises(ValueError, match="planes"):
+        embedding_lsh_pairs(df, dim=8, planes="automatic")
