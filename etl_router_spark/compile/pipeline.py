@@ -202,6 +202,15 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                        tables=int(cfg.get("tables", 2)),
                                        salt_cap=cfg.get("salt_cap", 512),
                                        max_candidates=mc)
+        if cfg.get("method") == "semantic":
+            from etl_router_spark.functions.dedup import semantic_dedup
+
+            return semantic_dedup(df, id_col=cfg.get("id_field", "vec_id"),
+                                  vec_col=cfg.get("vec_field", "embedding"),
+                                  threshold=float(cfg.get("threshold", 0.95)),
+                                  n_cells=int(cfg.get("n_cells", 8)),
+                                  salt_cap=cfg.get("salt_cap", 512),
+                                  max_candidates=mc)
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
         return embedding_cosine_pairs(df, id_col=cfg.get("id_field", "vec_id"),

@@ -25,6 +25,7 @@ from etl_router_spark.functions.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
     embedding_cosine_pairs,
+    semantic_dedup,
 )
 from etl_router_spark.functions.similarity import (  # noqa: F401
     cosine_expr,

@@ -1153,6 +1153,78 @@ def embedding_lsh_pairs(
     , pinned)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    cell_col: str = "cell",
+    salt_cap: int | None = 512,
+    max_candidates: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into coarse cells, prune
+    near-duplicates WITHIN each cell, keep one representative. Returns
+    the input rows (plus ``cell_col``) minus every row that has a
+    smaller-id same-cell neighbor at cosine >= ``threshold`` — the
+    deterministic greedy the paper's ε-ball pruning reduces to under a
+    fixed ordering, so the DuckDB oracle is value-exact.
+
+    The 100 TB shape mirrors ``ivfpq_topk``'s candidate generation:
+    cell assignment is a map-side literal-centroid expression (rounded
+    squared L2, lowest-cid ties — the corpus never shuffles to be
+    assigned), and pair generation is bucket-local per cell via the
+    salted/budgeted ``_bucket_local_pairs`` machinery, so cost follows
+    cell occupancy, never corpus². Quadratic within-cell work is the
+    POINT of the coarse quantizer: cells bound the pair problem the
+    way planes bound it for :func:`embedding_lsh_pairs`; size
+    ``n_cells`` so n/n_cells vectors fit a task (and set
+    ``max_candidates`` as the fail-fast backstop). Unlike the LSH
+    path this prunes across the WHOLE cell at any threshold — the
+    paper runs it at low thresholds where hyperplane recall collapses.
+
+    ``centroids``: (cid, vector) list; defaults to the ``n_cells``
+    lowest-id corpus vectors (the ``ivf_topk`` deterministic stand-in;
+    production trains them with ``train_ivf_centroids``).
+    """
+    from etl_router_spark.functions.pq import _centroid_dists_sql
+
+    if centroids is None:
+        rows = (
+            df.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    d_arr = _centroid_dists_sql(vec, centroids)
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
+    assign = (f"element_at({cid_arr}, "
+              f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+    assigned = df.withColumn(cell_col, F.expr(assign))
+    buckets = assigned.selectExpr(
+        f"{id_col} AS id", f"{vec} AS vec", f"{cell_col} AS __cell")
+    pinned: list[DataFrame] = []
+    pairs = _bucket_local_pairs(
+        buckets, ["__cell"], salt_cap, max_candidates,
+        op="semantic_dedup",
+        advice=("A cell is saturated (boilerplate embeddings or too few "
+                "cells). Raise n_cells / train real centroids, or exact-"
+                "dedup identical vectors first. The estimate already "
+                "accounts for salting."),
+        pinned=pinned)
+    cos = F.round(cosine_cols(F.col("x.vec"), F.col("y.vec")), 6)
+    dropped = (
+        pairs.filter(cos >= threshold)
+        .select(F.col("y.id").alias(id_col))
+        .distinct()
+    )
+    return _release_on_gc(
+        assigned.join(dropped, id_col, "left_anti"), pinned)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -3890,6 +3890,7 @@ _DEFER_NEW = (
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
     "text_quality_classifier",
+    "dedup_semantic",
 )
 
 

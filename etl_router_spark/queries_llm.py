@@ -3164,3 +3164,47 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bpe_tokens_n",
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 12)).alias("head_tokens"),
     )
+
+
+def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
+    full_dist = ("round(list_sum(list_transform(list_zip(x.v, ct.cv), "
+                 "u -> (u[1]-u[2])*(u[1]-u[2]))), 6)")
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {n_cells}),
+    assign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT x.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY {full_dist}, ct.cid) AS rn
+        FROM v x CROSS JOIN cent ct) t WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold!r})
+    SELECT a.vec_id, a.cell FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("dedup_semantic", None)  # oracle attached below (generated)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) as a first-class operator: coarse
+    cells from a literal-centroid map-side assignment (the ivf_topk
+    deterministic stand-in), within-cell near-dup pruning via the
+    salted/budgeted bucket-local pair machinery, keep-lowest-id
+    representative (``functions/dedup.py:semantic_dedup``). The corpus
+    never shuffles for assignment; pair cost follows cell occupancy.
+    Mirrors the reference's dedupe-transform family at the embedding
+    level (conveyor-etl-dsl transform catalog) composed with the LLM
+    curation ops this engine adds."""
+    from etl_router_spark.functions.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, n_cells=8).select("vec_id", "cell")
+
+
+ORACLES["dedup_semantic"] = _semantic_dedup_oracle(n_cells=8, threshold=0.3)

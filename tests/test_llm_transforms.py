@@ -1074,3 +1074,49 @@ def test_dedup_manifest_candidate_budget(spark, sf_dir, tmp_path):
              {"transform_type": "dedup_minhash", "num_hashes": 8,
               "bands": 4, "threshold": 0.5, "max_candidates": 1},
              str(tmp_path / "o"))
+
+
+class TestSemanticDedup:
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(11)
+        base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(12)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        # plant near-dups of vec 3 and vec 7 (scaled copies: cosine = 1)
+        rows += [(100, [x * 2.0 for x in base[3]]),
+                 (101, [x * 0.5 for x in base[3]]),
+                 (102, [x * 3.0 for x in base[7]])]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_keeps_lowest_id_representative(self, spark):
+        from etl_router_spark.functions.dedup import semantic_dedup
+
+        df = self._corpus(spark)
+        out = semantic_dedup(df, threshold=0.999, n_cells=4)
+        kept = {r.vec_id for r in out.select("vec_id").collect()}
+        # exact copies land in the same cell; lowest id survives
+        assert 3 in kept and 7 in kept
+        assert kept.isdisjoint({100, 101, 102})
+        # singletons untouched; cell column attached
+        assert {0, 1, 2} <= kept and "cell" in out.columns
+
+    def test_candidate_budget(self, spark):
+        from etl_router_spark.functions.dedup import (
+            CandidateBudgetExceeded,
+            semantic_dedup,
+        )
+
+        df = self._corpus(spark)
+        with pytest.raises(CandidateBudgetExceeded, match="semantic_dedup"):
+            semantic_dedup(df, threshold=0.999, n_cells=2, max_candidates=3)
+
+    def test_manifest_method_semantic(self, spark, sf_dir, tmp_path):
+        out = _run(spark, f"{sf_dir}/embeddings.parquet",
+                   {"transform_type": "dedup_embedding", "method": "semantic",
+                    "threshold": 0.3, "n_cells": 8},
+                   str(tmp_path / "o"))
+        assert "cell" in out.columns
+        n_in = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert 0 < out.count() < n_in
