@@ -114,10 +114,22 @@ def _ops():
         "embedding_block_hi_full": lambda s, sf: embedding_cosine_pairs(
             emb(s, sf), threshold=0.9, method="block", num_blocks=8),
         "embedding_lsh_full": lambda s, sf: _emb_lsh_full(s, sf),
+        "semantic_dedup_full": lambda s, sf: _semantic_dedup_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
     }
+
+
+def _semantic_dedup_full(s, sf):
+    from etl_router_spark.functions.dedup import semantic_dedup
+    from etl_router_spark.io import load_table
+
+    # n_cells scaled with corpus (occupancy ~constant) — the same
+    # discipline as planes="auto" for the LSH path
+    emb = load_table(s, sf, "embeddings")
+    n_cells = 8 if "sf0.1" in sf else 80
+    return semantic_dedup(emb, threshold=0.3, n_cells=n_cells)
 
 
 def _emb_lsh_full(s, sf):
