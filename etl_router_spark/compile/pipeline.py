@@ -208,7 +208,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             return semantic_dedup(df, id_col=cfg.get("id_field", "vec_id"),
                                   vec_col=cfg.get("vec_field", "embedding"),
                                   threshold=float(cfg.get("threshold", 0.95)),
-                                  n_cells=int(cfg.get("n_cells", 8)),
+                                  n_cells=(cfg["n_cells"]
+                                           if cfg.get("n_cells") == "auto"
+                                           else int(cfg.get("n_cells", 8))),
                                   salt_cap=cfg.get("salt_cap", 512),
                                   max_candidates=mc)
         from etl_router_spark.functions.dedup import embedding_cosine_pairs

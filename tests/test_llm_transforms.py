@@ -1120,3 +1120,16 @@ class TestSemanticDedup:
         assert "cell" in out.columns
         n_in = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         assert 0 < out.count() < n_in
+
+    def test_auto_cells(self, spark):
+        from etl_router_spark.functions.dedup import semantic_dedup
+
+        df = self._corpus(spark)  # 15 rows
+        # target_occupancy 4 -> ceil(15/4) = 4 cells, same as explicit
+        auto = semantic_dedup(df, threshold=0.999, n_cells="auto",
+                              target_occupancy=4)
+        explicit = semantic_dedup(df, threshold=0.999, n_cells=4)
+        assert sorted(r.vec_id for r in auto.collect()) == \
+            sorted(r.vec_id for r in explicit.collect())
+        with pytest.raises(ValueError, match="n_cells"):
+            semantic_dedup(df, n_cells="all")
