@@ -1208,6 +1208,13 @@ def semantic_dedup(
             .collect()
         )
         centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    if not centroids:
+        # ids need not start at 0 — an empty stand-in would put every
+        # row in one NULL cell and silently go corpus-quadratic
+        raise ValueError(
+            f"no rows with {id_col} < {n_cells} to use as stand-in "
+            "centroids; pass centroids= explicitly "
+            "(e.g. from train_ivf_centroids)")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     d_arr = _centroid_dists_sql(vec, centroids)
     cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"

@@ -1133,3 +1133,20 @@ class TestSemanticDedup:
             sorted(r.vec_id for r in explicit.collect())
         with pytest.raises(ValueError, match="n_cells"):
             semantic_dedup(df, n_cells="all")
+
+    def test_empty_standin_centroids_raise(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.dedup import semantic_dedup
+
+        df = self._corpus(spark).withColumn(
+            "vec_id", F.col("vec_id") + 5000)
+        with pytest.raises(ValueError, match="centroids"):
+            semantic_dedup(df, threshold=0.999, n_cells=4)
+        # explicit centroids make shifted id spaces work
+        cents = [(i, v) for i, (j, v) in enumerate(
+            sorted((r.vec_id, list(r.embedding))
+                   for r in df.limit(4).collect()))]
+        out = semantic_dedup(df, threshold=0.999, n_cells=4,
+                             centroids=cents)
+        assert out.count() < df.count()  # planted dups still pruned
