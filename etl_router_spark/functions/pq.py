@@ -318,6 +318,39 @@ def _centroid_dists_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> s
         _sqdist_sql(vec_sql, cv) for _, cv in cents) + ")"
 
 
+def standin_centroids(
+    df, id_col: str, vec_col: str, n: int,
+) -> list[tuple[int, list[float]]]:
+    """The deterministic coarse-quantizer stand-in shared by
+    ``ivfpq_topk`` / ``semantic_dedup``: the ``n`` lowest-id vectors,
+    sorted by id. Raises when the id range yields none — an empty
+    centroid set would otherwise assign every row a NULL cell and
+    silently degrade to one corpus-sized bucket."""
+    rows = (
+        df.filter(F.col(id_col) < n)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    if not cents:
+        raise ValueError(
+            f"no rows with {id_col} < {n} to use as stand-in centroids; "
+            "pass centroids= explicitly (e.g. from train_ivf_centroids)")
+    return cents
+
+
+def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
+    """SQL for nearest-centroid cell id: rounded-L2 argmin with
+    first-occurrence (= lowest cid, the list being cid-sorted) ties —
+    the cross-engine determinism contract both the IVF-PQ and
+    semantic-dedup DuckDB oracles replicate. ONE definition so the
+    two operators cannot desynchronize."""
+    d_arr = _centroid_dists_sql(vec_sql, cents)
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
+    return (f"element_at({cid_arr}, "
+            f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -351,21 +384,12 @@ def ivfpq_topk(
     oracle is value-exact.
     """
     if centroids is None:
-        rows = (
-            corpus.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .collect()
-        )
-        centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+        centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
     m = len(codebooks)
     kc = len(codebooks[0])
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    d_arr = _centroid_dists_sql(vec, centroids)
-    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
-    # corpus: nearest cell (rounded-L2 argmin, first-occurrence = lowest
-    # position; centroid list is sorted by cid so that IS lowest-cid)
-    assign = (f"element_at({cid_arr}, "
-              f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+    # corpus: nearest cell — shared assignment contract (cell_assign_sql)
+    assign = cell_assign_sql(vec, centroids)
     c = corpus.selectExpr(
         f"{id_col} AS neighbor_id",
         f"{assign} AS cid",
