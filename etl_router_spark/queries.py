@@ -3852,46 +3852,23 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after the failed/never-checked gates — post-change evidence beats
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
-_TOUCHED_BOOST = (
-    # code changes behind gates whose newest DRIVER row predates them
-    # (locally re-verified, but the hard signal should refresh first):
-    # r5 gave triangle_count a localCheckpoint cache release and moved
-    # the gRPC client/receiver to the full HPACK decoder (both gates'
-    # newest driver row is r4); r7 added HTTP/2 flow-control window
-    # tracking to the gRPC client + WINDOW_UPDATE emission to the
-    # hermetic receiver, which sits behind every gRPC gate.
-    # (q_top_parts_by_revenue's r7 rank rewrite got its fresh r7 row —
-    # pruned, as did source_jsonl_queue_roundtrip at r6.)
-    "graph_triangles",
-    "sink_grpc_roundtrip",
-    "stream_sink_grpc_exactly_once",
-    "source_grpc_staging_roundtrip",
-    # r8: budget-persist lifetime now GC-tied (_release_on_gc) behind
-    # the pair-generation gates; newest driver rows are r4-r7
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    "multimodal_ahash_pairs",
-    # r8: identifier validation + LIKE-escaped existence probe behind
-    # the JDBC exactly-once epoch protocol (newest row r7)
-    "stream_sink_jdbc_exactly_once",
+_TOUCHED_BOOST: tuple[str, ...] = (
+    # (r9: all 10 r8 entries — the gRPC flow-control, budget-GC pair
+    # ops and JDBC exactly-once gates — received fresh r8 driver rows;
+    # pruned so the window's priority slots go to the oldest evidence.
+    # r9 code changes sit behind gates with NO driver row yet —
+    # dedup_semantic and the pq/classifier gates — which rank in the
+    # never-checked tier already, so no boost entry is needed.)
 )
 
 # Gates REGISTERED this round: rank them after every already-known
 # gate so the driver's ~50-slot window burns down the verification
 # backlog instead of being consumed by brand-new additions. New gates
 # are verified locally (scripts/check_correctness.py) until the
-# backlog clears. Emptied in r7 (backlog burned); r8 defers the new
-# product-quantization gates so the window leads with the touched
-# gRPC/dedup/JDBC gates and the 10 r3-stale names instead.
-_DEFER_NEW = (
-    "embedding_pq_encode",
-    "embedding_pq_adc_topk",
-    "embedding_ivfpq_topk",
-    "text_quality_classifier",
-    "dedup_semantic",
-)
+# backlog clears. Emptied in r7 and again in r9 (the 5 r8 PQ/
+# classifier/SemDeDup gates now rank first by the never-checked rule,
+# exactly as the r8 verdict ordered).
+_DEFER_NEW = ()
 
 
 def _driver_history() -> tuple[dict, set]:
