@@ -205,13 +205,17 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         if cfg.get("method") == "semantic":
             from etl_router_spark.functions.dedup import semantic_dedup
 
+            # salt_cap has NO implicit default here: cosine is not
+            # transitive, so salting loses recall for this operator's
+            # whole-cell contract (see semantic_dedup docstring) —
+            # only a declared stage/spec.limits value opts in
             return semantic_dedup(df, id_col=cfg.get("id_field", "vec_id"),
                                   vec_col=cfg.get("vec_field", "embedding"),
                                   threshold=float(cfg.get("threshold", 0.95)),
                                   n_cells=(cfg["n_cells"]
                                            if cfg.get("n_cells") == "auto"
                                            else int(cfg.get("n_cells", 8))),
-                                  salt_cap=cfg.get("salt_cap", 512),
+                                  salt_cap=cfg.get("salt_cap"),
                                   max_candidates=mc)
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
@@ -277,10 +281,23 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                               n_centroids=int(cfg.get("n_centroids", 8)),
                               id_col=cfg.get("id_field", "vec_id"),
                               vec_col=cfg.get("vec_field", "embedding"))
+        id_col = cfg.get("id_field", "vec_id")
+        method = cfg.get("method")
+        if method is None:
+            # blas is the numpy fast path but requires integral ids;
+            # route string/other id manifests to the portable sql
+            # twin instead of crashing (explicit method= still wins
+            # and gets pq_adc_topk's descriptive error)
+            from pyspark.sql import types as sqltypes
+
+            integral = (sqltypes.ByteType, sqltypes.ShortType,
+                        sqltypes.IntegerType, sqltypes.LongType)
+            method = ("blas" if isinstance(df.schema[id_col].dataType,
+                                           integral) else "sql")
         return pq_adc_topk(queries, df, books, k=int(cfg.get("k", 5)),
-                           id_col=cfg.get("id_field", "vec_id"),
+                           id_col=id_col,
                            vec_col=cfg.get("vec_field", "embedding"),
-                           method=cfg.get("method", "blas"))
+                           method=method)
     if tt == "quality_classifier":
         # model-based quality filter (fastText recipe): weights from
         # explicit config, training over the input frame (label_field),

@@ -100,6 +100,18 @@ def _release_on_gc(result: DataFrame, pinned: list[DataFrame]) -> DataFrame:
     ``weakref.finalize`` that issues non-blocking unpersists. Session
     teardown races are swallowed: unpersist on a stopped context is a
     no-op concern, not an error path.
+
+    Known limitation — CHAINED callers: DERIVED frames do not extend
+    the pin. ``res = op(df).select(...)`` drops the operator's return
+    value immediately, so CPython refcounting fires the finalize before
+    the caller's first action: the estimate/hot-detection jobs already
+    ran (correctness and the budget check are unaffected), but the main
+    plan re-executes the upstream subtree instead of reading the cache.
+    Callers that want the sharing must hold the operator's return value
+    until after their first action (``r = op(df); out = r.select(...);
+    out.write...; del r``). The pinned list also rides on the result as
+    ``_budget_pins`` so a holder of the RESULT object keeps the frames
+    (and their finalizers) alive deterministically.
     """
     if pinned:
         frames = list(pinned)
@@ -112,6 +124,7 @@ def _release_on_gc(result: DataFrame, pinned: list[DataFrame]) -> DataFrame:
                     pass
 
         weakref.finalize(result, _release)
+        result._budget_pins = frames
     return result
 
 
@@ -1161,7 +1174,7 @@ def semantic_dedup(
     n_cells: int | str = 8,
     centroids: list[tuple[int, list[float]]] | None = None,
     cell_col: str = "cell",
-    salt_cap: int | None = 512,
+    salt_cap: int | None = None,
     max_candidates: int | None = None,
     target_occupancy: int = 256,
 ) -> DataFrame:
@@ -1174,17 +1187,32 @@ def semantic_dedup(
     fixed ordering, so the DuckDB oracle is value-exact.
 
     The 100 TB shape mirrors ``ivfpq_topk``'s candidate generation:
-    cell assignment is a map-side literal-centroid expression (rounded
-    squared L2, lowest-cid ties — the corpus never shuffles to be
-    assigned), and pair generation is bucket-local per cell via the
-    salted/budgeted ``_bucket_local_pairs`` machinery, so cost follows
-    cell occupancy, never corpus². Quadratic within-cell work is the
-    POINT of the coarse quantizer: cells bound the pair problem the
-    way planes bound it for :func:`embedding_lsh_pairs`; size
+    cell assignment is a map-side literal-centroid expression (the
+    shared :func:`~etl_router_spark.functions.pq.cell_assign_sql`
+    contract — rounded squared L2, lowest-cid ties; the corpus never
+    shuffles to be assigned), and pair generation is bucket-local per
+    cell via the budgeted ``_bucket_local_pairs`` machinery, so cost
+    follows cell occupancy, never corpus². Quadratic within-cell work
+    is the POINT of the coarse quantizer: cells bound the pair problem
+    the way planes bound it for :func:`embedding_lsh_pairs`; size
     ``n_cells`` so n/n_cells vectors fit a task (and set
     ``max_candidates`` as the fail-fast backstop). Unlike the LSH
     path this prunes across the WHOLE cell at any threshold — the
     paper runs it at low thresholds where hyperplane recall collapses.
+
+    ``salt_cap`` defaults to **None** (unlike the pair operators):
+    hot-cell salting only emits sub-bucket-local + hub-link pairs,
+    which is lossless for TRANSITIVE-CLOSURE consumers, but cosine
+    similarity is not transitive — a row whose only smaller-id
+    superthreshold neighbor hashes to a different sub-bucket would be
+    silently kept, violating this operator's "drop every row with a
+    smaller-id same-cell neighbor" contract (and diverging from the
+    whole-cell oracle). The blow-up guards here are ``n_cells`` /
+    ``target_occupancy`` (bound cell size by construction) and
+    ``max_candidates`` (fail fast when a cell saturates anyway).
+    Opting into ``salt_cap`` trades that recall for bounded per-task
+    work on degenerate corpora — do so only when an approximate prune
+    is acceptable.
 
     ``centroids``: (cid, vector) list; defaults to the ``n_cells``
     lowest-id corpus vectors (the ``ivf_topk`` deterministic stand-in;
@@ -1195,32 +1223,23 @@ def semantic_dedup(
     10× rows with occupancy pinned; SCALE.md), the same self-tuning
     rule as ``planes="auto"`` on :func:`embedding_lsh_pairs`.
     """
-    from etl_router_spark.functions.pq import _centroid_dists_sql
+    from etl_router_spark.functions.pq import cell_assign_sql, standin_centroids
 
     if n_cells == "auto":
         n_cells = max(1, math.ceil(df.count() / target_occupancy))
     elif not isinstance(n_cells, int):
         raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
     if centroids is None:
-        rows = (
-            df.filter(F.col(id_col) < n_cells)
-            .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .collect()
-        )
-        centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
-    if not centroids:
-        # ids need not start at 0 — an empty stand-in would put every
-        # row in one NULL cell and silently go corpus-quadratic
+        # shared stand-in + assignment contract with ivfpq_topk — ONE
+        # definition (pq.standin_centroids / pq.cell_assign_sql) so the
+        # two operators and their DuckDB oracles cannot desynchronize
+        centroids = standin_centroids(df, id_col, vec_col, n_cells)
+    elif not centroids:
         raise ValueError(
-            f"no rows with {id_col} < {n_cells} to use as stand-in "
-            "centroids; pass centroids= explicitly "
-            "(e.g. from train_ivf_centroids)")
+            "centroids= is empty; an empty stand-in would put every "
+            "row in one NULL cell and silently go corpus-quadratic")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    d_arr = _centroid_dists_sql(vec, centroids)
-    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
-    assign = (f"element_at({cid_arr}, "
-              f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
-    assigned = df.withColumn(cell_col, F.expr(assign))
+    assigned = df.withColumn(cell_col, F.expr(cell_assign_sql(vec, centroids)))
     buckets = assigned.selectExpr(
         f"{id_col} AS id", f"{vec} AS vec", f"{cell_col} AS __cell")
     pinned: list[DataFrame] = []

@@ -112,11 +112,19 @@ def pq_train(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if sample_fraction is not None:
-        bucket = F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1_000_000))
+        # hash (id, seed) as two xxhash64 inputs — works for ANY id
+        # type (string ids would fail the arithmetic id+seed variant
+        # under ANSI) and stays deterministic across retrains
+        bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000))
         rows = rows.filter(bucket < F.lit(int(sample_fraction * 1_000_000)))
     # one cached pass feeds all m slice trainings
     rows = rows.persist()
     try:
+        if sample_fraction is not None and rows.isEmpty():
+            raise ValueError(
+                f"pq_train: sample_fraction={sample_fraction} selected "
+                "no rows — raise it (or drop it; quantizer training "
+                "needs a sample, not the corpus)")
         books = []
         for i in range(m):
             feats = rows.select(
@@ -245,6 +253,19 @@ def pq_adc_topk(
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    # the numpy fast path keeps ids in int64 arrays (fancy-indexed,
+    # lexsorted, broadcast-compared) and emits bigint id columns; a
+    # non-integral id would surface as an opaque numpy/Arrow cast
+    # error deep in the job, so fail fast with the portable alternative
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for side, frame in (("queries", queries), ("corpus", corpus)):
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, integral):
+            raise ValueError(
+                f"pq_adc_topk(method='blas') requires an integral "
+                f"{id_col} column; {side} has {dt.simpleString()} — "
+                "use method='sql' (id-type-agnostic) instead")
 
     sub = len(codebooks[0][0])
     books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
