@@ -6,9 +6,12 @@ Prints ONE JSON line:
  "queries": {name: sec, ...}, "calibration": sec, "sf": "..."}
 
 "calibration" is a pinned scan+aggregate (etl_router_spark/calibration.py)
-whose code never changes — compare rounds with scripts/bench_compare.py,
-which divides per-query deltas by the calibration delta to cancel
-machine drift.
+whose code never changes — the MEDIAN of three best-of-N samples taken at
+the start, middle and end of the run ("calibration_samples"), so one
+anomalous sample can't skew every normalized ratio (r8 lesson). Compare
+rounds with scripts/bench_compare.py, which divides per-query deltas by
+the calibration delta to cancel machine drift and warns when the sample
+spread makes the normalization untrustworthy.
 
 Each query is forced with a noop sink write (full materialization of
 every output column — no count() short-circuits), timed after a small
@@ -140,6 +143,14 @@ def main() -> None:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up is best-effort; the timed run will surface errors
+    # warm the calibration plan too (codegen at warm SF, then one run
+    # at the target SF for the page cache) — the FIRST interleaved
+    # block otherwise pays those one-time costs and reads high, which
+    # is exactly the asymmetry the median-of-blocks exists to remove
+    from etl_router_spark.calibration import calibration_query as _calq
+
+    _calq(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    _calq(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # best-of-3 per query: single-shot timings on a shared box carry
     # ±20% scheduler noise; the min of three runs is the steady-state
@@ -155,17 +166,32 @@ def main() -> None:
     # noise with zero code change (r4→r5 proven by A/B, r5→r6 by the
     # empty diff); dividing a query's cross-round delta by the
     # calibration delta separates machine drift from real regressions.
+    # MEDIAN of three best-of-N samples INTERLEAVED at start / middle /
+    # end of the run: r8 proved a single start-of-run sample can come
+    # in anomalously fast relative to the rest of the run and flag
+    # phantom regressions on every query (10 false REGRESSED lines,
+    # adjudicated by re-measurement). The median of interleaved blocks
+    # measures the machine the queries actually ran on; the per-block
+    # samples are emitted so bench_compare can warn when their spread
+    # says the normalization itself is untrustworthy.
     from etl_router_spark.calibration import calibration_query
 
-    cal_best = float("inf")
-    for _ in range(max(runs, 5)):
-        t0 = time.perf_counter()
-        calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cal_best = min(cal_best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
+    def calibration_block() -> float:
+        best = float("inf")
+        for _ in range(max(runs, 3)):
+            t0 = time.perf_counter()
+            calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
+
+    cal_samples = [calibration_block()]
+    midpoint = len(bench_queries) // 2
 
     timings: dict[str, float] = {}
-    for name in bench_queries:
+    for qi, name in enumerate(bench_queries):
+        if qi == midpoint and bench_queries:
+            cal_samples.append(calibration_block())
         fn = queries[name]
         best = float("inf")
         for _ in range(max(runs, EXTRA_RUNS.get(name, 0))):
@@ -179,6 +205,10 @@ def main() -> None:
             # still skips the one-time parquet footer read)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+    cal_samples.append(calibration_block())
+
+    cal_samples = [round(s, 3) for s in cal_samples]
+    cal_best = sorted(cal_samples)[len(cal_samples) // 2]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -187,6 +217,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "calibration": round(cal_best, 3),
+        "calibration_samples": cal_samples,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
     }))
     # Human summary on stderr (stdout stays the one-JSON-line contract):

@@ -12,7 +12,11 @@ Usage:
 Accepts either a raw bench JSON line or the driver's BENCH_r{N}.json
 wrapper (bench line inside its "tail" field). Files without a
 ``calibration`` field (pre-round-7) fall back to raw ratios, flagged as
-UNNORMALIZED.
+UNNORMALIZED. Post-round-9 benches also carry ``calibration_samples``
+(three best-of-N blocks interleaved through the run); when their spread
+exceeds ~10% of the median, a WARNING marks every normalized ratio as
+suspect — the r8 lesson, where one anomalously-fast calibration sample
+flagged 10 phantom regressions.
 """
 
 from __future__ import annotations
@@ -66,6 +70,28 @@ def main() -> int:
                 "(pre-round-7 bench output); raw ratios below include "
                 "machine drift")
     print(f"# {tag}; flag threshold x{args.threshold}")
+    # calibration-sample spread check (post-r8 benches): the r8 round
+    # burned a verdict cycle on 10 phantom regressions caused by ONE
+    # anomalously-fast calibration sample — when the interleaved
+    # samples disagree by more than ~10% of their median, say so
+    # loudly, because every normalized ratio below inherits that noise
+    noisy_cal = False
+    for label, bench in ((args.old, old), (args.new, new)):
+        samples = bench.get("calibration_samples") or []
+        if len(samples) >= 2:
+            med = sorted(samples)[len(samples) // 2]
+            spread = (max(samples) - min(samples)) / med if med else 0.0
+            if spread > 0.10:
+                noisy_cal = True
+                print(f"# WARNING {label}: calibration samples {samples} "
+                      f"spread {spread:.0%} of median — normalized "
+                      "ratios near the threshold are not trustworthy; "
+                      "re-run the bench or re-measure flagged queries "
+                      "before calling anything a regression")
+        elif not samples:
+            print(f"# note {label}: single calibration sample "
+                  "(pre-round-9 bench) — one anomalous sample can flag "
+                  "phantom regressions (see round 8)")
 
     flagged = 0
     for name in sorted(set(old["queries"]) & set(new["queries"])):
@@ -88,7 +114,9 @@ def main() -> int:
     if only_new:
         print(f"# new queries: {sorted(only_new)}")
     print(f"# total {old['value']:.3f}s -> {new['value']:.3f}s; "
-          f"{flagged} regression(s) beyond drift")
+          f"{flagged} regression(s) beyond drift"
+          + (" — CAVEAT: calibration spread warning above applies"
+             if flagged and noisy_cal else ""))
     if flagged:
         return 1
     # exit 2 (not silent success) when normalization was impossible —

@@ -341,3 +341,29 @@ def test_ivfpq_candidates_join_broadcast_no_cartesian(spark, sf_dir):
     # the only exchanges are the broadcast itself + the final per-query
     # ranking window — the corpus scan side feeds the join directly
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """SemDeDup's 100 TB contract, pinned (the PQ treatment): cell
+    assignment is a map-side literal-centroid expression — the KEPT
+    corpus branch feeds the final anti-join straight from the scan with
+    ZERO Exchange — the only shuffles are the within-cell pair groupBy
+    and the dropped-id distinct, and the anti-join itself broadcasts
+    the (small) dropped-id set. A refactor that reintroduces a
+    corpus-side shuffle or a sort-merge/cartesian anti-join fails here
+    before it ships."""
+    from etl_router_spark.functions.dedup import semantic_dedup
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (semantic_dedup(emb, threshold=0.3, n_cells=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    # pair groupBy (__cell) + dropped-id distinct — nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # the kept branch (probe side of the anti-join) is the bare scan:
+    # no Exchange may appear between the FileScan and the join
+    probe = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in probe, probe
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, plan
