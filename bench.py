@@ -97,6 +97,9 @@ EXTRA_RUNS = {
     "dedup_embedding_cosine": 5,
     "text_fingerprint": 5,
     "similarity_topk": 5,
+    # r9: flagged x1.29 at 3 reps with zero code change on its path;
+    # best-of-7 re-measurement reproduced x1.10 — same noise profile
+    "dedup_minhash_lsh": 5,
 }
 
 _EDGE_PARQUET: dict[str, str] = {}

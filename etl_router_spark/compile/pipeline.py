@@ -216,7 +216,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                            if cfg.get("n_cells") == "auto"
                                            else int(cfg.get("n_cells", 8))),
                                   salt_cap=cfg.get("salt_cap"),
-                                  max_candidates=mc)
+                                  max_candidates=mc,
+                                  target_occupancy=int(
+                                      cfg.get("target_occupancy", 256)))
         from etl_router_spark.functions.dedup import embedding_cosine_pairs
 
         return embedding_cosine_pairs(df, id_col=cfg.get("id_field", "vec_id"),

@@ -153,6 +153,21 @@ def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
             f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x), 6)")
 
 
+def _book_dists_sql(vec_sql: str, book: list[list[float]]) -> str:
+    """Rounded ||vec − c||² for EVERY centroid of a book, as one
+    ``transform`` over a nested literal array — k× fewer expression
+    nodes than k separate aggregates (per-element math and rounding
+    identical to :func:`_sqdist_sql`, so values cannot drift). The
+    node-count matters: a trained m=16/k=32 codebook expanded per
+    centroid used to compile to a multi-MiB plan and dominate query
+    wall time at any corpus size (the r8 bench's 'fixed cost')."""
+    arr = "array(" + ", ".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in book) + ")"
+    return (f"transform({arr}, __c -> "
+            f"round(aggregate(zip_with({vec_sql}, __c, "
+            f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x), 6))")
+
+
 def pq_code_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     """SQL for the m-element PQ code array of a vector column: per
     subspace, argmin (first-occurrence, i.e. lowest centroid id on
@@ -162,7 +177,7 @@ def pq_code_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     codes = []
     for i in range(m):
         s = _slice_sql(vec_sql, i, sub)
-        dists = "array(" + ", ".join(_sqdist_sql(s, c) for c in codebooks[i]) + ")"
+        dists = _book_dists_sql(s, codebooks[i])
         codes.append(
             f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
     return "array(" + ", ".join(codes) + ")"
@@ -172,11 +187,11 @@ def pq_lut_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     """SQL for a query's flat ADC look-up table (subspace-major:
     LUT[i*k + j] = ||q_i − c_ij||², rounded)."""
     sub = len(codebooks[0][0])
-    cells = []
-    for i, book in enumerate(codebooks):
-        s = _slice_sql(vec_sql, i, sub)
-        cells.extend(_sqdist_sql(s, c) for c in book)
-    return "array(" + ", ".join(cells) + ")"
+    per_sub = [
+        _book_dists_sql(_slice_sql(vec_sql, i, sub), book)
+        for i, book in enumerate(codebooks)
+    ]
+    return "flatten(array(" + ", ".join(per_sub) + "))"
 
 
 def pq_encode(
@@ -334,9 +349,9 @@ def pq_adc_topk(
 
 def _centroid_dists_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
     """Array of rounded full-dim squared distances to each centroid,
-    in the given centroid order."""
-    return "array(" + ", ".join(
-        _sqdist_sql(vec_sql, cv) for _, cv in cents) + ")"
+    in the given centroid order (one transform over a nested literal —
+    see :func:`_book_dists_sql` for why not per-centroid expansion)."""
+    return _book_dists_sql(vec_sql, [cv for _, cv in cents])
 
 
 def standin_centroids(
@@ -403,6 +418,14 @@ def ivfpq_topk(
     ``pq_train``-style sampled k-means). Assignment + probing use the
     SAME rounded-L2 + lowest-cid-tie rule on both sides, so the DuckDB
     oracle is value-exact.
+
+    **Operating rule (measured, SCALE.md "IVF-PQ recall-vs-nprobe"):**
+    ``nprobe ≈ 10%`` of cells already recovers the full-ADC recall
+    ceiling; more probes buy candidate volume, not recall. The ceiling
+    itself is set by PQ bits (m·log2 k) and the corpus's cluster
+    structure — to raise it, spend bits or exact-re-rank the IVF-PQ
+    top-C with :func:`~etl_router_spark.functions.similarity.
+    brute_force_topk` over the candidate set, never nprobe.
     """
     if centroids is None:
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
@@ -418,9 +441,10 @@ def ivfpq_topk(
     )
     # queries: nprobe nearest cells via a sorted (dist, cid) struct
     # array — array_sort orders by dist then cid, the same tie rule
-    probe_structs = "array(" + ", ".join(
-        f"named_struct('dist', {_sqdist_sql(vec, cv)}, 'cid', {cid})"
-        for cid, cv in centroids) + ")"
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
+    probe_structs = (
+        f"zip_with({_centroid_dists_sql(vec, centroids)}, {cid_arr}, "
+        "(d, c) -> named_struct('dist', d, 'cid', c))")
     probes = (f"transform(slice(array_sort({probe_structs}), 1, {nprobe}), "
               f"x -> x.cid)")
     q = queries.selectExpr(

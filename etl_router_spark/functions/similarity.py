@@ -583,8 +583,14 @@ def train_ivf_centroids(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if sample_fraction is not None:
-        bucket = F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1_000_000))
+        # (id, seed) as two xxhash64 inputs: id-type-agnostic, unlike
+        # arithmetic id+seed which fails string ids under ANSI
+        bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000))
         rows = rows.filter(bucket < F.lit(int(sample_fraction * 1_000_000)))
+        if rows.isEmpty():
+            raise ValueError(
+                f"train_ivf_centroids: sample_fraction={sample_fraction} "
+                "selected no rows — raise it")
     feats = rows.select(array_to_vector(F.col("v")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

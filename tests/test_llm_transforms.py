@@ -1150,3 +1150,26 @@ class TestSemanticDedup:
         out = semantic_dedup(df, threshold=0.999, n_cells=4,
                              centroids=cents)
         assert out.count() < df.count()  # planted dups still pruned
+
+
+def test_dedup_at_scale_example_manifest(spark, sf_dir, tmp_path):
+    """examples/manifests/dedup-at-scale.yaml — the '100 TB defaults'
+    template (spec.limits + n_cells: auto + planes: auto) must parse,
+    compile, and produce both sink frames end-to-end; the semantic
+    branch keeps a strict subset and the pair branch emits id pairs."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    with open("examples/manifests/dedup-at-scale.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"]["stages"][0]["config"]["path"] = f"{sf_dir}/embeddings.parquet"
+    for st in doc["spec"]["stages"]:
+        if st["type"] == "sink":
+            st["config"]["path"] = str(tmp_path / st["id"])
+    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    n_in = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    kept = frames["kept_out"]
+    assert 0 < kept.count() <= n_in and "cell" in kept.columns
+    assert {"id_a", "id_b"} <= set(frames["pairs_out"].columns)
