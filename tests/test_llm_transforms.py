@@ -1173,3 +1173,24 @@ def test_dedup_at_scale_example_manifest(spark, sf_dir, tmp_path):
     kept = frames["kept_out"]
     assert 0 < kept.count() <= n_in and "cell" in kept.columns
     assert {"id_a", "id_b"} <= set(frames["pairs_out"].columns)
+
+
+def test_semantic_dedup_whole_cell_contract_beyond_old_salt_cap(spark):
+    """The operator's contract — drop EVERY row with a smaller-id
+    same-cell neighbor at cosine >= threshold — must hold even when a
+    cell exceeds the pair machinery's default salting cap (512), which
+    is why semantic_dedup defaults salt_cap=None: cosine is not
+    transitive, so sub-bucket salting would silently keep rows whose
+    only smaller-id neighbor hashed elsewhere."""
+    from etl_router_spark.functions.dedup import semantic_dedup
+
+    # 600 scaled copies of one vector (cosine 1.0 pairwise) + a far
+    # anchor at id 0 so two stand-in centroids split the space and the
+    # copies land in ONE cell of 600 > 512 members
+    rows = [(0, [100.0, 0.0, 0.0, 0.0])]
+    rows += [(i, [0.1 * (1 + i % 7), 0.0, 0.0, 0.1 * (1 + i % 7)])
+             for i in range(1, 601)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(df, threshold=0.999, n_cells=2).collect())
+    assert kept == [0, 1]  # one representative per cell, nothing leaks

@@ -211,3 +211,66 @@ def test_pq_topk_manifest_ivfpq(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
     assert out.count() == 4 * 3
+
+
+def test_pq_train_sampling_string_ids_and_empty_sample(spark):
+    """The sample filter hashes (id, seed) via xxhash64 — id-type
+    agnostic — and an over-aggressive fraction fails with an explicit
+    message, not inside KMeans.fit."""
+    rows = [(f"doc-{i}", [float(i % 7), float(i % 3), 1.0, 0.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    books = pq_train(df, m=2, k=2, id_col="vec_id",
+                     sample_fraction=0.5, max_iter=2)
+    assert len(books) == 2 and len(books[0]) == 2
+    with pytest.raises(ValueError, match="sample_fraction"):
+        pq_train(df, m=2, k=2, id_col="vec_id",
+                 sample_fraction=1e-9, max_iter=2)
+
+
+def test_pq_adc_blas_rejects_string_ids_descriptively(spark, emb):
+    """method='blas' keeps ids in int64 numpy arrays; a string id must
+    fail fast with the portable alternative named, not with an opaque
+    numpy/Arrow error mid-job."""
+    from pyspark.sql import functions as F
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    sdf = emb.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    with pytest.raises(ValueError, match="method='sql'"):
+        pq_adc_topk(sdf.limit(3), sdf, books, k=5, method="blas")
+    # and the sql twin genuinely handles string ids
+    out = pq_adc_topk(sdf.filter("vec_id IN ('v1','v2')"), sdf, books,
+                      k=3, method="sql").collect()
+    assert len(out) == 6 and all(r.query_id.startswith("v") for r in out)
+
+
+def test_pipeline_pq_topk_auto_routes_string_ids(spark, sf_dir, tmp_path):
+    """A manifest with a string id_field must not crash the default
+    (blas) path — the stage auto-routes to the sql twin."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "semb")
+    (spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+     .withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+     .write.parquet(src))
+    doc = {
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "pq-string-ids"},
+        "spec": {"stages": [
+            {"id": "emb", "type": "source",
+             "config": {"source_type": "file", "format": "parquet",
+                        "path": src}},
+            {"id": "topk", "type": "transform", "depends_on": ["emb"],
+             "config": {"transform_type": "pq_topk", "dim": 64, "m": 4,
+                        "k_centroids": 8, "k": 3}},
+            {"id": "out", "type": "sink", "depends_on": ["topk"],
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": str(tmp_path / "out")}},
+        ]},
+    }
+    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    rows = frames["out"].limit(5).collect()
+    assert rows and all(r.query_id.startswith("v") for r in rows)
