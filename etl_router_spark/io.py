@@ -49,7 +49,24 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "etl_router_spark_pyfiles.zip")
+    # Content-addressed zip name: an existence-cached fixed name went
+    # stale the moment the package gained a module (workers then raised
+    # ModuleNotFoundError for anything newer than the first session on
+    # the machine). Hash the source listing (path, mtime, size) so any
+    # edit produces a fresh archive; older zips on sys.path are
+    # shadowed because addPyFile prepends.
+    import hashlib
+
+    h = hashlib.sha256()
+    for dirpath, _, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                st = os.stat(os.path.join(dirpath, f))
+                h.update(f"{dirpath}/{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_router_spark_pyfiles_{h.hexdigest()[:16]}.zip",
+    )
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:

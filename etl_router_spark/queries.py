@@ -2047,6 +2047,54 @@ def source_jsonl_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_warc_wet_roundtrip",
+    """
+    SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS length_bytes
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def source_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET web-archive source (``sources/warc.py``) — the
+    CommonCrawl ingestion path of the training-data pipeline, beyond
+    the reference's file formats (types.rs:143-162). Fixture documents
+    staged as TWO spec-conformant WET archives (one plain with a
+    ``warcinfo`` preamble, one gzip member-per-record — the CommonCrawl
+    layout), read back through the registered ``warc`` DataSource (one
+    InputPartition per archive), doc ids recovered from the target
+    URIs, and text + header Content-Length value-checked against the
+    parquet original (length must equal the UTF-8 byte count)."""
+    import os
+    import tempfile
+
+    from etl_router_spark.sources.registry import read_source
+    from etl_router_spark.sources.warc import write_wet
+
+    rows = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text").collect())
+    half = len(rows) // 2
+    stage = tempfile.mkdtemp(prefix="etl_wet_stage_")
+    info = [{"url": "http://fixture.example/info", "payload": "software: gate",
+             "record_type": "warcinfo", "content_type": "application/warc-fields"}]
+
+    def recs(chunk):
+        return [{"url": f"http://fixture.example/doc/{r.doc_id}",
+                 "payload": r.text} for r in chunk]
+
+    write_wet(os.path.join(stage, "seg-00000.warc.wet"),
+              info + recs(rows[:half]))
+    write_wet(os.path.join(stage, "seg-00001.warc.wet.gz"),
+              recs(rows[half:]), gzip_members=True)
+    wet = read_source(spark, {"source_type": "warc", "path": stage,
+                              "record_types": ["conversion"]})
+    return wet.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("payload").alias("text"),
+        F.col("content_length").alias("length_bytes"),
+    )
+
+
+@query(
     "sink_compact_roundtrip",
     f"""
     SELECT event_id, user_id, event_type, round(value, 6) AS value

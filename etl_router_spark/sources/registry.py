@@ -321,6 +321,32 @@ def _queue_source(kind: str, requirement: str):
     return _reader
 
 
+def _read_warc(spark, cfg, streaming):
+    """WARC/WET web-archive source (CommonCrawl ingestion) — see
+    ``sources.warc`` for the scale design."""
+    if streaming:
+        raise ValueError(
+            "warc is a batch corpus source (archives are immutable); "
+            "use source_type=file with watch=true over a landing dir for "
+            "arrival-driven processing"
+        )
+    from etl_router_spark.sources.warc import register
+
+    register(spark)
+    path = cfg.get("path")
+    if not path:
+        raise ValueError("warc source requires path")
+    reader = spark.read.format("warc").option("path", path)
+    if cfg.get("record_types"):
+        rt = cfg["record_types"]
+        reader = reader.option(
+            "record_types", rt if isinstance(rt, str) else ",".join(rt)
+        )
+    if cfg.get("min_length") is not None:
+        reader = reader.option("min_length", str(cfg["min_length"]))
+    return reader.load()
+
+
 SOURCE_REGISTRY = {
     "file": _read_file,
     "s3": _read_s3,
@@ -333,6 +359,7 @@ SOURCE_REGISTRY = {
     "memory": _read_memory,
     "rate": _read_rate,
     "jsonl_queue": _read_jsonl_queue,
+    "warc": _read_warc,
     "kinesis": _queue_source("kinesis", "the spark-sql-kinesis connector"),
     "pulsar": _queue_source("pulsar", "the pulsar-spark connector"),
     "rabbitmq": _queue_source("rabbitmq", "a RabbitMQ->file/Kafka bridge"),
