@@ -42,7 +42,7 @@ KNOWN_TRANSFORMS = {
 KNOWN_SOURCES = {
     "kafka", "kinesis", "pulsar", "rabbitmq", "sqs", "redis", "nats",
     "file", "s3", "gcs", "http", "websocket", "postgres_cdc", "mysql_cdc",
-    "mongodb", "grpc", "jdbc", "memory", "rate", "jsonl_queue",
+    "mongodb", "grpc", "jdbc", "memory", "rate", "jsonl_queue", "warc",
 }
 
 

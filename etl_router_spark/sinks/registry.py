@@ -175,6 +175,20 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
 
         df.foreachPartition(_part)
         return
+    if stype == "warc":
+        # Corpus export as WET archives (one per partition, atomic
+        # publish) — the inverse of the warc source; see sources/warc.py
+        from etl_router_spark.sources.warc import register
+
+        register(df.sparkSession)
+        writer = df.write.format("warc").option("path", cfg["path"])
+        for k in ("url_field", "payload_field"):
+            if cfg.get(k):
+                writer = writer.option(k, cfg[k])
+        if cfg.get("gzip") is not None:
+            writer = writer.option("gzip", str(bool(cfg["gzip"])).lower())
+        writer.mode("append").save()
+        return
     if stype == "kafka":
         (
             df.write.format("kafka")

@@ -44,7 +44,13 @@ import gzip
 import io
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 #: Output schema — fixed, like Spark's built-in binaryFile source.
@@ -221,6 +227,74 @@ class WarcBatchReader(DataSourceReader):
                 )
 
 
+class _WroteArchive(WriterCommitMessage):
+    def __init__(self, tmp_path: str, records: int):
+        self.tmp_path = tmp_path
+        self.records = records
+
+
+class WarcWriter(DataSourceWriter):
+    """Corpus EXPORT half: each partition streams its rows into one WET
+    archive (member-per-record gzip by default — the CommonCrawl
+    layout, so any member boundary is a resume point for downstream
+    readers). Same atomic publish protocol as the jsonl_queue writer:
+    dot-prefixed temps, commit renames every partition's archive into
+    place, abort deletes them — a failed job publishes nothing.
+
+    Partition-parallel and streaming (one record in memory per task),
+    so exporting a 100 TB curated corpus is bounded by codec speed per
+    core, not by any coordination. Rows need ``url`` + ``payload``
+    columns (names configurable via ``url_field`` / ``payload_field``;
+    extra columns are ignored so a curated frame can be exported
+    as-is).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires .option('path', ...)")
+        self.url_field = options.get("url_field", "url")
+        self.payload_field = options.get("payload_field", "payload")
+        self.gzip = (options.get("gzip", "true") or "true").lower() != "false"
+        names = [f.name for f in schema.fields]
+        for need in (self.url_field, self.payload_field):
+            if need not in names:
+                raise ValueError(
+                    f"warc sink: column {need!r} not in input schema {names} "
+                    "(set url_field/payload_field options)"
+                )
+
+    def write(self, iterator) -> _WroteArchive:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.wet.gz" if self.gzip else ".warc.wet"
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{uuid.uuid4().hex}{ext}.tmp")
+        n = write_wet(
+            tmp,
+            ({"url": row[self.url_field], "payload": row[self.payload_field] or ""}
+             for row in iterator),
+            gzip_members=self.gzip,
+        )
+        return _WroteArchive(tmp, n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(messages):
+            d, base = os.path.split(m.tmp_path)
+            final = os.path.join(d, base[1:-4])  # strip dot prefix + .tmp
+            os.rename(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -231,6 +305,14 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcBatchReader:
         return WarcBatchReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcWriter:
+        if overwrite:
+            raise ValueError(
+                "warc sink is append-only (archives are immutable); "
+                "write to a fresh directory per export"
+            )
+        return WarcWriter(self.options, schema)
 
 
 def register(spark) -> None:
