@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     # cell join + ADC), model-based quality scoring (literal weights)
     "embedding_pq_encode",
     "embedding_ivfpq_topk",
+    "embedding_ivfpq_rerank_topk",
     "text_quality_classifier",
 ]
 

@@ -275,7 +275,20 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                 qcond = Condition.from_dict(qcond)
             queries = df.filter(compile_condition(qcond))
         if cfg.get("nprobe") is not None:
-            # IVF-PQ: coarse cells prune candidates before ADC ranking
+            # IVF-PQ: coarse cells prune candidates before ADC ranking;
+            # shortlist: N declares the two-stage recipe (exact-L2
+            # re-rank of the top-N ADC candidates — raises the PQ
+            # recall ceiling that nprobe cannot move)
+            if cfg.get("shortlist") is not None:
+                from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+                return ivfpq_rerank_topk(
+                    queries, df, books, k=int(cfg.get("k", 5)),
+                    shortlist=int(cfg["shortlist"]),
+                    nprobe=int(cfg["nprobe"]),
+                    n_centroids=int(cfg.get("n_centroids", 8)),
+                    id_col=cfg.get("id_field", "vec_id"),
+                    vec_col=cfg.get("vec_field", "embedding"))
             from etl_router_spark.functions.pq import ivfpq_topk
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),

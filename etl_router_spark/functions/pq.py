@@ -471,3 +471,70 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN — IVF-PQ shortlist, exact-L2 re-rank: the standard
+    production recipe (FAISS ``search`` + refine; also ScaNN's final
+    reordering stage). Stage 1 is :func:`ivfpq_topk` widened to the top
+    ``shortlist`` candidates per query by ADC distance; stage 2 fetches
+    ONLY those candidates' full vectors and re-ranks them by exact
+    squared L2. Output: (query_id, neighbor_id, rank, exact_dist).
+
+    This is how the quantization recall ceiling is raised (SCALE.md
+    "IVF-PQ recall-vs-nprobe": the ceiling is set by PQ bits, and
+    nprobe cannot move it): exact distance corrects the m-byte codes'
+    ranking errors inside the shortlist, at the cost of reading
+    ``|Q| x shortlist`` full vectors instead of zero.
+
+    Scale shape — no stage touches full-width corpus vectors beyond the
+    scan:
+
+    - Stage 1 is unchanged: map-side assignment/encode, broadcast
+      probe join, m-byte codes on the wire.
+    - The stage-2 fetch BROADCASTS the candidate id set (|Q| x
+      shortlist rows of two ids — metadata-sized) onto a second corpus
+      scan, so candidate vectors are selected map-side with NO corpus
+      shuffle; only the surviving |Q| x shortlist full vectors flow on.
+    - Query vectors broadcast (|Q| is the small side by contract) and
+      the exact distance is a zip_with/aggregate column expression —
+      JVM codegen, no Python.
+
+    The re-rank distance rounds to 6 dp like every PQ distance here, so
+    the DuckDB oracle reproduces ranks exactly (same lowest-id tie
+    rule).
+    """
+    cand = ivfpq_topk(
+        queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
+        n_centroids=n_centroids, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    qv = queries.selectExpr(f"{id_col} AS query_id", f"{vec} AS qv")
+    fetched = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec} AS nv"
+    ).join(F.broadcast(cand), "neighbor_id")
+    exact = ("round(aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), "
+             "0D, (acc, x) -> acc + x), 6)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        fetched.join(F.broadcast(qv), "query_id")
+        .selectExpr("query_id", "neighbor_id", f"{exact} AS exact_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "exact_dist")
+    )

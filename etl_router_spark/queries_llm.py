@@ -1527,6 +1527,43 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=5, nprobe=2, n_centroids=8)
 
 
+def _ivfpq_rerank_oracle(n_centroids: int, nprobe: int, n_queries: int,
+                         k: int, shortlist: int) -> str:
+    """Stage 1 is the ivfpq oracle widened to ``shortlist``; stage 2
+    re-ranks those candidates by exact squared L2 — same 6-dp rounding
+    and lowest-id tie rule as the Spark side."""
+    inner = _ivfpq_oracle(n_centroids, nprobe, n_queries, shortlist)
+    return f"""
+    WITH v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    short AS (SELECT query_id, neighbor_id FROM ({inner}) s),
+    rer AS (SELECT s.query_id, s.neighbor_id,
+                   round(list_sum(list_transform(list_zip(q.v, n.v),
+                         u -> (u[1]-u[2])*(u[1]-u[2]))), 6) AS exact_dist
+            FROM short s JOIN v2 q ON q.vec_id = s.query_id
+                         JOIN v2 n ON n.vec_id = s.neighbor_id),
+    rranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY exact_dist, neighbor_id) AS rank FROM rer)
+    SELECT query_id, neighbor_id, rank, exact_dist FROM rranked WHERE rank <= {k}
+    """
+
+
+@query("embedding_ivfpq_rerank_topk", None)  # oracle attached below (generated)
+def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (IVF-PQ shortlist -> exact re-rank, the FAISS
+    search+refine / ScaNN reordering recipe): stage 1 prunes to the top
+    20 ADC candidates per query, stage 2 broadcast-fetches only those
+    candidates' full vectors (no corpus shuffle) and re-ranks by exact
+    L2 (``functions/pq.py:ivfpq_rerank_topk``). This is the documented
+    way to raise the PQ recall ceiling that nprobe cannot move."""
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(emb.filter(F.col("vec_id") < 10), emb,
+                             _pq_books(), k=5, shortlist=20, nprobe=2,
+                             n_centroids=8)
+
+
 def _quality_classifier_oracle() -> str:
     from etl_router_spark.functions.classifier import deterministic_weights
 
@@ -1576,6 +1613,8 @@ ORACLES["embedding_pq_encode"] = _pq_encode_oracle()
 ORACLES["embedding_pq_adc_topk"] = _pq_adc_oracle(n_queries=10, k=5)
 ORACLES["embedding_ivfpq_topk"] = _ivfpq_oracle(
     n_centroids=8, nprobe=2, n_queries=10, k=5)
+ORACLES["embedding_ivfpq_rerank_topk"] = _ivfpq_rerank_oracle(
+    n_centroids=8, nprobe=2, n_queries=10, k=5, shortlist=20)
 ORACLES["text_quality_classifier"] = _quality_classifier_oracle()
 
 

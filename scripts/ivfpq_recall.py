@@ -95,12 +95,25 @@ def sweep(spark, sf_dir: str) -> dict:
         recalls[str(nprobe)] = recall_of(
             ivfpq_topk(q, emb, books, k=K, nprobe=nprobe, centroids=cents))
         walls[str(nprobe)] = round(time.perf_counter() - t0, 2)
+    # two-stage re-rank: exact L2 over the top-`shortlist` ADC
+    # candidates — the recipe that raises the quantization ceiling
+    # (ivfpq_rerank_topk); measured at the mid nprobe
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    np_rr = min(4, n_cells)
+    rerank: dict[str, float] = {}
+    for shortlist in (2 * K, 4 * K, 8 * K):
+        t0 = time.perf_counter()
+        rerank[f"np{np_rr}_s{shortlist}"] = recall_of(
+            ivfpq_rerank_topk(q, emb, books, k=K, shortlist=shortlist,
+                              nprobe=np_rr, centroids=cents))
+        walls[f"rerank_s{shortlist}"] = round(time.perf_counter() - t0, 2)
     emb.unpersist()
     return {
         "sf": sf_dir, "n": n, "dim": 64, "n_cells": n_cells,
         "n_queries": q.count(), "k": K,
         "adc_recall_ceiling": adc_recall,
-        "recall": recalls, "wall_sec": walls,
+        "recall": recalls, "rerank_recall": rerank, "wall_sec": walls,
         "train_sec": {"pq": round(t_train, 1), "ivf": round(t_cents, 1),
                       "adc_full": round(t_adc, 1)},
     }
@@ -120,6 +133,8 @@ def main() -> None:
         cells = " | ".join(str(s["recall"].get(str(p), "—")) for p in NPROBES)
         print(f"| {s['sf']} | {s['n']} | {s['n_cells']} | {cells} | "
               f"{s['adc_recall_ceiling']} |", file=sys.stderr)
+        rr = ", ".join(f"{k2}={v}" for k2, v in s.get("rerank_recall", {}).items())
+        print(f"#   two-stage re-rank: {rr}", file=sys.stderr)
     spark.stop()
 
 

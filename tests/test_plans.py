@@ -367,3 +367,25 @@ def test_semantic_dedup_plan_shape(spark, sf_dir):
     probe = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
     assert "Exchange" not in probe, probe
     assert "EvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_ivfpq_rerank_fetch_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """Two-stage re-rank: the stage-2 candidate fetch must broadcast
+    the (query_id, neighbor_id) shortlist onto the corpus scan — never
+    shuffle the corpus's full-width vectors. Allowed exchanges are the
+    two ranking windows (stage-1 ADC, stage-2 exact), both keyed on
+    query_id over candidate-sized data."""
+    from etl_router_spark.functions.pq import (
+        deterministic_codebooks,
+        ivfpq_rerank_topk,
+    )
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (ivfpq_rerank_topk(emb.filter("vec_id < 10"), emb,
+                              deterministic_codebooks(64, m=4, k=8),
+                              k=5, shortlist=20, nprobe=2, n_centroids=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -274,3 +274,92 @@ def test_pipeline_pq_topk_auto_routes_string_ids(spark, sf_dir, tmp_path):
     frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
     rows = frames["out"].limit(5).collect()
     assert rows and all(r.query_id.startswith("v") for r in rows)
+
+
+def test_ivfpq_rerank_full_widening_equals_exact(spark, emb):
+    """With every cell probed and a corpus-sized shortlist, two-stage
+    re-rank must equal the exact L2 top-k bit-for-bit (the quantizer
+    only generates candidates; exact distance decides)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    q = emb.filter("vec_id < 6")
+    n = emb.count()
+    got = {(r.query_id, r.neighbor_id, r.rank, r.exact_dist)
+           for r in ivfpq_rerank_topk(q, emb, books, k=5, shortlist=n,
+                                      nprobe=8, n_centroids=8).collect()}
+    c = emb.selectExpr("vec_id AS neighbor_id", "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+    qq = q.selectExpr("vec_id AS query_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    l2 = "round(aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc+x), 6)"
+    scored = (F.broadcast(qq).join(c, F.col("query_id") != F.col("neighbor_id"))
+              .selectExpr("query_id", "neighbor_id", f"{l2} AS d"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {(r.query_id, r.neighbor_id, r.rank, r.d)
+             for r in scored.withColumn("rank", F.row_number().over(w))
+             .filter("rank <= 5").collect()}
+    assert got == exact
+
+
+def test_ivfpq_rerank_never_below_adc_recall(spark, emb):
+    """Deterministic dominance: every true top-k neighbor the shortlist
+    contains is promoted into the re-ranked top-k (exact distance beats
+    any impostor), and ADC's own top-k is a subset of that shortlist —
+    so re-rank recall >= plain IVF-PQ recall, always."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk, ivfpq_topk
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    q = emb.filter("vec_id < 6")
+    c = emb.selectExpr("vec_id AS neighbor_id", "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+    qq = q.selectExpr("vec_id AS query_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    l2 = "round(aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc+x), 6)"
+    scored = (F.broadcast(qq).join(c, F.col("query_id") != F.col("neighbor_id"))
+              .selectExpr("query_id", "neighbor_id", f"{l2} AS d"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in scored.withColumn("rank", F.row_number().over(w))
+             .filter("rank <= 5").collect()}
+    kw = dict(k=5, nprobe=2, n_centroids=8)
+    adc = {(r.query_id, r.neighbor_id)
+           for r in ivfpq_topk(q, emb, books, **kw).collect()}
+    rer = {(r.query_id, r.neighbor_id)
+           for r in ivfpq_rerank_topk(q, emb, books, shortlist=20, **kw).collect()}
+    assert len(truth & rer) >= len(truth & adc)
+    # and the re-ranked ids come only from stage 1's shortlist
+    short = {(r.query_id, r.neighbor_id)
+             for r in ivfpq_topk(q, emb, books, k=20, nprobe=2,
+                                 n_centroids=8).collect()}
+    assert rer <= short
+
+
+def test_pq_topk_manifest_rerank(spark, sf_dir, tmp_path):
+    """shortlist: N in a pq_topk stage declares the two-stage recipe;
+    output carries exact_dist, not adc_dist."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "ivfpq-rerank"},
+           "spec": {"stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": f"{sf_dir}/embeddings.parquet"}},
+               {"id": "t", "type": "transform",
+                "config": {"transform_type": "pq_topk", "dim": 64, "k": 3,
+                           "m": 4, "k_centroids": 8,
+                           "nprobe": 2, "n_centroids": 8, "shortlist": 12,
+                           "query_condition": {"type": "expression",
+                                               "expression": "vec_id < 4"}}},
+               {"id": "o", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}},
+           ]}}
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "exact_dist"}
+    assert out.count() == 4 * 3
