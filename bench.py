@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     # their plans get regression-tracked (VERDICT r3 #7)
     "corpus_global_shuffle",
     "text_tfidf_cosine",
+    "text_bigram_logprob",
     "dedup_minhash_join",
     "corpus_pack_sequences",
     "q_window_funcs",

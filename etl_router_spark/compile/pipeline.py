@@ -625,6 +625,13 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
 
         return unigram_logprob(df, text_col=cfg.get("text_field", "text"),
                                id_col=cfg.get("id_field", "doc_id"))
+    if tt == "bigram_logprob":
+        from etl_router_spark.functions.text import bigram_logprob
+
+        return bigram_logprob(df, text_col=cfg.get("text_field", "text"),
+                              id_col=cfg.get("id_field", "doc_id"),
+                              lam=float(cfg.get("lam", 0.7)),
+                              add_k=float(cfg.get("add_k", 0.5)))
     if tt == "url_normalize":
         from pyspark.sql import functions as F
 

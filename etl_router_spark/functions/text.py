@@ -301,6 +301,93 @@ def unigram_logprob(
     return df.join(scores, id_col)
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_df: DataFrame | None = None,
+    lam: float = 0.7,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document average INTERPOLATED-BIGRAM log-probability — the
+    stronger LM quality signal behind CCNet-style perplexity filtering
+    (CCNet, Wenzek et al. 2020 scores with a 5-gram KenLM; an
+    interpolated bigram is the first rung of that ladder and already
+    separates fluent prose from shuffled/garbled text, which unigram
+    statistics cannot: unigrams are permutation-invariant).
+
+    Per token position i >= 2 (under the model estimated from ``lm_df``,
+    default ``df`` itself):
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * (c(w_i) + add_k) / (T + add_k*(V+1))
+
+    — ML bigram interpolated with an add-k unigram (Jelinek-Mercer;
+    the unigram floor keeps unseen pairs finite, add_k keeps unseen
+    WORDS finite when scoring a different corpus than the LM's).
+    Output adds ``n_bigrams``, ``avg_bigram_logprob`` (mean ln p,
+    6 dp) and ``bigram_ppl`` (exp of the negative mean, 3 dp);
+    single-token docs score NULL. Input columns pass through like
+    :func:`unigram_logprob`.
+
+    Scale shape — same posture as :func:`unigram_logprob`, one rung up:
+    unigram counts are one token groupBy, bigram counts one pair
+    groupBy (both map-side combinable; the pair table is the corpus's
+    DISTINCT adjacent pairs, not its length); scoring explodes each
+    doc's adjacent pairs once and left-joins the two count tables —
+    AQE broadcasts them when they fit, shuffle-joins when they don't,
+    and nothing ever collects to the driver. The final per-doc mean is
+    one id-keyed groupBy with partial aggregation.
+    """
+    lm_src = lm_df if lm_df is not None else df
+    toks = tokens_sql(text_col)
+    pair_sql = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), "
+        "(a, b) -> named_struct('prev', a, 'cur', b)) "
+        "ELSE array() END"
+    )
+    lm_toks = lm_src.selectExpr(f"explode({toks}) AS tok")
+    uni = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = lm_toks.agg(
+        F.count("*").alias("__t"),
+        F.count_distinct("tok").alias("__v"),
+    )
+    bi = (
+        lm_src.selectExpr(f"explode({pair_sql}) AS p")
+        .selectExpr("p.prev AS prev", "p.cur AS cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+    )
+    doc_pairs = df.selectExpr(f"{id_col}", f"explode({pair_sql}) AS p").selectExpr(
+        f"{id_col}", "p.prev AS prev", "p.cur AS cur"
+    )
+    k, l = repr(float(add_k)), repr(float(lam))
+    scored = (
+        doc_pairs.join(bi, ["prev", "cur"], "left")
+        .join(uni.selectExpr("tok AS prev", "c AS c_prev"), "prev", "left")
+        .join(uni.selectExpr("tok AS cur", "c AS c_cur"), "cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            id_col,
+            # ln(lam * p_bigram + (1-lam) * p_addk_unigram); FP
+            # constants via repr so the DuckDB oracle evaluates
+            # bit-identical literals
+            f"ln({l} * (CAST(coalesce(cb, 0) AS DOUBLE) /"
+            " CAST(coalesce(c_prev, 1) AS DOUBLE))"
+            f" + (1.0 - {l}) * ((CAST(coalesce(c_cur, 0) AS DOUBLE) + {k}) /"
+            f" (CAST(__t AS DOUBLE) + {k} * (CAST(__v AS DOUBLE) + 1.0)))) AS lp",
+        )
+    )
+    scores = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_bigram_logprob"),
+        F.round(F.exp(-F.avg("lp")), 3).alias("bigram_ppl"),
+    )
+    return df.join(scores, id_col, "left")
+
+
 def ngram_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -1101,6 +1101,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).select("doc_id", "n_tokens", "avg_logprob")
 
 
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM docs),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    stats AS (SELECT count(*) AS t, count(DISTINCT tok) AS v FROM toks),
+    dp AS (
+      SELECT doc_id, W[i] AS prev, W[i + 1] AS cur
+      FROM (SELECT doc_id, {_WORDS} AS W FROM docs),
+           LATERAL (SELECT unnest(range(1, len(W))) AS i)),
+    bi AS (SELECT prev, cur, count(*) AS cb FROM dp GROUP BY prev, cur),
+    scored AS (
+      SELECT d.doc_id,
+             ln({0.7!r} * (CAST(coalesce(b.cb, 0) AS DOUBLE) /
+                           CAST(coalesce(u1.c, 1) AS DOUBLE))
+                + (1.0 - {0.7!r}) * ((CAST(coalesce(u2.c, 0) AS DOUBLE) + {0.5!r}) /
+                  (CAST(s.t AS DOUBLE) + {0.5!r} * (CAST(s.v AS DOUBLE) + 1.0)))) AS lp
+      FROM dp d
+      LEFT JOIN bi b ON b.prev = d.prev AND b.cur = d.cur
+      LEFT JOIN uni u1 ON u1.tok = d.prev
+      LEFT JOIN uni u2 ON u2.tok = d.cur
+      CROSS JOIN stats s)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (CCNet-recipe first rung —
+    unigrams are permutation-invariant, bigrams see fluency): the LM is
+    estimated from the scored corpus itself, both count tables stay
+    DataFrames (AQE broadcasts them when small), one id-keyed groupBy
+    (``functions/text.py:bigram_logprob``). ``bigram_ppl`` is excluded
+    from the gate (exp magnifies last-ulp FP differences across
+    engines); its arithmetic is exp(-avg) of the hashed column,
+    pytest-pinned."""
+    from etl_router_spark.functions.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return (bigram_logprob(docs)
+            .filter(F.col("n_bigrams").isNotNull())
+            .select("doc_id", "n_bigrams", "avg_bigram_logprob"))
+
+
 ORACLES["dedup_cluster"] = f"""
     WITH RECURSIVE pairs AS (
       {ORACLES["dedup_simhash_pairs"]}

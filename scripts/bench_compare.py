@@ -13,10 +13,12 @@ Accepts either a raw bench JSON line or the driver's BENCH_r{N}.json
 wrapper (bench line inside its "tail" field). Files without a
 ``calibration`` field (pre-round-7) fall back to raw ratios, flagged as
 UNNORMALIZED. Post-round-9 benches also carry ``calibration_samples``
-(three best-of-N blocks interleaved through the run); when their spread
-exceeds ~10% of the median, a WARNING marks every normalized ratio as
-suspect — the r8 lesson, where one anomalously-fast calibration sample
-flagged 10 phantom regressions.
+(three best-of-N blocks interleaved through the run); when the median
+disagrees with its closest other sample by more than ~10%, a WARNING
+marks every normalized ratio as suspect — the r8 lesson, where one
+anomalously-fast calibration sample flagged 10 phantom regressions.
+(Robust spread, not max-min: the start block consistently reads high
+from residual JIT warm-up and the median already discards it.)
 """
 
 from __future__ import annotations
@@ -80,7 +82,14 @@ def main() -> int:
         samples = bench.get("calibration_samples") or []
         if len(samples) >= 2:
             med = sorted(samples)[len(samples) // 2]
-            spread = (max(samples) - min(samples)) / med if med else 0.0
+            # ROBUST spread: the start block consistently reads high
+            # (residual JIT warm-up) and the median already discards
+            # one outlier — so judge trustworthiness by how well the
+            # median agrees with its CLOSEST other sample, not by the
+            # outlier-inflated max-min range (which warned on runs
+            # whose normalization was in fact fine)
+            spread = (min(abs(s - med) for s in samples if s != med) / med
+                      if med and any(s != med for s in samples) else 0.0)
             if spread > 0.10:
                 noisy_cal = True
                 print(f"# WARNING {label}: calibration samples {samples} "

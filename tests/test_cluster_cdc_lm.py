@@ -376,3 +376,79 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
         assert got == want, algo
         import glob
         assert glob.glob(ck + "/*/rdd-*"), f"{algo}: no checkpoint data"
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Hand-computed interpolated-bigram scores on a 2-doc corpus, plus
+    the fluency property unigrams cannot see: a doc whose bigrams all
+    occur in the LM outscores a token-permuted twin with identical
+    unigram stats."""
+    from etl_router_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    # tokens: a b a b b a -> T=6, V=2; c(a)=3, c(b)=3
+    # bigrams: doc1 (a,b) (b,a) (a,b); doc2 (b,a) -> cb(a,b)=2, cb(b,a)=2
+    rows = {r.doc_id: r for r in bigram_logprob(docs, lam=0.7, add_k=0.5)
+            .collect()}
+    uni_a = (3 + 0.5) / (6 + 0.5 * 3)  # add-k unigram, V+1 in the denom
+    p_ab = 0.7 * (2 / 3) + 0.3 * uni_a  # cb/c_prev interpolated
+    lp = math.log(p_ab)  # all four pairs share c_prev=3, same cb=2
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    assert abs(rows[1].avg_bigram_logprob - lp) < 1e-6
+    assert abs(rows[2].avg_bigram_logprob - lp) < 1e-6
+    assert abs(rows[1].bigram_ppl - math.exp(-lp)) < 1e-3
+
+    # fluency separation: "a b a b" vs its permutation "a a b b" under
+    # the SAME LM (lm_df) — identical unigrams, different bigrams
+    lm = docs
+    fluent = spark.createDataFrame([(10, "a b a b")], "doc_id long, text string")
+    garbled = spark.createDataFrame([(11, "a a b b")], "doc_id long, text string")
+    f = bigram_logprob(fluent, lm_df=lm).collect()[0]
+    g = bigram_logprob(garbled, lm_df=lm).collect()[0]
+    assert f.avg_bigram_logprob > g.avg_bigram_logprob
+
+
+def test_bigram_logprob_edge_docs(spark):
+    """Single-token and empty docs pass through with NULL scores; an
+    unseen word (scoring corpus != LM corpus) stays finite via the
+    add-k unigram floor."""
+    from etl_router_spark.functions.text import bigram_logprob
+
+    lm = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a z")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_logprob(docs, lm_df=lm).collect()}
+    assert rows[1].n_bigrams is None and rows[1].avg_bigram_logprob is None
+    # (a, z): cb=0, c_prev=c(a)=2; unigram floor for unseen z = add_k/(T+add_k*(V+1))
+    p = 0.7 * 0.0 + 0.3 * (0.5 / (3 + 0.5 * 3))
+    assert abs(rows[2].avg_bigram_logprob - math.log(p)) < 1e-6
+
+
+def test_bigram_logprob_manifest(spark, tmp_path):
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (1 + i % 2)) for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "bglm"},
+           "spec": {"stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet", "path": src}},
+               {"id": "t", "type": "transform",
+                "config": {"transform_type": "bigram_logprob", "lam": 0.8}},
+               {"id": "o", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}},
+           ]}}
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {"doc_id", "text", "n_bigrams", "avg_bigram_logprob",
+            "bigram_ppl"} <= set(out.columns)
+    assert out.filter("avg_bigram_logprob IS NULL").count() == 0
