@@ -154,6 +154,30 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         return exact_dedup(df, cfg.get("text_field", "text"),
                            cfg.get("id_field", "doc_id"),
                            normalize=bool(cfg.get("normalize", True)))
+    if tt == "dedup_index_build":
+        # persistable LSH index of the input corpus; point a file sink
+        # at this stage (partition by a short band-key prefix or bucket
+        # by band_key — see functions/dedup.py:minhash_index)
+        from etl_router_spark.functions.dedup import minhash_index
+
+        return minhash_index(df, id_col=cfg.get("id_field", "doc_id"),
+                             text_col=cfg.get("text_field", "text"),
+                             num_hashes=int(cfg.get("num_hashes", 16)),
+                             bands=int(cfg.get("bands", 4)),
+                             shingle_n=int(cfg.get("shingle_n", 3)))
+    if tt == "dedup_index_probe":
+        # incremental fuzzy dedup: keep input rows with no near-dup in
+        # the persisted index at index_path
+        from etl_router_spark.functions.dedup import dedup_against_minhash_index
+
+        idx = df.sparkSession.read.parquet(cfg["index_path"])
+        return dedup_against_minhash_index(
+            df, idx, id_col=cfg.get("id_field", "doc_id"),
+            text_col=cfg.get("text_field", "text"),
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            shingle_n=int(cfg.get("shingle_n", 3)),
+            threshold=float(cfg.get("threshold", 0.5)))
     # optional pre-flight candidate budget (pair-generation types):
     # fail fast with CandidateBudgetExceeded instead of launching a
     # quadratic pair shuffle on a saturated corpus

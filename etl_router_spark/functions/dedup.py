@@ -390,6 +390,122 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*mins)
 
 
+def _banded_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig array, band_key) rows from a signature frame — ONE
+    definition of the band-key layout (band b's key = md5 of
+    ``'b,mh_i,...'`` over its signature slice) shared by
+    :func:`minhash_lsh_pairs`, :func:`minhash_index` and
+    :func:`dedup_against_minhash_index`, so an index written by one can
+    always be probed by the others (and the DuckDB oracles reproduce
+    all three)."""
+    rows_per_band = num_hashes // bands
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_keys = ", ".join(
+        "md5(concat_ws(',', '%d', %s))"
+        % (b, ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)))
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        "id",
+        f"array({', '.join(sig_cols)}) AS sig",
+        f"explode(array({band_keys})) AS band_key",
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE LSH index of a corpus: (id, sig, band_key), one
+    row per (doc, band). Write it once, then dedup every future batch
+    against it with :func:`dedup_against_minhash_index` — the
+    signatures and band keys of the existing corpus are never
+    recomputed (at 100 TB, the shingle->minhash pipeline over the
+    historical corpus is the dominant cost of fuzzy dedup; this makes
+    it a one-time cost).
+
+    Storage layout: partition by a SHORT prefix of ``band_key``
+    (``substring(band_key, 1, 2)`` = 256 partitions at any corpus
+    size) for coarse pruning, or bucket by ``band_key`` via
+    ``write_bucketed`` for join co-location. Never partition by the
+    raw md5 — a 16^32-cardinality partition column is the small-files
+    anti-pattern.
+
+    The index must be rebuilt only when (num_hashes, bands, shingle_n)
+    change; probes validate signature width at run time and fail fast
+    on a mismatched index.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    return _banded_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        num_hashes, bands)
+
+
+def dedup_against_minhash_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental fuzzy dedup: rows of ``new_df`` with NO near-duplicate
+    (estimated Jaccard >= ``threshold``) in the corpus behind
+    ``index_df`` (a :func:`minhash_index` frame, usually read back from
+    its persisted table). The exact-dedup analog is
+    ``dedup_incremental_batches``; this is the MinHash rung.
+
+    Scale shape — the index NEVER shuffles and the historical corpus's
+    text is never touched:
+
+    - The new batch's (band_key, id, sig) table is built once
+      (shingle->minhash over the BATCH only) and BROADCAST onto the
+      index scan — by contract the batch (a day's crawl) is the small
+      side. The band_key equi-join selects candidate index rows
+      map-side; with the index stored bucketed by band_key (or
+      partitioned by its short prefix — see :func:`minhash_index`),
+      the scan co-locates or coarsely prunes to the batch's buckets.
+    - Scoring is signature agreement (k position compares) per
+      candidate row — no shingling of index docs, no text reads.
+    - Matched batch ids come back through one DISTINCT on (batch id)
+      and drop via broadcast left_anti — same shape as SemDeDup's
+      neighbor drop.
+
+    Parameters must match the index build; a mismatched signature
+    width raises in-task with a descriptive error rather than silently
+    mis-scoring.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    probes = _banded_buckets(
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
+        num_hashes, bands,
+    ).selectExpr("id AS __new_id", "sig AS __new_sig", "band_key")
+    guard = (
+        f"CASE WHEN size(sig) != {num_hashes} THEN "
+        f"raise_error(concat('dedup_against_minhash_index: index signature "
+        f"width ', CAST(size(sig) AS STRING), ' != probe num_hashes "
+        f"{num_hashes} — rebuild the index with matching parameters')) "
+        "ELSE sig END"
+    )
+    agree = "size(filter(zip_with(__new_sig, sig, (p, q) -> p = q), t -> t))"
+    hits = (
+        index_df.withColumn("sig", F.expr(guard))
+        .join(F.broadcast(probes), "band_key")
+        .filter(F.expr(f"{agree} / {float(num_hashes)}D") >= threshold)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(hits), id_col, "left_anti")
+
+
 def _bucket_local_pairs(
     buckets: DataFrame, key_cols: list[str], salt_cap: int | None,
     max_candidates: int | None = None,
@@ -609,7 +725,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     if cache:
         # also worth enabling when salting is on at large scale: the
@@ -619,18 +734,7 @@ def minhash_lsh_pairs(
         # costs MORE than the recompute (measured ~+0.9s vs +0.2s at
         # sf0.1), so it stays opt-in.
         sig = sig.persist()
-    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
-
-    band_keys = ", ".join(
-        "md5(concat_ws(',', '%d', %s))"
-        % (b, ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)))
-        for b in range(bands)
-    )
-    buckets = sig.selectExpr(
-        "id",
-        f"array({', '.join(sig_cols)}) AS sig",
-        f"explode(array({band_keys})) AS band_key",
-    )
+    buckets = _banded_buckets(sig, num_hashes, bands)
     pinned: list[DataFrame] = []
     pairs = _bucket_local_pairs(
         buckets, ["band_key"], salt_cap, max_candidates,
@@ -692,13 +796,7 @@ def minhash_lsh_join(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
-    band_keys = ", ".join(
-        "md5(concat_ws(',', '%d', %s))"
-        % (b, ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)))
-        for b in range(bands)
-    )
 
     def banded(df: DataFrame, precomputed: DataFrame | None) -> DataFrame:
         if precomputed is not None:
@@ -711,11 +809,7 @@ def minhash_lsh_join(
             sig = precomputed
         else:
             sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-        return sig.selectExpr(
-            "id",
-            f"array({', '.join(sig_cols)}) AS sig",
-            f"explode(array({band_keys})) AS band_key",
-        )
+        return _banded_buckets(sig, num_hashes, bands)
 
     lb = banded(left, left_signatures).selectExpr("id AS id_left", "sig AS sig_l", "band_key")
     rb = banded(right, right_signatures).selectExpr("id AS id_right", "sig AS sig_r", "band_key")

@@ -27,7 +27,7 @@ KNOWN_TRANSFORMS = {
     "repetition_stats", "pii_redact", "chunk",
     "tfidf", "heavy_hitters", "inverted_index", "group_topk", "global_shuffle",
     "dedup_cluster", "cdc_apply", "split_assign", "unigram_logprob",
-    "bigram_logprob",
+    "bigram_logprob", "dedup_index_build", "dedup_index_probe",
     "dedup_ngram", "ngram_counts", "char_entropy", "line_dedup",
     "embedding_normalize", "embedding_quantize", "text_normalize",
     # user-code extension point (proto/transform.proto ProcessBatch)

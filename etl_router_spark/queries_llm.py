@@ -551,6 +551,76 @@ def _minhash_sig_oracle(num_hashes: int, where: str) -> str:
 
 ORACLES["dedup_minhash_signatures"] = _minhash_sig_oracle(8, "doc_id < 500")
 
+
+def _duck_band_keys(num_hashes: int, bands: int) -> str:
+    """DuckDB twin of ``_banded_buckets``'s band-key layout."""
+    rpb = num_hashes // bands
+    return ", ".join(
+        "md5('%d,' || %s)"
+        % (b, " || ',' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        for b in range(bands)
+    )
+
+
+def _minhash_incremental_oracle() -> str:
+    agree = " + ".join(f"(sa.mh_{i} = sb.mh_{i})::INT" for i in range(8))
+    keys = _duck_band_keys(8, 4)
+    return f"""
+    WITH isig AS ({_minhash_sig_oracle(8, "doc_id < 300")}),
+    nsig AS ({_minhash_sig_oracle(8, "doc_id >= 300 AND doc_id < 500")}),
+    ib AS (SELECT id, unnest([{keys}]) AS band_key FROM isig),
+    nb AS (SELECT id, unnest([{keys}]) AS band_key FROM nsig),
+    cand AS (SELECT DISTINCT n.id AS nid, i.id AS iid
+             FROM nb n JOIN ib i USING (band_key)),
+    est AS (SELECT c.nid, ({agree}) / 8.0 AS ej
+            FROM cand c JOIN nsig sa ON sa.id = c.nid
+                        JOIN isig sb ON sb.id = c.iid),
+    hits AS (SELECT DISTINCT nid FROM est WHERE ej >= 0.5)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id >= 300 AND doc_id < 500
+      AND doc_id NOT IN (SELECT nid FROM hits)
+    """
+
+
+@query("dedup_minhash_incremental", None)  # oracle attached below (generated)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup against a persisted LSH index (the
+    MinHash rung of ``dedup_incremental_batches``): docs < 300 are
+    indexed once (``minhash_index`` -> parquet, band-key rows with
+    signatures), the 300-499 batch probes it — batch band keys
+    broadcast onto the index scan, signature-agreement scoring, no
+    index shuffle, no re-shingling of indexed text
+    (``functions/dedup.py:dedup_against_minhash_index``). Survivors =
+    batch docs with no indexed near-duplicate at est_jaccard >= 0.5."""
+    import tempfile
+
+    from etl_router_spark.functions.dedup import (
+        dedup_against_minhash_index,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_path = tempfile.mkdtemp(prefix="etl_mh_index_") + "/index"
+    # build + persist the index the way production would (one-time
+    # cost). Partition by a SHORT band-key prefix, never the raw md5 —
+    # a 16^32-cardinality partition column is the small-files
+    # anti-pattern (measured: 1146 directories for 300 docs at gate
+    # scale); 2 hex chars = 256 prunable partitions at any corpus size
+    # (or bucket by band_key via the `table` sink for join co-location)
+    idx = minhash_index(docs.filter(F.col("doc_id") < 300), num_hashes=8,
+                        bands=4)
+    (idx.withColumn("bk_prefix", F.substring("band_key", 1, 2))
+        .write.partitionBy("bk_prefix").parquet(idx_path))
+    batch = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+    kept = dedup_against_minhash_index(
+        batch, spark.read.parquet(idx_path), num_hashes=8, bands=4,
+        threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+ORACLES["dedup_minhash_incremental"] = _minhash_incremental_oracle()
+
 ORACLES["dedup_minhash_lsh"] = f"""
     WITH sig AS ({_minhash_sig_oracle(8, "doc_id < 2000")}),
     banded AS (

@@ -1194,3 +1194,123 @@ def test_semantic_dedup_whole_cell_contract_beyond_old_salt_cap(spark):
     kept = sorted(r.vec_id for r in
                   semantic_dedup(df, threshold=0.999, n_cells=2).collect())
     assert kept == [0, 1]  # one representative per cell, nothing leaks
+
+
+class TestMinhashIncrementalIndex:
+    def test_index_probe_drops_near_dups_keeps_unique(self, spark, tmp_path):
+        from etl_router_spark.functions.dedup import (
+            dedup_against_minhash_index,
+            minhash_index,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different words about spark "
+                            "partitions and shuffles at massive scale")],
+            "doc_id long, text string")
+        idx_path = str(tmp_path / "idx")
+        minhash_index(corpus, num_hashes=8, bands=4).write.parquet(idx_path)
+        batch = spark.createDataFrame(
+            [(10, base + " extra"),          # near-dup of doc 1
+             (11, "entirely novel content with no overlapping shingles "
+                  "whatsoever in any window of three tokens")],
+            "doc_id long, text string")
+        kept = dedup_against_minhash_index(
+            batch, spark.read.parquet(idx_path), num_hashes=8, bands=4,
+            threshold=0.5)
+        assert [r.doc_id for r in kept.collect()] == [11]
+
+    def test_index_layout_matches_pair_operator(self, spark):
+        """One band-key definition: ids that minhash_lsh_pairs pairs up
+        must also collide index-vs-probe (and vice versa for clean
+        separations) — the desync guard for the shared helper."""
+        from etl_router_spark.functions.dedup import (
+            dedup_against_minhash_index,
+            minhash_index,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"shared prefix tokens run along here marker{i} "
+                 "and the long common tail keeps jaccard high for pairs")
+             for i in range(6)],
+            "doc_id long, text string")
+        pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, threshold=0.5).collect()}
+        idx = minhash_index(docs.filter("doc_id < 3"), num_hashes=8, bands=4)
+        kept = {r.doc_id for r in dedup_against_minhash_index(
+            docs.filter("doc_id >= 3"), idx, num_hashes=8, bands=4,
+            threshold=0.5).collect()}
+        dropped = {4, 5, 3} - kept
+        paired_with_index = {b for (a, b) in pairs if a < 3 and b >= 3} | {
+            a for (a, b) in pairs if b < 3 and a >= 3}
+        assert dropped == paired_with_index
+
+    def test_mismatched_index_width_fails_fast(self, spark):
+        import pytest as _pytest
+
+        from etl_router_spark.functions.dedup import (
+            dedup_against_minhash_index,
+            minhash_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string")
+        idx = minhash_index(docs, num_hashes=16, bands=4)
+        with _pytest.raises(Exception, match="signature width"):
+            dedup_against_minhash_index(
+                docs, idx, num_hashes=8, bands=4).collect()
+
+
+def test_dedup_index_manifests(spark, tmp_path):
+    """dedup_index_build -> file sink, then dedup_index_probe reading
+    that index back — the nightly-dedup pair of manifests."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated text about catalyst optimizer rules "
+                        "and adaptive query execution behavior")],
+        "doc_id long, text string").write.parquet(corpus_path)
+    idx_path = str(tmp_path / "index")
+    build = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": "idx-build"},
+             "spec": {"stages": [
+                 {"id": "s", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": corpus_path}},
+                 {"id": "t", "type": "transform",
+                  "config": {"transform_type": "dedup_index_build",
+                             "num_hashes": 8, "bands": 4}},
+                 {"id": "o", "type": "sink",
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": idx_path}}]}}
+    compile_pipeline(spark, parse_manifest_dict(build)).run()
+
+    batch_path = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(10, base + " postscript"), (11, "fresh novel never seen words "
+         "forming windows that match nothing indexed anywhere")],
+        "doc_id long, text string").write.parquet(batch_path)
+    probe = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": "idx-probe"},
+             "spec": {"stages": [
+                 {"id": "s", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": batch_path}},
+                 {"id": "t", "type": "transform",
+                  "config": {"transform_type": "dedup_index_probe",
+                             "index_path": idx_path,
+                             "num_hashes": 8, "bands": 4,
+                             "threshold": 0.5}},
+                 {"id": "o", "type": "sink",
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": str(tmp_path / "kept")}}]}}
+    compile_pipeline(spark, parse_manifest_dict(probe)).run()
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert [r.doc_id for r in kept.collect()] == [11]
