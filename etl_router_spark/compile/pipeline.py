@@ -273,17 +273,22 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             pq_train,
         )
 
-        dim = int(cfg["dim"])
         m = int(cfg.get("m", 4))
         kc = int(cfg.get("k_centroids", 16))
         books = cfg.get("codebooks")
-        if books is None and cfg.get("train"):
+        if books is None and cfg.get("index_path") and tt == "pq_topk":
+            pass  # sidecar codebooks win below — no dim needed
+        elif books is None and cfg.get("train"):
             books = pq_train(df, m=m, k=kc,
                              vec_col=cfg.get("vec_field", "embedding"),
                              id_col=cfg.get("id_field", "vec_id"),
                              sample_fraction=cfg.get("sample_fraction"))
         elif books is None:
-            books = deterministic_codebooks(dim, m=m, k=kc)
+            if "dim" not in cfg:
+                raise ValueError(
+                    "pq stage needs dim (for the deterministic codebooks) "
+                    "unless codebooks/train/index_path is given")
+            books = deterministic_codebooks(int(cfg["dim"]), m=m, k=kc)
         if tt == "pq_encode":
             return pq_encode(df, books,
                              id_col=cfg.get("id_field", "vec_id"),
@@ -302,7 +307,17 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             # IVF-PQ: coarse cells prune candidates before ADC ranking;
             # shortlist: N declares the two-stage recipe (exact-L2
             # re-rank of the top-N ADC candidates — raises the PQ
-            # recall ceiling that nprobe cannot move)
+            # recall ceiling that nprobe cannot move); index_path
+            # serves the probe from a persisted self-describing
+            # write_pq_index artifact (codes + sidecar codebooks/
+            # centroids — no re-encoding, no duplicated parameters)
+            corpus_index = None
+            centroids = None
+            if cfg.get("index_path"):
+                from etl_router_spark.functions.pq import read_pq_index
+
+                corpus_index, books, centroids = read_pq_index(
+                    df.sparkSession, cfg["index_path"])
             if cfg.get("shortlist") is not None:
                 from etl_router_spark.functions.pq import ivfpq_rerank_topk
 
@@ -311,15 +326,19 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                     shortlist=int(cfg["shortlist"]),
                     nprobe=int(cfg["nprobe"]),
                     n_centroids=int(cfg.get("n_centroids", 8)),
+                    centroids=centroids,
                     id_col=cfg.get("id_field", "vec_id"),
-                    vec_col=cfg.get("vec_field", "embedding"))
+                    vec_col=cfg.get("vec_field", "embedding"),
+                    corpus_index=corpus_index)
             from etl_router_spark.functions.pq import ivfpq_topk
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
                               nprobe=int(cfg["nprobe"]),
                               n_centroids=int(cfg.get("n_centroids", 8)),
+                              centroids=centroids,
                               id_col=cfg.get("id_field", "vec_id"),
-                              vec_col=cfg.get("vec_field", "embedding"))
+                              vec_col=cfg.get("vec_field", "embedding"),
+                              corpus_index=corpus_index)
         id_col = cfg.get("id_field", "vec_id")
         method = cfg.get("method")
         if method is None:

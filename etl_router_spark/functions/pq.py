@@ -387,6 +387,77 @@ def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
             f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
 
 
+def pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE IVF-PQ index of a corpus: (id, cid, code) — the
+    coarse-cell assignment plus the m-int PQ code, both map-side
+    literal expressions (one pass over the vectors, zero shuffle).
+    Write it once (partition by ``cid`` — cell counts are bounded by
+    the occupancy rule, so the layout is well-sized by construction),
+    then serve every future query with
+    ``ivfpq_topk(corpus_index=...)`` — probing reads ``m`` ints + two
+    ids per corpus row instead of the raw vectors, a 64x scan
+    reduction at dim=64/float32, and never re-encodes. This is the
+    MinHash-index pattern (``dedup.minhash_index``) applied to ANN,
+    and the FAISS on-disk-index shape.
+
+    Rebuild only when codebooks/centroids change; probes validate the
+    code width at run time and fail fast on a mismatched index.
+    """
+    vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    return corpus.selectExpr(
+        f"{id_col} AS id",
+        f"{cell_assign_sql(vec, centroids)} AS cid",
+        f"{pq_code_sql(vec, codebooks)} AS code",
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a SELF-DESCRIBING IVF-PQ index (the FAISS index-file
+    shape): the (id, cid, code) rows partitioned by cell, plus a
+    ``_pq_meta.json`` sidecar carrying the codebooks and centroids the
+    rows were built with — so a probe needs only the path and cannot
+    desync from the build parameters. Spark ignores underscore-prefixed
+    files in a parquet directory, so the sidecar rides inside the index
+    dir itself. (Local/NFS paths; for object stores write the sidecar
+    through your store client — the parquet half is store-agnostic.)
+    """
+    import json
+    import os
+
+    pq_index(corpus, codebooks, centroids, id_col, vec_col) \
+        .write.partitionBy("cid").parquet(path)
+    with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
+        json.dump({"codebooks": codebooks,
+                   "centroids": [[cid, list(v)] for cid, v in centroids]}, fh)
+
+
+def read_pq_index(spark, path: str):
+    """(index frame, codebooks, centroids) from :func:`write_pq_index`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    return (
+        spark.read.parquet(path),
+        meta["codebooks"],
+        [(int(cid), list(v)) for cid, v in meta["centroids"]],
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -397,6 +468,7 @@ def ivfpq_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition — an IVF coarse quantizer
     prunes the corpus to the query's ``nprobe`` nearest cells, PQ ADC
@@ -419,6 +491,13 @@ def ivfpq_topk(
     SAME rounded-L2 + lowest-cid-tie rule on both sides, so the DuckDB
     oracle is value-exact.
 
+    ``corpus_index``: a precomputed :func:`pq_index` frame (usually
+    read back from its persisted table) replaces ``corpus`` — the scan
+    then reads (id, cid, m-int code) instead of raw vectors and no
+    re-encoding happens. ``codebooks``/``centroids`` must match the
+    index build; a mismatched code width raises in-task with a
+    descriptive error.
+
     **Operating rule (measured, SCALE.md "IVF-PQ recall-vs-nprobe"):**
     ``nprobe ≈ 10%`` of cells already recovers the full-ADC recall
     ceiling; more probes buy candidate volume, not recall. The ceiling
@@ -428,17 +507,33 @@ def ivfpq_topk(
     brute_force_topk` over the candidate set, never nprobe.
     """
     if centroids is None:
+        if corpus_index is not None:
+            raise ValueError(
+                "ivfpq_topk(corpus_index=...) requires explicit centroids — "
+                "the index was built against a fixed centroid set and the "
+                "stand-in derivation would silently desync from it")
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
     m = len(codebooks)
     kc = len(codebooks[0])
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    # corpus: nearest cell — shared assignment contract (cell_assign_sql)
-    assign = cell_assign_sql(vec, centroids)
-    c = corpus.selectExpr(
-        f"{id_col} AS neighbor_id",
-        f"{assign} AS cid",
-        f"{pq_code_sql(vec, codebooks)} AS code",
-    )
+    if corpus_index is not None:
+        guard = (
+            f"CASE WHEN size(code) != {m} THEN "
+            f"raise_error(concat('ivfpq_topk: index code width ', "
+            f"CAST(size(code) AS STRING), ' != m={m} — rebuild the index "
+            f"with matching codebooks')) ELSE code END"
+        )
+        c = corpus_index.selectExpr(
+            "id AS neighbor_id", "cid", f"{guard} AS code")
+    else:
+        # corpus: nearest cell — shared assignment contract
+        # (cell_assign_sql) + map-side encode, one pass over vectors
+        assign = cell_assign_sql(vec, centroids)
+        c = corpus.selectExpr(
+            f"{id_col} AS neighbor_id",
+            f"{assign} AS cid",
+            f"{pq_code_sql(vec, codebooks)} AS code",
+        )
     # queries: nprobe nearest cells via a sorted (dist, cid) struct
     # array — array_sort orders by dist then cid, the same tie rule
     cid_arr = "array(" + ", ".join(str(cid) for cid, _ in centroids) + ")"
@@ -484,8 +579,9 @@ def ivfpq_rerank_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
-    """Two-stage ANN — IVF-PQ shortlist, exact-L2 re-rank: the standard
+    """Two-stage ANN — IVF-PQ shortlist, exact-L2 refine: the standard
     production recipe (FAISS ``search`` + refine; also ScaNN's final
     reordering stage). Stage 1 is :func:`ivfpq_topk` widened to the top
     ``shortlist`` candidates per query by ADC distance; stage 2 fetches
@@ -514,11 +610,17 @@ def ivfpq_rerank_topk(
     The re-rank distance rounds to 6 dp like every PQ distance here, so
     the DuckDB oracle reproduces ranks exactly (same lowest-id tie
     rule).
+
+    ``corpus_index``: a :func:`pq_index` frame serves stage 1 (codes
+    instead of raw vectors, no re-encoding); stage 2 still fetches the
+    shortlist's full vectors from ``corpus`` — by design, exact
+    refinement is the one place raw vectors are read, and only
+    |Q| x shortlist of them.
     """
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
         n_centroids=n_centroids, centroids=centroids,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, corpus_index=corpus_index,
     ).select("query_id", "neighbor_id")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     qv = queries.selectExpr(f"{id_col} AS query_id", f"{vec} AS qv")

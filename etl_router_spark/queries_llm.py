@@ -1679,6 +1679,31 @@ def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_centroids=8)
 
 
+@query("embedding_ivfpq_index_topk", None)  # oracle attached below (generated)
+def embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a PERSISTED index (``functions/pq.py:pq_index`` —
+    the FAISS on-disk-index shape): (id, cid, code) written once
+    partitioned by cell, every query served from the code table with
+    no re-encoding and a 64x smaller scan than raw vectors. Must equal
+    the direct ``embedding_ivfpq_topk`` bit-for-bit (same oracle) —
+    the index is pure precomputation."""
+    import tempfile
+
+    from etl_router_spark.functions.pq import (
+        ivfpq_topk,
+        pq_index,
+        standin_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = standin_centroids(emb, "vec_id", "embedding", 8)
+    idx_path = tempfile.mkdtemp(prefix="etl_pq_index_") + "/index"
+    pq_index(emb, _pq_books(), cents).write.partitionBy("cid").parquet(idx_path)
+    return ivfpq_topk(emb.filter(F.col("vec_id") < 10), emb, _pq_books(),
+                      k=5, nprobe=2, centroids=cents,
+                      corpus_index=spark.read.parquet(idx_path))
+
+
 def _quality_classifier_oracle() -> str:
     from etl_router_spark.functions.classifier import deterministic_weights
 
@@ -1730,6 +1755,9 @@ ORACLES["embedding_ivfpq_topk"] = _ivfpq_oracle(
     n_centroids=8, nprobe=2, n_queries=10, k=5)
 ORACLES["embedding_ivfpq_rerank_topk"] = _ivfpq_rerank_oracle(
     n_centroids=8, nprobe=2, n_queries=10, k=5, shortlist=20)
+# the persisted-index probe is pure precomputation: same oracle as direct
+ORACLES["embedding_ivfpq_index_topk"] = _ivfpq_oracle(
+    n_centroids=8, nprobe=2, n_queries=10, k=5)
 ORACLES["text_quality_classifier"] = _quality_classifier_oracle()
 
 

@@ -363,3 +363,85 @@ def test_pq_topk_manifest_rerank(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "exact_dist"}
     assert out.count() == 4 * 3
+
+
+def test_pq_index_probe_equals_direct(spark, emb, tmp_path):
+    """ivfpq_topk over a persisted pq_index must equal the direct path
+    bit-for-bit (the index is pure precomputation), survive a parquet
+    roundtrip, and fail fast on parameter mismatches."""
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        pq_index,
+        standin_centroids,
+    )
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    cents = standin_centroids(emb, "vec_id", "embedding", 8)
+    q = emb.filter("vec_id < 6")
+    direct = sorted(
+        ivfpq_topk(q, emb, books, k=5, nprobe=2, centroids=cents).collect())
+    idx_path = str(tmp_path / "pq_idx")
+    pq_index(emb, books, cents).write.partitionBy("cid").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    via_index = sorted(
+        ivfpq_topk(q, emb, books, k=5, nprobe=2, centroids=cents,
+                   corpus_index=idx).collect())
+    assert via_index == direct
+    # rerank stage 1 via index: also identical to the direct rerank
+    rr_direct = sorted(ivfpq_rerank_topk(
+        q, emb, books, k=5, shortlist=12, nprobe=2, centroids=cents).collect())
+    rr_idx = sorted(ivfpq_rerank_topk(
+        q, emb, books, k=5, shortlist=12, nprobe=2, centroids=cents,
+        corpus_index=idx).collect())
+    assert rr_idx == rr_direct
+
+    with pytest.raises(ValueError, match="requires explicit centroids"):
+        ivfpq_topk(q, emb, books, k=5, nprobe=2, corpus_index=idx)
+    wrong_books = deterministic_codebooks(64, m=8, k=8)
+    with pytest.raises(Exception, match="code width"):
+        ivfpq_topk(q, emb, wrong_books, k=5, nprobe=2,
+                   centroids=cents, corpus_index=idx).collect()
+
+
+def test_pq_topk_manifest_index_probe(spark, sf_dir, tmp_path):
+    """index_path on a pq_topk stage serves the probe from a persisted
+    self-describing index — no dim/codebooks in the manifest, results
+    equal the direct stage."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.pq import (
+        standin_centroids,
+        write_pq_index,
+    )
+    from etl_router_spark.io import load_table
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = deterministic_codebooks(64, m=4, k=8)
+    cents = standin_centroids(emb, "vec_id", "embedding", 8)
+    idx_path = str(tmp_path / "pq_idx")
+    write_pq_index(emb, books, cents, idx_path)
+
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "ivfpq-index"},
+           "spec": {"stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": f"{sf_dir}/embeddings.parquet"}},
+               {"id": "t", "type": "transform",
+                "config": {"transform_type": "pq_topk", "k": 3,
+                           "nprobe": 2, "index_path": idx_path,
+                           "query_condition": {"type": "expression",
+                                               "expression": "vec_id < 4"}}},
+               {"id": "o", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}},
+           ]}}
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    from etl_router_spark.functions.pq import ivfpq_topk
+
+    direct = sorted(tuple(r) for r in ivfpq_topk(
+        emb.filter("vec_id < 4"), emb, books, k=3, nprobe=2,
+        centroids=cents).collect())
+    assert sorted(tuple(r) for r in out.collect()) == direct
