@@ -450,12 +450,15 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     if tt == "mix_sample":
         from etl_router_spark.functions.corpus import mix_sample
 
-        return mix_sample(df, weights=cfg["weights"],
+        return mix_sample(df, weights=cfg.get("weights"),
                           domain_col=cfg.get("domain_field", "source"),
                           key_col=cfg.get("key_field", "doc_id"),
                           salt=cfg.get("salt", ""),
                           size_col=cfg.get("size_field"),
-                          rate_col=cfg.get("rate_field"))
+                          rate_col=cfg.get("rate_field"),
+                          temperature=(float(cfg["temperature"])
+                                       if cfg.get("temperature") is not None
+                                       else None))
     if tt == "pack_sequences":
         from etl_router_spark.functions.corpus import pack_sequences
 

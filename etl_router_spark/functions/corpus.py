@@ -429,13 +429,14 @@ def line_dedup(
 
 def mix_sample(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: dict[str, float] | None = None,
     domain_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
     size_col: str | None = None,
     domain_sizes: DataFrame | None = None,
     rate_col: str | None = None,
+    temperature: float | None = None,
 ) -> DataFrame:
     """Sample the corpus down to a target domain mixture — the
     training-mix operator (DoReMi/Pile-style source weighting): given
@@ -463,24 +464,46 @@ def mix_sample(
     from the data contribute no rows and do not bind the scale.
 
     ``rate_col`` attaches each row's keep-rate (diagnostic/lineage).
+
+    ``temperature`` (exclusive with ``weights``) derives the target
+    mixture from the data itself: w_d ∝ n_d^alpha — the multi-source
+    temperature-sampling rule from the multilingual/multi-corpus
+    pre-training literature (alpha=1 keeps the natural mix, alpha=0
+    targets uniform, the usual alpha≈0.3-0.7 flattens head domains
+    while keeping tail domains from dominating). Weights are computed
+    IN the per-domain counts frame (rounded to 6 dp so the SQL oracle
+    can mirror pow() across engines) — no driver collection, and every
+    observed domain participates (the mixture is derived, not
+    specified).
     """
     spark = df.sparkSession
-    if not weights or any(float(v) <= 0 for v in weights.values()):
+    if (weights is None) == (temperature is None):
+        raise ValueError(
+            "mix_sample: exactly one of weights / temperature must be given")
+    if weights is not None and (
+            not weights or any(float(v) <= 0 for v in weights.values())):
         raise ValueError("mix_sample: weights must be non-empty and positive")
-    # weights are used as-given: rate_d = w_d*S/n_d is invariant under
-    # rescaling ALGEBRAICALLY, and skipping normalization keeps the
-    # arithmetic bitwise-mirrorable by the SQL oracle (a float divide
-    # by sum(w) would perturb the thresholds differently per engine)
-    wdf = spark.createDataFrame(
-        [(k, float(v)) for k, v in sorted(weights.items())],
-        f"`{domain_col}` string, __w double",
-    )
+    if temperature is not None and float(temperature) < 0:
+        raise ValueError("mix_sample: temperature must be >= 0")
     if domain_sizes is None:
         unit = F.col(size_col).cast("double") if size_col else F.lit(1.0)
         sizes = df.groupBy(domain_col).agg(F.sum(unit).alias("__n"))
     else:
         sizes = domain_sizes
-    nw = sizes.join(F.broadcast(wdf), domain_col)
+    if temperature is not None:
+        nw = sizes.withColumn(
+            "__w", F.round(F.pow(F.col("__n"), F.lit(float(temperature))), 6))
+    else:
+        # weights are used as-given: rate_d = w_d*S/n_d is invariant
+        # under rescaling ALGEBRAICALLY, and skipping normalization
+        # keeps the arithmetic bitwise-mirrorable by the SQL oracle (a
+        # float divide by sum(w) would perturb the thresholds
+        # differently per engine)
+        wdf = spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(weights.items())],
+            f"`{domain_col}` string, __w double",
+        )
+        nw = sizes.join(F.broadcast(wdf), domain_col)
     scale = nw.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
     rates = (
         nw.crossJoin(F.broadcast(scale))

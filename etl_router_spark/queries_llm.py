@@ -2027,6 +2027,48 @@ def corpus_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_temperature",
+    """
+    WITH n AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS __n
+               FROM documents GROUP BY source),
+    w AS (SELECT source, __n, round(pow(__n, CAST(0.5 AS DOUBLE)), 6) AS __w
+          FROM n),
+    s AS (SELECT min(__n / __w) AS __scale FROM w),
+    r AS (SELECT w.source, w.__w * s.__scale / w.__n AS __rate
+          FROM w CROSS JOIN s)
+    SELECT d.doc_id, d.source,
+           CAST(floor(r.__rate * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS mix_rate_ppb
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST('0x' || substr(md5('temp1|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000
+          < r.__rate * CAST(1000000 AS DOUBLE)
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-derived mixture (`mix_sample(temperature=0.5)`):
+    target weights w_d ∝ n_d^0.5 computed from the per-domain
+    char counts themselves — the multilingual/multi-corpus
+    temperature-sampling rule (flattens head domains, alpha=0 would be
+    uniform). pow() is rounded to 6 dp in the tiny domain frame so the
+    oracle mirrors it across engines; every other arithmetic step is
+    the bitwise-mirrored mix_sample chain. Plan unchanged: per-domain
+    sum shuffle + broadcast rates + map-side filter; the corpus never
+    shuffles and the driver sees nothing."""
+    from etl_router_spark.functions.corpus import mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_sample(
+        docs, temperature=0.5,
+        domain_col="source", key_col="doc_id", salt="temp1",
+        size_col="n_chars", rate_col="__r",
+    )
+    return out.select(
+        "doc_id", "source",
+        F.floor(F.col("__r") * F.lit(1_000_000_000.0)).cast("bigint").alias("mix_rate_ppb"),
+    )
+
+
+@query(
     "corpus_duplicate_spans",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),

@@ -96,3 +96,63 @@ def test_pipeline_mix_sample_stage(spark, docs):
     out = apply_transform_stage(docs, stage, spark)
     direct = mix_sample(docs, WEIGHTS, size_col="n_chars", salt="t1")
     assert out.count() == direct.count()
+
+
+class TestTemperatureMix:
+    def test_rates_hand_computed(self, spark):
+        """alpha=0.5 over sizes (100, 4): w=(10, 2), scale=min(10, 2)=2,
+        rates=(0.2, 1.0) — head flattened, tail (binding) kept whole."""
+        from etl_router_spark.functions.corpus import mix_sample
+
+        rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mix_sample(df, temperature=0.5, rate_col="r")
+        rates = dict(out.select("source", "r").distinct().collect())
+        assert abs(rates["big"] - 0.2) < 1e-9
+        assert abs(rates["small"] - 1.0) < 1e-9
+        # alpha=0: uniform target — every domain downsampled to the smallest
+        rates0 = dict(mix_sample(df, temperature=0.0, rate_col="r")
+                      .select("source", "r").distinct().collect())
+        assert abs(rates0["big"] - 0.04) < 1e-9
+        assert abs(rates0["small"] - 1.0) < 1e-9
+        # alpha=1: natural mix — every rate exactly 1
+        rates1 = dict(mix_sample(df, temperature=1.0, rate_col="r")
+                      .select("source", "r").distinct().collect())
+        assert rates1 == {"big": 1.0, "small": 1.0}
+
+    def test_exclusive_parameters(self, spark):
+        import pytest as _pytest
+
+        from etl_router_spark.functions.corpus import mix_sample
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with _pytest.raises(ValueError, match="exactly one"):
+            mix_sample(df, weights={"a": 1.0}, temperature=0.5)
+        with _pytest.raises(ValueError, match="exactly one"):
+            mix_sample(df)
+        with _pytest.raises(ValueError, match=">= 0"):
+            mix_sample(df, temperature=-0.1)
+
+    def test_manifest_temperature(self, spark, tmp_path):
+        from etl_router_spark.compile.pipeline import compile_pipeline
+        from etl_router_spark.model.parser import parse_manifest_dict
+
+        src = str(tmp_path / "docs")
+        rows = [(i, "big") for i in range(64)] + [(100 + i, "small") for i in range(4)]
+        spark.createDataFrame(rows, "doc_id long, source string").write.parquet(src)
+        doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+               "metadata": {"name": "tmix"},
+               "spec": {"stages": [
+                   {"id": "s", "type": "source",
+                    "config": {"source_type": "file", "format": "parquet", "path": src}},
+                   {"id": "t", "type": "transform",
+                    "config": {"transform_type": "mix_sample",
+                               "temperature": 0.5, "rate_field": "r"}},
+                   {"id": "o", "type": "sink",
+                    "config": {"sink_type": "file", "format": "parquet",
+                               "path": str(tmp_path / "out")}}]}}
+        compile_pipeline(spark, parse_manifest_dict(doc)).run()
+        out = spark.read.parquet(str(tmp_path / "out"))
+        rates = dict(out.select("source", "r").distinct().collect())
+        # sizes (64, 4): w=(8, 2), scale=2 -> rates (0.25, 1.0)
+        assert abs(rates["big"] - 0.25) < 1e-9 and rates["small"] == 1.0
