@@ -1302,3 +1302,60 @@ def stream_sink_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         "source_type": "jdbc", "url": url, "table": "events_eo",
         "driver": driver,
     }, streaming=False).select("event_id", "user_id", "value")
+
+
+from etl_router_spark.queries_llm import _minhash_incremental_oracle  # noqa: E402
+
+_ORACLES["stream_dedup_index_probe"] = _minhash_incremental_oracle()
+
+
+@query("stream_dedup_index_probe", None)  # oracle attached above (generated)
+def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING arm of the nightly fuzzy-dedup loop: the persisted
+    MinHash-LSH index (docs < 300, built once batch-side) filters an
+    ARRIVING stream of new docs — each micro-batch probes the index in
+    ``foreachBatch`` via ``dedup_against_minhash_index`` (batch band
+    keys broadcast onto the index scan, no index shuffle) and appends
+    only the survivors, exactly the deployment shape for continuous
+    crawl ingestion. One availableNow epoch over a single staged file
+    keeps the emission deterministic; the oracle is the batch twin's
+    (``dedup_minhash_incremental``)."""
+    import os
+
+    from etl_router_spark.functions.dedup import (
+        dedup_against_minhash_index,
+        minhash_index,
+    )
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_mhidx_")
+    docs = load_table(spark, sf_dir, "documents")
+    idx_path = os.path.join(wd, "index")
+    (minhash_index(docs.filter(F.col("doc_id") < 300), num_hashes=8, bands=4)
+     .withColumn("bk_prefix", F.substring("band_key", 1, 2))
+     .write.partitionBy("bk_prefix").parquet(idx_path))
+    idx = spark.read.parquet(idx_path)
+
+    src = os.path.join(wd, "in")
+    (docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+     .select("doc_id", "text", "lang", "source")
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = os.path.join(wd, "out")
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = dedup_against_minhash_index(
+            batch_df, idx, num_hashes=8, bands=4, threshold=0.5)
+        kept.select("doc_id", "lang", "source").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    shutil.rmtree(src, ignore_errors=True)
+    return result
