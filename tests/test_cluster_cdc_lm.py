@@ -452,3 +452,52 @@ def test_bigram_logprob_manifest(spark, tmp_path):
     assert {"doc_id", "text", "n_bigrams", "avg_bigram_logprob",
             "bigram_ppl"} <= set(out.columns)
     assert out.filter("avg_bigram_logprob IS NULL").count() == 0
+
+
+def test_bigram_logprob_matches_reference_property(spark):
+    """Property check against an independent pure-Python reference
+    implementation on small random corpora (fixed seeds, CPython
+    arithmetic): the Spark column expressions reproduce the
+    interpolated probability to 1e-6 on every doc."""
+    import random
+
+    from etl_router_spark.functions.text import bigram_logprob
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(12)]
+        lam, add_k = 0.7, 0.5
+        # reference model
+        toks = [d.split() for _, d in docs]
+        uni: dict[str, int] = {}
+        bi: dict[tuple, int] = {}
+        for ts in toks:
+            for t in ts:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        T = sum(uni.values())
+        V = len(uni)
+
+        def ref_score(ts):
+            if len(ts) < 2:
+                return None
+            lps = []
+            for a, b in zip(ts, ts[1:]):
+                pb = bi.get((a, b), 0) / uni.get(a, 1)
+                pu = (uni.get(b, 0) + add_k) / (T + add_k * (V + 1))
+                lps.append(math.log(lam * pb + (1 - lam) * pu))
+            return sum(lps) / len(lps)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.avg_bigram_logprob
+               for r in bigram_logprob(df, lam=lam, add_k=add_k).collect()}
+        for (i, _), ts in zip(docs, toks):
+            exp = ref_score(ts)
+            if exp is None:
+                assert got[i] is None
+            else:
+                assert abs(got[i] - exp) < 1e-6, (seed, i)
