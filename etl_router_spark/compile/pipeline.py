@@ -459,6 +459,26 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                           temperature=(float(cfg["temperature"])
                                        if cfg.get("temperature") is not None
                                        else None))
+    if tt == "dsir_sample":
+        # target corpus declared like decontaminate's benchmark: a
+        # source config (DSIR selects raw docs resembling the target)
+        from etl_router_spark.functions.selection import dsir_sample
+
+        target = read_source(df.sparkSession, cfg["target"], streaming=False)
+        return dsir_sample(df, target, int(cfg.get("k", 1000)),
+                           id_col=cfg.get("id_field", "doc_id"),
+                           text_col=cfg.get("text_field", "text"),
+                           buckets=int(cfg.get("buckets", 4096)),
+                           smooth=float(cfg.get("smooth", 0.5)),
+                           salt=cfg.get("salt", "dsir"))
+    if tt == "weighted_sample":
+        from etl_router_spark.functions.selection import weighted_sample
+
+        return weighted_sample(df, int(cfg.get("k", 1000)),
+                               weight_col=cfg["weight_field"],
+                               id_col=cfg.get("id_field", "doc_id"),
+                               group_col=cfg.get("group_field"),
+                               salt=cfg.get("salt", "ws"))
     if tt == "pack_sequences":
         from etl_router_spark.functions.corpus import pack_sequences
 

@@ -1,0 +1,243 @@
+"""Data-selection operators: importance resampling and weighted
+sampling for targeted corpus construction.
+
+- ``dsir_*``: Data Selection via Importance Resampling (Xie et al.
+  2023, arXiv:2302.03169) — pick raw-corpus documents whose hashed
+  n-gram profile looks like a small high-quality TARGET corpus. The
+  published recipe: hash unigrams+bigrams into B buckets, fit two
+  bag-of-buckets models (target p, raw q), score each document with
+  its log importance weight sum_grams [ln p(b) - ln q(b)], then sample
+  without replacement with probability proportional to the importance
+  weight via the Gumbel-top-k trick.
+- ``weighted_sample``: seeded sampling without replacement with
+  arbitrary per-row weights (Efraimidis-Spirakis exponential-clock
+  keys), global or per-group.
+
+Scale shape (the whole point at 100 TB): the two n-gram models are
+B-row frames (B ~ 1e4) built by one map-side-combinable groupBy each;
+the per-document scoring join broadcasts those B rows, so the raw
+corpus is touched by exactly one (doc, bucket)-aggregate shuffle and
+one doc-keyed sum — no driver-side vocabulary, no model object, and
+selection itself is a distributed top-k (``TakeOrdered``-style partial
+top-k per partition, never a single-partition window).
+
+Determinism: every stochastic choice derives from the engine-portable
+``h60`` content hash, and every real-valued quantity is rounded into
+integer MICRO-NATS before any cross-row arithmetic — integer sums are
+associative, so scores are bit-identical across engines, partitionings
+and reruns (double summation order is not).
+
+Reference parity: the reference engine has no data-selection stage;
+this extends the corpus toolkit (SURVEY.md "beyond the reference"
+scope) alongside functions/corpus.py mix_sample/decontaminate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.text import h60, shingles_sql, tokens_sql
+
+__all__ = [
+    "dsir_logratios",
+    "dsir_scores",
+    "dsir_sample",
+    "weighted_sample",
+]
+
+
+def _grams_sql(text_col: str) -> str:
+    """Unigrams + word bigrams of a text column as one array — the
+    DSIR paper's hashed n-gram feature set."""
+    toks = tokens_sql(text_col)
+    return f"concat({toks}, {shingles_sql(toks, 2)})"
+
+
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    """(bucket, c) hashed-gram counts — one explode + one groupBy with
+    map-side partial aggregation; at most ``buckets`` output rows."""
+    grams = df.selectExpr(f"explode({_grams_sql(text_col)}) AS gram")
+    return (
+        grams.select(F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """The DSIR model itself: per hash bucket b, the rounded
+    log-likelihood ratio
+
+        lr(b) = ln((c_t(b) + s) / (T_t + s*B)) - ln((c_r(b) + s) / (T_r + s*B))
+
+    between the add-``s``-smoothed target and raw bag-of-hashed-ngram
+    unigram models, emitted as integer micro-nats
+    (``lr_micro = round(lr * 1e6)``). Buckets unseen by BOTH corpora
+    are absent (scorers substitute the same smoothed default).
+
+    Returns (bucket int, lr_micro bigint, c_target bigint, c_raw
+    bigint) — at most ``buckets`` rows, broadcastable by construction.
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
+    cr = _bucket_counts(raw, text_col, buckets).withColumnRenamed("c", "c_raw")
+    tot_t = target.selectExpr(
+        f"sum(size({_grams_sql(text_col)})) AS __tt"
+    )
+    tot_r = raw.selectExpr(f"sum(size({_grams_sql(text_col)})) AS __tr")
+    s, b = repr(float(smooth)), buckets
+    return (
+        ct.join(cr, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .selectExpr(
+            "bucket",
+            # integer micro-nats: the ONLY place a transcendental is
+            # evaluated; everything downstream is integer arithmetic
+            f"CAST(round((ln((CAST(coalesce(c_target, 0) AS DOUBLE) + {s}) /"
+            f" (CAST(__tt AS DOUBLE) + {s} * {b}.0))"
+            f" - ln((CAST(coalesce(c_raw, 0) AS DOUBLE) + {s}) /"
+            f" (CAST(__tr AS DOUBLE) + {s} * {b}.0))) * 1000000.0) AS BIGINT)"
+            " AS lr_micro",
+            "coalesce(c_target, CAST(0 AS BIGINT)) AS c_target",
+            "coalesce(c_raw, CAST(0 AS BIGINT)) AS c_raw",
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: float = 0.5,
+    score_col: str = "dsir_score_micro",
+) -> DataFrame:
+    """Score every raw document with its DSIR log importance weight
+    (integer micro-nats): sum over the document's hashed grams of
+    ``lr(bucket(gram))`` under :func:`dsir_logratios`.
+
+    Plan: doc grams -> (id, bucket) counts (one shuffle, map-side
+    combinable) -> broadcast join against the B-row ratio table ->
+    id-keyed integer sum -> id-keyed join back onto the input columns.
+    The raw corpus never carries anything wider than (id, bucket, c)
+    through a shuffle. Docs with zero grams score 0.
+    """
+    lr = F.broadcast(dsir_logratios(raw, target, text_col=text_col,
+                                    buckets=buckets, smooth=smooth)
+                     .select("bucket", "lr_micro"))
+    doc_buckets = (
+        raw.selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
+        .select(F.col(id_col), F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("__c"))
+    )
+    scores = (
+        doc_buckets.join(lr, "bucket")  # doc buckets are raw buckets: inner is lossless
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("lr_micro")).alias(score_col))
+    )
+    return (
+        raw.join(scores, id_col, "left")
+        .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0).cast("bigint")))
+    )
+
+
+def _gumbel_micro(id_col: str, salt: str) -> Column:
+    """Deterministic standard-Gumbel noise in integer micro-nats,
+    derived from the content hash: u = (h60(salt|id) % 1e6 + 0.5)/1e6
+    in (0, 1), g = -ln(-ln(u))."""
+    u = (
+        F.pmod(h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+               F.lit(1_000_000)).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: float = 0.5,
+    salt: str = "dsir",
+    key_col: str = "dsir_key_micro",
+) -> DataFrame:
+    """DSIR selection: the ``k`` raw documents sampled WITHOUT
+    replacement with probability proportional to their importance
+    weight exp(score), via the Gumbel-top-k identity
+    (argtop-k of log w_i + Gumbel_i ~ successive draws w/o
+    replacement). Gumbel noise is seeded from ``h60(salt|id)`` so the
+    draw is a pure function of content — reruns, engines and
+    partitionings agree.
+
+    The top-k is ``orderBy(...).limit(k)`` — Spark's TakeOrdered
+    computes per-partition partial top-k then merges k*partitions
+    rows, never a global sort or single-partition window. Ties break
+    by ascending id. Output: input columns + score + selection key.
+    """
+    scored = dsir_scores(raw, target, id_col=id_col, text_col=text_col,
+                         buckets=buckets, smooth=smooth)
+    keyed = scored.withColumn(
+        key_col, F.col("dsir_score_micro") + _gumbel_micro(id_col, salt)
+    )
+    return keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "ws",
+    key_col: str = "__es_key_micro",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement: keep the ``k``
+    rows (per group, if ``group_col`` given) with the smallest
+    exponential-clock key ``-ln(u)/w`` (Efraimidis-Spirakis A-ES,
+    equivalent to successive draws with probability proportional to
+    ``weight_col``). ``u`` derives from ``h60(salt|id)`` so the sample
+    is reproducible across engines and monotone under reruns; keys are
+    rounded to integer micro-units with ascending-id tie-break.
+
+    Rows with NULL, zero or negative weight are excluded (they have
+    probability 0). Global sampling is a distributed TakeOrdered;
+    grouped sampling is one group-keyed window — k rows of state per
+    group, the same shape as ``corpus_group_topk``.
+    """
+    u = (
+        F.pmod(h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+               F.lit(1_000_000)).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double")
+                  * F.lit(1_000_000.0)).cast("bigint")
+    keyed = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)) \
+              .withColumn(key_col, key)
+    if group_col is None:
+        out = keyed.orderBy(F.col(key_col).asc(), F.col(id_col).asc()).limit(k)
+    else:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(key_col).asc(), F.col(id_col).asc())
+        out = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return out if keep_key else out.drop(key_col)

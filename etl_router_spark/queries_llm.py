@@ -3432,3 +3432,142 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_semantic"] = _semantic_dedup_oracle(n_cells=8, threshold=0.3)
+
+
+# ===========================================================================
+# data selection (DSIR importance resampling, weighted sampling)
+# ===========================================================================
+def _dsir_lr_sql(buckets: int, smooth: float) -> str:
+    """DuckDB twin of functions.selection.dsir_logratios over
+    raw = doc_id < 400, target = doc_id >= 400 (CTE names rg/tg)."""
+    s, b = repr(float(smooth)), buckets
+    return f"""
+    rbc AS (SELECT {_h60_sql('gram')} % {b} AS bucket, count(*) AS c_raw
+            FROM rg GROUP BY 1),
+    tbc AS (SELECT {_h60_sql('gram')} % {b} AS bucket, count(*) AS c_target
+            FROM tg GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tg) AS tt,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM rg) AS tr),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln((CAST(COALESCE(c_target, 0) AS DOUBLE) + {s}) /
+                            (tt + {s} * {b}.0))
+                       - ln((CAST(COALESCE(c_raw, 0) AS DOUBLE) + {s}) /
+                            (tr + {s} * {b}.0))) * 1000000.0) AS BIGINT)
+               AS lr_micro,
+             COALESCE(c_target, 0) AS c_target,
+             COALESCE(c_raw, 0) AS c_raw
+      FROM tbc FULL OUTER JOIN rbc USING (bucket) CROSS JOIN tot)
+    """
+
+
+_DSIR_GRAMS = f"list_concat({_WORDS}, {_shingles_sql(2)})"
+
+_DSIR_CORPORA = f"""
+    raw AS (SELECT * FROM documents WHERE doc_id < 400),
+    tgt AS (SELECT * FROM documents WHERE doc_id >= 400),
+    rg AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram FROM raw),
+    tg AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram FROM tgt)
+"""
+
+
+@query(
+    "select_dsir_model",
+    f"""
+    WITH {_DSIR_CORPORA},
+    {_dsir_lr_sql(512, 0.5)}
+    SELECT bucket, lr_micro, c_target, c_raw FROM lr
+    """,
+)
+def select_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR bag-of-hashed-ngrams model (Xie et al. 2023,
+    arXiv:2302.03169): per hash bucket, the smoothed target/raw
+    log-likelihood ratio in integer micro-nats
+    (``functions/selection.py:dsir_logratios``). Fixture: target =
+    docs >= 400, raw = the rest, 512 buckets. The model is <= B rows
+    by construction — THE property that makes DSIR 100 TB-safe (the
+    corpus is scored against a broadcastable literal-sized model, not
+    a vocabulary). Oracle: same counts/ln/round chain in SQL; integer
+    micro-nats make every downstream comparison exact."""
+    from etl_router_spark.functions.selection import dsir_logratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") < 400)
+    tgt = docs.filter(F.col("doc_id") >= 400)
+    return dsir_logratios(raw, tgt, buckets=512).select(
+        "bucket", "lr_micro", "c_target", "c_raw"
+    )
+
+
+@query(
+    "select_dsir_topk",
+    f"""
+    WITH {_DSIR_CORPORA},
+    {_dsir_lr_sql(512, 0.5)},
+    db AS (SELECT doc_id, {_h60_sql('gram')} % 512 AS bucket, count(*) AS c
+           FROM rg GROUP BY 1, 2),
+    sc AS (SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) AS dsir_score_micro
+           FROM db JOIN lr USING (bucket) GROUP BY 1),
+    keyed AS (
+      SELECT r.doc_id, r.source,
+             COALESCE(sc.dsir_score_micro, 0) AS dsir_score_micro,
+             COALESCE(sc.dsir_score_micro, 0)
+             + CAST(round(-ln(-ln((
+                   {_h60_sql("'dsir1|' || CAST(r.doc_id AS VARCHAR)")} % 1000000
+                   + 0.5) / 1000000.0)) * 1000000.0) AS BIGINT)
+               AS dsir_key_micro
+      FROM raw r LEFT JOIN sc USING (doc_id))
+    SELECT doc_id, source, dsir_score_micro, dsir_key_micro
+    FROM keyed ORDER BY dsir_key_micro DESC, doc_id ASC LIMIT 50
+    """,
+)
+def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection end-to-end: score every raw doc with its log
+    importance weight (sum of bucket log-ratios over its hashed
+    unigrams+bigrams), add h60-seeded Gumbel noise, keep the top 50 —
+    the Gumbel-top-k draw WITHOUT replacement with probability
+    proportional to the importance weight, exactly the published
+    recipe (``functions/selection.py:dsir_sample``). Plan: one
+    (doc,bucket) aggregate + broadcast B-row model + TakeOrdered —
+    the raw corpus is shuffled once, id-and-bucket wide. Integer
+    micro-nat keys keep the two engines bit-identical."""
+    from etl_router_spark.functions.selection import dsir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") < 400)
+    tgt = docs.filter(F.col("doc_id") >= 400)
+    return dsir_sample(raw, tgt, 50, buckets=512, salt="dsir1").select(
+        "doc_id", "source", "dsir_score_micro", "dsir_key_micro"
+    )
+
+
+@query(
+    "select_weighted_group",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(-ln(({_h60_sql("'wsel1|' || CAST(doc_id AS VARCHAR)")}
+                             % 1000000 + 0.5) / 1000000.0)
+                        / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS __k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    rn AS (SELECT *, row_number() OVER (PARTITION BY source
+                                        ORDER BY __k ASC, doc_id ASC) AS r
+           FROM keyed)
+    SELECT doc_id, source, n_chars FROM rn WHERE r <= 3
+    """,
+)
+def select_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement
+    (Efraimidis-Spirakis exponential-clock keys, h60-seeded): 3 docs
+    per source drawn with probability proportional to ``n_chars``
+    (``functions/selection.py:weighted_sample``). One group-keyed
+    window, k rows of state per group; the global variant is a
+    distributed TakeOrdered. Deterministic across engines via integer
+    micro-unit keys + id tie-break."""
+    from etl_router_spark.functions.selection import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, 3, weight_col="n_chars", group_col="source", salt="wsel1"
+    ).select("doc_id", "source", "n_chars")
