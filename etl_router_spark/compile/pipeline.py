@@ -413,6 +413,17 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              text_col=cfg.get("text_field", "text"),
                              n=int(cfg.get("ngram", 8)),
                              mode=cfg.get("mode", "drop"))
+    if tt == "bloom_decontaminate":
+        from etl_router_spark.functions.corpus import bloom_decontaminate
+
+        bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
+        return bloom_decontaminate(df, bench,
+                                   id_col=cfg.get("id_field", "doc_id"),
+                                   text_col=cfg.get("text_field", "text"),
+                                   n=int(cfg.get("ngram", 8)),
+                                   m_bits=int(cfg.get("m_bits", 1 << 22)),
+                                   k=int(cfg.get("hashes", 3)),
+                                   mode=cfg.get("mode", "drop"))
     if tt == "hash_sample":
         from etl_router_spark.functions.corpus import hash_sample
 

@@ -83,6 +83,95 @@ def decontaminate(
     raise ValueError(f"mode must be drop|tag, got {mode!r}")
 
 
+def bloom_bitmap(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[int]:
+    """Build a Bloom filter over the benchmark's word ``n``-grams as a
+    list of ``m_bits/64`` signed int64 words (bit p of the filter =
+    bit ``p % 64`` of word ``p // 64``).
+
+    Hash family: position_i(gram) = h60("bf" + i + "|" + gram) % m —
+    the engine-portable md5 hash, so oracles can reproduce the filter
+    (and its false positives) bit-exactly. The driver collects only
+    DISTINCT SET POSITIONS (<= min(k * |bench grams|, m_bits) ints —
+    benchmark-sized metadata, like codebooks/centroids), never corpus
+    data.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
+
+    grams = benchmark.selectExpr(
+        f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
+    ).distinct()
+    pos_exprs = [
+        f"pmod({h60_sql(salt_gram)}, {m_bits})"
+        for salt_gram in (f"concat('bf', '{i}', '|', gram)" for i in range(k))
+    ]
+    positions = grams.selectExpr(
+        f"explode(array({', '.join(pos_exprs)})) AS p"
+    ).distinct()
+    words = [0] * (m_bits // 64)
+    for (p,) in positions.collect():
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 (Spark ArrayType(LongType))
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    mode: str = "drop",
+    tag_field: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination via a literal Bloom filter — the
+    ZERO-join scale path next to :func:`decontaminate`'s semi-join.
+
+    A document is flagged when ANY of its word ``n``-grams has all
+    ``k`` Bloom positions set (one-sided error: every true leak is
+    caught; false positives drop extra docs at the classic Bloom rate
+    (1-e^{-kn/m})^k — ~2% of grams at the defaults' 50% fill,
+    tunable arbitrarily low with ``m_bits``). In exchange the probe is
+    a pure whole-stage-codegen map over the corpus: the m/64-long
+    filter rides in the plan as ONE literal array, so there is no
+    broadcast-join build side, no gram explosion through a shuffle,
+    and the corpus is scanned exactly once — at 100 TB this beats the
+    exact semi-join whenever the benchmark gram set is large enough
+    that per-row hash-probe cost (or the broadcast build) dominates
+    (measured A/B in SCALE.md). Determinism: h60-based positions, so
+    the DuckDB oracle reproduces the filter INCLUDING its false
+    positives bit-exactly.
+    """
+    from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
+
+    words = bloom_bitmap(benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k)
+    probe = docs.withColumn("__bf", F.lit(words))
+    h = h60_sql("concat('bf', CAST(i AS STRING), '|', g)")
+    flag_sql = (
+        f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "
+        f"forall(transform(sequence(0, {k - 1}), i -> pmod({h}, {m_bits})), "
+        "p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT) + 1), "
+        "CAST(p % 64 AS INT)) & 1) = 1))"
+    )
+    flagged = probe.withColumn(tag_field, F.expr(flag_sql)).drop("__bf")
+    if mode == "drop":
+        return flagged.filter(~F.col(tag_field)).drop(tag_field)
+    if mode == "tag":
+        return flagged
+    raise ValueError(f"mode must be drop|tag, got {mode!r}")
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,

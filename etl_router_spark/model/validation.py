@@ -38,7 +38,7 @@ KNOWN_TRANSFORMS = {
     "edit_distance_pairs", "embedding_mean_pool", "embedding_pca_project",
     "pack_boundaries", "kafka_envelope", "bpe_tokenize",
     "pq_encode", "pq_topk", "quality_classifier",
-    "dsir_sample", "weighted_sample",
+    "dsir_sample", "weighted_sample", "bloom_decontaminate",
 }
 
 KNOWN_SOURCES = {

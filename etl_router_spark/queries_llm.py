@@ -3571,3 +3571,51 @@ def select_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, 3, weight_col="n_chars", group_col="source", salt="wsel1"
     ).select("doc_id", "source", "n_chars")
+
+
+_BLOOM_I = "(SELECT unnest([0, 1, 2]) AS i)"
+_BLOOM_M = 1 << 18
+
+
+@query(
+    "corpus_bloom_decontaminate",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    bench AS (SELECT * FROM documents WHERE doc_id >= 400),
+    bg AS (SELECT DISTINCT unnest(list_distinct({_shingles_sql(8)})) AS gram
+           FROM bench),
+    pos AS (SELECT DISTINCT
+              {_h60_sql("'bf' || CAST(i AS VARCHAR) || '|' || gram")} % {_BLOOM_M} AS p
+            FROM bg CROSS JOIN {_BLOOM_I}),
+    dg AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(8)})) AS gram
+           FROM corpus),
+    dp AS (SELECT doc_id, gram,
+              {_h60_sql("'bf' || CAST(i AS VARCHAR) || '|' || gram")} % {_BLOOM_M} AS p
+           FROM dg CROSS JOIN {_BLOOM_I}),
+    hits AS (SELECT doc_id, gram, count(*) AS nset
+             FROM dp JOIN pos USING (p) GROUP BY doc_id, gram),
+    bad AS (SELECT DISTINCT doc_id FROM hits WHERE nset = 3)
+    SELECT c.doc_id, c.lang, c.source
+    FROM corpus c LEFT JOIN bad b ON c.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL
+    """,
+)
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a LITERAL Bloom filter
+    (``functions/corpus.py:bloom_decontaminate``): the benchmark's
+    8-gram set is folded into an m/64-long bit array that rides in the
+    plan as one literal, so the corpus-side probe is a pure
+    whole-stage-codegen map — no broadcast-join build, no gram
+    shuffle, one corpus scan. One-sided error (every true leak
+    caught); the h60-derived hash family means the DuckDB oracle
+    reproduces the filter INCLUDING false positives bit-exactly.
+    Same fixture as corpus_decontaminate (the exact semi-join twin) so
+    the two survivor sets are directly comparable."""
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return bloom_decontaminate(
+        corpus, bench, n=8, m_bits=_BLOOM_M, k=3
+    ).select("doc_id", "lang", "source")
