@@ -424,6 +424,18 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                    m_bits=int(cfg.get("m_bits", 1 << 22)),
                                    k=int(cfg.get("hashes", 3)),
                                    mode=cfg.get("mode", "drop"))
+    if tt == "retrieval_eval":
+        # qrels side declared like lookup's dim: a source config
+        from etl_router_spark.functions.indexing import retrieval_eval
+
+        qrels = read_source(df.sparkSession, cfg["qrels"], streaming=False)
+        return retrieval_eval(df, qrels,
+                              k=int(cfg.get("k", 10)),
+                              query_id_col=cfg.get("query_id_field",
+                                                   "query_id"),
+                              doc_id_col=cfg.get("doc_id_field", "doc_id"),
+                              rank_col=cfg.get("rank_field", "rank"),
+                              rel_col=cfg.get("rel_field", "rel"))
     if tt == "hash_sample":
         from etl_router_spark.functions.corpus import hash_sample
 

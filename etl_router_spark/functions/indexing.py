@@ -252,3 +252,113 @@ def bm25_topk(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 F.col("id").alias("doc_id"), "score")
     )
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics at cutoff ``k`` — the
+    evaluation stage that closes the retrieval loop (BM25 / ANN / RRF
+    produce runs; this scores them against graded judgments the way
+    trec_eval does).
+
+    ``runs``: ranked results (query_id, doc_id, rank) — ranks 1-based,
+    rows beyond ``k`` ignored. ``qrels``: graded judgments (query_id,
+    doc_id, rel); rows with rel <= 0 are treated as unjudged/negative
+    and dropped. Queries are DEFINED by qrels: a query with judgments
+    but no run rows scores 0 across the board (silently dropping it
+    would inflate every macro average).
+
+    Metrics (all rounded to 6 digits for cross-engine determinism):
+
+    - ``recall``    hits@k / n_rel
+    - ``precision`` hits@k / k
+    - ``mrr``       1 / rank of the first relevant hit (0 if none)
+    - ``ap``        mean over relevant hit positions of precision@pos,
+                    normalized by min(n_rel, k) (the trec_eval cutoff
+                    convention: a perfect top-k scores 1 even when
+                    n_rel > k)
+    - ``ndcg``      DCG@k / IDCG@k with graded gains (2^rel - 1) and
+                    log2(pos + 1) discounts (Jarvelin & Kekalainen)
+
+    Scale: both sides hash-partition by query_id — the only shuffles
+    are the two per-query aggregations and the rank/ideal-rank window
+    sorts, each over <= k (runs) or n_rel (qrels) rows per query, so a
+    million-query evaluation is a million tiny sorted groups with
+    map-side partial aggregation; no broadcast of either side is
+    required and nothing is corpus-sized (runs are already top-k).
+    """
+    qid, did = "query_id", "doc_id"
+    runs_k = runs.select(
+        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
+        F.col(rank_col).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= k)
+    qr = qrels.select(
+        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
+        F.col(rel_col).cast("double").alias("rel"),
+    ).filter(F.col("rel") > 0)
+
+    # ideal side: n_rel and IDCG@k from the judgments alone
+    wq = Window.partitionBy(qid).orderBy(F.desc("rel"), F.asc(did))
+    ideal = (
+        qr.withColumn("irank", F.row_number().over(wq))
+        .groupBy(qid)
+        .agg(
+            F.count("*").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("irank") + 1),
+                ).otherwise(0.0)
+            ).alias("idcg"),
+        )
+    )
+
+    wr = Window.partitionBy(qid).orderBy("rank")
+    hit = F.when(F.col("rel") > 0, 1).otherwise(0)
+    scored = (
+        runs_k.join(qr, [qid, did], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
+        .withColumn("cum_hits", F.sum(hit).over(wr))
+        .groupBy(qid)
+        .agg(
+            F.sum(hit).alias("hits"),
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                / F.log2(F.col("rank") + 1)
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("rel") > 0,
+                    F.col("cum_hits").cast("double") / F.col("rank"),
+                ).otherwise(0.0)
+            ).alias("ap_num"),
+        )
+    )
+
+    out = ideal.join(scored, qid, "left")
+    z = F.lit(0.0)
+    return out.select(
+        F.col(qid).alias(query_id_col),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+        F.col("n_rel").cast("int").alias("n_rel"),
+        F.round(F.coalesce(F.col("hits") / F.col("n_rel"), z), 6)
+         .alias("recall"),
+        F.round(F.coalesce(F.col("hits") / F.lit(float(k)), z), 6)
+         .alias("precision"),
+        F.round(F.coalesce(1.0 / F.col("first_rel"), z), 6).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("ap_num"), z)
+            / F.least(F.col("n_rel"), F.lit(k)), 6,
+        ).alias("ap"),
+        F.round(F.coalesce(F.col("dcg") / F.col("idcg"), z), 6)
+         .alias("ndcg"),
+    )

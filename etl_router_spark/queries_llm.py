@@ -2784,6 +2784,78 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_retrieval_eval",
+    f"""
+    WITH {_BM25_CORE_SQL},
+    runs AS (SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 10),
+    qd AS (SELECT doc_id AS query_id, source FROM docs
+           WHERE doc_id IN (10, 20, 30)),
+    qrels AS (SELECT q.query_id, d.doc_id,
+                     CASE WHEN d.doc_id = q.query_id
+                          THEN 2.0 ELSE 1.0 END AS rel
+              FROM qd q JOIN docs d ON d.source = q.source),
+    ideal AS (
+      SELECT query_id, count(*) AS n_rel,
+             sum(CASE WHEN irank <= 10
+                      THEN (pow(2.0, rel) - 1) / log2(irank + 1)
+                      ELSE 0 END) AS idcg
+      FROM (SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, doc_id) AS irank
+            FROM qrels)
+      GROUP BY query_id),
+    joined AS (
+      SELECT r.query_id, r.rank, coalesce(q.rel, 0.0) AS rel
+      FROM runs r LEFT JOIN qrels q
+        ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
+    cum AS (
+      SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY query_id ORDER BY rank) AS cum_hits
+      FROM joined),
+    mscored AS (
+      SELECT query_id,
+             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+             min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+             sum((pow(2.0, rel) - 1) / log2(rank + 1)) AS dcg,
+             sum(CASE WHEN rel > 0
+                      THEN CAST(cum_hits AS DOUBLE) / rank
+                      ELSE 0 END) AS ap_num
+      FROM cum GROUP BY query_id)
+    SELECT i.query_id,
+           CAST(coalesce(hits, 0) AS INT) AS hits,
+           CAST(n_rel AS INT) AS n_rel,
+           round(coalesce(hits / CAST(n_rel AS DOUBLE), 0), 6) AS recall,
+           round(coalesce(hits / 10.0, 0), 6) AS precision,
+           round(coalesce(1.0 / first_rel, 0), 6) AS mrr,
+           round(coalesce(ap_num, 0) / least(n_rel, 10), 6) AS ap,
+           round(coalesce(dcg / idcg, 0), 6) AS ndcg
+    FROM ideal i LEFT JOIN mscored s ON s.query_id = i.query_id
+    """,
+)
+def search_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval-style retrieval scoring: the BM25 fixture runs judged
+    against same-source graded qrels (query's own document rel=2,
+    same-source neighbors rel=1). Exercises every metric path —
+    recall/precision/MRR/AP/nDCG with graded gains — on runs whose
+    hits, misses, and rank positions the value-hash pins exactly."""
+    from etl_router_spark.functions.indexing import bm25_topk, retrieval_eval
+
+    docs, queries = _bm25_queries(spark, sf_dir)
+    runs = bm25_topk(docs, queries, k=10)
+    qd = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
+        F.col("doc_id").alias("query_id"), "source")
+    qrels = qd.join(
+        docs.select("doc_id", F.col("source").alias("__s")),
+        F.col("__s") == F.col("source"),
+    ).select(
+        "query_id", "doc_id",
+        F.when(F.col("doc_id") == F.col("query_id"), 2.0)
+         .otherwise(1.0).alias("rel"),
+    )
+    return retrieval_eval(runs, qrels, k=10)
+
+
+@query(
     "corpus_decontaminate_semantic",
     """
     WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),

@@ -115,10 +115,59 @@ def _ops():
             emb(s, sf), threshold=0.9, method="block", num_blocks=8),
         "embedding_lsh_full": lambda s, sf: _emb_lsh_full(s, sf),
         "semantic_dedup_full": lambda s, sf: _semantic_dedup_full(s, sf),
+        # fourth wave (round 9): decontamination A/B (exact semi-join
+        # vs literal-Bloom probe, SAME corpus/bench split) + the DSIR
+        # selection pipeline
+        "decontaminate_exact_full": lambda s, sf: _decon_exact_full(s, sf),
+        "decontaminate_bloom_full": lambda s, sf: _decon_bloom_full(s, sf),
+        "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
+        "weighted_sample_full": lambda s, sf: _wsample_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
     }
+
+
+def _decon_split(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    return (docs.filter(F.col("doc_id") >= 500),
+            docs.filter(F.col("doc_id") < 500))
+
+
+def _decon_exact_full(s, sf):
+    from etl_router_spark.functions.corpus import decontaminate
+
+    corpus, bench = _decon_split(s, sf)
+    return decontaminate(corpus, bench, n=8).select("doc_id")
+
+
+def _decon_bloom_full(s, sf):
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    corpus, bench = _decon_split(s, sf)
+    return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
+                               k=3).select("doc_id")
+
+
+def _dsir_full(s, sf):
+    from etl_router_spark.functions.selection import dsir_scores
+
+    corpus, target = _decon_split(s, sf)
+    return dsir_scores(corpus, target, buckets=4096).select(
+        "doc_id", "dsir_score_micro")
+
+
+def _wsample_full(s, sf):
+    from etl_router_spark.functions.selection import weighted_sample
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    return weighted_sample(docs, 100, weight_col="n_chars",
+                           group_col="source").select("doc_id", "source")
 
 
 def _semantic_dedup_full(s, sf):
