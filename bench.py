@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "embedding_ivfpq_topk",
     "embedding_ivfpq_rerank_topk",
     "text_quality_classifier",
+    # round 9: the new families, tracked from birth — retrieval eval
+    # (two per-query-group window/agg passes over top-k runs), Bloom
+    # decontamination (zero-join literal-bit-array probe), DSIR
+    # selection (hashed-ngram importance weights + top-k)
+    "search_retrieval_eval",
+    "corpus_bloom_decontaminate",
+    "select_dsir_topk",
 ]
 
 # r4 flagged three regressions (+11..23%) with no commit touching their

@@ -145,6 +145,35 @@ def apply_transform_stage(df: DataFrame, stage: Stage, spark: SparkSession,
     raise ValueError(f"stage {stage.id!r}: transform {tt!r} not dispatchable in a linear DAG")
 
 
+def _near_dup_pairs(df: DataFrame, cfg: dict[str, Any], tt: str) -> DataFrame:
+    """Shared pair-generation config for the cluster-consuming stages
+    (``dedup_cluster``, ``leakage_splits``): method simhash|minhash
+    with the family's usual knobs, salted + budget-capped. Cluster
+    consumers tolerate salting's sub-bucket pair loss (transitive
+    closure re-links what the cap splits), so salt_cap defaults ON
+    here, unlike semantic_dedup."""
+    from etl_router_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
+
+    method = cfg.get("method", "simhash")
+    id_col = cfg.get("id_field", "doc_id")
+    text_col = cfg.get("text_field", "text")
+    mc = cfg.get("max_candidates")
+    mc = int(mc) if mc is not None else None
+    salt_cap = cfg.get("salt_cap", 512)
+    if method == "simhash":
+        return simhash_pairs(df, id_col=id_col, text_col=text_col,
+                             max_hamming=int(cfg.get("max_hamming", 3)),
+                             bits=int(cfg.get("bits", 64)),
+                             salt_cap=salt_cap, max_candidates=mc)
+    if method == "minhash":
+        return minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                                 num_hashes=int(cfg.get("num_hashes", 128)),
+                                 bands=int(cfg.get("bands", 32)),
+                                 threshold=float(cfg.get("threshold", 0.8)),
+                                 salt_cap=salt_cap, max_candidates=mc)
+    raise ValueError(f"{tt}: unknown method {method!r}")
+
+
 def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFrame | None:
     """The large-scale data-pipeline operators as first-class
     transform_types (SURVEY §7.3 M6). Returns None for unknown types."""
@@ -436,6 +465,27 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                               doc_id_col=cfg.get("doc_id_field", "doc_id"),
                               rank_col=cfg.get("rank_field", "rank"),
                               rel_col=cfg.get("rel_field", "rel"))
+    if tt == "epoch_upsample":
+        from etl_router_spark.functions.corpus import epoch_upsample
+
+        return epoch_upsample(df, weights=dict(cfg["weights"]),
+                              token_budget=float(cfg["token_budget"]),
+                              domain_col=cfg.get("domain_field", "source"),
+                              key_col=cfg.get("key_field", "doc_id"),
+                              size_col=cfg.get("size_field"),
+                              max_epochs=float(cfg.get("max_epochs", 4.0)),
+                              salt=str(cfg.get("salt", "")),
+                              epoch_col=cfg.get("epoch_field", "epoch"))
+    if tt == "snapshot_diff":
+        # prior snapshot declared like lookup's dim: a source config
+        from etl_router_spark.functions.corpus import snapshot_diff
+
+        baseline = read_source(df.sparkSession, cfg["baseline"],
+                               streaming=False)
+        return snapshot_diff(baseline, df,
+                             id_col=cfg.get("id_field", "doc_id"),
+                             compare_cols=cfg.get("compare_fields"),
+                             status_col=cfg.get("status_field", "status"))
     if tt == "hash_sample":
         from etl_router_spark.functions.corpus import hash_sample
 
@@ -653,37 +703,29 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     if tt == "dedup_cluster":
         # pairs -> connected components -> (id, cluster_id) per row;
         # pair generation method chosen by config
-        from etl_router_spark.functions.dedup import (
-            dedup_clusters,
-            minhash_lsh_pairs,
-            simhash_pairs,
-        )
+        from etl_router_spark.functions.dedup import dedup_clusters
 
-        method = cfg.get("method", "simhash")
         id_col = cfg.get("id_field", "doc_id")
-        text_col = cfg.get("text_field", "text")
-        mc_cluster = cfg.get("max_candidates")
-        mc_cluster = int(mc_cluster) if mc_cluster is not None else None
-        salt_cap = cfg.get("salt_cap", 512)
-        if method == "simhash":
-            pairs = simhash_pairs(df, id_col=id_col, text_col=text_col,
-                                  max_hamming=int(cfg.get("max_hamming", 3)),
-                                  bits=int(cfg.get("bits", 64)),
-                                  salt_cap=salt_cap, max_candidates=mc_cluster)
-        elif method == "minhash":
-            pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
-                                      num_hashes=int(cfg.get("num_hashes", 128)),
-                                      bands=int(cfg.get("bands", 32)),
-                                      threshold=float(cfg.get("threshold", 0.8)),
-                                      salt_cap=salt_cap, max_candidates=mc_cluster)
-        else:
-            raise ValueError(f"dedup_cluster: unknown method {method!r}")
+        pairs = _near_dup_pairs(df, cfg, tt)
         algorithm = cfg.get("cc_algorithm", "label")
         if cfg.get("emit", "labels") == "canonical":
             from etl_router_spark.functions.dedup import dedup_canonical
 
             return dedup_canonical(df, pairs, id_col=id_col, algorithm=algorithm)
         return dedup_clusters(df, pairs, id_col=id_col, algorithm=algorithm)
+    if tt == "leakage_splits":
+        # near-dup pairs -> connected components -> ONE split per
+        # cluster: the leakage guard split_assign alone lacks
+        from etl_router_spark.functions.corpus import leakage_safe_splits
+
+        return leakage_safe_splits(
+            df, _near_dup_pairs(df, cfg, tt),
+            fractions=dict(cfg["fractions"]),
+            id_col=cfg.get("id_field", "doc_id"),
+            salt=str(cfg.get("salt", "")),
+            out_col=cfg.get("out_field", "split"),
+            group_col=cfg.get("group_field", "split_group"),
+            algorithm=cfg.get("cc_algorithm", "label"))
     if tt == "cdc_apply":
         from etl_router_spark.functions.cdc import cdc_apply
 

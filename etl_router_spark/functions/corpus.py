@@ -407,6 +407,50 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "",
+    out_col: str = "split",
+    group_col: str = "split_group",
+    algorithm: str = "label",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate clusters can never
+    straddle — the leakage guard :func:`assign_splits` alone lacks.
+
+    Hashing each document independently puts ~2·p·(1-p) of every
+    near-dup pair across the train/eval boundary, so eval examples have
+    near-copies in training and metrics inflate. This operator assigns
+    by CLUSTER instead: ``pairs`` (from any pair generator — MinHash,
+    SimHash, embedding cosine) are closed into connected components,
+    every member inherits the component's min id as ``group_col``
+    (unpaired docs are their own group), and :func:`assign_splits`
+    hashes the GROUP id — one split per cluster, by construction.
+
+    Scale: components are computed over the pair list only (pairs are
+    bucket-local and budget-capped upstream — corpus-independent); the
+    one corpus-sized operation is the id-keyed left join labeling each
+    doc, and the split itself stays a map-side hash. Assignment is
+    growth-stable for untouched clusters: a new document only moves an
+    existing one if it newly BRIDGES clusters (merged components take a
+    new min id) — exactly the rows whose leakage status changed.
+    """
+    from etl_router_spark.functions.dedup import dedup_clusters
+
+    labeled = dedup_clusters(
+        df, pairs, id_col=id_col, id_a=id_a, id_b=id_b,
+        algorithm=algorithm,
+    ).withColumnRenamed("cluster_id", group_col)
+    assigned = assign_splits(labeled, key_col=group_col,
+                             fractions=fractions, salt=salt,
+                             out_col=out_col)
+    return df.join(assigned, id_col)
+
+
 def segment_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -610,6 +654,147 @@ def mix_sample(
     if rate_col:
         return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
     return out.drop("__rate")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: float,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+    max_epochs: float = 4.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+    domain_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Epoch-aware UPSAMPLING to a token budget — the complement of
+    :func:`mix_sample` (which only downsamples): when a domain's target
+    share exceeds its natural size, repeat its documents across
+    training epochs, capped at ``max_epochs`` (the LLaMA/Dolma recipe —
+    high-quality small sources run several epochs, web runs <1, and the
+    cap keeps any source from degenerating into memorization).
+
+    Math: target units t_d = w_d / sum(w) * ``token_budget`` (units =
+    rows, or ``sum(size_col)``); epochs_d = min(max_epochs, t_d / n_d),
+    rounded to 6 dp so the SQL oracle mirrors the thresholds exactly.
+    Every document is emitted floor(epochs_d) times, plus one more for
+    the deterministic ``h60(salt|key)`` fraction of the domain that
+    covers the remainder — so a domain at epochs_d = 2.3 emits each doc
+    2x and a fixed 30% of docs 3x. ``epoch_col`` numbers the copies
+    1..r (downstream shuffles can spread epochs across the token
+    stream). Domains absent from ``weights`` are dropped; epochs_d
+    rounding to 0 drops the domain entirely (budget too small to cover
+    it — by construction, not an error).
+
+    Plan shape: one per-domain counts aggregation (sums, never rows),
+    the tiny epochs frame broadcast back, then a map-side
+    explode(sequence(1, r)) — the corpus never shuffles and the blow-up
+    is bounded by max_epochs. At 100 TB pass ``domain_sizes``
+    (``<domain_col>, __n`` maintained at ingest) and the counts scan
+    disappears.
+    """
+    if not weights or any(float(v) <= 0 for v in weights.values()):
+        raise ValueError(
+            "epoch_upsample: weights must be non-empty and positive")
+    if float(token_budget) <= 0 or float(max_epochs) <= 0:
+        raise ValueError(
+            "epoch_upsample: token_budget and max_epochs must be > 0")
+    spark = df.sparkSession
+    if domain_sizes is None:
+        unit = F.col(size_col).cast("double") if size_col else F.lit(1.0)
+        sizes = df.groupBy(domain_col).agg(F.sum(unit).alias("__n"))
+    else:
+        sizes = domain_sizes
+    wsum = float(sum(float(v) for v in weights.values()))
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"`{domain_col}` string, __w double",
+    )
+    epochs = (
+        sizes.join(F.broadcast(wdf), domain_col)
+        # exact op order mirrored by the SQL oracle:
+        # (w / wsum * budget) / n, capped, then 6-dp round
+        .withColumn(
+            "__epochs",
+            F.round(
+                F.least(
+                    F.lit(float(max_epochs)),
+                    F.col("__w") / F.lit(wsum) * F.lit(float(token_budget))
+                    / F.col("__n"),
+                ),
+                6,
+            ),
+        )
+        .select(domain_col, "__epochs")
+    )
+    bucket = F.pmod(
+        h60(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    full = F.floor(F.col("__epochs")).cast("int")
+    frac = F.col("__epochs") - F.floor(F.col("__epochs"))
+    repeats = full + F.when(
+        bucket < frac * F.lit(1_000_000.0), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(epochs), domain_col)
+        .withColumn("__r", repeats)
+        .filter(F.col("__r") >= 1)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__r"))))
+        .drop("__epochs", "__r")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Corpus-version diff: (id, status, old_digest, new_digest) with
+    status added | removed | changed | unchanged — the audit pass
+    between two snapshots of the same table (nightly crawl refresh,
+    reprocessed shard) that tells the pipeline what downstream work the
+    new snapshot actually invalidates.
+
+    Rows compare by an engine-portable content digest: ``h60`` over the
+    ``compare_cols`` (default: all shared non-id columns, sorted) cast
+    to string, null-coded with a sentinel and joined by a unit
+    separator, so (NULL, 'a') never collides with ('a', NULL) and the
+    SQL oracle reproduces the digest bit-for-bit.
+
+    Plan shape: each side reduces to (id, digest) map-side BEFORE the
+    full-outer join, so the shuffle carries two longs per row, never
+    document bodies; at 100 TB the digests are the natural thing to
+    persist at ingest, making the nightly diff a join of two slim
+    digest tables.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(c for c in shared if c != id_col)
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    def digest(side: DataFrame) -> Column:
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            parts.append(F.lit("\x1f"))
+        return h60(F.concat(*parts[:-1]))
+
+    o = old.select(F.col(id_col), digest(old).alias("old_digest"))
+    n = new.select(F.col(id_col), digest(new).alias("new_digest"))
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(id_col, status.alias(status_col), "old_digest", "new_digest")
+    )
 
 
 def adaptive_quality_filter(

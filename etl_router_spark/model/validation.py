@@ -39,7 +39,7 @@ KNOWN_TRANSFORMS = {
     "pack_boundaries", "kafka_envelope", "bpe_tokenize",
     "pq_encode", "pq_topk", "quality_classifier",
     "dsir_sample", "weighted_sample", "bloom_decontaminate",
-    "retrieval_eval",
+    "retrieval_eval", "leakage_splits", "epoch_upsample", "snapshot_diff",
 }
 
 KNOWN_SOURCES = {

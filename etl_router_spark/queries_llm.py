@@ -1235,6 +1235,53 @@ ORACLES["dedup_cluster"] = f"""
     """
 
 
+@query("corpus_leakage_splits", None)  # oracle attached below
+def corpus_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: SimHash near-dup pairs
+    -> connected components -> the whole cluster hashes ONE group id
+    into a split, so no near-duplicate pair ever straddles the
+    train/eval boundary (per-doc hashing leaks ~2·p·(1-p) of every
+    pair). Unpaired docs group as themselves — identical to plain
+    ``assign_splits`` for the non-duplicated bulk of the corpus."""
+    from etl_router_spark.functions.corpus import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+    return leakage_safe_splits(
+        docs.select("doc_id"), pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="42",
+    ).select("doc_id", "split_group", "split")
+
+
+ORACLES["corpus_leakage_splits"] = f"""
+    WITH RECURSIVE pairs AS (
+      {{simhash}}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u),
+    grp AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS split_group
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+      LEFT JOIN labels l ON l.id = d.doc_id)
+    SELECT doc_id, split_group,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, split_group,
+                 CAST('0x' || substr(md5('42|' || CAST(split_group AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000 AS b
+          FROM grp)
+    """.replace("{simhash}", ORACLES["dedup_simhash_pairs"])
+
+
 @query(
     "similarity_cosine_join",
     """
@@ -2066,6 +2113,95 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.floor(F.col("__r") * F.lit(1_000_000_000.0)).cast("bigint").alias("mix_rate_ppb"),
     )
+
+
+@query(
+    "corpus_epoch_upsample",
+    """
+    WITH w(source, __w) AS (
+      VALUES ('src3', CAST(5.0 AS DOUBLE)), ('src5', CAST(1.0 AS DOUBLE)),
+             ('src11', CAST(2.0 AS DOUBLE))),
+    n AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS __n
+          FROM documents GROUP BY source),
+    e AS (SELECT w.source,
+                 round(least(CAST(2.5 AS DOUBLE),
+                             w.__w / 8.0 * CAST(40000 AS DOUBLE) / n.__n),
+                       6) AS __epochs
+          FROM n JOIN w USING (source)),
+    r AS (SELECT d.doc_id, d.source,
+                 CAST(floor(e.__epochs) AS INT)
+                 + CASE WHEN CAST('0x' || substr(md5('ep9|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                             % 1000000
+                        < (e.__epochs - floor(e.__epochs)) * CAST(1000000 AS DOUBLE)
+                        THEN 1 ELSE 0 END AS __r
+          FROM documents d JOIN e ON d.source = e.source)
+    SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM (SELECT doc_id, source,
+                 unnest(generate_series(1, __r)) AS epoch
+          FROM r WHERE __r >= 1)
+    """,
+)
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware upsampling to a token budget (`epoch_upsample`) —
+    mix_sample's complement: three weighted domains share a 40k-char
+    budget (at sf0.01: src3 caps at 2.5 epochs, src11 lands at ~1.19,
+    src5 at ~0.69 — all three regimes), epochs_d = min(2.5, share/size) per domain, every doc
+    repeats floor(epochs) times plus one more for the deterministic
+    h60 fraction covering the remainder. The value-hash pins the exact
+    multiset of (doc, epoch) copies, i.e. both the cap and the
+    fractional-epoch selection."""
+    from etl_router_spark.functions.corpus import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_upsample(
+        docs, {"src3": 5.0, "src5": 1.0, "src11": 2.0},
+        token_budget=40_000, size_col="n_chars",
+        max_epochs=2.5, salt="ep9",
+    ).select("doc_id", "source", "epoch")
+
+
+@query(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id,
+             {_h60_sql("coalesce(source, chr(0)) || chr(31) || coalesce(text, chr(0))")} AS old_digest
+      FROM documents WHERE doc_id < 700),
+    new AS (
+      SELECT doc_id,
+             {_h60_sql("coalesce(source, chr(0)) || chr(31) || coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, chr(0))")} AS new_digest
+      FROM documents WHERE doc_id >= 100 AND doc_id < 900)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff (`snapshot_diff`): old = docs < 700, new =
+    docs 100-899 with every 7th text edited — exercising all four
+    statuses (removed < 100, added >= 700, changed %7 in the overlap,
+    unchanged otherwise). Sides reduce to (id, h60 digest) map-side
+    before the full-outer join; the value-hash pins the digests
+    themselves, so the null-coding and column order of the digest are
+    cross-engine exact."""
+    from etl_router_spark.functions.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    old = docs.filter(F.col("doc_id") < 700)
+    new = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 900)
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
 
 
 @query(
