@@ -452,7 +452,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                    n=int(cfg.get("ngram", 8)),
                                    m_bits=int(cfg.get("m_bits", 1 << 22)),
                                    k=int(cfg.get("hashes", 3)),
-                                   mode=cfg.get("mode", "drop"))
+                                   mode=cfg.get("mode", "drop"),
+                                   hash_family=cfg.get("hash_family",
+                                                       "xxhash64"))
     if tt == "retrieval_eval":
         # qrels side declared like lookup's dim: a source config
         from etl_router_spark.functions.indexing import retrieval_eval

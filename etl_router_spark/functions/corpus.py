@@ -83,6 +83,31 @@ def decontaminate(
     raise ValueError(f"mode must be drop|tag, got {mode!r}")
 
 
+def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
+                   hash_family: str) -> list[str]:
+    """The k position expressions shared by filter build and probe —
+    ONE definition so the two sides cannot desynchronize.
+
+    ``h60``: position_i = h60("bf" + i + "|" + gram) % m — the
+    engine-portable md5 hash, so SQL oracles reproduce the filter (and
+    its false positives) bit-exactly. ``xxhash64``: position_i =
+    xxhash64(gram, i) % m — the JVM-native whole-stage-codegen hash,
+    ~the md5 string round-trip removed from the per-gram hot path (the
+    100 TB default; measured A/B in SCALE.md). Same one-sided-error
+    contract either way; only oracle mirrorability differs.
+    """
+    from etl_router_spark.functions.text import h60_sql
+
+    if hash_family == "h60":
+        salted = [f"concat('bf', '{i}', '|', {gram_expr})" for i in range(k)]
+        return [f"pmod({h60_sql(s)}, {m_bits})" for s in salted]
+    if hash_family == "xxhash64":
+        return [f"pmod(xxhash64({gram_expr}, {i}), {m_bits})"
+                for i in range(k)]
+    raise ValueError(
+        f"hash_family must be h60|xxhash64, got {hash_family!r}")
+
+
 def bloom_bitmap(
     benchmark: DataFrame,
     *,
@@ -90,29 +115,26 @@ def bloom_bitmap(
     n: int = 8,
     m_bits: int = 1 << 16,
     k: int = 3,
+    hash_family: str = "h60",
 ) -> list[int]:
     """Build a Bloom filter over the benchmark's word ``n``-grams as a
     list of ``m_bits/64`` signed int64 words (bit p of the filter =
     bit ``p % 64`` of word ``p // 64``).
 
-    Hash family: position_i(gram) = h60("bf" + i + "|" + gram) % m —
-    the engine-portable md5 hash, so oracles can reproduce the filter
-    (and its false positives) bit-exactly. The driver collects only
-    DISTINCT SET POSITIONS (<= min(k * |bench grams|, m_bits) ints —
-    benchmark-sized metadata, like codebooks/centroids), never corpus
-    data.
+    Hash family: see :func:`_bloom_pos_sql` — ``h60`` (oracle-exact
+    default) or ``xxhash64`` (native codegen, the scale path). The
+    driver collects only DISTINCT SET POSITIONS (<= min(k * |bench
+    grams|, m_bits) ints — benchmark-sized metadata, like
+    codebooks/centroids), never corpus data.
     """
     if m_bits <= 0 or m_bits % 64:
         raise ValueError("m_bits must be a positive multiple of 64")
-    from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
+    from etl_router_spark.functions.text import shingles_sql, tokens_sql
 
     grams = benchmark.selectExpr(
         f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
     ).distinct()
-    pos_exprs = [
-        f"pmod({h60_sql(salt_gram)}, {m_bits})"
-        for salt_gram in (f"concat('bf', '{i}', '|', gram)" for i in range(k))
-    ]
+    pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
     positions = grams.selectExpr(
         f"explode(array({', '.join(pos_exprs)})) AS p"
     ).distinct()
@@ -134,6 +156,7 @@ def bloom_decontaminate(
     k: int = 3,
     mode: str = "drop",
     tag_field: str = "contaminated",
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Benchmark decontamination via a literal Bloom filter — the
     ZERO-join scale path next to :func:`decontaminate`'s semi-join.
@@ -149,18 +172,26 @@ def bloom_decontaminate(
     and the corpus is scanned exactly once — at 100 TB this beats the
     exact semi-join whenever the benchmark gram set is large enough
     that per-row hash-probe cost (or the broadcast build) dominates
-    (measured A/B in SCALE.md). Determinism: h60-based positions, so
-    the DuckDB oracle reproduces the filter INCLUDING its false
-    positives bit-exactly.
-    """
-    from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
+    (measured A/B in SCALE.md).
 
-    words = bloom_bitmap(benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k)
+    ``hash_family``: ``"h60"`` (default) keeps the probe md5-based so
+    the DuckDB oracle reproduces the filter INCLUDING its false
+    positives bit-exactly; ``"xxhash64"`` swaps the per-gram hot path
+    to the JVM-native hash — the production/scale setting, measured at
+    marginal-cost PARITY with the exact semi-join's probe (0.57 vs
+    0.54 ms/doc at local[32], SCALE.md) — i.e. the Bloom path costs
+    the same CPU and deletes the shuffle. Property-tested against the
+    exact semi-join for the one-sided-error contract.
+    """
+    from etl_router_spark.functions.text import shingles_sql, tokens_sql
+
+    words = bloom_bitmap(benchmark, text_col=text_col, n=n, m_bits=m_bits,
+                         k=k, hash_family=hash_family)
     probe = docs.withColumn("__bf", F.lit(words))
-    h = h60_sql("concat('bf', CAST(i AS STRING), '|', g)")
+    pos = _bloom_pos_sql("g", m_bits, k, hash_family)
     flag_sql = (
         f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "
-        f"forall(transform(sequence(0, {k - 1}), i -> pmod({h}, {m_bits})), "
+        f"forall(array({', '.join(pos)}), "
         "p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT) + 1), "
         "CAST(p % 64 AS INT)) & 1) = 1))"
     )

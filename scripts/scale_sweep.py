@@ -120,8 +120,13 @@ def _ops():
         # selection pipeline
         "decontaminate_exact_full": lambda s, sf: _decon_exact_full(s, sf),
         "decontaminate_bloom_full": lambda s, sf: _decon_bloom_full(s, sf),
+        "decontaminate_bloomxx_full": lambda s, sf: _decon_bloomxx_full(s, sf),
         "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
         "weighted_sample_full": lambda s, sf: _wsample_full(s, sf),
+        # fourth wave (round 9, second pass): the corpus lifecycle ops
+        "leakage_splits_full": lambda s, sf: _leakage_full(s, sf),
+        "epoch_upsample_full": lambda s, sf: _epoch_full(s, sf),
+        "snapshot_diff_full": lambda s, sf: _snapdiff_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
@@ -153,6 +158,14 @@ def _decon_bloom_full(s, sf):
                                k=3).select("doc_id")
 
 
+def _decon_bloomxx_full(s, sf):
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    corpus, bench = _decon_split(s, sf)
+    return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
+                               k=3, hash_family="xxhash64").select("doc_id")
+
+
 def _dsir_full(s, sf):
     from etl_router_spark.functions.selection import dsir_scores
 
@@ -168,6 +181,49 @@ def _wsample_full(s, sf):
     docs = load_table(s, sf, "documents")
     return weighted_sample(docs, 100, weight_col="n_chars",
                            group_col="source").select("doc_id", "source")
+
+
+def _leakage_full(s, sf):
+    from etl_router_spark.functions.corpus import leakage_safe_splits
+    from etl_router_spark.functions.dedup import simhash_pairs
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bits=32, blocks=4)
+    return leakage_safe_splits(
+        docs.select("doc_id"), pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sw",
+    ).select("doc_id", "split_group", "split")
+
+
+def _epoch_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import epoch_upsample
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    # every domain capped at 2 epochs: measures the explode blow-up
+    # (output = 2x corpus rows) with the counts agg + broadcast ahead
+    weights = {f"src{i}": 1.0 for i in range(20)}
+    return epoch_upsample(docs, weights, token_budget=1e12,
+                          size_col="n_chars", max_epochs=2.0,
+                          salt="sw").select("doc_id", "source", "epoch")
+
+
+def _snapdiff_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import snapshot_diff
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents").select("doc_id", "text", "source")
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")))
+    return snapshot_diff(docs, new)
 
 
 def _semantic_dedup_full(s, sf):

@@ -111,3 +111,33 @@ def test_manifest_stage(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(docs_path)
     with_gram = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 8).count()
     assert out.count() == docs.count() - with_gram
+
+
+def test_xxhash64_family_contract(spark, sf_dir):
+    """The native-hash production path honors the same one-sided-error
+    contract as the oracle-exact h60 family: every true leak flagged,
+    survivors a subset of the exact semi-join's."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 40)
+    bench = docs.filter(F.col("doc_id") >= 40).limit(60)
+    exact = decontaminate(corpus, bench, n=8)
+    bloom = bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20, k=3,
+                                hash_family="xxhash64")
+    extra = bloom.select("doc_id").exceptAll(exact.select("doc_id")).count()
+    assert extra == 0
+    assert bloom.count() >= 0.9 * exact.count()
+
+
+def test_xxhash64_flags_leaks(spark):
+    bench = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh ii")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "zz aa bb cc dd ee ff gg hh"),
+         (2, "xx yy zz ww vv uu tt ss rr")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"]
+            for r in bloom_decontaminate(docs, bench, n=8, m_bits=1 << 16,
+                                         k=3, hash_family="xxhash64").collect()}
+    assert kept == {2}
+    with pytest.raises(ValueError, match="hash_family"):
+        bloom_decontaminate(docs, bench, hash_family="fnv")
