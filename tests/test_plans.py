@@ -389,3 +389,77 @@ def test_ivfpq_rerank_fetch_is_broadcast_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_epoch_upsample_corpus_never_shuffles(spark, sf_dir):
+    """epoch_upsample's contract: the only hash exchange is the tiny
+    per-domain counts aggregate; the epochs frame joins back as a
+    broadcast and the repeat explode is map-side over the scan."""
+    from etl_router_spark.functions.corpus import epoch_upsample
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (epoch_upsample(docs, {f"src{i}": 1.0 for i in range(20)},
+                           token_budget=1e9, size_col="n_chars",
+                           max_epochs=2.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_snapshot_diff_shuffles_digests_not_documents(spark, sf_dir):
+    """snapshot_diff reduces each side to (id, digest) BEFORE the
+    full-outer join: the digest md5 must be computed below every
+    exchange, so the shuffle carries two longs per row, never text."""
+    from etl_router_spark.functions.corpus import snapshot_diff
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    plan = (snapshot_diff(docs, docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    # every exchange's subtree already projected the digest: the plan
+    # text below the first Exchange must not reference the text column
+    # as a join/partition key, and md5 appears under each scan branch
+    assert plan.count("md5") >= 2, plan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        head = frag.split("\n")[0]
+        assert "doc_id" in head, head
+
+
+def test_bloom_probe_zero_exchange(spark, sf_dir):
+    """The Bloom decontamination probe is a pure map over the corpus
+    scan — the literal filter rides in the plan; no join, no shuffle,
+    for BOTH hash families."""
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 50")
+    for fam in ("h60", "xxhash64"):
+        plan = (bloom_decontaminate(docs, bench, n=8, m_bits=1 << 14,
+                                    k=3, hash_family=fam)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, (fam, plan)
+        assert "Join" not in plan, (fam, plan)
+
+
+def test_retrieval_eval_partitions_by_query_only(spark):
+    """retrieval_eval's shuffles are all query_id-keyed: per-query
+    groups are <= k rows, so a million-query evaluation is a million
+    tiny sorted groups — nothing corpus-sized ever shuffles."""
+    from etl_router_spark.functions.indexing import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [("q1", "a", 1)], "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1.0)], "query_id string, doc_id string, rel double")
+    plan = (retrieval_eval(runs, qrels, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        head = frag.split("\n")[0]
+        assert "query_id" in head, head
+    assert "CartesianProduct" not in plan
