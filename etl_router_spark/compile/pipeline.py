@@ -161,9 +161,10 @@ def _near_dup_pairs(df: DataFrame, cfg: dict[str, Any], tt: str) -> DataFrame:
     mc = int(mc) if mc is not None else None
     salt_cap = cfg.get("salt_cap", 512)
     if method == "simhash":
+        # h60 provides 60 usable bits, so 60 is the widest valid default
         return simhash_pairs(df, id_col=id_col, text_col=text_col,
                              max_hamming=int(cfg.get("max_hamming", 3)),
-                             bits=int(cfg.get("bits", 64)),
+                             bits=int(cfg.get("bits", 60)),
                              salt_cap=salt_cap, max_candidates=mc)
     if method == "minhash":
         return minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
@@ -235,8 +236,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     if tt == "dedup_simhash":
         from etl_router_spark.functions.dedup import simhash_pairs
 
+        # h60 provides 60 usable bits, so 60 is the widest valid default
         return simhash_pairs(df, max_hamming=int(cfg.get("max_hamming", 3)),
-                             bits=int(cfg.get("bits", 64)),
+                             bits=int(cfg.get("bits", 60)),
                              text_col=cfg.get("text_field", "text"),
                              id_col=cfg.get("id_field", "doc_id"),
                              salt_cap=cfg.get("salt_cap", 512),

@@ -120,3 +120,84 @@ def profile_histogram(
             "n",
         )
     )
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_col: str,
+    distinct_cols: list[str],
+    lg_k: int = 12,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-group MERGEABLE statistics: row count, optional unit sum,
+    and one Apache DataSketches HLL sketch (binary) per tracked column
+    — the persistable artifact that makes corpus statistics
+    incremental, the way the MinHash index makes fuzzy dedup
+    incremental.
+
+    The nightly problem: "distinct n-grams / urls / shingles per
+    domain" is a full-corpus scan+shuffle to recompute, every night,
+    forever. Sketches change the shape: profile each ingest BATCH once
+    (this function), persist the per-group sketch rows (KB per group),
+    and fold new batches in with :func:`merge_sketch_profiles` — cost
+    proportional to #groups, never to the corpus. Spark's
+    hll_sketch_agg/hll_union_agg are DataSketches-compatible, so the
+    sketch column round-trips through parquet and merges across jobs.
+
+    Accuracy: standard HLL relative error ~1.04/sqrt(2^lg_k) (~1.6% at
+    the lg_k=12 default); estimates are deterministic for identical
+    input. No SQL oracle can reproduce the sketch binaries, so the
+    gate is rows-only and accuracy/associativity are pytest-pinned
+    against exact distinct counts (``tests/test_sketch_profile.py``).
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    if size_col:
+        aggs.append(F.sum(F.col(size_col).cast("double"))
+                     .alias(f"sum_{size_col}"))
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(int(lg_k)))
+                     .alias(f"{c}_sketch"))
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def merge_sketch_profiles(
+    existing: DataFrame,
+    batch: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Fold a new batch's sketch-profile rows into the persisted table:
+    counts/sums add, sketches HLL-union — groups present on one side
+    only pass through. Output schema == input schema, so the merge
+    composes nightly. Cost: one groupBy over 2x #groups rows —
+    corpus-independent by construction."""
+    if set(existing.columns) != set(batch.columns):
+        raise ValueError(
+            "merge_sketch_profiles: schemas differ: "
+            f"{sorted(existing.columns)} vs {sorted(batch.columns)}")
+    both = existing.unionByName(batch)
+    aggs = []
+    for c in existing.columns:
+        if c == group_col:
+            continue
+        if c.endswith("_sketch"):
+            # allowDifferentLgConfigK: batches may tighten lg_k later
+            aggs.append(F.hll_union_agg(F.col(c), F.lit(True)).alias(c))
+        else:
+            aggs.append(F.sum(c).alias(c))
+    # sum(bigint) stays bigint and sum(double) stays double in Spark,
+    # so the output schema matches the input and merges compose
+    return both.groupBy(group_col).agg(*aggs)
+
+
+def estimate_sketch_profile(profile: DataFrame) -> DataFrame:
+    """Render a sketch-profile table for consumption: every
+    ``*_sketch`` binary becomes ``*_distinct`` (bigint HLL estimate);
+    other columns pass through. Pure map-side projection."""
+    cols = []
+    for c in profile.columns:
+        if c.endswith("_sketch"):
+            cols.append(F.hll_sketch_estimate(F.col(c))
+                         .alias(c[: -len("_sketch")] + "_distinct"))
+        else:
+            cols.append(F.col(c))
+    return profile.select(*cols)

@@ -2161,6 +2161,58 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_sketch_distinct",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_WORDS}) AS tok FROM documents),
+    agg AS (SELECT source, count(*) AS n_rows,
+                   count(DISTINCT tok) AS exact_distinct
+            FROM toks GROUP BY source)
+    SELECT source, n_rows, exact_distinct, TRUE AS sketch_ok FROM agg
+    """,
+)
+def profile_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL statistics (`sketch_profile`), oracled as a
+    PROPERTY gate: the corpus splits into two halves, each half is
+    sketch-profiled independently, the halves fold with
+    `merge_sketch_profiles` (the nightly incremental shape), and
+    ``sketch_ok`` asserts the merged estimate lands within 5% of the
+    exact per-source distinct-token count. The oracle pins sketch_ok
+    to TRUE for every source plus the exact counts — DuckDB cannot
+    reproduce DataSketches binaries, but it CAN pin the accuracy
+    contract those binaries must satisfy."""
+    from etl_router_spark.functions.profile import (
+        estimate_sketch_profile,
+        merge_sketch_profiles,
+        sketch_profile,
+    )
+    from etl_router_spark.functions.text import tokens_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", "source", f"explode({tokens_sql('text')}) AS tok")
+    halves = [toks.filter(f"doc_id % 2 = {i}") for i in (0, 1)]
+    merged = merge_sketch_profiles(
+        sketch_profile(halves[0], "source", ["tok"], lg_k=12),
+        sketch_profile(halves[1], "source", ["tok"], lg_k=12),
+        "source")
+    est = estimate_sketch_profile(merged)
+    exact = toks.groupBy("source").agg(
+        F.count("*").alias("n_exact"),
+        F.countDistinct("tok").alias("exact_distinct"))
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_rows").alias("n_rows"),
+            "exact_distinct",
+            (F.abs(F.col("tok_distinct") - F.col("exact_distinct"))
+             <= 0.05 * F.col("exact_distinct")).alias("sketch_ok"),
+        )
+    )
+
+
+@query(
     "corpus_snapshot_diff",
     f"""
     WITH old AS (

@@ -1314,3 +1314,50 @@ def test_dedup_index_manifests(spark, tmp_path):
     compile_pipeline(spark, parse_manifest_dict(probe)).run()
     kept = spark.read.parquet(str(tmp_path / "kept"))
     assert [r.doc_id for r in kept.collect()] == [11]
+
+
+def test_training_data_release_manifest(spark, sf_dir, tmp_path):
+    """examples/manifests/training-data-release.yaml end to end: the
+    full release chain (gopher gate -> canonical dedup -> Bloom
+    decontamination -> leakage-safe splits -> epoch upsampling) over
+    the documents fixture with a DISJOINT staged benchmark, asserting
+    each stage's contract on the surviving rows."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(900001, "benchmark only eval question tokens alpha beta "
+                  "gamma delta epsilon")],
+        ["doc_id", "text"]).write.parquet(bench_path)
+
+    with open("examples/manifests/training-data-release.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"]["stages"][0]["config"]["path"] = (
+        f"{sf_dir}/documents.parquet")
+    for st in doc["spec"]["stages"]:
+        cfg = st["config"]
+        if cfg.get("transform_type") == "bloom_decontaminate":
+            cfg["benchmark"]["path"] = bench_path
+            cfg["m_bits"] = 1 << 16
+        if cfg.get("transform_type") == "epoch_upsample":
+            # fixture sources are src0..src19; budget sized so the cap
+            # binds for the heavy domain
+            cfg["weights"] = {"src0": 3.0, "src1": 1.0}
+            cfg["token_budget"] = 30000
+    doc["spec"]["stages"][-1]["config"]["path"] = str(tmp_path / "out")
+
+    pipeline = parse_manifest_dict(doc)
+    out = compile_pipeline(spark, pipeline).sink_frames["out"]
+    rows = out.collect()
+    assert rows, "release pipeline produced no rows"
+    # epoch_upsample kept only the two weighted domains
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    # leakage splits assigned every row and epochs respect the cap
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    assert all(1 <= r["epoch"] <= 2 for r in rows)
+    # canonical dedup: each (doc, epoch) appears once
+    seen = [(r["doc_id"], r["epoch"]) for r in rows]
+    assert len(seen) == len(set(seen))
