@@ -1035,3 +1035,137 @@ def pack_with_boundaries(
         F.aggregate("es", F.lit(0).cast("long"),
                     lambda acc, e: acc + e["tokens"]).alias("filled_tokens"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    method: str = "exact",
+    host_col: str | None = None,
+    domain_counts: DataFrame | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap the documents kept per web host — URL-based curation, the
+    crawl-side complement of ``mix_sample``: without a per-domain cap a
+    handful of template-heavy mega-hosts dominate a web corpus (the
+    FineWeb / RefinedWeb recipe caps or downweights URLs per
+    registrable domain before any content filtering).
+
+    Selection is deterministic and engine-portable: within a host,
+    documents rank by ``h60(seed|id)`` (ties broken by id), and the cap
+    keeps the lowest ranks — the same rows survive under any
+    partitioning, and a DuckDB oracle reproduces them exactly.
+
+    ``method="exact"`` keeps EXACTLY ``min(cap, n)`` rows per host: a
+    ``row_number`` window partitioned by host — ONE hash shuffle on the
+    host key. A mega-host concentrates its rows in one task (inherent
+    to any exact per-group rank); at crawl scale (hosts with 10^7+
+    pages) pre-thin with ``method="threshold"`` first, or pass
+    ``domain_counts`` maintained incrementally at ingest.
+
+    ``method="threshold"`` is the zero-row-shuffle scale path: per-host
+    counts (an aggregation that shuffles per-host SUMS, never rows — or
+    the persisted ``domain_counts`` table, schema ``(host, __n)``)
+    identify over-cap hosts; each broadcasts back with keep-rate
+    ``cap/n`` and rows pass a map-side deterministic hash test. Kept
+    count per host is binomial around ``cap`` (CV ≈ 1/sqrt(cap)); rows
+    themselves never shuffle.
+
+    Output: the input columns plus ``host``. Reference analog: the
+    per-key rate limiter (``conveyor-etl-dsl`` ratelimit) applied to
+    the curation domain axis.
+    """
+    from etl_router_spark.functions.text import url_host
+
+    if method not in ("exact", "threshold"):
+        raise ValueError(f"domain_cap: unknown method {method!r}")
+    if cap <= 0:
+        raise ValueError("domain_cap: cap must be positive")
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    hdf = df.withColumn("host", host)
+    rank_key = h60(F.concat_ws(
+        "|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    if method == "exact":
+        w = Window.partitionBy("host").orderBy(
+            rank_key.asc(), F.col(id_col).asc())
+        return (
+            hdf.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap)
+            .drop("__rk")
+        )
+    counts = domain_counts
+    if counts is None:
+        counts = hdf.groupBy("host").agg(F.count("*").alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(
+        "host", (F.lit(float(cap)) / F.col("__n")).alias("__keep_rate"))
+    modulus = 1 << 20
+    bucket = (rank_key % modulus).cast("double") / modulus
+    return (
+        hdf.join(F.broadcast(over), "host", "left")
+        .filter(F.col("__keep_rate").isNull() | (bucket < F.col("__keep_rate")))
+        .drop("__keep_rate")
+    )
+
+
+def filter_attribution(
+    df: DataFrame,
+    rules: dict[str, Column],
+) -> DataFrame:
+    """One-pass drop accounting for a quality-rule stack — the
+    observability step of corpus curation: before committing to a
+    filter configuration over 100 TB you need per-rule kill counts,
+    and running R rules as R separate filter jobs scans the corpus R
+    times; this computes every count in ONE aggregation pass (2R+3
+    map-side partial sums, a single 1-row reduce — no shuffle of data
+    rows at all).
+
+    ``rules`` maps rule name -> keep-predicate (True = keep; NULL
+    counts as a failure, matching ``filter()`` semantics which drop
+    NULL rows). Output, one row per rule:
+
+    - ``n_fail``: rows failing the rule,
+    - ``n_only_fail``: rows failing ONLY this rule — lifting exactly
+      this rule would rescue them (the marginal-cost signal rule-OR
+      counts can't give),
+    - ``n_rows``, ``fail_rate``
+
+    plus a ``__dropped__`` summary row (``n_fail`` = rows failing at
+    least one rule = what the stack removes; ``n_only_fail`` = rows
+    failing exactly one rule = total rescue potential).
+    """
+    if not rules:
+        raise ValueError("filter_attribution: need at least one rule")
+    names = list(rules)
+    fail = {
+        n: F.when(rules[n], F.lit(0)).otherwise(F.lit(1)) for n in names
+    }
+    total = None
+    for n in names:
+        total = fail[n] if total is None else total + fail[n]
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for n in names:
+        aggs.append(F.sum(fail[n]).alias(f"__f_{n}"))
+        aggs.append(
+            F.sum(F.when((fail[n] == 1) & (total == 1), 1).otherwise(0))
+            .alias(f"__o_{n}"))
+    aggs.append(F.sum(F.when(total >= 1, 1).otherwise(0)).alias("__any"))
+    aggs.append(F.sum(F.when(total == 1, 1).otherwise(0)).alias("__one"))
+    one_row = df.agg(*aggs)
+    stacked = ", ".join(
+        [f"'{n}', __f_{n}, __o_{n}" for n in names]
+        + ["'__dropped__', __any, __one"]
+    )
+    return one_row.selectExpr(
+        f"stack({len(names) + 1}, {stacked}) AS (rule, n_fail, n_only_fail)",
+        "__n_rows AS n_rows",
+    ).select(
+        "rule",
+        F.coalesce(F.col("n_fail"), F.lit(0)).cast("long").alias("n_fail"),
+        F.coalesce(F.col("n_only_fail"), F.lit(0)).cast("long")
+         .alias("n_only_fail"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.coalesce(F.col("n_fail"), F.lit(0)) / F.col("n_rows"), 6)
+         .alias("fail_rate"),
+    )

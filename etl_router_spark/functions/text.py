@@ -662,6 +662,31 @@ def normalize_url(col: Column) -> Column:
     )
 
 
+def url_host(col: Column) -> Column:
+    """Host extraction from a URL (the grouping key for URL-based
+    curation: per-domain caps, domain mixing, domain-level stats):
+    strip scheme and fragment, lowercase the authority, drop a leading
+    ``www.`` and any explicit port. Pure regex column expressions —
+    one projection, no shuffle, no Python. DuckDB twin:
+    :func:`url_host_oracle_sql` (same rule set, so both engines key
+    rows identically)."""
+    s = F.regexp_replace(
+        F.regexp_replace(F.trim(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+        r"#.*$", "")
+    hostport = F.regexp_extract(s, r"^([^/?]+)", 1)
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r"^www\.", ""), r":\d+$", "")
+
+
+def url_host_oracle_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_host`."""
+    s = (f"regexp_replace(regexp_replace(trim({expr}), "
+         f"'^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '')")
+    hostport = f"regexp_extract({s}, '^([^/?]+)', 1)"
+    return (f"regexp_replace(regexp_replace(lower({hostport}), "
+            f"'^www\\.', ''), ':[0-9]+$', '')")
+
+
 def normalize_url_oracle_sql(expr: str) -> str:
     """DuckDB twin of ``normalize_url`` over the SQL expression
     ``expr`` — generated from the same rule set so both engines

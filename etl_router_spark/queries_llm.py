@@ -3879,3 +3879,129 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         corpus, bench, n=8, m_bits=_BLOOM_M, k=3
     ).select("doc_id", "lang", "source")
+
+
+# ===========================================================================
+# URL-based curation: per-domain caps + one-pass filter attribution
+# ===========================================================================
+# deterministic fixture URL (documents carry no url column): exercises
+# scheme/www/port stripping and host lowering in BOTH engines
+_URL_SPARK = ("concat('https://WWW.', source, '.example.com:443/p/', "
+              "CAST(doc_id AS STRING), '?q=', lang)")
+_URL_DUCK = ("('https://WWW.' || source || '.example.com:443/p/' || "
+             "CAST(doc_id AS VARCHAR) || '?q=' || lang)")
+
+
+def _curation_oracle(mode: str, cap: int) -> str:
+    from etl_router_spark.functions.text import url_host_oracle_sql
+
+    host = url_host_oracle_sql(_URL_DUCK)
+    rk = "CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    if mode == "exact":
+        return f"""
+        WITH u AS (SELECT doc_id, {host} AS host FROM documents),
+        r AS (SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY {rk}, doc_id) AS rk
+              FROM u)
+        SELECT doc_id, host FROM r WHERE rk <= {cap}
+        """
+    return f"""
+    WITH u AS (SELECT doc_id, {host} AS host FROM documents),
+    c AS (SELECT host, count(*) AS n FROM u GROUP BY host),
+    o AS (SELECT host, {cap}.0 / n AS rate FROM c WHERE n > {cap})
+    SELECT u.doc_id, u.host
+    FROM u LEFT JOIN o USING (host)
+    WHERE o.rate IS NULL
+       OR CAST(({rk} % 1048576) AS DOUBLE) / 1048576 < o.rate
+    """
+
+
+@query("curate_domain_cap", _curation_oracle("exact", 10))
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host document cap (``corpus.domain_cap``,
+    method="exact"): URL-based curation à la FineWeb/RefinedWeb —
+    deterministic h60 rank within each extracted host, row_number cap.
+    One hash shuffle on the host key; url_host's scheme/www/port
+    stripping is value-checked against its DuckDB twin."""
+    from etl_router_spark.functions.corpus import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SPARK))
+    return domain_cap(docs, url_col="url", cap=10).select("doc_id", "host")
+
+
+@query("curate_domain_cap_threshold", _curation_oracle("threshold", 15))
+def curate_domain_cap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-row-shuffle per-host cap (``corpus.domain_cap``,
+    method="threshold"): per-host counts shuffle SUMS only, over-cap
+    hosts broadcast back with keep-rate cap/n, and rows pass a
+    map-side deterministic hash test — the mega-host path where an
+    exact row_number would concentrate 10^7 pages in one task. Kept
+    count is binomial around the cap; the oracle reproduces the hash
+    test bit-exactly so the survivor SET is still value-checked."""
+    from etl_router_spark.functions.corpus import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SPARK))
+    return domain_cap(docs, url_col="url", cap=15,
+                      method="threshold").select("doc_id", "host")
+
+
+_ATTR_RULES_DUCK = {
+    "min_words": "len(string_split_regex(trim(text), '\\s+')) >= 20",
+    "max_words": "len(string_split_regex(trim(text), '\\s+')) <= 90",
+    "lang_known": "lang IN ('en', 'de', 'es', 'fr')",
+    "min_chars": "n_chars >= 100",
+}
+
+
+def _attribution_oracle() -> str:
+    names = list(_ATTR_RULES_DUCK)
+    flags = ", ".join(
+        f"CASE WHEN {sql} THEN 0 ELSE 1 END AS f_{n}"
+        for n, sql in _ATTR_RULES_DUCK.items())
+    tot = " + ".join(f"f_{n}" for n in names)
+    sums = ", ".join(
+        f"sum(f_{n}) AS ff_{n}, "
+        f"sum(CASE WHEN f_{n} = 1 AND tot = 1 THEN 1 ELSE 0 END) AS oo_{n}"
+        for n in names)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{n}' AS rule, ff_{n} AS n_fail, oo_{n} AS n_only_fail, "
+        f"n_rows FROM a"
+        for n in names)
+    return f"""
+    WITH f AS (SELECT {flags} FROM documents),
+    t AS (SELECT *, {tot} AS tot FROM f),
+    a AS (SELECT count(*) AS n_rows, {sums},
+                 sum(CASE WHEN tot >= 1 THEN 1 ELSE 0 END) AS fany,
+                 sum(CASE WHEN tot = 1 THEN 1 ELSE 0 END) AS oany
+          FROM t)
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_only_fail AS BIGINT) AS n_only_fail,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(CAST(n_fail AS DOUBLE) / n_rows, 6) AS fail_rate
+    FROM ({rows}
+    UNION ALL SELECT '__dropped__', fany, oany, n_rows FROM a)
+    """
+
+
+@query("corpus_filter_attribution", _attribution_oracle())
+def corpus_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop accounting in ONE corpus pass
+    (``corpus.filter_attribution``): for each quality rule, how many
+    rows fail it and how many fail ONLY it (the rescue-potential
+    signal), plus the whole-stack ``__dropped__`` row — the
+    observability report that makes a filter configuration tunable
+    without R separate filter jobs over 100 TB."""
+    from etl_router_spark.functions.corpus import filter_attribution
+    from etl_router_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens_col("text"))
+    return filter_attribution(docs, {
+        "min_words": n_words >= 20,
+        "max_words": n_words <= 90,
+        "lang_known": F.col("lang").isin("en", "de", "es", "fr"),
+        "min_chars": F.col("n_chars") >= 100,
+    })

@@ -1,0 +1,131 @@
+"""URL-based curation: domain_cap (exact + threshold) and the one-pass
+filter_attribution report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_router_spark.functions.corpus import domain_cap, filter_attribution
+from etl_router_spark.functions.text import url_host
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # host a.com: 6 pages, b.org: 3 pages, c.net: 1 page
+        (i, f"https://WWW.a.com:443/p/{i}?x=1") for i in range(6)
+    ] + [
+        (10 + i, f"http://b.org/page/{i}#frag") for i in range(3)
+    ] + [
+        (20, "C.NET/solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_host_strips_scheme_www_port_fragment(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Example.COM:8080/a/b#frag",),
+         ("example.com/a",),
+         ("http://sub.example.com:80/?q=1",)],
+        "u string",
+    )
+    hosts = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
+    assert hosts == ["example.com", "example.com", "sub.example.com"]
+
+
+def test_domain_cap_exact_counts(pages):
+    out = domain_cap(pages, cap=2)
+    counts = {r["host"]: r["n"] for r in
+              out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a.com": 2, "b.org": 2, "c.net": 1}
+
+
+def test_domain_cap_exact_deterministic_under_repartition(pages):
+    kept1 = {r["doc_id"] for r in domain_cap(pages, cap=3).collect()}
+    kept2 = {r["doc_id"]
+             for r in domain_cap(pages.repartition(7), cap=3).collect()}
+    assert kept1 == kept2
+
+
+def test_domain_cap_exact_seed_changes_selection(pages):
+    base = {r["doc_id"] for r in domain_cap(pages, cap=2).collect()}
+    other = {r["doc_id"] for r in domain_cap(pages, cap=2, seed=1).collect()}
+    # same shape either way (the cap), but ranks reshuffle
+    assert len(base) == len(other) == 5
+    assert base != other
+
+
+def test_domain_cap_threshold_under_cap_host_untouched(pages):
+    # cap=3: only a.com (6 pages) is over cap; b.org and c.net pass whole
+    out = domain_cap(pages, cap=3, method="threshold")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert {10, 11, 12, 20} <= kept
+    a_kept = [i for i in kept if i < 6]
+    assert 0 < len(a_kept) < 6  # thinned, deterministically
+
+
+def test_domain_cap_threshold_matches_external_counts(spark, pages):
+    # a persisted (host, __n) table replaces the counting aggregation
+    counts = pages.withColumn("host", url_host(F.col("url"))) \
+        .groupBy("host").agg(F.count("*").alias("__n"))
+    inline = {r["doc_id"]
+              for r in domain_cap(pages, cap=3, method="threshold").collect()}
+    external = {r["doc_id"]
+                for r in domain_cap(pages, cap=3, method="threshold",
+                                    domain_counts=counts).collect()}
+    assert inline == external
+
+
+def test_domain_cap_validation(pages):
+    with pytest.raises(ValueError, match="method"):
+        domain_cap(pages, method="nope")
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(pages, cap=0)
+
+
+def test_filter_attribution_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 3, "en"), (3, 10, "zh"),
+         (4, 2, "zh"), (5, 50, "en")],
+        "doc_id long, n_words long, lang string",
+    )
+    out = filter_attribution(df, {
+        "min_words": F.col("n_words") >= 5,
+        "lang_en": F.col("lang") == "en",
+    })
+    rows = {r["rule"]: r for r in out.collect()}
+    assert rows["min_words"]["n_fail"] == 2          # docs 2, 4
+    assert rows["min_words"]["n_only_fail"] == 1     # doc 2 (4 also fails lang)
+    assert rows["lang_en"]["n_fail"] == 2            # docs 3, 4
+    assert rows["lang_en"]["n_only_fail"] == 1       # doc 3
+    assert rows["__dropped__"]["n_fail"] == 3        # docs 2, 3, 4
+    assert rows["__dropped__"]["n_only_fail"] == 2   # docs 2, 3
+    assert all(r["n_rows"] == 5 for r in rows.values())
+    assert rows["min_words"]["fail_rate"] == pytest.approx(0.4)
+
+
+def test_filter_attribution_null_is_fail(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "en")], "doc_id long, lang string")
+    out = filter_attribution(df, {"lang_en": F.col("lang") == "en"})
+    rows = {r["rule"]: r for r in out.collect()}
+    assert rows["lang_en"]["n_fail"] == 1
+
+
+def test_filter_attribution_empty_rules(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="rule"):
+        filter_attribution(df, {})
+
+
+def test_filter_attribution_single_pass_plan(spark):
+    """The report is ONE aggregation: no more than one shuffle
+    exchange in the plan (the 1-row global reduce)."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x"))
+    out = filter_attribution(df, {
+        "a": F.col("x") > 1, "b": F.col("x") < 5, "c": F.col("x") != 3,
+    })
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
