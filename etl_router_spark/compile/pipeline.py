@@ -776,6 +776,29 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             cfg.get("out_field", "url_norm"),
             normalize_url(F.col(cfg.get("url_field", "url"))),
         )
+    if tt == "domain_cap":
+        from etl_router_spark.functions.corpus import domain_cap
+
+        counts = cfg.get("domain_counts")
+        return domain_cap(
+            df, url_col=cfg.get("url_field", "url"),
+            cap=int(cfg.get("cap", 100)),
+            id_col=cfg.get("id_field", "doc_id"),
+            method=cfg.get("method", "exact"),
+            host_col=cfg.get("host_field"),
+            domain_counts=(read_source(df.sparkSession, counts,
+                                       streaming=False)
+                           if counts else None),
+            seed=int(cfg.get("seed", 0)),
+        )
+    if tt == "filter_attribution":
+        from pyspark.sql import functions as F
+
+        from etl_router_spark.functions.corpus import filter_attribution
+
+        # rules: {name: SQL boolean expression (True = keep)}
+        return filter_attribution(
+            df, {n: F.expr(sql) for n, sql in cfg["rules"].items()})
     if tt == "quality_filter":
         from etl_router_spark.functions.corpus import adaptive_quality_filter
 

@@ -461,3 +461,52 @@ def test_dedup_cluster_inherits_limits(spark, tmp_path):
     doc["spec"]["limits"]["max_candidates"] = 10**6
     compile_pipeline(spark, parse_manifest_dict(doc)).run()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 12
+
+
+def test_curation_transform_types_dispatch(spark, tmp_path):
+    # round-9 second-pass transform types: domain_cap (exact +
+    # threshold, incl. an external domain_counts source) and
+    # filter_attribution (rules as SQL keep-predicates)
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    src = str(tmp_path / "docs_cur")
+    spark.createDataFrame(
+        [(i, f"https://www.h{i % 2}.com:443/p/{i}", f"word {'x ' * (i % 5)}")
+         for i in range(12)],
+        "doc_id long, url string, text string",
+    ).write.parquet(src)
+
+    def run(transform_cfg, out_name):
+        out = str(tmp_path / out_name)
+        doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+               "metadata": {"name": out_name},
+               "spec": {"stages": [
+                   {"id": "s", "type": "source",
+                    "config": {"source_type": "file", "format": "parquet", "path": src}},
+                   {"id": "t", "type": "transform", "config": transform_cfg},
+                   {"id": "o", "type": "sink",
+                    "config": {"sink_type": "file", "format": "parquet", "path": out}},
+               ]}}
+        compile_pipeline(spark, parse_manifest_dict(doc)).run()
+        return spark.read.parquet(out)
+
+    capped = run({"transform_type": "domain_cap", "cap": 4}, "cap_out")
+    assert capped.count() == 8  # 2 hosts x cap 4
+    assert set(r["host"] for r in capped.select("host").distinct().collect()) \
+        == {"h0.com", "h1.com"}
+
+    thr = run({"transform_type": "domain_cap", "cap": 4,
+               "method": "threshold",
+               "domain_counts": {
+                   "source_type": "memory",
+                   "rows": [("h0.com", 6), ("h1.com", 6)],
+                   "schema": "host string, __n long"}}, "thr_out")
+    assert 0 < thr.count() < 12
+
+    attr = run({"transform_type": "filter_attribution",
+                "rules": {"min_words": "size(split(trim(text), '\\\\s+')) >= 3",
+                          "has_x": "text LIKE '%x%'"}}, "attr_out")
+    rows = {r["rule"]: r for r in attr.collect()}
+    assert set(rows) == {"min_words", "has_x", "__dropped__"}
+    assert rows["__dropped__"]["n_rows"] == 12
