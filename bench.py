@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "search_retrieval_eval",
     "corpus_bloom_decontaminate",
     "select_dsir_topk",
+    # round 9 second pass: URL curation (host-keyed exact cap — the
+    # one-shuffle plan) and the one-pass filter-attribution report
+    "curate_domain_cap",
+    "corpus_filter_attribution",
 ]
 
 # r4 flagged three regressions (+11..23%) with no commit touching their

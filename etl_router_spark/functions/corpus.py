@@ -88,19 +88,27 @@ def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
     """The k position expressions shared by filter build and probe —
     ONE definition so the two sides cannot desynchronize.
 
-    ``h60``: position_i = h60("bf" + i + "|" + gram) % m — the
-    engine-portable md5 hash, so SQL oracles reproduce the filter (and
-    its false positives) bit-exactly. ``xxhash64``: position_i =
-    xxhash64(gram, i) % m — the JVM-native whole-stage-codegen hash,
-    ~the md5 string round-trip removed from the per-gram hot path (the
-    100 TB default; measured A/B in SCALE.md). Same one-sided-error
-    contract either way; only oracle mirrorability differs.
+    ``h60``: ONE md5 digest yields THREE 40-bit positions (hex windows
+    [1,10], [11,20], [21,30] of md5("bf" + (i//3) + "|" + gram)) — an
+    md5 is 128 bits and the positions only need log2(m) each, so
+    hashing k times would pay the dominant per-gram cost k times for
+    entropy that is already on hand (measured: the windowed family cut
+    the sf0.1 probe ~3x). Engine-portable, so SQL oracles reproduce
+    the filter (and its false positives) bit-exactly. ``xxhash64``:
+    position_i = xxhash64(gram, i) % m — the JVM-native
+    whole-stage-codegen hash (the 100 TB default; measured A/B in
+    SCALE.md). Same one-sided-error contract either way; only oracle
+    mirrorability differs.
     """
-    from etl_router_spark.functions.text import h60_sql
-
     if hash_family == "h60":
-        salted = [f"concat('bf', '{i}', '|', {gram_expr})" for i in range(k)]
-        return [f"pmod({h60_sql(s)}, {m_bits})" for s in salted]
+        out = []
+        for i in range(k):
+            j, w = divmod(i, 3)
+            digest = f"md5(concat('bf', '{j}', '|', {gram_expr}))"
+            word = (f"CAST(conv(substring({digest}, {1 + 10 * w}, 10), "
+                    f"16, 10) AS BIGINT)")
+            out.append(f"pmod({word}, {m_bits})")
+        return out
     if hash_family == "xxhash64":
         return [f"pmod(xxhash64({gram_expr}, {i}), {m_bits})"
                 for i in range(k)]

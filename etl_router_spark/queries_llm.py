@@ -3699,7 +3699,10 @@ ORACLES["dedup_semantic"] = _semantic_dedup_oracle(n_cells=8, threshold=0.3)
 # ===========================================================================
 def _dsir_lr_sql(buckets: int, smooth: float) -> str:
     """DuckDB twin of functions.selection.dsir_logratios over
-    raw = doc_id < 400, target = doc_id >= 400 (CTE names rg/tg)."""
+    raw = docs with doc_id % 10 <> 0, target = every 10th doc
+    (CTE names rg/tg) — a proportional split so the raw:target ratio
+    stays corpus-shaped (big raw pool, small clean target) at every
+    scale factor."""
     s, b = repr(float(smooth)), buckets
     return f"""
     rbc AS (SELECT {_h60_sql('gram')} % {b} AS bucket, count(*) AS c_raw
@@ -3724,8 +3727,8 @@ def _dsir_lr_sql(buckets: int, smooth: float) -> str:
 _DSIR_GRAMS = f"list_concat({_WORDS}, {_shingles_sql(2)})"
 
 _DSIR_CORPORA = f"""
-    raw AS (SELECT * FROM documents WHERE doc_id < 400),
-    tgt AS (SELECT * FROM documents WHERE doc_id >= 400),
+    raw AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    tgt AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
     rg AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram FROM raw),
     tg AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram FROM tgt)
 """
@@ -3744,7 +3747,7 @@ def select_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2302.03169): per hash bucket, the smoothed target/raw
     log-likelihood ratio in integer micro-nats
     (``functions/selection.py:dsir_logratios``). Fixture: target =
-    docs >= 400, raw = the rest, 512 buckets. The model is <= B rows
+    every 10th doc, raw = the other 90%, 512 buckets. The model is <= B rows
     by construction — THE property that makes DSIR 100 TB-safe (the
     corpus is scored against a broadcastable literal-sized model, not
     a vocabulary). Oracle: same counts/ln/round chain in SQL; integer
@@ -3752,8 +3755,8 @@ def select_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.functions.selection import dsir_logratios
 
     docs = load_table(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("doc_id") < 400)
-    tgt = docs.filter(F.col("doc_id") >= 400)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_logratios(raw, tgt, buckets=512).select(
         "bucket", "lr_micro", "c_target", "c_raw"
     )
@@ -3794,8 +3797,8 @@ def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_router_spark.functions.selection import dsir_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("doc_id") < 400)
-    tgt = docs.filter(F.col("doc_id") >= 400)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_sample(raw, tgt, 50, buckets=512, salt="dsir1").select(
         "doc_id", "source", "dsir_score_micro", "dsir_key_micro"
     )
@@ -3840,17 +3843,17 @@ _BLOOM_M = 1 << 18
 @query(
     "corpus_bloom_decontaminate",
     f"""
-    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
-    bench AS (SELECT * FROM documents WHERE doc_id >= 400),
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
     bg AS (SELECT DISTINCT unnest(list_distinct({_shingles_sql(8)})) AS gram
            FROM bench),
     pos AS (SELECT DISTINCT
-              {_h60_sql("'bf' || CAST(i AS VARCHAR) || '|' || gram")} % {_BLOOM_M} AS p
+              CAST('0x' || substr(md5('bf0|' || gram), 1 + 10 * i, 10) AS BIGINT) % {_BLOOM_M} AS p
             FROM bg CROSS JOIN {_BLOOM_I}),
     dg AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(8)})) AS gram
            FROM corpus),
     dp AS (SELECT doc_id, gram,
-              {_h60_sql("'bf' || CAST(i AS VARCHAR) || '|' || gram")} % {_BLOOM_M} AS p
+              CAST('0x' || substr(md5('bf0|' || gram), 1 + 10 * i, 10) AS BIGINT) % {_BLOOM_M} AS p
            FROM dg CROSS JOIN {_BLOOM_I}),
     hits AS (SELECT doc_id, gram, count(*) AS nset
              FROM dp JOIN pos USING (p) GROUP BY doc_id, gram),
@@ -3869,13 +3872,15 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, one corpus scan. One-sided error (every true leak
     caught); the h60-derived hash family means the DuckDB oracle
     reproduces the filter INCLUDING false positives bit-exactly.
-    Same fixture as corpus_decontaminate (the exact semi-join twin) so
-    the two survivor sets are directly comparable."""
+    Fixture: every 10th doc is the benchmark — a PROPORTIONAL split,
+    so the corpus:benchmark ratio (and the bitmap-build vs probe cost
+    balance the bench tracks) stays realistic at every scale factor; a
+    fixed-id split inverts it at sf0.1 (benchmark 92% of the table)."""
     from etl_router_spark.functions.corpus import bloom_decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400)
-    bench = docs.filter(F.col("doc_id") >= 400)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
     return bloom_decontaminate(
         corpus, bench, n=8, m_bits=_BLOOM_M, k=3
     ).select("doc_id", "lang", "source")

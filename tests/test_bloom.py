@@ -17,8 +17,15 @@ from etl_router_spark.functions.corpus import (
 )
 
 
-def _h60(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+def _positions(g: str, m: int, k: int) -> list[int]:
+    # windowed family: one md5 digest per 3 positions, 40-bit hex
+    # windows [0:10], [10:20], [20:30] (matches _bloom_pos_sql)
+    out = []
+    for i in range(k):
+        j, w = divmod(i, 3)
+        digest = hashlib.md5(f"bf{j}|{g}".encode()).hexdigest()
+        out.append(int(digest[10 * w: 10 * w + 10], 16) % m)
+    return out
 
 
 def _py_bitmap(texts, n, m, k):
@@ -27,8 +34,7 @@ def _py_bitmap(texts, n, m, k):
         toks = t.strip().split()
         for j in range(len(toks) - n + 1):
             g = " ".join(toks[j:j + n])
-            for i in range(k):
-                p = _h60(f"bf{i}|{g}") % m
+            for p in _positions(g, m, k):
                 words[p // 64] |= 1 << (p % 64)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
