@@ -127,10 +127,47 @@ def _ops():
         "leakage_splits_full": lambda s, sf: _leakage_full(s, sf),
         "epoch_upsample_full": lambda s, sf: _epoch_full(s, sf),
         "snapshot_diff_full": lambda s, sf: _snapdiff_full(s, sf),
+        # fifth wave (round 9, third pass): URL curation + one-pass
+        # filter attribution
+        "domain_cap_exact_full": lambda s, sf: _domain_cap_full(s, sf, "exact"),
+        "domain_cap_threshold_full": lambda s, sf: _domain_cap_full(
+            s, sf, "threshold"),
+        "filter_attribution_full": lambda s, sf: _filter_attr_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
     }
+
+
+def _domain_cap_full(s, sf, method):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import domain_cap
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents").withColumn(
+        "url", F.expr("concat('https://www.', source, '.example.com/p/', "
+                      "CAST(doc_id AS STRING))"))
+    # 20 hosts; sf0.1 = 250 docs/host, sf1 = 2500 -> over-cap at both
+    return domain_cap(docs, url_col="url", cap=100,
+                      method=method).select("doc_id", "host")
+
+
+def _filter_attr_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import filter_attribution
+    from etl_router_spark.functions.text import tokens_col
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    n_words = F.size(tokens_col("text"))
+    return filter_attribution(docs, {
+        "min_words": n_words >= 20,
+        "max_words": n_words <= 90,
+        "lang_known": F.col("lang").isin("en", "de", "es", "fr"),
+        "min_chars": F.col("n_chars") >= 100,
+    })
 
 
 def _decon_split(s, sf):
