@@ -463,3 +463,64 @@ def test_retrieval_eval_partitions_by_query_only(spark):
         head = frag.split("\n")[0]
         assert "query_id" in head, head
     assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_exact_single_host_shuffle(spark, sf_dir):
+    """Exact per-host cap is ONE hash shuffle on the host key (the
+    row_number window) — no join, no second exchange of corpus rows."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import domain_cap
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr("concat('https://', source, '.example.com/p/', "
+                      "CAST(doc_id AS STRING))"))
+    plan = (domain_cap(docs, url_col="url", cap=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_domain_cap_threshold_rows_never_shuffle(spark, sf_dir):
+    """Threshold mode: corpus rows reach the output through a
+    broadcast join + map-side hash filter only — the only hash
+    exchanges carry the per-host COUNT partials (sums, never rows),
+    and no sort-merge/cartesian join may appear."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import domain_cap
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr("concat('https://', source, '.example.com/p/', "
+                      "CAST(doc_id AS STRING))"))
+    plan = (domain_cap(docs, url_col="url", cap=5, method="threshold")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the count aggregation is the single row-keyed exchange; with an
+    # external domain_counts table even that disappears
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_domain_cap_external_counts_zero_row_exchange(spark, sf_dir):
+    """With a persisted (host, __n) table the probe plan has NO hash
+    exchange at all: broadcast the over-cap hosts, filter map-side."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import domain_cap
+    from etl_router_spark.io import load_table
+
+    counts = spark.createDataFrame(
+        [(f"src{i}.example.com", 1000) for i in range(20)],
+        "host string, __n long")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr("concat('https://', source, '.example.com/p/', "
+                      "CAST(doc_id AS STRING))"))
+    plan = (domain_cap(docs, url_col="url", cap=5, method="threshold",
+                       domain_counts=counts)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
