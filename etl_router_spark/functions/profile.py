@@ -201,3 +201,89 @@ def estimate_sketch_profile(profile: DataFrame) -> DataFrame:
         else:
             cols.append(F.col(c))
     return profile.select(*cols)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: list[float],
+) -> DataFrame:
+    """Per-group MERGEABLE fixed-boundary histogram — the quantile
+    complement of :func:`sketch_profile`'s HLL table: profile each
+    ingest batch once, persist the per-group rows, fold new batches in
+    with :func:`merge_sketch_profiles` (bin counts are plain bigint
+    columns, so the SAME merge function serves both sketch kinds), and
+    read quantile estimates off the folded table with
+    :func:`estimate_histogram_quantile` — distribution-drift
+    monitoring whose nightly cost is proportional to #groups, never
+    the corpus.
+
+    ``bins`` are strictly-increasing interior boundaries; value v
+    lands in bin ``#boundaries <= v`` (bin_0 = underflow below
+    bins[0], bin_B = overflow at/above bins[-1]). Unlike
+    :func:`profile_histogram`, the boundaries are FIXED by contract
+    rather than derived from data — the property that makes two
+    batches' histograms addable. Binning is a chain of literal
+    comparisons (whole-stage codegen, no Python, no higher-order
+    funcs); the whole profile is ONE aggregation pass.
+
+    Output: ``group_col, n_rows (non-null), n_nulls, sum_value,
+    bin_0..bin_B`` — exactly SQL-reproducible, so the gate value-checks
+    batch-profile + merge + estimate end to end.
+    """
+    if sorted(bins) != list(bins) or len(set(bins)) != len(bins):
+        raise ValueError("bins must be strictly increasing")
+    if not bins:
+        raise ValueError("need at least one bin boundary")
+    v = F.col(value_col).cast("double")
+    idx = None
+    for b in bins:
+        t = F.when(v >= float(b), 1).otherwise(0)
+        idx = t if idx is None else idx + t
+    aggs = [
+        F.sum(v.isNotNull().cast("bigint")).alias("n_rows"),
+        F.sum(v.isNull().cast("bigint")).alias("n_nulls"),
+        F.round(F.coalesce(F.sum(v), F.lit(0.0)), 6).alias("sum_value"),
+    ]
+    for i in range(len(bins) + 1):
+        aggs.append(
+            F.sum(F.when(v.isNotNull() & (idx == i), 1).otherwise(0))
+            .cast("bigint").alias(f"bin_{i}"))
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def estimate_histogram_quantile(
+    profile: DataFrame,
+    bins: list[float],
+    q: float,
+    out_col: str = "q_est",
+) -> DataFrame:
+    """Per-group quantile estimate off a (possibly merged)
+    :func:`histogram_sketch` table: find the bin where the cumulative
+    count crosses ``q * n_rows`` and interpolate linearly inside it.
+    The unbounded edge bins clamp to their finite boundary (the
+    honest answer a fixed-boundary histogram can give). Error is
+    bounded by bin width by construction — size ``bins`` to the
+    resolution the drift monitor needs. Pure map-side projection over
+    #groups rows; rounded to 6 decimals so engines compare exactly.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    B = len(bins)
+    target = F.lit(float(q)) * F.col("n_rows").cast("double")
+    cum = F.col("bin_0").cast("double")
+    est = F.when(cum >= target, F.lit(float(bins[0])))
+    for i in range(1, B):
+        lo, width = float(bins[i - 1]), float(bins[i] - bins[i - 1])
+        c = F.col(f"bin_{i}").cast("double")
+        est = est.when(
+            (cum + c) >= target,
+            F.lit(lo) + F.lit(width) * (target - cum)
+            / F.when(c > 0, c).otherwise(F.lit(1.0)),
+        )
+        cum = cum + c
+    est = est.otherwise(F.lit(float(bins[-1])))
+    return profile.withColumn(
+        out_col,
+        F.when(F.col("n_rows") > 0, F.round(est, 6)).otherwise(F.lit(None)))

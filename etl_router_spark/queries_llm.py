@@ -4010,3 +4010,65 @@ def corpus_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_known": F.col("lang").isin("en", "de", "es", "fr"),
         "min_chars": F.col("n_chars") >= 100,
     })
+
+
+# ===========================================================================
+# mergeable fixed-boundary histograms (quantile complement of the HLL table)
+# ===========================================================================
+_HIST_BINS = [100.0, 200.0, 300.0, 400.0, 500.0]
+
+
+def _hist_quantile_oracle(bins: list[float], q: float) -> str:
+    B = len(bins)
+    flags = [f"sum(CASE WHEN v < {bins[0]} THEN 1 ELSE 0 END) AS bin_0"]
+    for i in range(1, B):
+        flags.append(
+            f"sum(CASE WHEN v >= {bins[i - 1]} AND v < {bins[i]} "
+            f"THEN 1 ELSE 0 END) AS bin_{i}")
+    flags.append(f"sum(CASE WHEN v >= {bins[-1]} THEN 1 ELSE 0 END) AS bin_{B}")
+    # the same cumulative CASE chain estimate_histogram_quantile builds
+    branches = [f"WHEN CAST(bin_0 AS DOUBLE) >= t THEN {bins[0]}"]
+    cum = "CAST(bin_0 AS DOUBLE)"
+    for i in range(1, B):
+        lo, width = bins[i - 1], bins[i] - bins[i - 1]
+        c = f"CAST(bin_{i} AS DOUBLE)"
+        branches.append(
+            f"WHEN ({cum} + {c}) >= t THEN {lo} + {width} * (t - ({cum})) / "
+            f"(CASE WHEN {c} > 0 THEN {c} ELSE 1.0 END)")
+        cum = f"({cum} + {c})"
+    return f"""
+    WITH f AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+    a AS (SELECT source, count(v) AS n_rows, {', '.join(flags)}
+          FROM f GROUP BY source),
+    t AS (SELECT *, {q} * CAST(n_rows AS DOUBLE) AS t FROM a)
+    SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+           round(CASE {' '.join(branches)} ELSE {bins[-1]} END, 6) AS q_est
+    FROM t
+    """
+
+
+@query("profile_histogram_quantile", _hist_quantile_oracle(_HIST_BINS, 0.5))
+def profile_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distribution monitoring end to end
+    (``functions/profile.py:histogram_sketch``): the corpus profiles
+    as TWO batches (even/odd doc ids), the per-source fixed-boundary
+    histograms fold through merge_sketch_profiles (bin counts are
+    plain bigint columns, so the HLL merge function serves unchanged),
+    and the per-source median estimate reads off the MERGED table.
+    The oracle computes the same binning + interpolation chain over
+    the whole table at once — so the value hash pins batch profiling,
+    mergeability, and the estimator in one gate."""
+    from etl_router_spark.functions.profile import (
+        estimate_histogram_quantile,
+        histogram_sketch,
+        merge_sketch_profiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = histogram_sketch(
+        docs.filter(F.col("doc_id") % 2 == 0), "source", "n_chars", _HIST_BINS)
+    b2 = histogram_sketch(
+        docs.filter(F.col("doc_id") % 2 == 1), "source", "n_chars", _HIST_BINS)
+    merged = merge_sketch_profiles(b1, b2, "source")
+    return estimate_histogram_quantile(merged, _HIST_BINS, 0.5).select(
+        "source", "n_rows", "q_est")

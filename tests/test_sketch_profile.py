@@ -82,3 +82,79 @@ def test_sketch_roundtrips_parquet(spark, tmp_path):
         merge_sketch_profiles(reloaded, batch, "g"))
     got = {r["g"]: r["n_rows"] for r in merged.collect()}
     assert got == {"0": 3500, "1": 3500}
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-boundary histograms
+# ---------------------------------------------------------------------------
+def test_histogram_counts_match_python_reference(spark):
+    from etl_router_spark.functions.profile import histogram_sketch
+
+    vals = [5, 10, 10, 15, 20, 25, 99, None]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v int")
+    bins = [10.0, 20.0]
+    row = histogram_sketch(df, "g", "v", bins).collect()[0]
+    # bin_0: v < 10 -> {5}; bin_1: 10 <= v < 20 -> {10,10,15};
+    # bin_2: v >= 20 -> {20,25,99}
+    assert (row["bin_0"], row["bin_1"], row["bin_2"]) == (1, 3, 3)
+    assert row["n_rows"] == 7 and row["n_nulls"] == 1
+    assert row["sum_value"] == 184.0
+
+
+def test_histogram_merge_equals_whole(spark):
+    from etl_router_spark.functions.profile import (
+        histogram_sketch, merge_sketch_profiles)
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).alias("v"))
+    bins = [20.0, 40.0, 60.0, 80.0]
+    whole = histogram_sketch(df, "g", "v", bins)
+    merged = merge_sketch_profiles(
+        histogram_sketch(df.filter("id % 2 = 0"), "g", "v", bins),
+        histogram_sketch(df.filter("id % 2 = 1"), "g", "v", bins),
+        "g")
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(whole) == key(merged)
+
+
+def test_histogram_quantile_within_bin_width(spark):
+    import numpy as np
+
+    from etl_router_spark.functions.profile import (
+        estimate_histogram_quantile, histogram_sketch)
+
+    rows = [("a", float(i % 113)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    bins = [float(b) for b in range(10, 120, 10)]
+    prof = histogram_sketch(df, "g", "v", bins)
+    for q in (0.25, 0.5, 0.9):
+        est = estimate_histogram_quantile(prof, bins, q).collect()[0]["q_est"]
+        exact = float(np.quantile([v for _, v in rows], q))
+        assert abs(est - exact) <= 10.0 + 1e-6, (q, est, exact)
+
+
+def test_histogram_validation(spark):
+    from etl_router_spark.functions.profile import (
+        estimate_histogram_quantile, histogram_sketch)
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="increasing"):
+        histogram_sketch(df, "g", "v", [2.0, 1.0])
+    with pytest.raises(ValueError, match="boundary"):
+        histogram_sketch(df, "g", "v", [])
+    prof = histogram_sketch(df, "g", "v", [1.0, 2.0])
+    with pytest.raises(ValueError, match="q must be"):
+        estimate_histogram_quantile(prof, [1.0, 2.0], 1.5)
+
+
+def test_histogram_empty_group_estimate_null(spark):
+    from etl_router_spark.functions.profile import (
+        estimate_histogram_quantile, histogram_sketch)
+
+    df = spark.createDataFrame(
+        [("g", None)], "g string, v double")
+    prof = histogram_sketch(df, "g", "v", [1.0, 2.0])
+    row = estimate_histogram_quantile(prof, [1.0, 2.0], 0.5).collect()[0]
+    assert row["n_rows"] == 0 and row["q_est"] is None
