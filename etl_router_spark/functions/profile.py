@@ -174,9 +174,20 @@ def merge_sketch_profiles(
         raise ValueError(
             "merge_sketch_profiles: schemas differ: "
             f"{sorted(existing.columns)} vs {sorted(batch.columns)}")
-    both = existing.unionByName(batch)
+    return fold_sketch_profiles(existing.unionByName(batch), group_col)
+
+
+def fold_sketch_profiles(log: DataFrame, group_col: str) -> DataFrame:
+    """Compact a profile LOG — any number of per-batch sketch-profile
+    rows appended over time (the crash-safe streaming shape: each
+    micro-batch appends its own rows, nothing rewrites) — into one row
+    per group: counts/sums add, ``*_sketch`` columns HLL-union. Merge
+    associativity makes the append-then-fold result identical to
+    eager pairwise merging; :func:`merge_sketch_profiles` is the
+    two-frame special case. Cost: one groupBy over #batches x #groups
+    rows — corpus-independent."""
     aggs = []
-    for c in existing.columns:
+    for c in log.columns:
         if c == group_col:
             continue
         if c.endswith("_sketch"):
@@ -186,7 +197,7 @@ def merge_sketch_profiles(
             aggs.append(F.sum(c).alias(c))
     # sum(bigint) stays bigint and sum(double) stays double in Spark,
     # so the output schema matches the input and merges compose
-    return both.groupBy(group_col).agg(*aggs)
+    return log.groupBy(group_col).agg(*aggs)
 
 
 def estimate_sketch_profile(profile: DataFrame) -> DataFrame:

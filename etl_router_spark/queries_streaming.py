@@ -1359,3 +1359,63 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(out)
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@query("stream_profile_fold", None)  # oracle attached below (generated)
+def stream_profile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING arm of the incremental-statistics loop: documents
+    arrive in FOUR micro-batches (maxFilesPerTrigger=1 over four
+    staged files); each batch appends its own per-source
+    ``histogram_sketch`` rows to a profile LOG (append-only — the
+    crash-safe shape: no read-modify-write of the persisted table
+    inside the stream), and the readout compacts the log with
+    ``fold_sketch_profiles`` + interpolates the per-source median.
+    Merge associativity makes the result identical to one whole-corpus
+    profile, so the oracle is the batch gate's whole-table SQL — the
+    value hash pins per-batch profiling, the append-fold protocol, AND
+    the estimator across a real multi-epoch streaming execution."""
+    import os
+
+    from etl_router_spark.functions.profile import (
+        estimate_histogram_quantile,
+        fold_sketch_profiles,
+        histogram_sketch,
+    )
+    from etl_router_spark.queries_llm import _HIST_BINS
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_prof_")
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(wd, "in")
+    for i in range(4):
+        (docs.filter(F.col("doc_id") % 4 == i)
+         .select("doc_id", "source", "n_chars")
+         .coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    log_dir = os.path.join(wd, "profile_log")
+
+    def profile_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (histogram_sketch(batch_df, "source", "n_chars", _HIST_BINS)
+         .write.mode("append").parquet(log_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(profile_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(log_dir)
+    folded = fold_sketch_profiles(log, "source")
+    result = estimate_histogram_quantile(folded, _HIST_BINS, 0.5).select(
+        "source", "n_rows", "q_est")
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+from etl_router_spark.queries_llm import _hist_quantile_oracle, _HIST_BINS as _HB  # noqa: E402
+
+_ORACLES["stream_profile_fold"] = _hist_quantile_oracle(_HB, 0.5)

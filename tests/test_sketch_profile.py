@@ -158,3 +158,22 @@ def test_histogram_empty_group_estimate_null(spark):
     prof = histogram_sketch(df, "g", "v", [1.0, 2.0])
     row = estimate_histogram_quantile(prof, [1.0, 2.0], 0.5).collect()[0]
     assert row["n_rows"] == 0 and row["q_est"] is None
+
+
+def test_fold_log_equals_pairwise_merge(spark):
+    from etl_router_spark.functions.profile import (
+        fold_sketch_profiles, histogram_sketch, merge_sketch_profiles)
+
+    df = spark.range(900).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 53).alias("v"))
+    bins = [10.0, 25.0, 40.0]
+    parts = [histogram_sketch(df.filter(f"id % 3 = {i}"), "g", "v", bins)
+             for i in range(3)]
+    log = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    folded = fold_sketch_profiles(log, "g")
+    paired = merge_sketch_profiles(
+        merge_sketch_profiles(parts[0], parts[1], "g"), parts[2], "g")
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(folded) == key(paired)
+    assert key(folded) == key(histogram_sketch(df, "g", "v", bins))
