@@ -1077,9 +1077,23 @@ def domain_cap(
     counts (an aggregation that shuffles per-host SUMS, never rows — or
     the persisted ``domain_counts`` table, schema ``(host, __n)``)
     identify over-cap hosts; each broadcasts back with keep-rate
-    ``cap/n`` and rows pass a map-side deterministic hash test. Kept
-    count per host is binomial around ``cap`` (CV ≈ 1/sqrt(cap)); rows
-    themselves never shuffle.
+    ``cap/n`` and rows pass a map-side test on the RANK KEY's unit
+    fraction — the same ordering exact mode ranks by, so the threshold
+    survivors are a prefix (in expectation) of the exact survivors.
+    Kept count per host is binomial around ``cap`` (CV ≈ 1/sqrt(cap));
+    rows themselves never shuffle.
+
+    ``method="hybrid"`` composes the two into an EXACT cap without the
+    mega-host straggler: a generous threshold pre-thin (keep-rate
+    ``4*cap/n``, map-side) shrinks every over-cap host to ~4*cap rows,
+    then the exact row_number runs over the survivors — the host
+    shuffle carries O(hosts * cap) rows instead of the corpus, and the
+    biggest task is ~4*cap rows no matter how hot the host. Because
+    the threshold is monotone in the SAME rank key the window orders
+    by, hybrid == exact whenever every host retains >= cap survivors —
+    a >= 4x margin puts the failure probability below e^{-cap} by a
+    Chernoff bound (already < 1e-4 at cap=20); hosts at or under the
+    cap bypass the thinning entirely, so they are never at risk.
 
     Output: the input columns plus ``host``. Reference analog: the
     per-key rate limiter (``conveyor-etl-dsl`` ratelimit) applied to
@@ -1087,7 +1101,7 @@ def domain_cap(
     """
     from etl_router_spark.functions.text import url_host
 
-    if method not in ("exact", "threshold"):
+    if method not in ("exact", "threshold", "hybrid"):
         raise ValueError(f"domain_cap: unknown method {method!r}")
     if cap <= 0:
         raise ValueError("domain_cap: cap must be positive")
@@ -1095,26 +1109,38 @@ def domain_cap(
     hdf = df.withColumn("host", host)
     rank_key = h60(F.concat_ws(
         "|", F.lit(str(seed)), F.col(id_col).cast("string")))
-    if method == "exact":
+
+    def exact_cap(frame: DataFrame) -> DataFrame:
         w = Window.partitionBy("host").orderBy(
             rank_key.asc(), F.col(id_col).asc())
         return (
-            hdf.withColumn("__rk", F.row_number().over(w))
+            frame.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap)
             .drop("__rk")
         )
+
+    if method == "exact":
+        return exact_cap(hdf)
     counts = domain_counts
     if counts is None:
         counts = hdf.groupBy("host").agg(F.count("*").alias("__n"))
+    margin = 4.0 if method == "hybrid" else 1.0
     over = counts.filter(F.col("__n") > cap).select(
-        "host", (F.lit(float(cap)) / F.col("__n")).alias("__keep_rate"))
-    modulus = 1 << 20
-    bucket = (rank_key % modulus).cast("double") / modulus
-    return (
+        "host",
+        F.least(F.lit(1.0), F.lit(margin * cap) / F.col("__n"))
+         .alias("__keep_rate"))
+    # unit fraction of the 60-bit rank key: monotone in the exact
+    # mode's ordering, so thresholding keeps (a binomial draw of) the
+    # lowest-ranked rows rather than an unrelated subset
+    frac = rank_key.cast("double") / float(1 << 60)
+    thinned = (
         hdf.join(F.broadcast(over), "host", "left")
-        .filter(F.col("__keep_rate").isNull() | (bucket < F.col("__keep_rate")))
+        .filter(F.col("__keep_rate").isNull() | (frac < F.col("__keep_rate")))
         .drop("__keep_rate")
     )
+    if method == "threshold":
+        return thinned
+    return exact_cap(thinned)
 
 
 def filter_attribution(

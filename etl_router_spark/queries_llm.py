@@ -3918,7 +3918,7 @@ def _curation_oracle(mode: str, cap: int) -> str:
     SELECT u.doc_id, u.host
     FROM u LEFT JOIN o USING (host)
     WHERE o.rate IS NULL
-       OR CAST(({rk} % 1048576) AS DOUBLE) / 1048576 < o.rate
+       OR CAST({rk} AS DOUBLE) / 1152921504606846976.0 < o.rate
     """
 
 

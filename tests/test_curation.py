@@ -129,3 +129,26 @@ def test_filter_attribution_single_pass_plan(spark):
     })
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_domain_cap_hybrid_equals_exact(pages):
+    for cap in (1, 2, 3):
+        exact = {r["doc_id"] for r in domain_cap(pages, cap=cap).collect()}
+        hybrid = {r["doc_id"]
+                  for r in domain_cap(pages, cap=cap, method="hybrid").collect()}
+        assert hybrid == exact, cap
+
+
+def test_domain_cap_threshold_is_rank_prefix(pages):
+    # threshold survivors of an over-cap host are always a subset of
+    # what a LARGER exact cap keeps, because both order by the same
+    # rank key (the property the hybrid mode rests on)
+    thr = {r["doc_id"]
+           for r in domain_cap(pages, cap=3, method="threshold").collect()
+           if r["doc_id"] < 6}
+    n_thr = len(thr)
+    exact_same_size = {
+        r["doc_id"]
+        for r in domain_cap(pages, cap=max(n_thr, 1)).collect()
+        if r["doc_id"] < 6}
+    assert thr == exact_same_size or n_thr == 0
