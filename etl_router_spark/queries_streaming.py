@@ -1419,3 +1419,70 @@ def stream_profile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_router_spark.queries_llm import _hist_quantile_oracle, _HIST_BINS as _HB  # noqa: E402
 
 _ORACLES["stream_profile_fold"] = _hist_quantile_oracle(_HB, 0.5)
+
+
+@query("stream_filter_attribution", None)  # oracle attached below
+def stream_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING arm of the filter-attribution report — the continuous
+    crawl-QA monitor: each of four real micro-batches appends its own
+    per-rule kill counts to a log (one aggregate over the BATCH; the
+    corpus is never re-scanned), and the readout folds the log by
+    summing counts and recomputing fail_rate from the folded sums.
+    Every attribution column is a row-level property summed over
+    disjoint batches, so the folded report is IDENTICAL to the batch
+    gate's whole-corpus report — the oracle is the same whole-table
+    SQL, value-hash-pinning per-batch accounting + fold + rate math
+    across a multi-epoch streaming execution."""
+    import os
+
+    from etl_router_spark.functions.corpus import filter_attribution
+    from etl_router_spark.functions.text import tokens_col
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_attr_")
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(wd, "in")
+    for i in range(4):
+        (docs.filter(F.col("doc_id") % 4 == i)
+         .select("doc_id", "lang", "text", "n_chars")
+         .coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    log_dir = os.path.join(wd, "attr_log")
+
+    def attribute_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        n_words = F.size(tokens_col("text"))
+        (filter_attribution(batch_df, {
+            "min_words": n_words >= 20,
+            "max_words": n_words <= 90,
+            "lang_known": F.col("lang").isin("en", "de", "es", "fr"),
+            "min_chars": F.col("n_chars") >= 100,
+        }).select("rule", "n_fail", "n_only_fail", "n_rows")
+          .write.mode("append").parquet(log_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(attribute_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = (
+        spark.read.parquet(log_dir)
+        .groupBy("rule")
+        .agg(F.sum("n_fail").alias("n_fail"),
+             F.sum("n_only_fail").alias("n_only_fail"),
+             F.sum("n_rows").alias("n_rows"))
+    )
+    result = folded.select(
+        "rule", "n_fail", "n_only_fail", "n_rows",
+        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"))
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+from etl_router_spark.queries_llm import _attribution_oracle  # noqa: E402
+
+_ORACLES["stream_filter_attribution"] = _attribution_oracle()
