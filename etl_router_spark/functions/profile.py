@@ -298,3 +298,73 @@ def estimate_histogram_quantile(
     return profile.withColumn(
         out_col,
         F.when(F.col("n_rows") > 0, F.round(est, 6)).otherwise(F.lit(None)))
+
+
+def sample_sketch(
+    df: DataFrame,
+    group_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    payload_cols: list[str] | None = None,
+    salt: str = "s1",
+) -> DataFrame:
+    """Per-group MERGEABLE uniform sample — the bottom-k (KMV) sketch:
+    keep the ``k`` rows whose ``h60(salt|id)`` rank key is smallest
+    within each group. min-by-hash is associative, so folding any
+    number of per-batch samples (:func:`fold_sample_sketches`) yields
+    EXACTLY the sample a whole-corpus pass would pick — the third leg
+    of the incremental-statistics trio (HLL = distinct counts,
+    histograms = distributions, bottom-k = actual representative rows
+    you can read), at #groups x k rows of state forever.
+
+    Uniformity: the hash is content-independent, so membership is a
+    uniform draw over ids regardless of arrival order or batch
+    boundaries; ``salt`` rotates the draw. Plan: one projection + one
+    per-group top-k window (the same shape as ``corpus.group_topk``) —
+    applied per BATCH, never to the corpus.
+
+    Output: ``group_col, rank_key, id_col`` + ``payload_cols``, one
+    row per sampled row (log-friendly: appending batches then folding
+    is the crash-safe streaming shape shared with the other sketches).
+    """
+    from pyspark.sql import Window
+
+    from etl_router_spark.functions.text import h60
+
+    if k <= 0:
+        raise ValueError("sample_sketch: k must be positive")
+    cols = [group_col, id_col] + list(payload_cols or [])
+    keyed = df.select(*cols).withColumn(
+        "rank_key",
+        h60(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))))
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("rank_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def fold_sample_sketches(
+    log: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compact a sample-sketch log (per-batch bottom-k rows appended
+    over time) back to the per-group bottom-k: the same window over
+    #batches x #groups x k rows — corpus-independent. Re-applying with
+    the same ``k`` is idempotent; ids arriving in multiple batches
+    dedup by id before ranking so a re-ingested document cannot occupy
+    two sample slots."""
+    from pyspark.sql import Window
+
+    deduped = log.dropDuplicates([group_col, id_col])
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("rank_key"), F.asc(id_col))
+    return (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -4072,3 +4072,40 @@ def profile_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_sketch_profiles(b1, b2, "source")
     return estimate_histogram_quantile(merged, _HIST_BINS, 0.5).select(
         "source", "n_rows", "q_est")
+
+
+@query(
+    "profile_sample_sketch",
+    """
+    WITH r AS (SELECT source, doc_id, lang,
+        CAST('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS rank_key
+      FROM documents),
+    k AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY rank_key, doc_id) AS rn
+          FROM r)
+    SELECT source, doc_id, lang, rank_key FROM k WHERE rn <= 3
+    """,
+)
+def profile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) mergeable sample end to end
+    (``functions/profile.py:sample_sketch``): the corpus samples as
+    TWO batches, the per-source bottom-3 rows fold through
+    fold_sample_sketches, and the result must equal the sample a
+    whole-corpus pass picks — min-by-hash associativity, value-checked
+    (ids, payload AND rank keys) against a whole-table row_number
+    oracle. The third leg of the incremental-statistics trio: HLL
+    counts distinct, histograms hold distributions, bottom-k keeps
+    actual representative ROWS per group without ever re-scanning."""
+    from etl_router_spark.functions.profile import (
+        fold_sample_sketches,
+        sample_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = sample_sketch(docs.filter(F.col("doc_id") % 2 == 0),
+                       "source", k=3, payload_cols=["lang"])
+    b2 = sample_sketch(docs.filter(F.col("doc_id") % 2 == 1),
+                       "source", k=3, payload_cols=["lang"])
+    folded = fold_sample_sketches(b1.unionByName(b2), "source", k=3)
+    return folded.select("source", "doc_id", "lang", "rank_key")

@@ -177,3 +177,54 @@ def test_fold_log_equals_pairwise_merge(spark):
     key = lambda d: sorted(tuple(r) for r in d.collect())
     assert key(folded) == key(paired)
     assert key(folded) == key(histogram_sketch(df, "g", "v", bins))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) mergeable sample
+# ---------------------------------------------------------------------------
+def test_sample_fold_equals_whole(spark):
+    from etl_router_spark.functions.profile import (
+        fold_sample_sketches, sample_sketch)
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 11).alias("payload"))
+    whole = sample_sketch(df, "g", k=4, payload_cols=["payload"])
+    parts = [sample_sketch(df.filter(f"id % 3 = {i}"), "g", k=4,
+                           payload_cols=["payload"]) for i in range(3)]
+    log = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    folded = fold_sample_sketches(log, "g", k=4)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(folded) == key(whole)
+    # idempotent: folding the fold changes nothing
+    assert key(fold_sample_sketches(folded, "g", k=4)) == key(whole)
+
+
+def test_sample_reingested_id_occupies_one_slot(spark):
+    from etl_router_spark.functions.profile import (
+        fold_sample_sketches, sample_sketch)
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(10)], "g string, doc_id long")
+    s1 = sample_sketch(df, "g", k=3)
+    # the same batch re-ingested (a crawl re-fetch) must not double-fill
+    folded = fold_sample_sketches(s1.unionByName(s1), "g", k=3)
+    assert folded.count() == 3
+    assert folded.select("doc_id").distinct().count() == 3
+
+
+def test_sample_small_group_and_salt(spark):
+    from etl_router_spark.functions.profile import sample_sketch
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(2)], "g string, doc_id long")
+    assert sample_sketch(df, "g", k=5).count() == 2  # k > group size
+    big = spark.createDataFrame(
+        [("g", i) for i in range(100)], "g string, doc_id long")
+    a = {r["doc_id"] for r in sample_sketch(big, "g", k=5, salt="a").collect()}
+    b = {r["doc_id"] for r in sample_sketch(big, "g", k=5, salt="b").collect()}
+    assert a != b  # salt rotates the draw
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        sample_sketch(big, "g", k=0)
