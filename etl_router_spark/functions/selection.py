@@ -94,6 +94,15 @@ def dsir_logratios(
         f"sum(size({_grams_sql(text_col)})) AS __tt"
     )
     tot_r = raw.selectExpr(f"sum(size({_grams_sql(text_col)})) AS __tr")
+    return _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
+
+
+def _lr_table(ct: DataFrame, cr: DataFrame, tot_t: DataFrame,
+              tot_r: DataFrame, buckets: int, smooth: float) -> DataFrame:
+    """The smoothed log-ratio formula over already-computed bucket
+    counts — ONE definition shared by :func:`dsir_logratios` (counts
+    from independent passes) and :func:`dsir_scores` (raw counts
+    DERIVED from the per-doc aggregate so the corpus explodes once)."""
     s, b = repr(float(smooth)), buckets
     return (
         ct.join(cr, "bucket", "full_outer")
@@ -123,6 +132,7 @@ def dsir_scores(
     buckets: int = 4096,
     smooth: float = 0.5,
     score_col: str = "dsir_score_micro",
+    cache: bool = False,
 ) -> DataFrame:
     """Score every raw document with its DSIR log importance weight
     (integer micro-nats): sum over the document's hashed grams of
@@ -132,26 +142,52 @@ def dsir_scores(
     combinable) -> broadcast join against the B-row ratio table ->
     id-keyed integer sum -> id-keyed join back onto the input columns.
     The raw corpus never carries anything wider than (id, bucket, c)
-    through a shuffle. Docs with zero grams score 0.
+    through a shuffle, and it EXPLODES ONCE: the model's raw bucket
+    marginals are the column sums of the per-doc aggregate (identical
+    integers by construction), so both consumers hang off the same
+    (id, bucket) aggregate. The model's ratio table computes inside a
+    BROADCAST subquery (its own query execution), which Spark's
+    ReuseExchange cannot dedupe against the main plan — so
+    ``cache=True`` persists the slim aggregate (MEMORY_AND_DISK) and
+    both consumers read one execution, releasing the pin when the
+    caller drops the result (the dedup budget-guard ``weakref``
+    protocol, including its chained-caller limitation: hold the
+    returned frame through your first action or the pin lapses).
+    Opt-in like the dedup pair caches: a scale-time win when the
+    corpus text re-scan dominates, overhead on small inputs.
+    Docs with zero grams score 0.
     """
-    lr = F.broadcast(dsir_logratios(raw, target, text_col=text_col,
-                                    buckets=buckets, smooth=smooth)
-                     .select("bucket", "lr_micro"))
+    from etl_router_spark.functions.dedup import _release_on_gc
+
     doc_buckets = (
         raw.selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
         .select(F.col(id_col), F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("__c"))
     )
+    pinned: list[DataFrame] = []
+    if cache:
+        from pyspark import StorageLevel
+
+        doc_buckets = doc_buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(doc_buckets)
+    cr = doc_buckets.groupBy("bucket").agg(F.sum("__c").alias("c_raw"))
+    tot_r = doc_buckets.agg(F.sum("__c").alias("__tr"))
+    ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
+    tot_t = target.selectExpr(f"sum(size({_grams_sql(text_col)})) AS __tt")
+    lr = F.broadcast(
+        _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
+        .select("bucket", "lr_micro"))
     scores = (
         doc_buckets.join(lr, "bucket")  # doc buckets are raw buckets: inner is lossless
         .groupBy(id_col)
         .agg(F.sum(F.col("__c") * F.col("lr_micro")).alias(score_col))
     )
-    return (
+    out = (
         raw.join(scores, id_col, "left")
         .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0).cast("bigint")))
     )
+    return _release_on_gc(out, pinned) if pinned else out
 
 
 def _gumbel_micro(id_col: str, salt: str) -> Column:
