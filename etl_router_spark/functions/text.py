@@ -863,3 +863,38 @@ def bpe_train(
         freqs = new_freqs
         merges.append(best)
     return merges
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Intra-document boilerplate cleanup: drop every line after its
+    first occurrence WITHIN the document (navbars, cookie banners,
+    repeated headers — the in-doc complement of the corpus-level
+    ``line_dedup``, which dedups across documents and needs a shuffle;
+    this is a pure map-side array expression, zero shuffle, no Python).
+
+    Exact-match contract: lines compare byte-equal; compose with
+    ``normalize_text`` upstream for case/whitespace-insensitive
+    matching. Cost is O(L^2) per document in its LINE count (prefix
+    scan per line) — bounded by document structure, not corpus size;
+    for pathological documents (10^4+ lines) chunk first.
+
+    Adds ``out_col`` plus ``n_lines`` / ``n_lines_removed`` (the
+    drop-rate signal a curation report tracks next to
+    ``repetition_stats``).
+    """
+    tc = f"`{text_col}`"
+    lines = f"split({tc}, '\\n')"
+    kept = (f"filter({lines}, (x, i) -> i = 0 OR "
+            f"array_position(slice({lines}, 1, i), x) = 0)")
+    return (
+        df.withColumn("__lines", F.expr(f"size({lines})").cast("long"))
+        .withColumn(out_col, F.expr(f"array_join({kept}, '\\n')"))
+        .withColumn("__kept", F.expr(f"size({kept})").cast("long"))
+        .withColumn("n_lines", F.col("__lines"))
+        .withColumn("n_lines_removed", (F.col("__lines") - F.col("__kept")))
+        .drop("__lines", "__kept")
+    )

@@ -4109,3 +4109,41 @@ def profile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "source", k=3, payload_cols=["lang"])
     folded = fold_sample_sketches(b1.unionByName(b2), "source", k=3)
     return folded.select("source", "doc_id", "lang", "rank_key")
+
+
+@query(
+    "text_strip_repeated_lines",
+    """
+    WITH s AS (SELECT doc_id,
+                      text || chr(10) || text || chr(10) ||
+                      upper(substr(text, 1, 40)) || chr(10) || text AS t
+               FROM documents),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s),
+    k AS (SELECT doc_id, ls,
+                 list_filter(ls, (x, i) -> list_position(ls[1:i-1], x) = 0)
+                   AS kept
+          FROM l)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT)              AS n_lines,
+           CAST(len(ls) - len(kept) AS BIGINT)  AS n_lines_removed,
+           array_to_string(kept, chr(10))       AS clean_text
+    FROM k
+    """,
+)
+def text_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line stripping
+    (``functions/text.py:strip_repeated_lines``): the fixture folds
+    each document into four lines with two exact repeats, and the gate
+    value-checks the CLEANED TEXT byte-for-byte plus the line
+    accounting — the zero-shuffle in-doc complement of the corpus-wide
+    line_dedup. Both engines run the same order-preserving
+    first-occurrence lambda, so survivors and their order pin exactly."""
+    from etl_router_spark.functions.text import strip_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat(text, chr(10), text, chr(10), "
+               "upper(substring(text, 1, 40)), chr(10), text)").alias("text"),
+    )
+    return strip_repeated_lines(docs).select(
+        "doc_id", "n_lines", "n_lines_removed", "clean_text")

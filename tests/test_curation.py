@@ -152,3 +152,42 @@ def test_domain_cap_threshold_is_rank_prefix(pages):
         for r in domain_cap(pages, cap=max(n_thr, 1)).collect()
         if r["doc_id"] < 6}
     assert thr == exact_same_size or n_thr == 0
+
+
+def test_strip_repeated_lines(spark):
+    from etl_router_spark.functions.text import strip_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav"),
+         (2, "only\nlines\nonce"),
+         (3, "same\nsame\nsame")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in strip_repeated_lines(df).collect()}
+    assert rows[1]["clean_text"] == "nav\nbody one\nbody two"
+    assert rows[1]["n_lines"] == 5 and rows[1]["n_lines_removed"] == 2
+    assert rows[2]["clean_text"] == "only\nlines\nonce"
+    assert rows[2]["n_lines_removed"] == 0
+    assert rows[3]["clean_text"] == "same"
+    assert rows[3]["n_lines_removed"] == 2
+
+
+def test_strip_repeated_lines_exact_match_only(spark):
+    from etl_router_spark.functions.text import strip_repeated_lines
+
+    # case/whitespace variants are DIFFERENT lines under the exact
+    # contract (compose normalize_text upstream for fuzzy matching)
+    df = spark.createDataFrame(
+        [(1, "Nav\nnav\nNav ")], "doc_id long, text string")
+    row = strip_repeated_lines(df).collect()[0]
+    assert row["n_lines_removed"] == 0
+
+
+def test_strip_repeated_lines_zero_shuffle_plan(spark):
+    from etl_router_spark.functions.text import strip_repeated_lines
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a\nb\na\n"), F.col("id").cast("string")).alias("text"))
+    plan = (strip_repeated_lines(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
