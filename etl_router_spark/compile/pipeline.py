@@ -624,6 +624,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                           tokens_per_line=int(tpl) if tpl is not None else None,
                           join_sep=cfg.get("join_sep", "\n"),
                           out_col=cfg.get("out_field", "text_deduped"))
+    if tt == "strip_repeated_lines":
+        from etl_router_spark.functions.text import strip_repeated_lines
+
+        return strip_repeated_lines(
+            df, text_col=cfg.get("text_field", "text"),
+            out_col=cfg.get("out_field", "clean_text"))
     if tt == "text_normalize":
         from etl_router_spark.functions.text import normalize_text
 

@@ -40,7 +40,7 @@ KNOWN_TRANSFORMS = {
     "pq_encode", "pq_topk", "quality_classifier",
     "dsir_sample", "weighted_sample", "bloom_decontaminate",
     "retrieval_eval", "leakage_splits", "epoch_upsample", "snapshot_diff",
-    "domain_cap", "filter_attribution",
+    "domain_cap", "filter_attribution", "strip_repeated_lines",
 }
 
 KNOWN_SOURCES = {

@@ -504,6 +504,10 @@ def test_curation_transform_types_dispatch(spark, tmp_path):
                    "schema": "host string, __n long"}}, "thr_out")
     assert 0 < thr.count() < 12
 
+    stripped = run({"transform_type": "strip_repeated_lines"}, "strip_out")
+    assert {"clean_text", "n_lines", "n_lines_removed"} <= set(stripped.columns)
+    assert stripped.count() == 12
+
     attr = run({"transform_type": "filter_attribution",
                 "rules": {"min_words": "size(split(trim(text), '\\\\s+')) >= 3",
                           "has_x": "text LIKE '%x%'"}}, "attr_out")
