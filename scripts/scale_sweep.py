@@ -133,6 +133,9 @@ def _ops():
         "domain_cap_threshold_full": lambda s, sf: _domain_cap_full(
             s, sf, "threshold"),
         "filter_attribution_full": lambda s, sf: _filter_attr_full(s, sf),
+        "histogram_sketch_full": lambda s, sf: _hist_sketch_full(s, sf),
+        "sample_sketch_full": lambda s, sf: _sample_sketch_full(s, sf),
+        "strip_lines_full": lambda s, sf: _strip_lines_full(s, sf),
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
@@ -168,6 +171,37 @@ def _filter_attr_full(s, sf):
         "lang_known": F.col("lang").isin("en", "de", "es", "fr"),
         "min_chars": F.col("n_chars") >= 100,
     })
+
+
+def _hist_sketch_full(s, sf):
+    from etl_router_spark.functions.profile import histogram_sketch
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    return histogram_sketch(docs, "source", "n_chars",
+                            [100.0, 200.0, 300.0, 400.0, 500.0])
+
+
+def _sample_sketch_full(s, sf):
+    from etl_router_spark.functions.profile import sample_sketch
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    return sample_sketch(docs, "source", k=10, payload_cols=["lang"])
+
+
+def _strip_lines_full(s, sf):
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.text import strip_repeated_lines
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents").select(
+        "doc_id",
+        F.expr("concat(text, chr(10), text, chr(10), "
+               "upper(substring(text, 1, 40)), chr(10), text)").alias("text"))
+    return strip_repeated_lines(docs).select(
+        "doc_id", "n_lines", "n_lines_removed")
 
 
 def _decon_split(s, sf):
