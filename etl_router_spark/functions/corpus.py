@@ -1203,3 +1203,87 @@ def filter_attribution(
         F.round(F.coalesce(F.col("n_fail"), F.lit(0)) / F.col("n_rows"), 6)
          .alias("fail_rate"),
     )
+
+
+def redact_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    sentinel: str = "[REDACTED]",
+    out_col: str = "clean_text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every document
+    that shares an ``n``-gram with the benchmark (``decontaminate`` —
+    which throws away the 99% of a long document that is clean),
+    redact exactly the tokens covered by a leaked n-gram window and
+    keep the rest, collapsing each contiguous contaminated run to one
+    ``sentinel`` token.
+
+    Token-level contract: the output text is the kept tokens rejoined
+    by single spaces (original inter-token whitespace is not
+    preserved) — the right trade for pretraining text; byte-exact
+    consumers should use ``decontaminate`` instead. Documents without
+    hits pass through with the same single-space normalization, so the
+    clean and dirty paths agree on whitespace and the operator is
+    idempotent.
+
+    Plan shape: doc n-grams posexplode + broadcast semi-join against
+    the benchmark gram set (same probe as ``contaminated_ids``; corpus
+    rows never shuffle for it) -> per-doc hit-position list (ONE
+    groupBy of (id, pos) ints — the only corpus-keyed shuffle, carrying
+    positions, never text) -> map-side flag/collapse over the token
+    array, O(tokens x hits) per document.
+
+    Output: input columns plus ``out_col``, ``n_tokens_redacted``
+    (tokens removed), ``n_spans`` (contiguous redacted runs).
+    """
+    sent = "'" + sentinel.replace("'", "''") + "'"
+    from etl_router_spark.functions.text import tokens_sql as _tok_sql
+
+    toks_sql = _tok_sql(f"`{text_col}`")
+    grams = shingles(F.col(text_col), n)
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(grams).alias("__pos", "__gram"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+         .alias("__gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "__gram", "left_semi")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__hits"))
+    )
+    flagged = docs.join(
+        hits.withColumnRenamed("__id", id_col), id_col, "left"
+    ).withColumn(
+        "__hits",
+        F.coalesce(F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")))
+    # flag token i (0-based) iff some hit window p <= i < p + n
+    flags_sql = (f"transform({toks_sql}, (t, i) -> "
+                 f"exists(__hits, p -> i >= p AND i < p + {int(n)}))")
+    kept_sql = (
+        # keep clean tokens; emit the sentinel once per run start
+        f"filter(transform({toks_sql}, (t, i) -> "
+        f"CASE WHEN NOT element_at(__flags, i + 1) THEN t "
+        f"WHEN i = 0 OR NOT element_at(__flags, i) THEN {sent} "
+        f"ELSE NULL END), t -> t IS NOT NULL)"
+    )
+    redacted_sql = "size(filter(__flags, f -> f))"
+    spans_sql = (
+        "size(filter(transform(__flags, (f, i) -> "
+        "f AND (i = 0 OR NOT element_at(__flags, i))), x -> x))"
+    )
+    return (
+        flagged.withColumn("__flags", F.expr(flags_sql))
+        .withColumn(out_col, F.expr(f"array_join({kept_sql}, ' ')"))
+        .withColumn("n_tokens_redacted", F.expr(redacted_sql).cast("long"))
+        .withColumn("n_spans", F.expr(spans_sql).cast("long"))
+        .drop("__hits", "__flags")
+    )

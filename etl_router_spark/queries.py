@@ -3916,7 +3916,12 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # backlog clears. Emptied in r7 and again in r9 (the 5 r8 PQ/
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
-_DEFER_NEW = ()
+_DEFER_NEW = (
+    # registered after the r9 window was already full (30 never-checked
+    # gates + the 16 r4-stale refreshes); verified locally via
+    # scripts/check_correctness.py, first driver row lands r10
+    "corpus_redact_spans",
+)
 
 
 def _driver_history() -> tuple[dict, set]:

@@ -4147,3 +4147,56 @@ def text_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return strip_repeated_lines(docs).select(
         "doc_id", "n_lines", "n_lines_removed", "clean_text")
+
+
+@query(
+    "corpus_redact_spans",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+    bg AS (SELECT DISTINCT unnest(list_distinct({_shingles_sql(8)})) AS gram
+           FROM bench),
+    dg AS (SELECT doc_id, unnest(s) AS gram, unnest(range(len(s))) AS pos
+           FROM (SELECT doc_id, {_shingles_sql(8)} AS s FROM corpus)),
+    hits AS (SELECT doc_id, list_sort(list(pos)) AS hs
+             FROM dg JOIN bg USING (gram) GROUP BY doc_id),
+    j AS (SELECT c.doc_id,
+                 string_split_regex(trim(c.text), '\\s+') AS toks,
+                 COALESCE(h.hs, CAST([] AS BIGINT[])) AS hs
+          FROM corpus c LEFT JOIN hits h USING (doc_id)),
+    f AS (SELECT doc_id, toks,
+                 list_transform(toks, (t, i) ->
+                   len(list_filter(hs, p -> i - 1 >= p AND i - 1 < p + 8)) > 0)
+                   AS flags
+          FROM j),
+    k AS (SELECT doc_id,
+                 list_filter(list_transform(toks, (t, i) ->
+                   CASE WHEN NOT flags[i] THEN t
+                        WHEN i = 1 OR NOT flags[i - 1] THEN '[REDACTED]'
+                        ELSE NULL END), x -> x IS NOT NULL) AS kept,
+                 len(list_filter(flags, x -> x)) AS nred,
+                 len(list_filter(list_transform(flags, (x, i) ->
+                   x AND (i = 1 OR NOT flags[i - 1])), y -> y)) AS nsp
+          FROM f)
+    SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+           CAST(nred AS BIGINT) AS n_tokens_redacted,
+           CAST(nsp AS BIGINT) AS n_spans
+    FROM k
+    """,
+)
+def corpus_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination
+    (``functions/corpus.py:redact_contaminated_spans``): leaked 8-gram
+    windows are cut out of the document and each contiguous run
+    collapses to one sentinel token, instead of dropping the whole
+    document the way ``corpus_decontaminate`` does. Same proportional
+    fixture as the Bloom gate (every 10th doc is the benchmark); the
+    oracle rebuilds the flag/collapse lambdas in DuckDB so the cleaned
+    text, redaction counts and span counts pin byte-exactly."""
+    from etl_router_spark.functions.corpus import redact_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return redact_contaminated_spans(corpus, bench, n=8).select(
+        "doc_id", "clean_text", "n_tokens_redacted", "n_spans")

@@ -191,3 +191,56 @@ def test_strip_repeated_lines_zero_shuffle_plan(spark):
     plan = (strip_repeated_lines(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+class TestRedactContaminatedSpans:
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n"),
+             (2, "clean words only here nothing shared at all present"),
+             (3, "x c d e f g h i j y c d e f g h i j z")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "c d e f g h i j padding tokens")],
+            "doc_id long, text string")
+        return docs, bench
+
+    def test_redacts_span_keeps_rest(self, spark):
+        from etl_router_spark.functions.corpus import redact_contaminated_spans
+
+        docs, bench = self._frames(spark)
+        rows = {r["doc_id"]: r
+                for r in redact_contaminated_spans(docs, bench, n=8).collect()}
+        # doc 1: tokens 2..9 covered by the hit at pos 2
+        assert rows[1]["clean_text"] == "a b [REDACTED] k l m n"
+        assert rows[1]["n_tokens_redacted"] == 8
+        assert rows[1]["n_spans"] == 1
+        # doc 2: untouched, whitespace-normalized passthrough
+        assert rows[2]["clean_text"] == \
+            "clean words only here nothing shared at all present"
+        assert rows[2]["n_tokens_redacted"] == 0
+        # doc 3: two separate leaks -> two sentinel runs
+        assert rows[3]["clean_text"] == "x [REDACTED] y [REDACTED] z"
+        assert rows[3]["n_spans"] == 2
+        assert rows[3]["n_tokens_redacted"] == 16
+
+    def test_superset_of_exact_decontaminate_flagging(self, spark):
+        from etl_router_spark.functions.corpus import (
+            contaminated_ids, redact_contaminated_spans)
+
+        docs, bench = self._frames(spark)
+        flagged_exact = {r["id"] for r in
+                         contaminated_ids(docs, bench, n=8).collect()}
+        red = redact_contaminated_spans(docs, bench, n=8)
+        flagged_here = {r["doc_id"] for r in
+                        red.filter("n_tokens_redacted > 0").collect()}
+        assert flagged_here == flagged_exact  # same leak detector
+
+    def test_idempotent_on_clean_output(self, spark):
+        from etl_router_spark.functions.corpus import redact_contaminated_spans
+
+        docs, bench = self._frames(spark)
+        once = redact_contaminated_spans(docs, bench, n=8).select(
+            "doc_id", F.col("clean_text").alias("text"))
+        twice = redact_contaminated_spans(once, bench, n=8)
+        assert twice.filter("n_tokens_redacted > 0").count() == 0
