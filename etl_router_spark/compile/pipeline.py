@@ -444,6 +444,18 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              text_col=cfg.get("text_field", "text"),
                              n=int(cfg.get("ngram", 8)),
                              mode=cfg.get("mode", "drop"))
+    if tt == "redact_spans":
+        from etl_router_spark.functions.corpus import redact_contaminated_spans
+
+        bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
+        return redact_contaminated_spans(
+            df, bench,
+            id_col=cfg.get("id_field", "doc_id"),
+            text_col=cfg.get("text_field", "text"),
+            n=int(cfg.get("n", 8)),
+            sentinel=cfg.get("sentinel", "[REDACTED]"),
+            out_col=cfg.get("out_field", "clean_text"),
+        )
     if tt == "bloom_decontaminate":
         from etl_router_spark.functions.corpus import bloom_decontaminate
 

@@ -504,6 +504,14 @@ def test_curation_transform_types_dispatch(spark, tmp_path):
                    "schema": "host string, __n long"}}, "thr_out")
     assert 0 < thr.count() < 12
 
+    red = run({"transform_type": "redact_spans", "n": 2,
+               "benchmark": {"source_type": "memory",
+                             "rows": [(99, "word x word x")],
+                             "schema": "doc_id long, text string"}},
+              "redact_out")
+    assert {"clean_text", "n_tokens_redacted", "n_spans"} <= set(red.columns)
+    assert red.count() == 12
+
     stripped = run({"transform_type": "strip_repeated_lines"}, "strip_out")
     assert {"clean_text", "n_lines", "n_lines_removed"} <= set(stripped.columns)
     assert stripped.count() == 12
