@@ -1287,3 +1287,57 @@ def redact_contaminated_spans(
         .withColumn("n_spans", F.expr(spans_sql).cast("long"))
         .drop("__hits", "__flags")
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-benchmark-document leak accounting — the report that decides
+    between ``decontaminate`` (drop), ``redact_contaminated_spans``
+    (surgical) and "retrain the eval": for every benchmark document,
+    how many corpus documents share at least one word ``n``-gram with
+    it and how many distinct grams leaked.
+
+    Plan: distinct grams on both sides, benchmark side broadcasts
+    (eval sets are tiny next to a training corpus), one corpus-gram
+    scan joins against it, and the aggregation groups by BENCHMARK id
+    — output is benchmark-sized, so the report costs one corpus scan
+    regardless of corpus size. Benchmark documents with zero leaks are
+    kept (left join) with zero counts: the all-clear rows are the
+    point of a report.
+    """
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+         .alias("gram"),
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+         .alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("corpus_id").alias("n_corpus_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+    )
+    return (
+        benchmark.select(F.col(bench_id_col).alias("bench_id"))
+        .distinct()
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_corpus_docs", F.lit(0)).cast("long")
+             .alias("n_corpus_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long")
+             .alias("n_shared_grams"),
+        )
+    )

@@ -3921,6 +3921,7 @@ _DEFER_NEW = (
     # gates + the 16 r4-stale refreshes); verified locally via
     # scripts/check_correctness.py, first driver row lands r10
     "corpus_redact_spans",
+    "corpus_contamination_report",
 )
 
 

@@ -4200,3 +4200,38 @@ def corpus_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return redact_contaminated_spans(corpus, bench, n=8).select(
         "doc_id", "clean_text", "n_tokens_redacted", "n_spans")
+
+
+@query(
+    "corpus_contamination_report",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(list_distinct({_shingles_sql(8)})) AS gram
+           FROM bench),
+    dg AS (SELECT DISTINCT doc_id AS corpus_id, unnest(list_distinct({_shingles_sql(8)})) AS gram
+           FROM corpus),
+    hits AS (SELECT bench_id,
+                    count(DISTINCT corpus_id) AS n_corpus_docs,
+                    count(DISTINCT gram) AS n_shared_grams
+             FROM dg JOIN bg USING (gram) GROUP BY bench_id)
+    SELECT b.doc_id AS bench_id,
+           CAST(COALESCE(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+           CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+    FROM (SELECT DISTINCT doc_id FROM bench) b
+    LEFT JOIN hits h ON b.doc_id = h.bench_id
+    """,
+)
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-document leak accounting
+    (``functions/corpus.py:contamination_report``): for every eval
+    document, how many corpus documents share an 8-gram with it and
+    how many distinct grams leak — the decision input for drop vs
+    surgical redaction vs eval replacement. Benchmark-sized output,
+    one corpus scan; all-clear rows kept with zero counts."""
+    from etl_router_spark.functions.corpus import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(corpus, bench, n=8)

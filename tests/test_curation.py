@@ -244,3 +244,23 @@ class TestRedactContaminatedSpans:
             "doc_id", F.col("clean_text").alias("text"))
         twice = redact_contaminated_spans(once, bench, n=8)
         assert twice.filter("n_tokens_redacted > 0").count() == 0
+
+
+def test_contamination_report_counts(spark):
+    from etl_router_spark.functions.corpus import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h tail one"),
+         (2, "a b c d e f g h tail two"),
+         (3, "totally different words with no overlap at all here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h plus more"),
+         (200, "nothing from this one appears anywhere in the corpus")],
+        "doc_id long, text string")
+    rows = {r["bench_id"]: r
+            for r in contamination_report(docs, bench, n=8).collect()}
+    assert rows[100]["n_corpus_docs"] == 2      # docs 1 and 2 leak
+    assert rows[100]["n_shared_grams"] == 1     # the one shared 8-gram
+    assert rows[200]["n_corpus_docs"] == 0      # all-clear row kept
+    assert rows[200]["n_shared_grams"] == 0
