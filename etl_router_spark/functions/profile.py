@@ -368,3 +368,68 @@ def fold_sample_sketches(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def histogram_drift(
+    profile_a: DataFrame,
+    profile_b: DataFrame,
+    group_col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Per-group distribution drift between two
+    :func:`histogram_sketch` tables — the reason the histograms are
+    kept at all: compare yesterday's (or the reference snapshot's)
+    per-domain length/quality distribution against today's without
+    touching either corpus.
+
+    Metrics per group (computed over add-``smooth``-smoothed bin
+    probabilities, so empty bins are defined):
+
+    - ``psi``: Population Stability Index,
+      sum_i (p_a_i - p_b_i) * ln(p_a_i / p_b_i) — the standard
+      production drift score (rule of thumb: < 0.1 stable, > 0.25
+      investigate);
+    - ``l1``: total variation x2, sum_i |p_a_i - p_b_i| — bounded
+      [0, 2], robust companion when a bin is near-empty.
+
+    Groups present in only one table are dropped (inner join): drift
+    is undefined without both sides — union the profile first if
+    appearance/disappearance itself is the signal. Pure #groups-row
+    math (one broadcast-sized join, map-side arithmetic); rounded to
+    6 decimals so engines compare exactly.
+    """
+    bins = sorted(
+        int(c[len("bin_"):]) for c in profile_a.columns
+        if c.startswith("bin_") and c[len("bin_"):].isdigit())
+    if not bins or bins != list(range(len(bins))):
+        raise ValueError("profile_a lacks a contiguous bin_0..bin_B set")
+    missing = [f"bin_{i}" for i in bins if f"bin_{i}" not in profile_b.columns]
+    if missing:
+        raise ValueError(f"profile_b lacks bin columns: {missing}")
+    s = float(smooth)
+    B1 = len(bins)
+    a = profile_a.select(
+        group_col, F.col("n_rows").alias("__na"),
+        *[F.col(f"bin_{i}").alias(f"__a{i}") for i in bins])
+    b = profile_b.select(
+        group_col, F.col("n_rows").alias("__nb"),
+        *[F.col(f"bin_{i}").alias(f"__b{i}") for i in bins])
+    j = a.join(b, group_col)
+    den_a = F.col("__na").cast("double") + F.lit(s * B1)
+    den_b = F.col("__nb").cast("double") + F.lit(s * B1)
+    psi = None
+    l1 = None
+    for i in bins:
+        pa = (F.col(f"__a{i}").cast("double") + F.lit(s)) / den_a
+        pb = (F.col(f"__b{i}").cast("double") + F.lit(s)) / den_b
+        term = (pa - pb) * (F.log(pa) - F.log(pb))
+        diff = F.abs(pa - pb)
+        psi = term if psi is None else psi + term
+        l1 = diff if l1 is None else l1 + diff
+    return j.select(
+        group_col,
+        F.col("__na").cast("long").alias("n_rows_a"),
+        F.col("__nb").cast("long").alias("n_rows_b"),
+        F.round(psi, 6).alias("psi"),
+        F.round(l1, 6).alias("l1"),
+    )

@@ -3922,6 +3922,7 @@ _DEFER_NEW = (
     # scripts/check_correctness.py, first driver row lands r10
     "corpus_redact_spans",
     "corpus_contamination_report",
+    "profile_histogram_drift",
 )
 
 

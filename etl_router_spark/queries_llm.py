@@ -4066,9 +4066,11 @@ def profile_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     b1 = histogram_sketch(
-        docs.filter(F.col("doc_id") % 2 == 0), "source", "n_chars", _HIST_BINS)
+        docs.filter(F.expr("(doc_id DIV 20) % 2 = 0")),
+        "source", "n_chars", _HIST_BINS)
     b2 = histogram_sketch(
-        docs.filter(F.col("doc_id") % 2 == 1), "source", "n_chars", _HIST_BINS)
+        docs.filter(F.expr("(doc_id DIV 20) % 2 = 1")),
+        "source", "n_chars", _HIST_BINS)
     merged = merge_sketch_profiles(b1, b2, "source")
     return estimate_histogram_quantile(merged, _HIST_BINS, 0.5).select(
         "source", "n_rows", "q_est")
@@ -4103,9 +4105,9 @@ def profile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    b1 = sample_sketch(docs.filter(F.col("doc_id") % 2 == 0),
+    b1 = sample_sketch(docs.filter(F.expr("(doc_id DIV 20) % 2 = 0")),
                        "source", k=3, payload_cols=["lang"])
-    b2 = sample_sketch(docs.filter(F.col("doc_id") % 2 == 1),
+    b2 = sample_sketch(docs.filter(F.expr("(doc_id DIV 20) % 2 = 1")),
                        "source", k=3, payload_cols=["lang"])
     folded = fold_sample_sketches(b1.unionByName(b2), "source", k=3)
     return folded.select("source", "doc_id", "lang", "rank_key")
@@ -4235,3 +4237,66 @@ def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return contamination_report(corpus, bench, n=8)
+
+
+def _hist_drift_oracle(bins: list[float], smooth: float) -> str:
+    B = len(bins)
+    flags_a, flags_b = [], []
+    for side, pred0, preds, predN in (
+        ("a", f"v < {bins[0]}", None, f"v >= {bins[-1]}"),
+        ("b", f"v < {bins[0]}", None, f"v >= {bins[-1]}"),
+    ):
+        cols = [f"sum(CASE WHEN v < {bins[0]} THEN 1 ELSE 0 END) AS {side}0"]
+        for i in range(1, B):
+            cols.append(f"sum(CASE WHEN v >= {bins[i - 1]} AND v < {bins[i]} "
+                        f"THEN 1 ELSE 0 END) AS {side}{i}")
+        cols.append(f"sum(CASE WHEN v >= {bins[-1]} THEN 1 ELSE 0 END) AS {side}{B}")
+        (flags_a if side == "a" else flags_b).extend(cols)
+    s = repr(float(smooth))
+    B1 = B + 1
+    psi_terms, l1_terms = [], []
+    for i in range(B1):
+        pa = (f"((CAST(a{i} AS DOUBLE) + {s}) / "
+              f"(CAST(na AS DOUBLE) + {s} * {B1}))")
+        pb = (f"((CAST(b{i} AS DOUBLE) + {s}) / "
+              f"(CAST(nb AS DOUBLE) + {s} * {B1}))")
+        psi_terms.append(f"({pa} - {pb}) * (ln({pa}) - ln({pb}))")
+        l1_terms.append(f"abs({pa} - {pb})")
+    return f"""
+    WITH av AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+                WHERE (doc_id // 20) % 2 = 0),
+    bv AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE (doc_id // 20) % 2 = 1),
+    a AS (SELECT source, count(v) AS na, {', '.join(flags_a)} FROM av GROUP BY source),
+    b AS (SELECT source, count(v) AS nb, {', '.join(flags_b)} FROM bv GROUP BY source)
+    SELECT a.source, CAST(na AS BIGINT) AS n_rows_a, CAST(nb AS BIGINT) AS n_rows_b,
+           round({' + '.join(psi_terms)}, 6) AS psi,
+           round({' + '.join(l1_terms)}, 6) AS l1
+    FROM a JOIN b USING (source)
+    """
+
+
+@query("profile_histogram_drift", _hist_drift_oracle(_HIST_BINS, 0.5))
+def profile_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two histogram-sketch tables
+    (``functions/profile.py:histogram_drift``): two interleaved halves
+    of every source profile separately (the split key is independent
+    of the group key — source is doc_id % 20 on this fixture, so a
+    parity split would put each source wholly on one side), and the PSI +
+    L1 scores between the smoothed bin distributions compute from the
+    #groups-row tables alone — the nightly drift check that never
+    re-reads a corpus. Every arithmetic step mirrors in the oracle, so
+    the scores pin to 6 decimals."""
+    from etl_router_spark.functions.profile import (
+        histogram_drift,
+        histogram_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = histogram_sketch(
+        docs.filter(F.expr("(doc_id DIV 20) % 2 = 0")),
+        "source", "n_chars", _HIST_BINS)
+    b = histogram_sketch(
+        docs.filter(F.expr("(doc_id DIV 20) % 2 = 1")),
+        "source", "n_chars", _HIST_BINS)
+    return histogram_drift(a, b, "source")

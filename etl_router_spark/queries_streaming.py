@@ -1387,7 +1387,7 @@ def stream_profile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     src = os.path.join(wd, "in")
     for i in range(4):
-        (docs.filter(F.col("doc_id") % 4 == i)
+        (docs.filter(F.expr(f"(doc_id DIV 20) % 4 = {i}"))
          .select("doc_id", "source", "n_chars")
          .coalesce(1)
          .write.mode("append").parquet(src))

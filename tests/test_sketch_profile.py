@@ -228,3 +228,48 @@ def test_sample_small_group_and_salt(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         sample_sketch(big, "g", k=0)
+
+
+def test_histogram_drift_detects_shift(spark):
+    from etl_router_spark.functions.profile import (
+        histogram_drift, histogram_sketch)
+
+    bins = [10.0, 20.0, 30.0]
+    same_a = spark.createDataFrame(
+        [("g", float(i % 35)) for i in range(300)], "g string, v double")
+    same_b = spark.createDataFrame(
+        [("g", float((i + 7) % 35)) for i in range(300)], "g string, v double")
+    shifted = spark.createDataFrame(
+        [("g", float(20 + i % 15)) for i in range(300)], "g string, v double")
+    pa = histogram_sketch(same_a, "g", "v", bins)
+    stable = histogram_drift(
+        pa, histogram_sketch(same_b, "g", "v", bins), "g").collect()[0]
+    moved = histogram_drift(
+        pa, histogram_sketch(shifted, "g", "v", bins), "g").collect()[0]
+    assert stable["psi"] < 0.01 and stable["l1"] < 0.05
+    assert moved["psi"] > 0.25 and moved["l1"] > 0.5  # investigate threshold
+    assert stable["n_rows_a"] == 300 and stable["n_rows_b"] == 300
+
+
+def test_histogram_drift_zero_against_self(spark):
+    from etl_router_spark.functions.profile import (
+        histogram_drift, histogram_sketch)
+
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 50).alias("v"))
+    p = histogram_sketch(df, "g", "v", [10.0, 25.0])
+    rows = histogram_drift(p, p, "g").collect()
+    assert all(r["psi"] == 0.0 and r["l1"] == 0.0 for r in rows)
+
+
+def test_histogram_drift_validation(spark):
+    from etl_router_spark.functions.profile import (
+        histogram_drift, histogram_sketch)
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    p = histogram_sketch(df, "g", "v", [1.0])
+    with pytest.raises(ValueError, match="bin columns"):
+        histogram_drift(p, p.drop("bin_1"), "g")
+    with pytest.raises(ValueError, match="contiguous"):
+        histogram_drift(p.drop("bin_0"), p, "g")
