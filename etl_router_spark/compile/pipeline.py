@@ -452,7 +452,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             df, bench,
             id_col=cfg.get("id_field", "doc_id"),
             text_col=cfg.get("text_field", "text"),
-            n=int(cfg.get("n", 8)),
+            # 'ngram' mirrors the sibling decontaminate/bloom stages;
+            # 'n' kept as a back-compat alias
+            n=int(cfg.get("ngram", cfg.get("n", 8))),
             sentinel=cfg.get("sentinel", "[REDACTED]"),
             out_col=cfg.get("out_field", "clean_text"),
         )
@@ -468,7 +470,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                                    k=int(cfg.get("hashes", 3)),
                                    mode=cfg.get("mode", "drop"),
                                    hash_family=cfg.get("hash_family",
-                                                       "xxhash64"))
+                                                       "xxhash64"),
+                                   broadcast=cfg.get("broadcast", "auto"))
     if tt == "retrieval_eval":
         # qrels side declared like lookup's dim: a source config
         from etl_router_spark.functions.indexing import retrieval_eval

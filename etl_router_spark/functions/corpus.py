@@ -101,6 +101,18 @@ def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
     mirrorability differs.
     """
     if hash_family == "h60":
+        # each h60 window supplies only 40 bits of entropy (10 hex
+        # chars): pmod(word, m) is unbiased only while m << 2^40, and
+        # positions >= 2^40 are unreachable outright — a silent
+        # false-positive-rate inflation at very large filters. Cap at
+        # 2^32 (bias <= 2^-8); beyond that use xxhash64 (64-bit) or
+        # shrink the filter.
+        if m_bits > (1 << 32):
+            raise ValueError(
+                f"hash_family='h60' draws 40-bit positions; m_bits="
+                f"{m_bits} exceeds the 2^32 safety bound (modulo bias /"
+                " unreachable bits). Use hash_family='xxhash64' for"
+                " filters this large.")
         out = []
         for i in range(k):
             j, w = divmod(i, 3)
@@ -165,6 +177,8 @@ def bloom_decontaminate(
     mode: str = "drop",
     tag_field: str = "contaminated",
     hash_family: str = "h60",
+    broadcast: bool | str = "auto",
+    broadcast_threshold_bits: int = 1 << 22,
 ) -> DataFrame:
     """Benchmark decontamination via a literal Bloom filter — the
     ZERO-join scale path next to :func:`decontaminate`'s semi-join.
@@ -190,12 +204,42 @@ def bloom_decontaminate(
     0.54 ms/doc at local[32], SCALE.md) — i.e. the Bloom path costs
     the same CPU and deletes the shuffle. Property-tested against the
     exact semi-join for the one-sided-error contract.
+
+    ``broadcast``: how the bit-array reaches the executors. ``False``
+    embeds it as a plan LITERAL — zero exchanges of any kind, but the
+    array is serialized into EVERY task binary, the one cost that does
+    not parallelize (the IVF-PQ plan-size lesson, SCALE.md): at the
+    docstring's ~10 bits/gram sizing a 100M-gram benchmark suite would
+    put a ~125 MB literal in each task. ``True`` ships it ONCE per
+    executor as a broadcast single-row frame (crossJoin(broadcast(...))
+    — a BroadcastExchange of one row, still zero row-shuffles of the
+    corpus and the probe expression unchanged / still codegen).
+    ``"auto"`` (default) picks the literal below
+    ``broadcast_threshold_bits`` (default 2^22 bits = 512 KB) and the
+    broadcast above — measured crossover in SCALE.md (plan-literal wins
+    at fixture sizes; broadcast wins once the filter is MBs). Flag
+    results are identical in both modes (plan-pinned).
     """
     from etl_router_spark.functions.text import shingles_sql, tokens_sql
 
     words = bloom_bitmap(benchmark, text_col=text_col, n=n, m_bits=m_bits,
                          k=k, hash_family=hash_family)
-    probe = docs.withColumn("__bf", F.lit(words))
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast must be True|False|'auto', got {broadcast!r}")
+    use_bcast = (broadcast if isinstance(broadcast, bool)
+                 else m_bits > broadcast_threshold_bits)
+    if use_bcast:
+        from pyspark.sql import types as T
+
+        spark = docs.sparkSession
+        bf = spark.createDataFrame(
+            [(words,)],
+            T.StructType([T.StructField(
+                "__bf", T.ArrayType(T.LongType(), False), False)]))
+        probe = docs.crossJoin(F.broadcast(bf))
+    else:
+        probe = docs.withColumn("__bf", F.lit(words))
     pos = _bloom_pos_sql("g", m_bits, k, hash_family)
     flag_sql = (
         f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "

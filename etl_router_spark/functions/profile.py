@@ -255,7 +255,11 @@ def histogram_sketch(
     aggs = [
         F.sum(v.isNotNull().cast("bigint")).alias("n_rows"),
         F.sum(v.isNull().cast("bigint")).alias("n_nulls"),
-        F.round(F.coalesce(F.sum(v), F.lit(0.0)), 6).alias("sum_value"),
+        # kept UNROUNDED: rounding per batch would make fold-then-read
+        # differ from a whole-corpus profile for fractional values
+        # (mergeability is bit-exact only if the persisted state is);
+        # round in readout functions, never in the sketch
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("sum_value"),
     ]
     for i in range(len(bins) + 1):
         aggs.append(
@@ -357,10 +361,20 @@ def fold_sample_sketches(
     #batches x #groups x k rows — corpus-independent. Re-applying with
     the same ``k`` is idempotent; ids arriving in multiple batches
     dedup by id before ranking so a re-ingested document cannot occupy
-    two sample slots."""
+    two sample slots. The dedup winner is DETERMINISTIC: ties order by
+    the full payload tuple (not ``dropDuplicates``, whose survivor
+    depends on partitioning), so a re-ingested document with changed
+    payload folds to the same row on every run."""
     from pyspark.sql import Window
 
-    deduped = log.dropDuplicates([group_col, id_col])
+    payload = [c for c in log.columns if c not in (group_col, id_col)]
+    dw = Window.partitionBy(group_col, id_col).orderBy(
+        *[F.asc(c) for c in payload])
+    deduped = (
+        log.withColumn("__dn", F.row_number().over(dw))
+        .filter(F.col("__dn") == 1)
+        .drop("__dn")
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.asc("rank_key"), F.asc(id_col))
     return (

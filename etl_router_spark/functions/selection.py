@@ -54,6 +54,21 @@ def _grams_sql(text_col: str) -> str:
     return f"concat({toks}, {shingles_sql(toks, 2)})"
 
 
+def _total_grams_sql(text_col: str, alias: str) -> str:
+    """Corpus-total gram count, null-text-safe: a null-text document
+    contributes ZERO grams under either ``spark.sql.legacy.sizeOfNull``
+    setting (legacy ``size(NULL) = -1``, ANSI ``NULL`` — ``greatest``
+    clamps the first and skips the second), matching the exploded
+    (id, bucket) aggregate in :func:`dsir_scores`, which simply emits
+    no rows for such documents. Keeps the 'identical integers by
+    construction' contract between the two entry points on corpora
+    containing null text."""
+    return (
+        f"sum(coalesce(greatest(size({_grams_sql(text_col)}), 0), 0))"
+        f" AS {alias}"
+    )
+
+
 def _bucket_counts(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
     """(bucket, c) hashed-gram counts — one explode + one groupBy with
     map-side partial aggregation; at most ``buckets`` output rows."""
@@ -90,10 +105,8 @@ def dsir_logratios(
         raise ValueError("buckets must be positive")
     ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
     cr = _bucket_counts(raw, text_col, buckets).withColumnRenamed("c", "c_raw")
-    tot_t = target.selectExpr(
-        f"sum(size({_grams_sql(text_col)})) AS __tt"
-    )
-    tot_r = raw.selectExpr(f"sum(size({_grams_sql(text_col)})) AS __tr")
+    tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
+    tot_r = raw.selectExpr(_total_grams_sql(text_col, "__tr"))
     return _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
 
 
@@ -153,12 +166,37 @@ def dsir_scores(
     caller drops the result (the dedup budget-guard ``weakref``
     protocol, including its chained-caller limitation: hold the
     returned frame through your first action or the pin lapses).
-    Opt-in like the dedup pair caches: a scale-time win when the
-    corpus text re-scan dominates, overhead on small inputs.
-    Docs with zero grams score 0.
+    Opt-in here like the dedup pair caches (a scale-time win when the
+    corpus text re-scan dominates, overhead on small inputs) — but ON
+    BY DEFAULT in the chained :func:`dsir_sample` path, which can
+    honor the weakref protocol itself by pinning to its own returned
+    frame. Docs with zero grams score 0.
     """
     from etl_router_spark.functions.dedup import _release_on_gc
 
+    out, pinned = _dsir_scores_pinned(
+        raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
+        smooth=smooth, score_col=score_col, cache=cache)
+    return _release_on_gc(out, pinned) if pinned else out
+
+
+def _dsir_scores_pinned(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    smooth: float,
+    score_col: str,
+    cache: bool,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """:func:`dsir_scores` body, returning (result, pinned-persists)
+    UNWRAPPED so chained operators (:func:`dsir_sample`) can transfer
+    the release-on-gc pin to THEIR final frame — the fix for the
+    chained-caller limitation: a finalize tied to an intermediate
+    would fire at function exit, unpersisting before the caller's
+    first action."""
     doc_buckets = (
         raw.selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
         .select(F.col(id_col), F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
@@ -174,7 +212,7 @@ def dsir_scores(
     cr = doc_buckets.groupBy("bucket").agg(F.sum("__c").alias("c_raw"))
     tot_r = doc_buckets.agg(F.sum("__c").alias("__tr"))
     ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
-    tot_t = target.selectExpr(f"sum(size({_grams_sql(text_col)})) AS __tt")
+    tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
     lr = F.broadcast(
         _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
         .select("bucket", "lr_micro"))
@@ -187,7 +225,7 @@ def dsir_scores(
         raw.join(scores, id_col, "left")
         .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0).cast("bigint")))
     )
-    return _release_on_gc(out, pinned) if pinned else out
+    return out, pinned
 
 
 def _gumbel_micro(id_col: str, salt: str) -> Column:
@@ -212,6 +250,7 @@ def dsir_sample(
     smooth: float = 0.5,
     salt: str = "dsir",
     key_col: str = "dsir_key_micro",
+    cache: bool = True,
 ) -> DataFrame:
     """DSIR selection: the ``k`` raw documents sampled WITHOUT
     replacement with probability proportional to their importance
@@ -225,13 +264,27 @@ def dsir_sample(
     computes per-partition partial top-k then merges k*partitions
     rows, never a global sort or single-partition window. Ties break
     by ascending id. Output: input columns + score + selection key.
+
+    ``cache=True`` (default HERE, opt-in on :func:`dsir_scores`):
+    persist the slim (id, bucket, c) aggregate so the model's raw
+    marginals and the per-doc scoring read ONE corpus
+    explode+aggregate instead of two — at 100 TB re-scanning corpus
+    text always loses to persisting 3-int rows. The release pin is
+    attached to THIS function's returned frame (not the intermediate
+    scores), so the weakref protocol holds for ordinary callers: hold
+    the result through your action, the persist releases when you
+    drop it.
     """
-    scored = dsir_scores(raw, target, id_col=id_col, text_col=text_col,
-                         buckets=buckets, smooth=smooth)
+    from etl_router_spark.functions.dedup import _release_on_gc
+
+    scored, pinned = _dsir_scores_pinned(
+        raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
+        smooth=smooth, score_col="dsir_score_micro", cache=cache)
     keyed = scored.withColumn(
         key_col, F.col("dsir_score_micro") + _gumbel_micro(id_col, salt)
     )
-    return keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+    out = keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+    return _release_on_gc(out, pinned) if pinned else out
 
 
 def weighted_sample(

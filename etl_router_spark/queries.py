@@ -3916,13 +3916,13 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # backlog clears. Emptied in r7 and again in r9 (the 5 r8 PQ/
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
-_DEFER_NEW = (
-    # registered after the r9 window was already full (30 never-checked
-    # gates + the 16 r4-stale refreshes); verified locally via
-    # scripts/check_correctness.py, first driver row lands r10
-    "corpus_redact_spans",
-    "corpus_contamination_report",
-    "profile_histogram_drift",
+_DEFER_NEW: tuple[str, ...] = (
+    # (r10: the 3 r9 stragglers — corpus_redact_spans,
+    # corpus_contamination_report, profile_histogram_drift — were
+    # released; they rank first by the never-checked rule. Gates
+    # registered in r10 are deferred below so the 43-gate r5-stale
+    # tail gets the remaining window slots.)
+    "corpus_bloom_decontaminate_bcast",
 )
 
 

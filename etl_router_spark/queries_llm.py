@@ -3886,6 +3886,35 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@query("corpus_bloom_decontaminate_bcast", None)
+def corpus_bloom_decontaminate_bcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same Bloom decontamination with ``broadcast=True``: the bit
+    array ships ONCE per executor as a broadcast single-row frame
+    instead of riding in every task binary as a plan literal — the
+    giant-benchmark fallback (a 100M-gram suite is a ~125 MB literal
+    at ~10 bits/gram; plan size is the one cost that does not
+    parallelize, the IVF-PQ lesson at SCALE.md). Flag semantics are
+    identical by construction — same positions, same probe expression
+    — so this gate shares the literal gate's oracle and must produce
+    the SAME rows/hash. Zero row-shuffles of the corpus in either
+    mode (plan-pinned in tests/test_plans.py)."""
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return bloom_decontaminate(
+        corpus, bench, n=8, m_bits=_BLOOM_M, k=3, broadcast=True
+    ).select("doc_id", "lang", "source")
+
+
+# identical semantics by construction -> identical oracle: the two
+# modes differ only in HOW the bit array reaches the executors
+ORACLES["corpus_bloom_decontaminate_bcast"] = ORACLES["corpus_bloom_decontaminate"]
+
+
 # ===========================================================================
 # URL-based curation: per-domain caps + one-pass filter attribution
 # ===========================================================================

@@ -612,8 +612,16 @@ def test_budget_persist_released_on_result_gc(spark):
     long-lived session making repeated budgeted calls must not
     accumulate cached partitions: dropping the result DataFrame
     releases the budget-pinned persists (weakref.finalize ->
-    non-blocking unpersist)."""
+    non-blocking unpersist).
+
+    Determinism: the assertion is on the DELTA of RDD ids pinned by
+    the calls under test (never the session-global count, which other
+    tests' async unpersists can move), and release is observed through
+    a deadline POLL — weakref.finalize fires on gc, but the JVM-side
+    unpersist it issues is asynchronous, so a single post-gc snapshot
+    races under load (seen flaking in the r9 full-suite run)."""
     import gc
+    import time
 
     from etl_router_spark.functions.dedup import (
         hamming_pairs,
@@ -622,28 +630,40 @@ def test_budget_persist_released_on_result_gc(spark):
 
     sc = spark.sparkContext
 
-    def n_persistent():
-        return sc._jsc.getPersistentRDDs().size()
+    def pinned_ids() -> set:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def wait_released(ids: set, deadline: float = 30.0) -> set:
+        """Poll until none of `ids` is still pinned; returns the
+        stragglers (empty = released)."""
+        end = time.monotonic() + deadline
+        left = ids & pinned_ids()
+        while left and time.monotonic() < end:
+            gc.collect()
+            time.sleep(0.2)
+            left = ids & pinned_ids()
+        return left
 
     gc.collect()
-    base = n_persistent()
+    base = pinned_ids()
     rows = [(i, f"doc {i} alpha beta gamma {i % 3}") for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     res = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_candidates=10**6)
-    assert n_persistent() > base  # pinned while the result is alive
+    new1 = pinned_ids() - base
+    assert new1  # pinned while the result is alive
     res.count()
     del res
-    gc.collect()
-    assert n_persistent() == base
+    assert wait_released(new1) == set()
     # ngram path pins `grouped`; hamming path pins `blocked` — same contract
     res2 = ngram_jaccard_pairs(df, threshold=0.1, max_candidates=10_000)
     fps = spark.createDataFrame([(i, i) for i in range(10)],
                                 "id bigint, simhash bigint")
     res3 = hamming_pairs(fps, max_hamming=3, bits=32, max_candidates=10**6)
-    assert n_persistent() > base
+    new2 = pinned_ids() - base
+    assert new2
     del res2, res3
-    gc.collect()
-    assert n_persistent() == base
+    assert wait_released(new2) == set()
 
 
 def test_bpe_tokenize_property_random(spark):

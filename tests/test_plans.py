@@ -447,6 +447,79 @@ def test_bloom_probe_zero_exchange(spark, sf_dir):
         assert "Join" not in plan, (fam, plan)
 
 
+def test_mix_sample_external_sizes_zero_row_exchange(spark, sf_dir):
+    """With a persisted (domain, __n) table mix_sample is a SINGLE
+    corpus scan with no hash exchange: rates derive from the tiny
+    external frame and broadcast onto the fact side — the nightly
+    path (the counts pass is only for ad-hoc calls; its cost is the
+    adjudicated corpus_mix_target constant in SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import mix_sample
+    from etl_router_spark.io import load_table
+
+    sizes = spark.createDataFrame(
+        [(f"src{i}", 1000.0) for i in range(20)], "source string, __n double")
+    docs = load_table(spark, sf_dir, "documents")
+    for kw in ({"weights": {"src1": 0.5, "src2": 0.5}},
+               {"temperature": 0.5}):
+        plan = (mix_sample(docs, domain_col="source", size_col="n_chars",
+                           domain_sizes=sizes, **kw)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning" not in plan, (kw, plan)
+        assert "BroadcastHashJoin" in plan, (kw, plan)
+        assert "SortMergeJoin" not in plan, (kw, plan)
+
+
+def test_bloom_probe_broadcast_mode_zero_row_exchange(spark, sf_dir):
+    """broadcast=True swaps the plan literal for a one-row broadcast
+    frame: the corpus side still sees NO hash exchange (nothing
+    corpus-sized shuffles) — the only addition is the single-row
+    BroadcastExchange that ships the bit array once per executor
+    instead of once per task binary."""
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 50")
+    plan = (bloom_decontaminate(docs, bench, n=8, m_bits=1 << 14,
+                                k=3, broadcast=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_broadcast_and_literal_agree(spark, sf_dir):
+    """Mode is a transport decision, not a semantics decision: the
+    surviving doc_id set must be identical literal vs broadcast."""
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 7 = 0")
+    kw = dict(n=8, m_bits=1 << 14, k=3)
+    lit = {r[0] for r in bloom_decontaminate(
+        docs, bench, broadcast=False, **kw).select("doc_id").collect()}
+    bc = {r[0] for r in bloom_decontaminate(
+        docs, bench, broadcast=True, **kw).select("doc_id").collect()}
+    assert lit == bc
+
+
+def test_bloom_h60_rejects_oversized_filter():
+    """h60 positions carry 40 bits: m_bits beyond 2^32 must fail fast
+    (modulo bias + unreachable bits silently inflate the FP rate)."""
+    import pytest
+
+    from etl_router_spark.functions.corpus import _bloom_pos_sql
+
+    with pytest.raises(ValueError, match="2\\^32|xxhash64"):
+        _bloom_pos_sql("g", (1 << 33), 3, "h60")
+    # xxhash64 is 64-bit: same size must be accepted
+    assert len(_bloom_pos_sql("g", (1 << 33), 3, "xxhash64")) == 3
+
+
 def test_retrieval_eval_partitions_by_query_only(spark):
     """retrieval_eval's shuffles are all query_id-keyed: per-query
     groups are <= k rows, so a million-query evaluation is a million
