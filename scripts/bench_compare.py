@@ -25,7 +25,46 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
+import subprocess
+import sys
+
+
+def touched_queries(git_range: str, names: set[str]) -> set[str]:
+    """Which gates' implementations changed in ``git_range``? A gate
+    counts as touched when (a) its name appears in the diff text (its
+    own body changed), or (b) a changed module's dotted import path
+    appears in the gate function's source (the gate calls into a
+    changed operator module). Heuristic by design — transitive module
+    deps are missed — so it only decides which of TWO thresholds
+    applies, never whether a query is compared at all."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    diff = subprocess.run(
+        ["git", "diff", git_range, "--", "etl_router_spark"],
+        cwd=root, capture_output=True, text=True, check=True).stdout
+    changed_files = subprocess.run(
+        ["git", "diff", "--name-only", git_range, "--", "etl_router_spark"],
+        cwd=root, capture_output=True, text=True, check=True
+    ).stdout.split()
+    dotted = [
+        f[:-3].replace("/", ".") for f in changed_files if f.endswith(".py")]
+    touched = {n for n in names if n in diff}
+    if dotted:
+        sys.path.insert(0, root)
+        import inspect
+
+        from etl_router_spark import queries_llm, queries_streaming  # noqa
+        from etl_router_spark.queries import QUERIES
+
+        for n in names - touched:
+            try:
+                src = inspect.getsource(QUERIES[n])
+            except (KeyError, OSError, TypeError):
+                continue
+            if any(d in src for d in dotted):
+                touched.add(n)
+    return touched
 
 
 def load_bench(path: str) -> dict:
@@ -58,6 +97,16 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.25,
                     help="flag normalized ratios beyond this (and below "
                          "its reciprocal)")
+    ap.add_argument("--untouched-threshold", type=float, default=1.4,
+                    help="laxer flag threshold for queries whose code "
+                         "did NOT change in --git-range (residual "
+                         "calibration noise false-flags untouched "
+                         "queries ~2x/round at 1.25; a real regression "
+                         "in untouched code is plan-stability drift, "
+                         "which shows up well past 1.4)")
+    ap.add_argument("--git-range", default=None,
+                    help="e.g. 'r9tag..HEAD': queries not touched in "
+                         "this range use --untouched-threshold")
     args = ap.parse_args()
 
     old, new = load_bench(args.old), load_bench(args.new)
@@ -71,6 +120,13 @@ def main() -> int:
            else f"UNNORMALIZED — no calibration field in: {missing_cal} "
                 "(pre-round-7 bench output); raw ratios below include "
                 "machine drift")
+    common = set(old["queries"]) & set(new["queries"])
+    touched = common
+    if args.git_range:
+        touched = touched_queries(args.git_range, common)
+        print(f"# {len(touched)}/{len(common)} queries touched in "
+              f"{args.git_range}; untouched flag at "
+              f"x{args.untouched_threshold}")
     print(f"# {tag}; flag threshold x{args.threshold}")
     # calibration-sample spread check (post-r8 benches): the r8 round
     # burned a verdict cycle on 10 phantom regressions caused by ONE
@@ -103,19 +159,21 @@ def main() -> int:
                   "phantom regressions (see round 8)")
 
     flagged = 0
-    for name in sorted(set(old["queries"]) & set(new["queries"])):
+    for name in sorted(common):
         a, b = old["queries"][name], new["queries"][name]
         if not a:
             continue
+        thr = args.threshold if name in touched else args.untouched_threshold
         norm = (b / a) / drift
         mark = ""
-        if norm >= args.threshold:
+        if norm >= thr:
             mark, flagged = "REGRESSED", flagged + 1
-        elif norm <= 1 / args.threshold:
+        elif norm <= 1 / thr:
             mark = "improved"
         if mark:
+            tchd = "" if name in touched else " [untouched]"
             print(f"{name:32s} {a:7.3f}s -> {b:7.3f}s  "
-                  f"norm x{norm:.2f}  {mark}")
+                  f"norm x{norm:.2f}  {mark}{tchd}")
     only_old = set(old["queries"]) - set(new["queries"])
     only_new = set(new["queries"]) - set(old["queries"])
     if only_old:
