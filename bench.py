@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     # one-shuffle plan) and the one-pass filter-attribution report
     "curate_domain_cap",
     "corpus_filter_attribution",
+    # round 10: the broadcast Bloom transport, tracked from birth next
+    # to its plan-literal twin (the delta between the two rows IS the
+    # per-task literal serialization cost)
+    "corpus_bloom_decontaminate_bcast",
 ]
 
 # r4 flagged three regressions (+11..23%) with no commit touching their

@@ -178,7 +178,7 @@ def bloom_decontaminate(
     tag_field: str = "contaminated",
     hash_family: str = "h60",
     broadcast: bool | str = "auto",
-    broadcast_threshold_bits: int = 1 << 22,
+    broadcast_threshold_bits: int = 1 << 17,
 ) -> DataFrame:
     """Benchmark decontamination via a literal Bloom filter — the
     ZERO-join scale path next to :func:`decontaminate`'s semi-join.
@@ -215,9 +215,13 @@ def bloom_decontaminate(
     — a BroadcastExchange of one row, still zero row-shuffles of the
     corpus and the probe expression unchanged / still codegen).
     ``"auto"`` (default) picks the literal below
-    ``broadcast_threshold_bits`` (default 2^22 bits = 512 KB) and the
-    broadcast above — measured crossover in SCALE.md (plan-literal wins
-    at fixture sizes; broadcast wins once the filter is MBs). Flag
+    ``broadcast_threshold_bits`` and the broadcast above. Measured
+    A/B (SCALE.md "Bloom transport"): the literal arm's wall EXPLODES
+    with filter size (7.8 s at 32 KiB -> 33 s at 512 KiB -> 137 s at
+    2 MiB on the sf0.1 probe) because every task re-serializes and
+    re-compiles the array, while the broadcast arm stays flat
+    (3.9-5.2 s) — so the default threshold is 2^17 bits (16 KiB),
+    below the smallest size measured to favor broadcast by 2x. Flag
     results are identical in both modes (plan-pinned).
     """
     from etl_router_spark.functions.text import shingles_sql, tokens_sql

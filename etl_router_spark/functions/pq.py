@@ -616,6 +616,20 @@ def ivfpq_rerank_topk(
     shortlist's full vectors from ``corpus`` — by design, exact
     refinement is the one place raw vectors are read, and only
     |Q| x shortlist of them.
+
+    **Operating rule for clustered embeddings (measured, SCALE.md
+    "IVF-PQ recall on CLUSTERED fixtures"):** when the corpus is
+    near-duplicate-dense — tight clusters whose internal spread sits
+    below PQ quantizer resolution — every cluster member shares a
+    code, ADC distances tie, and ONLY this exact re-rank recovers
+    recall: size ``shortlist`` to at least the expected duplicate-
+    cluster occupancy (0.81 recall at shortlist ≥ spread, degrading
+    toward 10/occupancy as the shortlist falls below it). ``nprobe``
+    can stay minimal there (trained cells align with clusters, so
+    recall is flat in nprobe); if occupancy exceeds a practical
+    shortlist, use the cosine-threshold SemDeDup path
+    (``dedup.semantic_dedup``) instead of ranking inside clusters by
+    quantized distance.
     """
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,

@@ -3881,8 +3881,12 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
+    # broadcast=False PINNED: this gate oracle-covers the plan-literal
+    # transport; the _bcast twin covers the broadcast one ('auto'
+    # would pick broadcast at this m_bits and leave the literal path
+    # value-unchecked)
     return bloom_decontaminate(
-        corpus, bench, n=8, m_bits=_BLOOM_M, k=3
+        corpus, bench, n=8, m_bits=_BLOOM_M, k=3, broadcast=False
     ).select("doc_id", "lang", "source")
 
 

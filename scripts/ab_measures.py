@@ -1,0 +1,143 @@
+"""Named A/B experiments for operator-level design decisions.
+
+Each experiment measures the SAME result computed two ways and prints
+one JSON line — the repo's convention for adjudicating a constant
+(bench_compare flags a movement; the A/B here explains it or rejects
+the design). Usage:
+
+    python scripts/ab_measures.py [sf_dir] [exp1,exp2,...]
+
+Experiments (default: all):
+
+- ``bloom_transport``: plan-literal vs broadcast bit-array across
+  m_bits sizes — where does shipping the filter once per executor
+  (BroadcastExchange) beat serializing it into every task binary?
+  (The IVF-PQ plan-size lesson applied to bloom_decontaminate's
+  ``broadcast`` threshold.)
+- ``dsir_cache``: dsir_sample with the (id,bucket,c) aggregate
+  persisted (cache=True, the r10 default) vs recomputed — the
+  single-pass restructure's win is the corpus text re-scan it
+  deletes.
+- ``mix_counts``: mix_sample with the per-domain counts pass inline
+  vs a pre-persisted domain_sizes table — isolates the counts
+  aggregate the r9 temperature rework added to the nightly path
+  (adjudicating the corpus_mix_target +27% bench movement).
+
+Methodology: median of 3 alternating reps per arm (A,B,A,B,...),
+`spark.catalog.clearCache()` between reps, action = count() so both
+arms pay the same materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPS = 3
+
+
+def _median_wall(fn, spark) -> float:
+    walls = []
+    for _ in range(REPS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 3)
+
+
+def bloom_transport(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    n_docs = corpus.count()
+    out: dict = {"experiment": "bloom_transport", "sf": sf_dir,
+                 "n_docs": n_docs, "arms": {}}
+    for m_bits in (1 << 18, 1 << 22, 1 << 24):
+        row: dict = {"filter_kib": m_bits // 8 // 1024}
+        for mode, bcast in (("literal", False), ("broadcast", True)):
+            row[mode] = _median_wall(
+                lambda b=bcast, m=m_bits: bloom_decontaminate(
+                    corpus, bench, n=8, m_bits=m, k=3,
+                    hash_family="xxhash64", broadcast=b).count(),
+                spark)
+        out["arms"][f"m=2^{m_bits.bit_length() - 1}"] = row
+    return out
+
+
+def dsir_cache(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.selection import dsir_sample
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    out: dict = {"experiment": "dsir_cache", "sf": sf_dir,
+                 "n_docs": raw.count(), "arms": {}}
+    for mode, cache in (("recompute", False), ("persisted", True)):
+        out["arms"][mode] = _median_wall(
+            lambda c=cache: dsir_sample(
+                raw, tgt, 50, buckets=512, salt="dsir1", cache=c).count(),
+            spark)
+    return out
+
+
+def mix_counts(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import mix_sample
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src13": 0.4, "src8": 0.3, "src7": 0.2, "src18": 0.1}
+    sizes = (docs.groupBy("source")
+             .agg(F.sum(F.col("n_chars").cast("double")).alias("__n")))
+    sizes_rows = sizes.collect()  # pre-persisted table stand-in
+    sizes_df = spark.createDataFrame(sizes_rows, sizes.schema)
+    out: dict = {"experiment": "mix_counts", "sf": sf_dir,
+                 "n_docs": docs.count(), "arms": {}}
+    out["arms"]["inline_counts"] = _median_wall(
+        lambda: mix_sample(docs, weights, domain_col="source",
+                           size_col="n_chars", salt="mix2").count(),
+        spark)
+    out["arms"]["external_sizes"] = _median_wall(
+        lambda: mix_sample(docs, weights, domain_col="source",
+                           size_col="n_chars", salt="mix2",
+                           domain_sizes=sizes_df).count(),
+        spark)
+    return out
+
+
+EXPERIMENTS = {
+    "bloom_transport": bloom_transport,
+    "dsir_cache": dsir_cache,
+    "mix_counts": mix_counts,
+}
+
+
+def main() -> None:
+    from etl_router_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else list(EXPERIMENTS))
+    spark = get_spark("ab_measures")
+    for name in names:
+        print(json.dumps(EXPERIMENTS[name](spark, sf_dir)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

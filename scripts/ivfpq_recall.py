@@ -15,6 +15,15 @@ Output: one JSON line {"sweeps": [{sf, n, n_cells, recall: {nprobe:
 r@k}, adc_recall, wall: {...}}]} plus a markdown table on stderr ready
 for SCALE.md. n_cells follows the ``auto`` occupancy rule
 (ceil(n/256)) so the measured curve is the one the defaults produce.
+
+A positional argument of the form ``clustered:N:C`` generates a
+mixture-of-C-Gaussians fixture of N 64-dim vectors (deterministic
+seed) under /tmp and sweeps that instead of a testdata dir: the
+fixture embeddings are near-uniform random — the documented PQ WORST
+case (no subvector structure to quantize, ADC ceiling 0.19 at 20k) —
+while real embedding spaces are clustered (SemDeDup's operating
+assumption), so the clustered sweep shows users the realistic ceiling
+next to the adversarial one.
 """
 
 from __future__ import annotations
@@ -119,11 +128,44 @@ def sweep(spark, sf_dir: str) -> dict:
     }
 
 
+def make_clustered(spark, n: int, n_clusters: int, sigma: float = 0.15,
+                   dim: int = 64, seed: int = 1337) -> str:
+    """Write a mixture-of-Gaussians embeddings.parquet under /tmp and
+    return its directory. Cluster centers ~ N(0,1); ``sigma`` is the
+    within-cluster noise scale. sigma ~0.5 models trained-encoder
+    embedding spaces (separable clusters with resolvable internal
+    structure); sigma 0.15 is the DEGENERATE regime where within-
+    cluster spread sits below PQ quantizer resolution — every member
+    shares a code, ADC cannot rank inside a cluster, and only exact
+    re-rank with a shortlist >= cluster occupancy recovers recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = centers[assign] + sigma * rng.standard_normal((n, dim))
+    out_dir = f"/tmp/ivfpq_clustered_n{n}_c{n_clusters}_s{sigma}"
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+     .repartition(8)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+    return out_dir
+
+
 def main() -> None:
     from etl_router_spark.session import get_spark
 
     spark = get_spark("ivfpq_recall")
-    out = [sweep(spark, d) for d in sys.argv[1:]]
+    dirs = []
+    for a in sys.argv[1:]:
+        if a.startswith("clustered:"):
+            parts = a.split(":")
+            sigma = float(parts[3]) if len(parts) > 3 else 0.15
+            dirs.append(make_clustered(spark, int(parts[1]),
+                                       int(parts[2]), sigma))
+        else:
+            dirs.append(a)
+    out = [sweep(spark, d) for d in dirs]
     print(json.dumps({"sweeps": out}))
     print("| corpus | n | cells | " +
           " | ".join(f"r@{K} np={p}" for p in NPROBES) +

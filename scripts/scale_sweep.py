@@ -121,7 +121,14 @@ def _ops():
         "decontaminate_exact_full": lambda s, sf: _decon_exact_full(s, sf),
         "decontaminate_bloom_full": lambda s, sf: _decon_bloom_full(s, sf),
         "decontaminate_bloomxx_full": lambda s, sf: _decon_bloomxx_full(s, sf),
+        # round 10: the broadcast transport (the auto default at this
+        # m_bits) next to the pinned literal rows above
+        "decontaminate_bloombc_full": lambda s, sf: _decon_bloombc_full(s, sf),
         "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
+        # round 10: the chained scorer->sampler path with the
+        # (id,bucket,c) persist now ON by default — its own curve so
+        # the default users actually get is the one measured
+        "dsir_sample_full": lambda s, sf: _dsir_sample_full(s, sf),
         "weighted_sample_full": lambda s, sf: _wsample_full(s, sf),
         # fourth wave (round 9, second pass): the corpus lifecycle ops
         "leakage_splits_full": lambda s, sf: _leakage_full(s, sf),
@@ -225,8 +232,10 @@ def _decon_bloom_full(s, sf):
     from etl_router_spark.functions.corpus import bloom_decontaminate
 
     corpus, bench = _decon_split(s, sf)
+    # broadcast=False pinned: this op's r7-r9 rows measured the plan
+    # literal; the broadcast transport has its own op below
     return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
-                               k=3).select("doc_id")
+                               k=3, broadcast=False).select("doc_id")
 
 
 def _decon_bloomxx_full(s, sf):
@@ -234,7 +243,17 @@ def _decon_bloomxx_full(s, sf):
 
     corpus, bench = _decon_split(s, sf)
     return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
-                               k=3, hash_family="xxhash64").select("doc_id")
+                               k=3, hash_family="xxhash64",
+                               broadcast=False).select("doc_id")
+
+
+def _decon_bloombc_full(s, sf):
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    corpus, bench = _decon_split(s, sf)
+    return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
+                               k=3, hash_family="xxhash64",
+                               broadcast=True).select("doc_id")
 
 
 def _dsir_full(s, sf):
@@ -243,6 +262,14 @@ def _dsir_full(s, sf):
     corpus, target = _decon_split(s, sf)
     return dsir_scores(corpus, target, buckets=4096).select(
         "doc_id", "dsir_score_micro")
+
+
+def _dsir_sample_full(s, sf):
+    from etl_router_spark.functions.selection import dsir_sample
+
+    corpus, target = _decon_split(s, sf)
+    return dsir_sample(corpus, target, 50, buckets=4096).select(
+        "doc_id", "dsir_key_micro")
 
 
 def _wsample_full(s, sf):

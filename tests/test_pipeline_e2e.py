@@ -512,6 +512,17 @@ def test_curation_transform_types_dispatch(spark, tmp_path):
     assert {"clean_text", "n_tokens_redacted", "n_spans"} <= set(red.columns)
     assert red.count() == 12
 
+    # 'ngram' (the sibling decontaminate stages' key) must be honored —
+    # a user writing it must not silently get the default size
+    red2 = run({"transform_type": "redact_spans", "ngram": 2,
+                "benchmark": {"source_type": "memory",
+                              "rows": [(99, "word x word x")],
+                              "schema": "doc_id long, text string"}},
+               "redact_ngram_out")
+    a = {r["doc_id"]: r["n_spans"] for r in red.collect()}
+    b = {r["doc_id"]: r["n_spans"] for r in red2.collect()}
+    assert a == b and any(v > 0 for v in a.values())
+
     stripped = run({"transform_type": "strip_repeated_lines"}, "strip_out")
     assert {"clean_text", "n_lines", "n_lines_removed"} <= set(stripped.columns)
     assert stripped.count() == 12
