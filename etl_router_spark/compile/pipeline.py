@@ -820,6 +820,14 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         # rules: {name: SQL boolean expression (True = keep)}
         return filter_attribution(
             df, {n: F.expr(sql) for n, sql in cfg["rules"].items()})
+    if tt == "yield_curve":
+        from etl_router_spark.functions.corpus import filter_yield_curve
+
+        return filter_yield_curve(
+            df, cfg["score_field"],
+            [float(t) for t in cfg["thresholds"]],
+            size_col=cfg.get("size_field"),
+            group_col=cfg.get("group_field"))
     if tt == "quality_filter":
         from etl_router_spark.functions.corpus import adaptive_quality_filter
 

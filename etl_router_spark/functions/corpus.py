@@ -179,6 +179,7 @@ def bloom_decontaminate(
     hash_family: str = "h60",
     broadcast: bool | str = "auto",
     broadcast_threshold_bits: int = 1 << 17,
+    prebuilt_words: list[int] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination via a literal Bloom filter — the
     ZERO-join scale path next to :func:`decontaminate`'s semi-join.
@@ -223,11 +224,28 @@ def bloom_decontaminate(
     (3.9-5.2 s) — so the default threshold is 2^17 bits (16 KiB),
     below the smallest size measured to favor broadcast by 2x. Flag
     results are identical in both modes (plan-pinned).
+
+    ``prebuilt_words``: a bit array from a prior :func:`bloom_bitmap`
+    call — build ONCE, probe forever (``benchmark`` is then ignored
+    and may be None). The nightly-ingest / streaming shape: the
+    benchmark suite changes rarely, so rebuilding the filter per batch
+    pays the driver-side gram collection every time for an identical
+    array; with a prebuilt filter each micro-batch costs exactly one
+    map-side probe pass (``stream_bloom_probe`` gate).
     """
     from etl_router_spark.functions.text import shingles_sql, tokens_sql
 
-    words = bloom_bitmap(benchmark, text_col=text_col, n=n, m_bits=m_bits,
-                         k=k, hash_family=hash_family)
+    if prebuilt_words is not None:
+        if m_bits != 64 * len(prebuilt_words):
+            raise ValueError(
+                f"prebuilt_words has {64 * len(prebuilt_words)} bits but "
+                f"m_bits={m_bits}; pass the m_bits the filter was built "
+                "with (positions must match bit-exactly)")
+        words = prebuilt_words
+        _bloom_pos_sql("g", m_bits, k, hash_family)  # validate family+size
+    else:
+        words = bloom_bitmap(benchmark, text_col=text_col, n=n,
+                             m_bits=m_bits, k=k, hash_family=hash_family)
     if broadcast not in (True, False, "auto"):
         raise ValueError(
             f"broadcast must be True|False|'auto', got {broadcast!r}")
@@ -1250,6 +1268,71 @@ def filter_attribution(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(F.coalesce(F.col("n_fail"), F.lit(0)) / F.col("n_rows"), 6)
          .alias("fail_rate"),
+    )
+
+
+def filter_yield_curve(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    size_col: str | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-threshold retention curve for a quality score — the
+    CALIBRATION step between training a classifier
+    (``text.quality_classifier``) and committing to a cutoff: at
+    100 TB you cannot re-run the filter once per candidate threshold,
+    and a quantile sketch answers "what score is the p90" but not
+    "how many TOKENS survive a 0.7 cutoff". One aggregation pass (2T
+    conditional partial sums + 2 totals; no shuffle of data rows —
+    the same shape as :func:`filter_attribution`) emits, per
+    threshold t (keep = ``score_col >= t``; NULL scores never kept):
+
+    - ``n_docs_kept`` / ``frac_docs``,
+    - ``n_units_kept`` / ``frac_units`` (rows, or ``sum(size_col)``
+      — tokens is the production unit),
+
+    so the yield-vs-quality trade reads off one table. Grouped by
+    ``group_col`` when given (per-domain curves; at most
+    #groups x (T+1) output rows). Fractions round to 6 dp for exact
+    cross-engine comparison.
+    """
+    if not thresholds:
+        raise ValueError("filter_yield_curve: need at least one threshold")
+    if sorted(thresholds) != list(thresholds) or \
+            len(set(thresholds)) != len(thresholds):
+        raise ValueError("filter_yield_curve: thresholds must be "
+                         "strictly increasing")
+    s = F.col(score_col).cast("double")
+    unit = F.col(size_col).cast("double") if size_col else F.lit(1.0)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(unit), F.lit(0.0)).alias("__u"),
+    ]
+    for i, t in enumerate(thresholds):
+        keep = s >= float(t)
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"__d{i}"))
+        aggs.append(F.coalesce(
+            F.sum(F.when(keep, unit).otherwise(F.lit(0.0))), F.lit(0.0)
+        ).alias(f"__u{i}"))
+    wide = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({repr(float(t))} AS DOUBLE), __d{i}, __u{i}"
+        for i, t in enumerate(thresholds))
+    cols = ([group_col] if group_col else []) + [
+        f"stack({len(thresholds)}, {stacked}) AS "
+        "(threshold, n_docs_kept, n_units_kept)",
+        "__n", "__u",
+    ]
+    return wide.selectExpr(*cols).select(
+        *([group_col] if group_col else []),
+        "threshold",
+        F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+        F.col("n_units_kept").cast("double").alias("n_units_kept"),
+        F.round(F.col("n_docs_kept") / F.col("__n"), 6).alias("frac_docs"),
+        F.round(F.when(F.col("__u") > 0,
+                       F.col("n_units_kept") / F.col("__u"))
+                 .otherwise(F.lit(0.0)), 6).alias("frac_units"),
     )
 
 

@@ -3923,6 +3923,8 @@ _DEFER_NEW: tuple[str, ...] = (
     # registered in r10 are deferred below so the 43-gate r5-stale
     # tail gets the remaining window slots.)
     "corpus_bloom_decontaminate_bcast",
+    "corpus_yield_curve",
+    "stream_bloom_probe",
 )
 
 

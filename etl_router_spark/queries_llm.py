@@ -4045,6 +4045,48 @@ def corpus_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def _yield_curve_oracle(thresholds: list[float]) -> str:
+    rows = []
+    for t in thresholds:
+        rows.append(f"""
+        SELECT source, CAST({t!r} AS DOUBLE) AS threshold,
+               CAST(sum(CASE WHEN sc >= {t!r} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_kept,
+               CAST(sum(CASE WHEN sc >= {t!r} THEN u ELSE 0 END) AS DOUBLE)
+                 AS n_units_kept,
+               round(sum(CASE WHEN sc >= {t!r} THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS frac_docs,
+               round(sum(CASE WHEN sc >= {t!r} THEN u ELSE 0 END)
+                     / sum(u), 6) AS frac_units
+        FROM s GROUP BY source""")
+    return f"""
+    WITH s AS (SELECT source,
+                      CAST(n_chars AS DOUBLE) / 600.0 AS sc,
+                      CAST(n_chars AS DOUBLE) AS u
+               FROM documents)
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@query("corpus_yield_curve", _yield_curve_oracle([0.2, 0.4, 0.6, 0.8]))
+def corpus_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff calibration in ONE corpus pass
+    (``functions/corpus.py:filter_yield_curve``): per (source,
+    threshold), how many documents AND how many units (chars here;
+    tokens in production) survive a ``score >= t`` filter — the table
+    you read before committing a classifier cutoff over 100 TB,
+    instead of re-running the filter per candidate threshold. Plan:
+    2T conditional partial sums per group, no row shuffle; fixture
+    score = n_chars/600 so both engines derive it exactly."""
+    from etl_router_spark.functions.corpus import filter_yield_curve
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", F.col("n_chars").cast("double") / 600.0)
+    return filter_yield_curve(
+        docs, "score", [0.2, 0.4, 0.6, 0.8],
+        size_col="n_chars", group_col="source")
+
+
 # ===========================================================================
 # mergeable fixed-boundary histograms (quantile complement of the HLL table)
 # ===========================================================================

@@ -1486,3 +1486,66 @@ def stream_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_router_spark.queries_llm import _attribution_oracle  # noqa: E402
 
 _ORACLES["stream_filter_attribution"] = _attribution_oracle()
+
+
+@query("stream_bloom_probe", None)  # oracle attached below (shared)
+def stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING arm of Bloom decontamination — the continuous-ingest
+    shape: the benchmark filter is built ONCE (``bloom_bitmap`` over
+    the eval split), then each of three real micro-batches probes
+    arriving documents with ``prebuilt_words`` (a pure map over the
+    batch — no bitmap rebuild, no gram collection, no join; the array
+    ships per executor via the broadcast transport) and appends only
+    the clean survivors. The probe is per-document, so batch
+    boundaries cannot change the result: the oracle is the batch
+    gate's whole-corpus SQL, value-hash-pinning build-once/
+    probe-forever across a multi-epoch streaming execution."""
+    import os
+
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap,
+        bloom_decontaminate,
+    )
+    from etl_router_spark.queries_llm import _BLOOM_M
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_bloom_")
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    words = bloom_bitmap(bench, n=8, m_bits=_BLOOM_M, k=3)
+
+    src = os.path.join(wd, "in")
+    for i in range(3):
+        (docs.filter((F.col("doc_id") % 10 != 0)
+                     & (F.col("doc_id") % 3 == i))
+         .select("doc_id", "text", "lang", "source")
+         .coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    out = os.path.join(wd, "out")
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        (bloom_decontaminate(batch_df, None, n=8, m_bits=_BLOOM_M, k=3,
+                             prebuilt_words=words, broadcast=True)
+         .select("doc_id", "lang", "source")
+         .write.mode("append").parquet(out))
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+from etl_router_spark.queries import ORACLES as _Q_ORACLES  # noqa: E402
+
+# per-document probe => batch boundaries are invisible: share the
+# batch gate's oracle verbatim
+_ORACLES["stream_bloom_probe"] = _Q_ORACLES["corpus_bloom_decontaminate"]

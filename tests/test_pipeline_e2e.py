@@ -533,3 +533,8 @@ def test_curation_transform_types_dispatch(spark, tmp_path):
     rows = {r["rule"]: r for r in attr.collect()}
     assert set(rows) == {"min_words", "has_x", "__dropped__"}
     assert rows["__dropped__"]["n_rows"] == 12
+
+    yc = run({"transform_type": "yield_curve", "score_field": "doc_id",
+              "thresholds": [3, 9]}, "yield_out")
+    got = {r["threshold"]: r["n_docs_kept"] for r in yc.collect()}
+    assert got == {3.0: 9, 9.0: 3}

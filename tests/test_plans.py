@@ -597,3 +597,74 @@ def test_domain_cap_external_counts_zero_row_exchange(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_yield_curve_one_pass_no_row_shuffle(spark, sf_dir):
+    """filter_yield_curve is ONE aggregation pass: ungrouped, the plan
+    has no hash exchange at all (partial sums -> 1-row reduce);
+    grouped, exactly one exchange keyed by the group column carrying
+    2T+2 sums per group — never data rows."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import filter_yield_curve
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", F.col("n_chars") / 600.0)
+    plan = (filter_yield_curve(docs, "score", [0.2, 0.5, 0.8],
+                               size_col="n_chars")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    grouped = (filter_yield_curve(docs, "score", [0.2, 0.5, 0.8],
+                                  size_col="n_chars", group_col="source")
+               ._jdf.queryExecution().executedPlan().toString())
+    assert grouped.count("Exchange hashpartitioning") == 1, grouped
+    assert "Join" not in grouped, grouped
+
+
+def test_yield_curve_values(spark):
+    """Hand-checked curve: counts, unit sums and fractions per
+    threshold; NULL scores never kept but still count in totals."""
+    from etl_router_spark.functions.corpus import filter_yield_curve
+
+    df = spark.createDataFrame(
+        [(1, 0.1, 10), (2, 0.5, 20), (3, 0.9, 30), (4, None, 40)],
+        "doc_id bigint, score double, n_tok int")
+    rows = {r["threshold"]: r for r in filter_yield_curve(
+        df, "score", [0.2, 0.6], size_col="n_tok").collect()}
+    assert rows[0.2]["n_docs_kept"] == 2 and rows[0.2]["n_units_kept"] == 50.0
+    assert rows[0.6]["n_docs_kept"] == 1 and rows[0.6]["n_units_kept"] == 30.0
+    assert rows[0.2]["frac_docs"] == 0.5 and rows[0.2]["frac_units"] == 0.5
+    import pytest
+
+    with pytest.raises(ValueError, match="increasing"):
+        filter_yield_curve(df, "score", [0.6, 0.2])
+    with pytest.raises(ValueError, match="threshold"):
+        filter_yield_curve(df, "score", [])
+
+
+def test_bloom_prebuilt_words_matches_rebuild(spark, sf_dir):
+    """Build-once/probe-forever: a prebuilt bit array must flag the
+    exact same documents as an in-call build, and a size mismatch
+    must fail fast (positions are modulo m_bits)."""
+    import pytest
+
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap,
+        bloom_decontaminate,
+    )
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 7 = 0")
+    words = bloom_bitmap(bench, n=8, m_bits=1 << 14, k=3)
+    built = {r[0] for r in bloom_decontaminate(
+        docs, bench, n=8, m_bits=1 << 14, k=3).select("doc_id").collect()}
+    pre = {r[0] for r in bloom_decontaminate(
+        docs, None, n=8, m_bits=1 << 14, k=3,
+        prebuilt_words=words).select("doc_id").collect()}
+    assert built == pre
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_decontaminate(docs, None, n=8, m_bits=1 << 15, k=3,
+                            prebuilt_words=words)
