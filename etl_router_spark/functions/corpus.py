@@ -143,9 +143,12 @@ def bloom_bitmap(
 
     Hash family: see :func:`_bloom_pos_sql` — ``h60`` (oracle-exact
     default) or ``xxhash64`` (native codegen, the scale path). The
-    driver collects only DISTINCT SET POSITIONS (<= min(k * |bench
-    grams|, m_bits) ints — benchmark-sized metadata, like
-    codebooks/centroids), never corpus data.
+    positions FOLD INTO 64-bit words distributedly (``bit_or`` of
+    shifted bits, grouped by word index), so the driver collects only
+    the NON-ZERO words (<= m/64 rows — 256 K at m=2^24) instead of up
+    to ``k * |bench grams|`` individual positions; at production
+    filter sizes that is the difference between shipping megabytes of
+    metadata and tens of millions of py4j rows.
     """
     if m_bits <= 0 or m_bits % 64:
         raise ValueError("m_bits must be a positive multiple of 64")
@@ -155,14 +158,18 @@ def bloom_bitmap(
         f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
     ).distinct()
     pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
-    positions = grams.selectExpr(
+    packed = grams.selectExpr(
         f"explode(array({', '.join(pos_exprs)})) AS p"
-    ).distinct()
+    ).selectExpr(
+        "p DIV 64 AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS bit",
+    ).groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
     words = [0] * (m_bits // 64)
-    for (p,) in positions.collect():
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed int64 (Spark ArrayType(LongType))
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for w, bits in packed.collect():
+        # py4j delivers signed int64; keep two's complement as-is
+        # (Spark ArrayType(LongType) wants signed words anyway)
+        words[w] = bits
+    return words
 
 
 def bloom_decontaminate(
