@@ -213,3 +213,34 @@ def test_selection_stage_manifests(spark, sf_dir, tmp_path):
               "salt": "m2"}, "ws")
     per_group = ws.groupBy("source").count().collect()
     assert per_group and all(r["count"] <= 2 for r in per_group)
+
+
+def test_dsir_null_text_docs_count_zero_grams_in_both_entry_points(spark):
+    """The r10 fix for the advisor finding: dsir_logratios' sum(size(
+    grams)) totals treated null-text docs as -1 gram under legacy
+    sizeOfNull, while dsir_scores' exploded aggregate contributes 0 —
+    the two entry points must emit the SAME lr table on corpora
+    containing null text."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.selection import dsir_logratios
+
+    rows = [(i, f"alpha beta doc {i}") for i in range(20)]
+    rows += [(97, None), (98, None)]  # null-text documents in raw
+    raw = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, f"alpha beta target {i}") for i in range(5)]
+        + [(99, None)],
+        "doc_id bigint, text string")
+    direct = {r["bucket"]: r["lr_micro"]
+              for r in dsir_logratios(raw, tgt, buckets=64).collect()}
+    # null-text docs must contribute ZERO grams to the totals: the
+    # model over the full corpora equals the model over the corpora
+    # with null rows dropped beforehand — exactly the identity the
+    # legacy size(NULL) = -1 behavior broke
+    direct_nonnull = {
+        r["bucket"]: r["lr_micro"]
+        for r in dsir_logratios(raw.filter(F.col("text").isNotNull()),
+                                tgt.filter(F.col("text").isNotNull()),
+                                buckets=64).collect()}
+    assert direct == direct_nonnull

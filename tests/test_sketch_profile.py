@@ -273,3 +273,56 @@ def test_histogram_drift_validation(spark):
         histogram_drift(p, p.drop("bin_1"), "g")
     with pytest.raises(ValueError, match="contiguous"):
         histogram_drift(p.drop("bin_0"), p, "g")
+
+
+def test_histogram_fractional_sum_fold_is_bit_exact(spark):
+    """The r10 fix for the advisor finding: sum_value is persisted
+    UNROUNDED, so fold-then-read over FRACTIONAL values equals the
+    whole-corpus profile exactly (per-batch rounding broke this)."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.profile import (
+        fold_sketch_profiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 0.0101 + 0.37).alias("v"))
+    bins = [1.0, 2.0]
+    whole = {r["g"]: r["sum_value"]
+             for r in histogram_sketch(df, "g", "v", bins).collect()}
+    batches = [histogram_sketch(df.filter(F.col("id") % 4 == i),
+                                "g", "v", bins) for i in range(4)]
+    log = batches[0]
+    for b in batches[1:]:
+        log = log.unionByName(b)
+    folded = {r["g"]: r["sum_value"]
+              for r in fold_sketch_profiles(log, "g").collect()}
+    # same addends in both paths; assert to float tolerance only for
+    # the cross-partitioning order, not a rounding step
+    assert whole.keys() == folded.keys()
+    for g in whole:
+        assert abs(whole[g] - folded[g]) < 1e-9, (g, whole[g], folded[g])
+
+
+def test_sample_fold_winner_deterministic_across_partitionings(spark):
+    """The r10 fix for the advisor finding: a re-ingested id whose
+    payload CHANGED across batches folds to the same winner row no
+    matter how the log is partitioned (dropDuplicates kept an
+    arbitrary one)."""
+    from etl_router_spark.functions.profile import fold_sample_sketches
+
+    rows = [("g", 7, 100, "beta"), ("g", 7, 100, "alpha"),
+            ("g", 8, 50, "zeta"), ("g", 8, 50, "eta")]
+    log = spark.createDataFrame(
+        rows, "src string, doc_id bigint, rank_key bigint, lang string")
+    outs = []
+    for parts in (1, 3, 7):
+        folded = fold_sample_sketches(
+            log.repartition(parts), "src", k=5, id_col="doc_id")
+        outs.append(sorted((r["doc_id"], r["lang"])
+                           for r in folded.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # the winner is the payload-tuple minimum, not arrival order
+    assert dict(outs[0]) == {7: "alpha", 8: "eta"}
