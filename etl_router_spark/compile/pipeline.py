@@ -458,6 +458,19 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             sentinel=cfg.get("sentinel", "[REDACTED]"),
             out_col=cfg.get("out_field", "clean_text"),
         )
+    if tt == "decontaminate_fuzzy":
+        from etl_router_spark.functions.corpus import decontaminate_fuzzy
+
+        bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
+        return decontaminate_fuzzy(
+            df, bench,
+            id_col=cfg.get("id_field", "doc_id"),
+            text_col=cfg.get("text_field", "text"),
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            shingle_n=int(cfg.get("shingle_n", 3)),
+            threshold=float(cfg.get("threshold", 0.5)),
+            mode=cfg.get("mode", "drop"))
     if tt == "bloom_decontaminate":
         from etl_router_spark.functions.corpus import bloom_decontaminate
 

@@ -83,6 +83,73 @@ def decontaminate(
     raise ValueError(f"mode must be drop|tag, got {mode!r}")
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "drop",
+    tag_field: str = "contaminated",
+    benchmark_index: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-DUPLICATE decontamination — the fuzzy rung of the
+    decontamination ladder. :func:`decontaminate` /
+    :func:`bloom_decontaminate` catch VERBATIM n-gram leaks; a
+    benchmark that reached the crawl paraphrased, re-wrapped, or
+    whitespace/punctuation-perturbed shares few exact 8-grams yet is
+    still contamination. This drops (or tags) documents whose MinHash
+    signature agrees with any benchmark document at estimated Jaccard
+    >= ``threshold`` — the same detection the fuzzy DEDUP path trusts,
+    pointed across corpora.
+
+    Scale shape (``dedup.minhash_index_matches`` with
+    ``broadcast_side="index"``): the BENCHMARK side is indexed (eval
+    suites are tiny next to a training corpus — built in-call, or pass
+    a persisted :func:`dedup.minhash_index` frame via
+    ``benchmark_index``) and BROADCAST; the corpus is shingled/
+    minhashed ONCE map-side and its (id, sig, band_key) rows meet the
+    broadcast index in a map-side equi-join — corpus text never
+    shuffles, nothing corpus-sized ever ships, and detection cost
+    matches one fuzzy-dedup probe pass.
+    Wider ``threshold``/``num_hashes`` trade recall vs precision
+    exactly as in the dedup literature.
+
+    COMPLEMENTARY to the n-gram paths, not a superset: MinHash scores
+    WHOLE-document similarity, so it catches a paraphrased or
+    perturbed COPY of a benchmark item that shares few exact 8-grams —
+    while a long document QUOTING one benchmark item verbatim has low
+    overall Jaccard and is exactly the n-gram paths' case
+    (:func:`decontaminate` / :func:`bloom_decontaminate` /
+    :func:`redact_contaminated_spans`). A production decontamination
+    stack runs one of each.
+    """
+    from etl_router_spark.functions.dedup import (
+        minhash_index,
+        minhash_index_matches,
+    )
+
+    if benchmark_index is None:
+        benchmark_index = minhash_index(
+            benchmark, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    bad = minhash_index_matches(
+        docs, benchmark_index, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, broadcast_side="index")
+    if mode == "drop":
+        return docs.join(F.broadcast(bad), id_col, "left_anti")
+    if mode == "tag":
+        flagged = bad.withColumn(tag_field, F.lit(True))
+        return docs.join(F.broadcast(flagged), id_col, "left") \
+                   .fillna(False, [tag_field])
+    raise ValueError(f"mode must be drop|tag, got {mode!r}")
+
+
 def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
                    hash_family: str) -> list[str]:
     """The k position expressions shared by filter build and probe —

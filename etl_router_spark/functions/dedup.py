@@ -482,28 +482,65 @@ def dedup_against_minhash_index(
     width raises in-task with a descriptive error rather than silently
     mis-scoring.
     """
+    hits = minhash_index_matches(new_df, index_df, id_col, text_col,
+                                 num_hashes, bands, shingle_n, threshold)
+    return new_df.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def minhash_index_matches(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    broadcast_side: str = "probes",
+) -> DataFrame:
+    """The DISTINCT ``id_col`` values of ``new_df`` that have a
+    near-duplicate (estimated Jaccard >= ``threshold``) in the corpus
+    behind ``index_df`` — the matched-id core shared by
+    :func:`dedup_against_minhash_index` (drop survivors into the
+    corpus) and ``corpus.decontaminate_fuzzy`` (drop/tag leaks against
+    a benchmark index).
+
+    ``broadcast_side`` picks which side of the band_key equi-join
+    ships whole, by which side is small BY CONTRACT: ``"probes"``
+    (default — incremental dedup, where ``new_df`` is a day's batch
+    probing a huge corpus index) broadcasts the batch's (id, sig,
+    band_key) rows onto the index scan; ``"index"`` (fuzzy
+    decontamination, where a huge corpus probes a tiny benchmark
+    index) broadcasts the index so the corpus's band rows stay
+    distributed and nothing corpus-sized ever ships or shuffles."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if broadcast_side not in ("probes", "index"):
+        raise ValueError(
+            f"broadcast_side must be probes|index, got {broadcast_side!r}")
     probes = _banded_buckets(
         minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
         num_hashes, bands,
     ).selectExpr("id AS __new_id", "sig AS __new_sig", "band_key")
     guard = (
         f"CASE WHEN size(sig) != {num_hashes} THEN "
-        f"raise_error(concat('dedup_against_minhash_index: index signature "
+        f"raise_error(concat('minhash_index_matches: index signature "
         f"width ', CAST(size(sig) AS STRING), ' != probe num_hashes "
         f"{num_hashes} — rebuild the index with matching parameters')) "
         "ELSE sig END"
     )
     agree = "size(filter(zip_with(__new_sig, sig, (p, q) -> p = q), t -> t))"
-    hits = (
-        index_df.withColumn("sig", F.expr(guard))
-        .join(F.broadcast(probes), "band_key")
+    guarded = index_df.withColumn("sig", F.expr(guard))
+    if broadcast_side == "probes":
+        joined = guarded.join(F.broadcast(probes), "band_key")
+    else:
+        joined = probes.join(F.broadcast(guarded), "band_key")
+    return (
+        joined
         .filter(F.expr(f"{agree} / {float(num_hashes)}D") >= threshold)
         .select(F.col("__new_id").alias(id_col))
         .distinct()
     )
-    return new_df.join(F.broadcast(hits), id_col, "left_anti")
 
 
 def _bucket_local_pairs(

@@ -41,7 +41,7 @@ KNOWN_TRANSFORMS = {
     "dsir_sample", "weighted_sample", "bloom_decontaminate",
     "retrieval_eval", "leakage_splits", "epoch_upsample", "snapshot_diff",
     "domain_cap", "filter_attribution", "strip_repeated_lines",
-    "redact_spans", "yield_curve",
+    "redact_spans", "yield_curve", "decontaminate_fuzzy",
 }
 
 KNOWN_SOURCES = {

@@ -3925,6 +3925,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_bloom_decontaminate_bcast",
     "corpus_yield_curve",
     "stream_bloom_probe",
+    "corpus_decontaminate_fuzzy",
 )
 
 

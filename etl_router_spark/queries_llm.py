@@ -3919,6 +3919,48 @@ def corpus_bloom_decontaminate_bcast(
 ORACLES["corpus_bloom_decontaminate_bcast"] = ORACLES["corpus_bloom_decontaminate"]
 
 
+def _fuzzy_decon_oracle() -> str:
+    agree = " + ".join(f"(sa.mh_{i} = sb.mh_{i})::INT" for i in range(8))
+    keys = _duck_band_keys(8, 4)
+    return f"""
+    WITH isig AS ({_minhash_sig_oracle(8, "doc_id % 10 = 0")}),
+    nsig AS ({_minhash_sig_oracle(8, "doc_id % 10 <> 0")}),
+    ib AS (SELECT id, unnest([{keys}]) AS band_key FROM isig),
+    nb AS (SELECT id, unnest([{keys}]) AS band_key FROM nsig),
+    cand AS (SELECT DISTINCT n.id AS nid, i.id AS iid
+             FROM nb n JOIN ib i USING (band_key)),
+    est AS (SELECT c.nid, ({agree}) / 8.0 AS ej
+            FROM cand c JOIN nsig sa ON sa.id = c.nid
+                        JOIN isig sb ON sb.id = c.iid),
+    hits AS (SELECT DISTINCT nid FROM est WHERE ej >= 0.5)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 10 <> 0
+      AND doc_id NOT IN (SELECT nid FROM hits)
+    """
+
+
+@query("corpus_decontaminate_fuzzy", _fuzzy_decon_oracle())
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE decontamination — the fuzzy rung between the
+    exact n-gram paths and SemDeDup
+    (``functions/corpus.py:decontaminate_fuzzy``): drop corpus
+    documents whose MinHash signature agrees with any benchmark
+    document at est. Jaccard >= 0.5, catching paraphrased/perturbed
+    benchmark COPIES that share few exact 8-grams. The benchmark side
+    is indexed once (``dedup.minhash_index``); the corpus probes it
+    with its band keys — the same plan fuzzy dedup trusts, pointed
+    across corpora. Proportional every-10th-doc split keeps the
+    corpus:benchmark ratio realistic at all SFs."""
+    from etl_router_spark.functions.corpus import decontaminate_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_fuzzy(
+        corpus, bench, num_hashes=8, bands=4, threshold=0.5
+    ).select("doc_id", "lang", "source")
+
+
 # ===========================================================================
 # URL-based curation: per-domain caps + one-pass filter attribution
 # ===========================================================================

@@ -668,3 +668,44 @@ def test_bloom_prebuilt_words_matches_rebuild(spark, sf_dir):
     with pytest.raises(ValueError, match="m_bits"):
         bloom_decontaminate(docs, None, n=8, m_bits=1 << 15, k=3,
                             prebuilt_words=words)
+
+
+def test_fuzzy_decon_broadcast_sides_agree(spark, sf_dir):
+    """broadcast_side is a transport decision: matched ids are
+    identical whether the probes or the index ship whole, and
+    decontaminate_fuzzy (index side broadcast — corpus rows stay
+    distributed) must agree with a probes-side run. Tag mode flags
+    exactly the drop mode's complement."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import decontaminate_fuzzy
+    from etl_router_spark.functions.dedup import (
+        minhash_index,
+        minhash_index_matches,
+    )
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_index(bench, num_hashes=8, bands=4)
+    kw = dict(num_hashes=8, bands=4, threshold=0.5)
+    via_probes = {r[0] for r in minhash_index_matches(
+        corpus, idx, broadcast_side="probes", **kw).collect()}
+    via_index = {r[0] for r in minhash_index_matches(
+        corpus, idx, broadcast_side="index", **kw).collect()}
+    assert via_probes == via_index
+    kept = {r[0] for r in decontaminate_fuzzy(
+        corpus, bench, mode="drop", **kw).select("doc_id").collect()}
+    tagged = decontaminate_fuzzy(corpus, bench, mode="tag", **kw)
+    flagged = {r[0] for r in
+               tagged.filter("contaminated").select("doc_id").collect()}
+    all_ids = {r[0] for r in corpus.select("doc_id").collect()}
+    assert flagged == via_index
+    assert kept == all_ids - flagged
+    # the plan must join broadcast, never sort-merge the corpus
+    plan = (decontaminate_fuzzy(corpus, bench, **kw)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
