@@ -124,6 +124,8 @@ def _ops():
         # round 10: the broadcast transport (the auto default at this
         # m_bits) next to the pinned literal rows above
         "decontaminate_bloombc_full": lambda s, sf: _decon_bloombc_full(s, sf),
+        # round 10 third pass: the lexical-fuzzy decontamination rung
+        "decontaminate_fuzzy_full": lambda s, sf: _decon_fuzzy_full(s, sf),
         "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
         # round 10: the chained scorer->sampler path with the
         # (id,bucket,c) persist now ON by default — its own curve so
@@ -254,6 +256,14 @@ def _decon_bloombc_full(s, sf):
     return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
                                k=3, hash_family="xxhash64",
                                broadcast=True).select("doc_id")
+
+
+def _decon_fuzzy_full(s, sf):
+    from etl_router_spark.functions.corpus import decontaminate_fuzzy
+
+    corpus, bench = _decon_split(s, sf)
+    return decontaminate_fuzzy(corpus, bench, num_hashes=8, bands=4,
+                               threshold=0.5).select("doc_id")
 
 
 def _dsir_full(s, sf):
