@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     # to its plan-literal twin (the delta between the two rows IS the
     # per-task literal serialization cost)
     "corpus_bloom_decontaminate_bcast",
+    # round 10 third pass: the lexical-fuzzy decontamination rung and
+    # the one-pass quality-cutoff yield curve, tracked from birth
+    "corpus_decontaminate_fuzzy",
+    "corpus_yield_curve",
 ]
 
 # r4 flagged three regressions (+11..23%) with no commit touching their
