@@ -3919,9 +3919,12 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 _DEFER_NEW: tuple[str, ...] = (
     # (r10: the 3 r9 stragglers — corpus_redact_spans,
     # corpus_contamination_report, profile_histogram_drift — were
-    # released; they rank first by the never-checked rule. Gates
-    # registered in r10 are deferred below so the 43-gate r5-stale
-    # tail gets the remaining window slots.)
+    # released; they rank first by the never-checked rule. The 4 gates
+    # REGISTERED in r10 are deferred below so the 43-gate r5-stale
+    # tail gets the remaining window slots; all 4 verified green
+    # against the DuckDB oracle at BOTH sf0.01 and sf0.1 this round
+    # (scripts/check_correctness.py). Release them in r11 — they rank
+    # first by the never-checked rule, then the r6 tier burns.)
     "corpus_bloom_decontaminate_bcast",
     "corpus_yield_curve",
     "stream_bloom_probe",
