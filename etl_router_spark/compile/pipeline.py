@@ -497,6 +497,18 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                               doc_id_col=cfg.get("doc_id_field", "doc_id"),
                               rank_col=cfg.get("rank_field", "rank"),
                               rel_col=cfg.get("rel_field", "rel"))
+    if tt == "hard_negatives":
+        # qrels side declared like retrieval_eval's: a source config
+        from etl_router_spark.functions.indexing import mine_hard_negatives
+
+        qrels = read_source(df.sparkSession, cfg["qrels"], streaming=False)
+        return mine_hard_negatives(
+            df, qrels,
+            n_negatives=int(cfg.get("n_negatives", 4)),
+            query_id_col=cfg.get("query_id_field", "query_id"),
+            doc_id_col=cfg.get("doc_id_field", "doc_id"),
+            rank_col=cfg.get("rank_field", "rank"),
+            rel_col=cfg.get("rel_field", "rel"))
     if tt == "epoch_upsample":
         from etl_router_spark.functions.corpus import epoch_upsample
 

@@ -362,3 +362,69 @@ def retrieval_eval(
         F.round(F.coalesce(F.col("dcg") / F.col("idcg"), z), 6)
          .alias("ndcg"),
     )
+
+
+def mine_hard_negatives(
+    runs: DataFrame,
+    qrels: DataFrame,
+    n_negatives: int = 4,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Contrastive training-pair construction — the stage between
+    retrieval and training that :func:`retrieval_eval` evaluates but
+    cannot produce: per query, emit every judged-relevant document
+    (``label`` 1) plus the ``n_negatives`` HIGHEST-RANKED run
+    documents that are NOT judged relevant (``label`` 0) — the
+    standard hard-negative recipe (DPR / sentence-transformers): a
+    top-ranked non-relevant document is the most informative negative
+    a contrastive loss can see, vs random negatives the model already
+    separates.
+
+    Conventions shared with :func:`retrieval_eval`: queries are
+    DEFINED by qrels (a query with no positive cannot form a pair and
+    emits nothing); ``rel <= 0`` rows are unjudged/negative, so such
+    documents are eligible negatives. Output: (query_id, doc_id,
+    rank, label) — ``rank`` is the run rank, NULL for positives the
+    run never retrieved (the recall-gap rows a trainer may choose to
+    upweight); ties inside the negative cutoff break by ascending
+    doc_id for cross-engine determinism.
+
+    Scale: every shuffle is keyed by (query_id[, doc_id]) — one
+    anti-join against positives, one semi-join restricting to
+    qrels-defined queries, one per-query window over <= |run| rows,
+    one left join attaching positive ranks. Per-query groups are
+    top-k-sized, so a million-query mining job is a million tiny
+    groups; nothing corpus-sized moves (runs are already top-k).
+    """
+    if n_negatives < 0:
+        raise ValueError("mine_hard_negatives: n_negatives must be >= 0")
+    qid, did = "query_id", "doc_id"
+    pos = qrels.select(
+        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
+        F.col(rel_col).cast("double").alias("rel"),
+    ).filter(F.col("rel") > 0).drop("rel")
+    run_n = runs.select(
+        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
+        F.col(rank_col).cast("int").alias("rank"),
+    )
+    neg_pool = (
+        run_n.join(pos, [qid, did], "left_anti")
+        .join(pos.select(qid).distinct(), qid, "left_semi")
+    )
+    wn = Window.partitionBy(qid).orderBy(F.asc("rank"), F.asc(did))
+    negs = (
+        neg_pool.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") <= n_negatives)
+        .drop("__rn")
+        .withColumn("label", F.lit(0))
+    )
+    pos_out = (
+        pos.join(run_n, [qid, did], "left")
+        .withColumn("label", F.lit(1))
+    )
+    return pos_out.unionByName(negs).select(
+        qid, did, F.col("rank").cast("int").alias("rank"),
+        F.col("label").cast("int").alias("label"))

@@ -3929,6 +3929,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_yield_curve",
     "stream_bloom_probe",
     "corpus_decontaminate_fuzzy",
+    "search_hard_negatives",
 )
 
 

@@ -3044,6 +3044,63 @@ def search_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_hard_negatives",
+    f"""
+    WITH {_BM25_CORE_SQL},
+    runs AS (SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 10),
+    qd AS (SELECT doc_id AS query_id, source FROM docs
+           WHERE doc_id IN (10, 20, 30)),
+    pos AS (SELECT q.query_id, d.doc_id
+            FROM qd q JOIN docs d ON d.source = q.source),
+    negpool AS (
+      SELECT r.query_id, r.doc_id, r.rank,
+             row_number() OVER (PARTITION BY r.query_id
+                                ORDER BY r.rank, r.doc_id) AS rn
+      FROM runs r
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.query_id = r.query_id
+                          AND p.doc_id = r.doc_id)
+        AND r.query_id IN (SELECT query_id FROM pos)),
+    negs AS (SELECT query_id, doc_id, rank, 0 AS label
+             FROM negpool WHERE rn <= 3),
+    posr AS (SELECT p.query_id, p.doc_id, r.rank, 1 AS label
+             FROM pos p LEFT JOIN runs r
+               ON r.query_id = p.query_id AND r.doc_id = p.doc_id)
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+           CAST(label AS INT) AS label
+    FROM (SELECT * FROM posr UNION ALL SELECT * FROM negs)
+    """,
+)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining
+    (``functions/indexing.py:mine_hard_negatives``): per query, every
+    same-source positive (label 1, run rank attached when retrieved,
+    NULL for recall gaps) plus the 3 highest-BM25-ranked docs NOT
+    judged relevant (label 0) — the DPR-style hard negatives a
+    contrastive retriever trains on. Same BM25 fixture as
+    search_retrieval_eval, so the two gates together pin the full
+    retrieve -> mine -> evaluate loop."""
+    from etl_router_spark.functions.indexing import (
+        bm25_topk,
+        mine_hard_negatives,
+    )
+
+    docs, queries = _bm25_queries(spark, sf_dir)
+    runs = bm25_topk(docs, queries, k=10)
+    qd = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
+        F.col("doc_id").alias("query_id"), "source")
+    qrels = qd.join(
+        docs.select("doc_id", F.col("source").alias("__s")),
+        F.col("__s") == F.col("source"),
+    ).select(
+        "query_id", "doc_id",
+        F.when(F.col("doc_id") == F.col("query_id"), 2.0)
+         .otherwise(1.0).alias("rel"),
+    )
+    return mine_hard_negatives(runs, qrels, n_negatives=3)
+
+
+@query(
     "corpus_decontaminate_semantic",
     """
     WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),

@@ -709,3 +709,34 @@ def test_fuzzy_decon_broadcast_sides_agree(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_partitions_by_query_only(spark):
+    """mine_hard_negatives' exchanges are all (query_id[, doc_id])-
+    keyed: per-query groups are top-k-sized, nothing corpus-sized
+    shuffles, no cartesian anywhere. Values hand-checked: positives
+    keep run rank (NULL when never retrieved), negatives are the
+    top-ranked unjudged docs, capped and deterministic."""
+    from etl_router_spark.functions.indexing import mine_hard_negatives
+
+    runs = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4),
+         ("q2", "x", 1)],  # q2 has no positives -> emits nothing
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "b", 2.0), ("q1", "z", 1.0), ("q1", "neg", 0.0)],
+        "query_id string, doc_id string, rel double")
+    out = mine_hard_negatives(runs, qrels, n_negatives=2)
+    rows = {(r["query_id"], r["doc_id"]): (r["rank"], r["label"])
+            for r in out.collect()}
+    assert rows == {
+        ("q1", "b"): (2, 1),      # judged positive, retrieved at rank 2
+        ("q1", "z"): (None, 1),   # judged positive, recall gap
+        ("q1", "a"): (1, 0),      # top-ranked unjudged -> hard negative
+        ("q1", "c"): (3, 0),      # next negative (cap 2: d excluded)
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        head = frag.split("\n")[0]
+        assert "query_id" in head, head
+    assert "CartesianProduct" not in plan
