@@ -1319,9 +1319,10 @@ def test_dedup_index_manifests(spark, tmp_path):
 def test_training_data_release_manifest(spark, sf_dir, tmp_path):
     """examples/manifests/training-data-release.yaml end to end: the
     full release chain (gopher gate -> canonical dedup -> Bloom
-    decontamination -> leakage-safe splits -> epoch upsampling) over
-    the documents fixture with a DISJOINT staged benchmark, asserting
-    each stage's contract on the surviving rows."""
+    decontamination -> fuzzy decontamination -> leakage-safe splits ->
+    epoch upsampling) over the documents fixture with a DISJOINT
+    staged benchmark, asserting each stage's contract on the
+    surviving rows."""
     import yaml
 
     from etl_router_spark.compile.pipeline import compile_pipeline
@@ -1342,6 +1343,8 @@ def test_training_data_release_manifest(spark, sf_dir, tmp_path):
         if cfg.get("transform_type") == "bloom_decontaminate":
             cfg["benchmark"]["path"] = bench_path
             cfg["m_bits"] = 1 << 16
+        if cfg.get("transform_type") == "decontaminate_fuzzy":
+            cfg["benchmark"]["path"] = bench_path
         if cfg.get("transform_type") == "epoch_upsample":
             # fixture sources are src0..src19; budget sized so the cap
             # binds for the heavy domain
