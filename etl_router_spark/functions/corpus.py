@@ -141,12 +141,16 @@ def decontaminate_fuzzy(
         docs, benchmark_index, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         threshold=threshold, broadcast_side="index")
+    # No broadcast hint on `bad`: unlike the benchmark index (tiny by
+    # contract), the matched-id set is the CONTAMINATED SUBSET OF THE
+    # CORPUS — unbounded for a heavily contaminated corpus, so forcing
+    # it driver-side risks broadcast-size/driver OOM. AQE picks
+    # broadcast at runtime when the hit set is actually small.
     if mode == "drop":
-        return docs.join(F.broadcast(bad), id_col, "left_anti")
+        return docs.join(bad, id_col, "left_anti")
     if mode == "tag":
         flagged = bad.withColumn(tag_field, F.lit(True))
-        return docs.join(F.broadcast(flagged), id_col, "left") \
-                   .fillna(False, [tag_field])
+        return docs.join(flagged, id_col, "left").fillna(False, [tag_field])
     raise ValueError(f"mode must be drop|tag, got {mode!r}")
 
 

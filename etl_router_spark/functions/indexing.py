@@ -402,10 +402,14 @@ def mine_hard_negatives(
     if n_negatives < 0:
         raise ValueError("mine_hard_negatives: n_negatives must be >= 0")
     qid, did = "query_id", "doc_id"
+    # distinct: duplicate (query_id, doc_id) qrel rows with rel > 0
+    # (multiple judgment rounds, differing grades) must yield ONE
+    # label-1 pair, not several — and duplicates would also multiply
+    # through the rank-attaching left join below (r11 advisor fix)
     pos = qrels.select(
         F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
         F.col(rel_col).cast("double").alias("rel"),
-    ).filter(F.col("rel") > 0).drop("rel")
+    ).filter(F.col("rel") > 0).drop("rel").distinct()
     run_n = runs.select(
         F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
         F.col(rank_col).cast("int").alias("rank"),

@@ -361,20 +361,40 @@ def fold_sample_sketches(
     #batches x #groups x k rows — corpus-independent. Re-applying with
     the same ``k`` is idempotent; ids arriving in multiple batches
     dedup by id before ranking so a re-ingested document cannot occupy
-    two sample slots. The dedup winner is DETERMINISTIC: ties order by
-    the full payload tuple (not ``dropDuplicates``, whose survivor
-    depends on partitioning), so a re-ingested document with changed
-    payload folds to the same row on every run."""
+    two sample slots. The dedup winner is DETERMINISTIC when any
+    payload column is ORDERABLE: ties order by the orderable payload
+    tuple (not ``dropDuplicates``, whose survivor depends on
+    partitioning), so a re-ingested document with changed payload
+    folds to the same row on every run. Non-orderable payload types
+    (``map<...>``) cannot appear in a window ``orderBy`` — they are
+    skipped, and when NO payload column is orderable the fold falls
+    back to ``dropDuplicates`` (correct k-sample, arbitrary survivor
+    among payload variants of the same id)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
 
     payload = [c for c in log.columns if c not in (group_col, id_col)]
-    dw = Window.partitionBy(group_col, id_col).orderBy(
-        *[F.asc(c) for c in payload])
-    deduped = (
-        log.withColumn("__dn", F.row_number().over(dw))
-        .filter(F.col("__dn") == 1)
-        .drop("__dn")
-    )
+    dtypes = {f.name: f.dataType for f in log.schema.fields}
+    ord_payload = [c for c in payload if orderable(dtypes[c])]
+    if ord_payload:
+        dw = Window.partitionBy(group_col, id_col).orderBy(
+            *[F.asc(c) for c in ord_payload])
+        deduped = (
+            log.withColumn("__dn", F.row_number().over(dw))
+            .filter(F.col("__dn") == 1)
+            .drop("__dn")
+        )
+    else:
+        deduped = log.dropDuplicates([group_col, id_col])
     w = Window.partitionBy(group_col).orderBy(
         F.asc("rank_key"), F.asc(id_col))
     return (

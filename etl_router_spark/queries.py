@@ -3917,19 +3917,14 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
 _DEFER_NEW: tuple[str, ...] = (
-    # (r10: the 3 r9 stragglers — corpus_redact_spans,
-    # corpus_contamination_report, profile_histogram_drift — were
-    # released; they rank first by the never-checked rule. The 4 gates
-    # REGISTERED in r10 are deferred below so the 43-gate r5-stale
-    # tail gets the remaining window slots; all 4 verified green
-    # against the DuckDB oracle at BOTH sf0.01 and sf0.1 this round
-    # (scripts/check_correctness.py). Release them in r11 — they rank
-    # first by the never-checked rule, then the r6 tier burns.)
-    "corpus_bloom_decontaminate_bcast",
-    "corpus_yield_curve",
-    "stream_bloom_probe",
-    "corpus_decontaminate_fuzzy",
-    "search_hard_negatives",
+    # (r11: the 5 gates REGISTERED in r10 —
+    # corpus_bloom_decontaminate_bcast, corpus_yield_curve,
+    # stream_bloom_probe, corpus_decontaminate_fuzzy,
+    # search_hard_negatives — are RELEASED; they rank first by the
+    # never-checked rule, and the 45-gate r6-stale tier fills the
+    # remaining window slots (5 + 45 = exactly the 50-slot window).
+    # Round 11 registers ZERO new live gates so the whole r6 tier
+    # burns in one round, per the r10 verdict.)
 )
 
 

@@ -703,12 +703,20 @@ def test_fuzzy_decon_broadcast_sides_agree(spark, sf_dir):
     all_ids = {r[0] for r in corpus.select("doc_id").collect()}
     assert flagged == via_index
     assert kept == all_ids - flagged
-    # the plan must join broadcast, never sort-merge the corpus
-    plan = (decontaminate_fuzzy(corpus, bench, **kw)
-            ._jdf.queryExecution().executedPlan().toString())
+    # The PROBE join must broadcast (the benchmark index is tiny by
+    # contract); the FINAL anti-join's strategy is AQE's runtime call —
+    # the matched-id set is the contaminated subset of the corpus,
+    # unbounded for a dirty corpus, so forcing it broadcast risked
+    # driver OOM (r11 advisor fix). Pin: no forced-broadcast hint on
+    # the matched set, probe join broadcast, no cartesian anywhere.
+    q = decontaminate_fuzzy(corpus, bench, **kw)._jdf.queryExecution()
+    plan = q.executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # exactly ONE broadcast hint survives analysis: the index side of
+    # the probe join — none on the corpus-sized matched-id set
+    analyzed = q.analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, analyzed
 
 
 def test_hard_negatives_partitions_by_query_only(spark):
@@ -740,3 +748,26 @@ def test_hard_negatives_partitions_by_query_only(spark):
         head = frag.split("\n")[0]
         assert "query_id" in head, head
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_dedups_duplicate_qrels(spark):
+    """The r11 fix for the advisor finding: duplicate (query_id,
+    doc_id) qrel rows with rel > 0 (multiple judgment rounds,
+    differing grades) must yield ONE label-1 pair — and must not
+    multiply through the rank-attaching left join either."""
+    from etl_router_spark.functions.indexing import mine_hard_negatives
+
+    runs = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2)],
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        # b judged three times (two rounds + a re-grade), z twice
+        [("q1", "b", 1.0), ("q1", "b", 2.0), ("q1", "b", 1.0),
+         ("q1", "z", 1.0), ("q1", "z", 1.0)],
+        "query_id string, doc_id string, rel double")
+    out = mine_hard_negatives(runs, qrels, n_negatives=2).collect()
+    assert len(out) == 3  # b, z (positives, once each), a (negative)
+    rows = {(r["query_id"], r["doc_id"]): (r["rank"], r["label"])
+            for r in out}
+    assert rows == {("q1", "b"): (2, 1), ("q1", "z"): (None, 1),
+                    ("q1", "a"): (1, 0)}

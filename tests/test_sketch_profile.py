@@ -326,3 +326,25 @@ def test_sample_fold_winner_deterministic_across_partitionings(spark):
     assert outs[0] == outs[1] == outs[2]
     # the winner is the payload-tuple minimum, not arrival order
     assert dict(outs[0]) == {7: "alpha", 8: "eta"}
+
+
+def test_sample_fold_skips_non_orderable_payload(spark):
+    """The r11 fix for the advisor finding: a map-typed payload column
+    (non-orderable — Spark rejects it in a window orderBy) must not
+    break the fold. Orderable payloads still drive the deterministic
+    winner; the map column rides along with the winning row."""
+    from etl_router_spark.functions.profile import fold_sample_sketches
+
+    rows = [("g", 7, 100, "beta", {"k": "1"}),
+            ("g", 7, 100, "alpha", {"k": "2"}),
+            ("g", 8, 50, "zeta", {"k": "3"})]
+    log = spark.createDataFrame(
+        rows,
+        "src string, doc_id bigint, rank_key bigint, lang string,"
+        " meta map<string,string>")
+    folded = fold_sample_sketches(log, "src", k=5, id_col="doc_id")
+    got = {r["doc_id"]: (r["lang"], dict(r["meta"]))
+           for r in folded.collect()}
+    # doc 7 dedups to ONE slot, winner by the orderable payload tuple
+    # (rank_key, lang) -> "alpha", whose row carries its own map
+    assert got == {7: ("alpha", {"k": "2"}), 8: ("zeta", {"k": "3"})}
