@@ -344,11 +344,13 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             # centroids — no re-encoding, no duplicated parameters)
             corpus_index = None
             centroids = None
+            occ_p95 = None
             if cfg.get("index_path"):
                 from etl_router_spark.functions.pq import read_pq_index
 
-                corpus_index, books, centroids = read_pq_index(
+                corpus_index, books, centroids, idx_meta = read_pq_index(
                     df.sparkSession, cfg["index_path"])
+                occ_p95 = (idx_meta.get("cell_occupancy") or {}).get("p95")
             if cfg.get("shortlist") is not None:
                 from etl_router_spark.functions.pq import ivfpq_rerank_topk
 
@@ -360,7 +362,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                     centroids=centroids,
                     id_col=cfg.get("id_field", "vec_id"),
                     vec_col=cfg.get("vec_field", "embedding"),
-                    corpus_index=corpus_index)
+                    corpus_index=corpus_index,
+                    cell_occupancy_p95=occ_p95,
+                    occupancy_guard=cfg.get("occupancy_guard", "warn"))
             from etl_router_spark.functions.pq import ivfpq_topk
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
@@ -461,7 +465,20 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     if tt == "decontaminate_fuzzy":
         from etl_router_spark.functions.corpus import decontaminate_fuzzy
 
-        bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
+        # build-once (r10 verdict ask): `benchmark_index` names a
+        # persisted minhash_index table (a source config, like
+        # lookup's dim) — the benchmark shingle->minhash build is
+        # skipped entirely and the stage costs one corpus probe pass.
+        # num_hashes/bands/shingle_n must match the index build; the
+        # probe validates signature width at run time and fails fast.
+        bench_index = None
+        bench = None
+        if "benchmark_index" in cfg:
+            bench_index = read_source(
+                df.sparkSession, cfg["benchmark_index"], streaming=False)
+        else:
+            bench = read_source(
+                df.sparkSession, cfg["benchmark"], streaming=False)
         return decontaminate_fuzzy(
             df, bench,
             id_col=cfg.get("id_field", "doc_id"),
@@ -470,10 +487,46 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             bands=int(cfg.get("bands", 4)),
             shingle_n=int(cfg.get("shingle_n", 3)),
             threshold=float(cfg.get("threshold", 0.5)),
-            mode=cfg.get("mode", "drop"))
+            mode=cfg.get("mode", "drop"),
+            benchmark_index=bench_index)
     if tt == "bloom_decontaminate":
-        from etl_router_spark.functions.corpus import bloom_decontaminate
+        from etl_router_spark.functions.corpus import (
+            bloom_decontaminate,
+            load_bloom_filter,
+        )
 
+        if "filter" in cfg:
+            # build-once (r10 verdict ask): `filter` is the path of a
+            # save_bloom_filter artifact — no benchmark source, no
+            # driver-side gram collection; the stage compiles to ONE
+            # map-side codegen probe pass (the stream_bloom_probe
+            # shape, now declarable from a manifest). The persisted
+            # build parameters are authoritative: a conflicting
+            # override would probe different positions and silently
+            # void the one-sided-error contract, so it is an error.
+            bf = load_bloom_filter(df.sparkSession, cfg["filter"])
+            for key, have in (("ngram", bf["n"]), ("m_bits", bf["m_bits"]),
+                              ("hashes", bf["k"])):
+                if key in cfg and int(cfg[key]) != have:
+                    raise ValueError(
+                        f"bloom_decontaminate: {key}={cfg[key]!r} conflicts"
+                        f" with the persisted filter's {have!r} — probe"
+                        " params must match the build bit-exactly; drop"
+                        " the key to use the filter's own")
+            if cfg.get("hash_family", bf["hash_family"]) != bf["hash_family"]:
+                raise ValueError(
+                    f"bloom_decontaminate: hash_family="
+                    f"{cfg['hash_family']!r} conflicts with the persisted"
+                    f" filter's {bf['hash_family']!r}")
+            return bloom_decontaminate(
+                df, None,
+                id_col=cfg.get("id_field", "doc_id"),
+                text_col=cfg.get("text_field", "text"),
+                n=bf["n"], m_bits=bf["m_bits"], k=bf["k"],
+                hash_family=bf["hash_family"],
+                mode=cfg.get("mode", "drop"),
+                broadcast=cfg.get("broadcast", "auto"),
+                prebuilt_words=bf["words"])
         bench = read_source(df.sparkSession, cfg["benchmark"], streaming=False)
         return bloom_decontaminate(df, bench,
                                    id_col=cfg.get("id_field", "doc_id"),

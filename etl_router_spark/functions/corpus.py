@@ -170,6 +170,19 @@ def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
     whole-stage-codegen hash (the 100 TB default; measured A/B in
     SCALE.md). Same one-sided-error contract either way; only oracle
     mirrorability differs.
+
+    ORACLE COVERAGE BOUNDARY (which family each correctness claim
+    covers): the driver's DuckDB value-hash gates pin ``h60`` ONLY —
+    DuckDB has md5 but cannot reproduce ``xxhash64(expr, seed)``, so
+    the h60 gates verify the whole probe pipeline (shingling,
+    position derivation, word packing, the exists/forall probe)
+    bit-exactly INCLUDING which false positives fire. The production
+    ``xxhash64`` family shares every line of that pipeline except
+    this function's position expressions; its own guarantee is the
+    PROPERTY-TESTED one-sided-error contract (every true leak
+    flagged; flags a superset of the exact semi-join's — see
+    tests/test_bloom.py), NOT a value-exact oracle match. Readers
+    citing "oracle-verified" for a Bloom result should mean h60.
     """
     if hash_family == "h60":
         # each h60 window supplies only 40 bits of entropy (10 hex
@@ -241,6 +254,54 @@ def bloom_bitmap(
         # (Spark ArrayType(LongType) wants signed words anyway)
         words[w] = bits
     return words
+
+
+def save_bloom_filter(
+    spark,
+    words: list[int],
+    path: str,
+    *,
+    n: int = 8,
+    k: int = 3,
+    hash_family: str = "h60",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a :func:`bloom_bitmap` WITH its build parameters as a
+    one-row parquet — the build-once artifact the nightly/streaming
+    probe shape reads. A probe with mismatched (n, m_bits, k,
+    hash_family) is silently wrong (different positions -> misses
+    true leaks, voiding the one-sided-error contract), so the
+    parameters travel WITH the bits and :func:`load_bloom_filter`
+    hands both back; the manifest ``filter:`` key refuses conflicting
+    overrides outright."""
+    from pyspark.sql import types as T
+
+    _bloom_pos_sql("g", 64 * len(words), k, hash_family)  # fail fast
+    schema = T.StructType([
+        T.StructField("m_bits", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("hash_family", T.StringType(), False),
+        T.StructField("words", T.ArrayType(T.LongType(), False), False),
+    ])
+    spark.createDataFrame(
+        [(64 * len(words), n, k, hash_family, words)], schema,
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_bloom_filter(spark, path: str) -> dict:
+    """Read a :func:`save_bloom_filter` artifact back as
+    ``{"words", "m_bits", "n", "k", "hash_family"}`` — everything
+    :func:`bloom_decontaminate` needs to probe without a rebuild."""
+    rows = spark.read.parquet(path).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"bloom filter at {path!r} must be exactly one row, "
+            f"got {len(rows)}")
+    r = rows[0]
+    return {"words": list(r["words"]), "m_bits": int(r["m_bits"]),
+            "n": int(r["n"]), "k": int(r["k"]),
+            "hash_family": r["hash_family"]}
 
 
 def bloom_decontaminate(

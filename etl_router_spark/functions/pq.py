@@ -439,13 +439,29 @@ def write_pq_index(
 
     pq_index(corpus, codebooks, centroids, id_col, vec_col) \
         .write.partitionBy("cid").parquet(path)
+    # the cell histogram is a build-time by-product: one cid-only
+    # count over the just-written index (column-pruned, code bytes
+    # never read) buys every future rerank its occupancy guard for
+    # free — the number that decides whether a shortlist is sized
+    # above or below the recall collapse (IVFPQ_RECALL_r10.json)
+    occ = (corpus.sparkSession.read.parquet(path)
+           .groupBy("cid").count()
+           .agg(F.expr("percentile_approx(count, 0.95)").alias("p95"),
+                F.max("count").alias("max"),
+                F.count("*").alias("n_cells")).collect()[0])
     with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
         json.dump({"codebooks": codebooks,
-                   "centroids": [[cid, list(v)] for cid, v in centroids]}, fh)
+                   "centroids": [[cid, list(v)] for cid, v in centroids],
+                   "cell_occupancy": {"p95": int(occ["p95"]),
+                                      "max": int(occ["max"]),
+                                      "n_cells": int(occ["n_cells"])}}, fh)
 
 
 def read_pq_index(spark, path: str):
-    """(index frame, codebooks, centroids) from :func:`write_pq_index`."""
+    """(index frame, codebooks, centroids, meta) from
+    :func:`write_pq_index`; ``meta["cell_occupancy"]["p95"]`` feeds
+    :func:`ivfpq_rerank_topk`'s occupancy guard at zero cost (absent
+    from pre-r11 sidecars — ``meta.get``)."""
     import json
     import os
 
@@ -455,6 +471,7 @@ def read_pq_index(spark, path: str):
         spark.read.parquet(path),
         meta["codebooks"],
         [(int(cid), list(v)) for cid, v in meta["centroids"]],
+        meta,
     )
 
 
@@ -580,6 +597,8 @@ def ivfpq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_index: DataFrame | None = None,
+    cell_occupancy_p95: int | None = None,
+    occupancy_guard: str = "warn",
 ) -> DataFrame:
     """Two-stage ANN — IVF-PQ shortlist, exact-L2 refine: the standard
     production recipe (FAISS ``search`` + refine; also ScaNN's final
@@ -630,7 +649,60 @@ def ivfpq_rerank_topk(
     shortlist, use the cosine-threshold SemDeDup path
     (``dedup.semantic_dedup``) instead of ranking inside clusters by
     quantized distance.
+
+    That rule is SELF-ENFORCING via the occupancy guard
+    (``occupancy_guard``: ``"warn"`` default / ``"auto"`` raises the
+    shortlist to the p95 occupancy / ``"error"`` / ``"off"``): when
+    ``shortlist`` < the p95 IVF cell occupancy, the guard fires with
+    the measured collapse numbers. ``cell_occupancy_p95`` supplies the
+    histogram for free — :func:`write_pq_index` persists it in the
+    sidecar and :func:`read_pq_index` hands it back; when absent the
+    guard spends ONE count-shaped aggregation (cid-only scan of the
+    index codes, or one map-side assignment pass over the corpus
+    vectors inline) before planning. At 100 TB pass the sidecar value
+    or ``"off"`` — never pay a corpus scan for a number the build
+    already knew.
     """
+    if occupancy_guard not in ("warn", "auto", "error", "off"):
+        raise ValueError(
+            f"occupancy_guard must be warn|auto|error|off, "
+            f"got {occupancy_guard!r}")
+    if occupancy_guard != "off":
+        p95 = cell_occupancy_p95
+        if p95 is None:
+            if corpus_index is not None:
+                cells = corpus_index.groupBy("cid").count()
+            else:
+                if centroids is None:
+                    # reuse below so stage 1 sees the same stand-ins
+                    centroids = standin_centroids(
+                        corpus, id_col, vec_col, n_centroids)
+                assign = cell_assign_sql(
+                    f"CAST({vec_col} AS ARRAY<DOUBLE>)", centroids)
+                cells = corpus.selectExpr(f"{assign} AS cid") \
+                    .groupBy("cid").count()
+            row = cells.agg(
+                F.expr("percentile_approx(count, 0.95)")).collect()[0]
+            p95 = int(row[0] or 0)
+        if shortlist < p95:
+            msg = (
+                f"ivfpq_rerank_topk: shortlist={shortlist} < p95 IVF cell "
+                f"occupancy ({p95}). In near-duplicate-dense cells ADC "
+                "distances tie and within-cluster quantized ranking is "
+                "~random, so recall collapses toward k/occupancy (measured "
+                "IVFPQ_RECALL_r10.json: recall 0.206 at shortlist=80 vs "
+                "occupancy~625). Raise shortlist to >= the occupancy, or "
+                "rank inside clusters with the exact-cosine SemDeDup path "
+                "(dedup.semantic_dedup).")
+            if occupancy_guard == "error":
+                raise ValueError(msg)
+            import warnings
+
+            if occupancy_guard == "auto":
+                warnings.warn(msg + f" [auto: shortlist raised to {p95}]")
+                shortlist = p95
+            else:
+                warnings.warn(msg)
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
         n_centroids=n_centroids, centroids=centroids,

@@ -1364,3 +1364,145 @@ def test_training_data_release_manifest(spark, sf_dir, tmp_path):
     # canonical dedup: each (doc, epoch) appears once
     seen = [(r["doc_id"], r["epoch"]) for r in rows]
     assert len(seen) == len(set(seen))
+
+
+def test_release_manifest_build_once_decontamination(spark, sf_dir, tmp_path):
+    """The r10 verdict ask: the build-once decontamination shape is
+    DECLARABLE from a manifest. `filter:` on bloom_decontaminate
+    points at a save_bloom_filter artifact (no benchmark source, no
+    per-run gram collection) and `benchmark_index:` on
+    decontaminate_fuzzy points at a persisted minhash_index table (no
+    per-run shingle->minhash build). The build-once variant must (a)
+    produce exactly the rebuild variant's rows and (b) compile with
+    the build stages ABSENT — the benchmark text is never scanned."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap, save_bloom_filter)
+    from etl_router_spark.functions.dedup import minhash_index
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    bench_path = str(tmp_path / "bench")
+    bench = spark.createDataFrame(
+        [(900001, "benchmark only eval question tokens alpha beta "
+                  "gamma delta epsilon")],
+        ["doc_id", "text"])
+    bench.write.parquet(bench_path)
+    # nightly shape: build the two artifacts ONCE, out of band
+    bf_path = str(tmp_path / "bloom_filter")
+    save_bloom_filter(
+        spark,
+        bloom_bitmap(bench, n=8, m_bits=1 << 16, k=3,
+                     hash_family="xxhash64"),
+        bf_path, n=8, k=3, hash_family="xxhash64")
+    idx_path = str(tmp_path / "bench_index")
+    minhash_index(bench, num_hashes=16, bands=4,
+                  shingle_n=3).write.parquet(idx_path)
+
+    def load_doc(build_once: bool) -> dict:
+        with open("examples/manifests/training-data-release.yaml") as fh:
+            doc = yaml.safe_load(fh)
+        doc["spec"]["stages"][0]["config"]["path"] = (
+            f"{sf_dir}/documents.parquet")
+        for st in doc["spec"]["stages"]:
+            cfg = st["config"]
+            if cfg.get("transform_type") == "bloom_decontaminate":
+                cfg["m_bits"] = 1 << 16
+                if build_once:
+                    del cfg["benchmark"]
+                    # matching keys may stay (validated, not trusted)
+                    cfg["filter"] = bf_path
+                else:
+                    cfg["benchmark"]["path"] = bench_path
+            if cfg.get("transform_type") == "decontaminate_fuzzy":
+                if build_once:
+                    del cfg["benchmark"]
+                    cfg["benchmark_index"] = {
+                        "source_type": "file", "format": "parquet",
+                        "path": idx_path}
+                else:
+                    cfg["benchmark"]["path"] = bench_path
+            if cfg.get("transform_type") == "epoch_upsample":
+                cfg["weights"] = {"src0": 3.0, "src1": 1.0}
+                cfg["token_budget"] = 30000
+        doc["spec"]["stages"][-1]["config"]["path"] = str(
+            tmp_path / ("out_once" if build_once else "out_rebuild"))
+        return doc
+
+    frames = {}
+    for build_once in (False, True):
+        pipeline = parse_manifest_dict(load_doc(build_once))
+        frames[build_once] = compile_pipeline(spark, pipeline) \
+            .sink_frames["out"]
+    key = lambda df: sorted(
+        (r["doc_id"], r["epoch"], r["split"]) for r in df.collect())
+    rebuilt, probed = key(frames[False]), key(frames[True])
+    assert probed == rebuilt and rebuilt, (rebuilt, probed)
+    # the build stage is ABSENT: the build-once plan never scans the
+    # benchmark text — its only extra input is the tiny index table
+    plan = (frames[True]._jdf.queryExecution().executedPlan().toString())
+    assert bench_path not in plan, plan
+    assert (frames[False]._jdf.queryExecution().executedPlan()
+            .toString().count(bench_path)) >= 1  # rebuild DOES scan it
+
+
+def test_bloom_filter_save_load_roundtrip_and_conflicts(spark, tmp_path):
+    """save_bloom_filter persists the build parameters WITH the bits;
+    load hands both back; the manifest `filter:` key refuses
+    conflicting probe-parameter overrides (mismatched positions would
+    silently void the one-sided-error contract)."""
+    import pytest
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap, bloom_decontaminate, load_bloom_filter,
+        save_bloom_filter)
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"])
+    words = bloom_bitmap(bench, n=4, m_bits=1 << 12, k=3,
+                         hash_family="h60")
+    path = str(tmp_path / "bf")
+    save_bloom_filter(spark, words, path, n=4, k=3, hash_family="h60")
+    bf = load_bloom_filter(spark, path)
+    assert bf == {"words": words, "m_bits": 1 << 12, "n": 4, "k": 3,
+                  "hash_family": "h60"}
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (11, "completely different words nothing shared here at all")],
+        ["doc_id", "text"])
+    kept = bloom_decontaminate(
+        docs, None, n=4, m_bits=1 << 12, k=3, hash_family="h60",
+        prebuilt_words=bf["words"])
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+
+    def manifest(extra: dict) -> dict:
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        return {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": "probe-only"},
+                "spec": {"stages": [
+                    {"id": "s", "type": "source",
+                     "config": {"source_type": "file",
+                                "format": "parquet", "path": src}},
+                    {"id": "t", "type": "transform", "depends_on": ["s"],
+                     "config": {"transform_type": "bloom_decontaminate",
+                                "filter": path, **extra}},
+                    {"id": "o", "type": "sink", "depends_on": ["t"],
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": str(tmp_path / "kept")}}]}}
+
+    out = compile_pipeline(
+        spark, parse_manifest_dict(manifest({}))).sink_frames["o"]
+    assert [r["doc_id"] for r in out.collect()] == [11]
+    # matching explicit keys are accepted
+    compile_pipeline(spark, parse_manifest_dict(
+        manifest({"ngram": 4, "hashes": 3, "hash_family": "h60"})))
+    # conflicting keys fail fast at compile
+    for bad in ({"ngram": 8}, {"m_bits": 1 << 13}, {"hashes": 2},
+                {"hash_family": "xxhash64"}):
+        with pytest.raises(ValueError, match="conflicts"):
+            compile_pipeline(spark, parse_manifest_dict(manifest(bad)))

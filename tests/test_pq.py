@@ -445,3 +445,97 @@ def test_pq_topk_manifest_index_probe(spark, sf_dir, tmp_path):
         emb.filter("vec_id < 4"), emb, books, k=3, nprobe=2,
         centroids=cents).collect())
     assert sorted(tuple(r) for r in out.collect()) == direct
+
+
+def _grouped_vecs(spark, n, groups, spread=10.0, jitter=0.01):
+    """n vectors in `groups` well-separated one-hot clusters, ids
+    cycling through groups so standin_centroids (lowest 8 ids) lands
+    one centroid per cluster."""
+    rows = []
+    for i in range(n):
+        g = i % groups
+        v = [spread if d == g else 0.0 for d in range(8)]
+        v[g] += jitter * i
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_rerank_occupancy_guard(spark):
+    """The r10 verdict ask: the measured shortlist-vs-occupancy
+    operating rule (IVFPQ_RECALL_r10.json — recall 0.206 at
+    shortlist=80 vs occupancy~625) is CODE, not just a docstring. A
+    tight-cluster corpus (p95 cell occupancy >> shortlist) fires the
+    guard; a wide, balanced corpus does not; 'error' raises, 'auto'
+    widens the shortlist, 'off' is silent."""
+    import warnings
+
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    books = deterministic_codebooks(8, m=4, k=8)
+    # tight: every vector IDENTICAL -> one cell holds the whole corpus
+    # (the ADC-tie regime the r10 measurement collapsed in)
+    tight = _grouped_vecs(spark, 60, groups=1, jitter=0.0)
+    q = tight.filter("vec_id < 3")
+    kw = dict(k=3, nprobe=2, n_centroids=8)
+    with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
+        got = ivfpq_rerank_topk(q, tight, books, shortlist=5, **kw)
+    assert got.count() == 9  # warn mode still answers (3 q x k=3)
+    # wide: 8 balanced clusters, occupancy ~8 -> shortlist 20 is fine
+    wide = _grouped_vecs(spark, 64, groups=8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ivfpq_rerank_topk(wide.filter("vec_id < 3"), wide, books,
+                          shortlist=20, **kw).count()
+    assert not [w for w in caught if "occupancy" in str(w.message)]
+    # error mode fails fast; off is silent even on the tight corpus
+    with pytest.raises(ValueError, match="p95 IVF cell occupancy"):
+        ivfpq_rerank_topk(q, tight, books, shortlist=5,
+                          occupancy_guard="error", **kw)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ivfpq_rerank_topk(q, tight, books, shortlist=5,
+                          occupancy_guard="off", **kw).count()
+    assert not [w for w in caught if "occupancy" in str(w.message)]
+    # auto mode widens the shortlist to the p95 occupancy: on the
+    # tight corpus that makes stage 2 exact over the whole cell, so
+    # the result equals an explicitly well-sized run
+    with pytest.warns(UserWarning, match="auto: shortlist raised"):
+        auto = sorted(tuple(r) for r in ivfpq_rerank_topk(
+            q, tight, books, shortlist=5, occupancy_guard="auto",
+            **kw).collect())
+    sized = sorted(tuple(r) for r in ivfpq_rerank_topk(
+        q, tight, books, shortlist=60, occupancy_guard="off",
+        **kw).collect())
+    assert auto == sized
+    with pytest.raises(ValueError, match="occupancy_guard must be"):
+        ivfpq_rerank_topk(q, tight, books, shortlist=5,
+                          occupancy_guard="loud", **kw)
+
+
+def test_pq_index_sidecar_carries_occupancy(spark, tmp_path):
+    """write_pq_index persists the cell histogram (p95/max/n_cells) in
+    the sidecar; read_pq_index hands it back so the rerank guard costs
+    ZERO extra jobs on the persisted-index path; a supplied
+    cell_occupancy_p95 is trusted without recomputation."""
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        read_pq_index,
+        standin_centroids,
+        write_pq_index,
+    )
+
+    vecs = _grouped_vecs(spark, 64, groups=8)
+    books = deterministic_codebooks(8, m=4, k=8)
+    cents = standin_centroids(vecs, "vec_id", "embedding", 8)
+    path = str(tmp_path / "idx")
+    write_pq_index(vecs, books, cents, path)
+    idx, rbooks, rcents, meta = read_pq_index(spark, path)
+    occ = meta["cell_occupancy"]
+    assert occ["n_cells"] == 8 and occ["p95"] == 8 and occ["max"] == 8
+    assert rbooks == books and rcents == cents
+    # the sidecar value drives the guard without touching the data
+    with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
+        ivfpq_rerank_topk(vecs.filter("vec_id < 2"), vecs, books,
+                          k=3, shortlist=4, nprobe=2, centroids=cents,
+                          corpus_index=idx,
+                          cell_occupancy_p95=occ["p95"])
