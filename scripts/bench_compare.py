@@ -180,6 +180,16 @@ def main() -> int:
         print(f"# dropped queries: {sorted(only_old)}")
     if only_new:
         print(f"# new queries: {sorted(only_new)}")
+    if (only_old or only_new) and common:
+        # the headline total mixes apples and oranges when the query
+        # set changed (r10's "+7.2 s" was really "-1.4 s normalized on
+        # the common set") — say what moved on comparable ground
+        co = sum(old["queries"][n] for n in common)
+        cn = sum(new["queries"][n] for n in common)
+        print(f"# common-set total ({len(common)} queries) {co:.3f}s -> "
+              f"{cn:.3f}s, norm x{(cn / co) / drift:.2f} — the total "
+              f"below also counts {len(only_new)} added / "
+              f"{len(only_old)} dropped")
     print(f"# total {old['value']:.3f}s -> {new['value']:.3f}s; "
           f"{flagged} regression(s) beyond drift"
           + (" — CAVEAT: calibration spread warning above applies"
