@@ -539,3 +539,35 @@ def test_pq_index_sidecar_carries_occupancy(spark, tmp_path):
                           k=3, shortlist=4, nprobe=2, centroids=cents,
                           corpus_index=idx,
                           cell_occupancy_p95=occ["p95"])
+
+
+def test_occupancy_guard_memoizes_per_plan(spark):
+    """The histogram job runs once per (app, plan, centroids): a
+    repeated rerank over the same corpus plan reads the memo (proved
+    by poisoning it), and the memo is advisory — it tunes the warning
+    only, never the rows."""
+    import warnings
+
+    from etl_router_spark.functions import pq as pqmod
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    vecs = _grouped_vecs(spark, 64, groups=8)
+    q = vecs.filter("vec_id < 2")
+    books = deterministic_codebooks(8, m=4, k=8)
+    kw = dict(k=3, shortlist=20, nprobe=2, n_centroids=8)
+    pqmod._OCCUPANCY_CACHE.clear()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        first = sorted(tuple(r) for r in
+                       ivfpq_rerank_topk(q, vecs, books, **kw).collect())
+    assert not [w for w in caught if "occupancy" in str(w.message)]
+    assert len(pqmod._OCCUPANCY_CACHE) == 1
+    # poison the memo: the second identical call must READ it (warn
+    # despite the corpus being wide) and still return identical rows
+    key = next(iter(pqmod._OCCUPANCY_CACHE))
+    pqmod._OCCUPANCY_CACHE[key] = 10_000
+    with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
+        second = sorted(tuple(r) for r in
+                        ivfpq_rerank_topk(q, vecs, books, **kw).collect())
+    assert second == first
+    pqmod._OCCUPANCY_CACHE.clear()
