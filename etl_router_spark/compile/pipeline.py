@@ -489,6 +489,21 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             threshold=float(cfg.get("threshold", 0.5)),
             mode=cfg.get("mode", "drop"),
             benchmark_index=bench_index)
+    if tt == "bloom_build":
+        # the artifact-build half of build-once decontamination: the
+        # input (a benchmark corpus) folds into a ONE-ROW persistable
+        # filter frame, entirely engine-side; point a parquet sink at
+        # this stage and the output dir IS the probe stage's `filter:`
+        # (the MinHash analog is dedup_index_build -> benchmark_index)
+        from etl_router_spark.functions.corpus import bloom_filter_frame
+
+        return bloom_filter_frame(
+            df,
+            text_col=cfg.get("text_field", "text"),
+            n=int(cfg.get("ngram", 8)),
+            m_bits=int(cfg.get("m_bits", 1 << 22)),
+            k=int(cfg.get("hashes", 3)),
+            hash_family=cfg.get("hash_family", "xxhash64"))
     if tt == "bloom_decontaminate":
         from etl_router_spark.functions.corpus import (
             bloom_decontaminate,

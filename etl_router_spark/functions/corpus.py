@@ -238,22 +238,74 @@ def bloom_bitmap(
         raise ValueError("m_bits must be a positive multiple of 64")
     from etl_router_spark.functions.text import shingles_sql, tokens_sql
 
-    grams = benchmark.selectExpr(
-        f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
-    ).distinct()
-    pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
-    packed = grams.selectExpr(
-        f"explode(array({', '.join(pos_exprs)})) AS p"
-    ).selectExpr(
-        "p DIV 64 AS w",
-        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS bit",
-    ).groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+    packed = _bloom_packed_words(benchmark, text_col, n, m_bits, k,
+                                 hash_family)
     words = [0] * (m_bits // 64)
     for w, bits in packed.collect():
         # py4j delivers signed int64; keep two's complement as-is
         # (Spark ArrayType(LongType) wants signed words anyway)
         words[w] = bits
     return words
+
+
+def _bloom_packed_words(benchmark: DataFrame, text_col: str, n: int,
+                        m_bits: int, k: int, hash_family: str) -> DataFrame:
+    """The shared build pipeline of :func:`bloom_bitmap` and
+    :func:`bloom_filter_frame`: benchmark n-grams -> k positions ->
+    NON-ZERO 64-bit words (w, bits), folded distributedly (bit_or of
+    shifted bits grouped by word index) so at most m/64 rows exist."""
+    from etl_router_spark.functions.text import shingles_sql, tokens_sql
+
+    grams = benchmark.selectExpr(
+        f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
+    ).distinct()
+    pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
+    return grams.selectExpr(
+        f"explode(array({', '.join(pos_exprs)})) AS p"
+    ).selectExpr(
+        "p DIV 64 AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS bit",
+    ).groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+
+
+def bloom_filter_frame(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    hash_family: str = "h60",
+) -> DataFrame:
+    """The DECLARATIVE twin of :func:`bloom_bitmap` +
+    :func:`save_bloom_filter`: a ONE-ROW frame in the persisted-filter
+    schema (m_bits, n, k, hash_family, words), assembled entirely
+    ENGINE-SIDE — the word array is folded with bit_or and densified
+    via a map lookup in a single-row aggregate, so the driver never
+    holds the bit array at all (at m=2^24 that is 2 MiB that never
+    crosses py4j). Point a parquet sink at this stage
+    (``transform_type: bloom_build``) and the output directory is
+    exactly what :func:`load_bloom_filter` / the manifest ``filter:``
+    key consumes — the nightly benchmark-refresh pipeline becomes one
+    manifest, the per-batch probe another, with no Python in between.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    _bloom_pos_sql("g", m_bits, k, hash_family)  # validate family+size
+    packed = _bloom_packed_words(benchmark, text_col, n, m_bits, k,
+                                 hash_family)
+    n_words = m_bits // 64
+    return packed.agg(
+        F.expr("map_from_entries(collect_list(struct(w, bits)))")
+        .alias("__m"),
+    ).selectExpr(
+        f"CAST({m_bits} AS BIGINT) AS m_bits",
+        f"CAST({n} AS INT) AS n",
+        f"CAST({k} AS INT) AS k",
+        f"'{hash_family}' AS hash_family",
+        f"transform(sequence(0L, {n_words - 1}L), "
+        "i -> coalesce(element_at(__m, i), 0L)) AS words",
+    )
 
 
 def save_bloom_filter(

@@ -141,13 +141,30 @@ def parse_manifest_dict(doc: dict[str, Any]) -> Pipeline:
     raw_stages = spec.get("stages") or []
     prev_id: str | None = None
     explicit_edges = spec.get("edges")
+    # Edge derivation, in priority order: an explicit spec.edges list
+    # wins outright; otherwise, a manifest that declares `depends_on`
+    # on ANY stage is depends_on-style — each stage's edges come from
+    # its own declaration and stages without one (sources) are roots;
+    # otherwise stages chain sequentially. depends_on used to be
+    # silently IGNORED (edges always chained), which mis-wired every
+    # fan-out declared that way — dedup-at-scale.yaml's LSH branch ran
+    # over the semantic branch's survivors instead of the corpus.
+    uses_depends = explicit_edges is None and any(
+        raw.get("depends_on") for raw in raw_stages)
     for raw in raw_stages:
         stage = _parse_stage(raw)
         if stage.id in pipeline.stages:
             raise ValueError(f"duplicate stage id: {stage.id!r}")
         pipeline.stages[stage.id] = stage
-        if explicit_edges is None and prev_id is not None:
-            pipeline.edges.append(Edge(prev_id, stage.id))
+        if explicit_edges is None:
+            deps = raw.get("depends_on")
+            if deps:
+                if isinstance(deps, str):
+                    deps = [deps]
+                for d in deps:
+                    pipeline.edges.append(Edge(d, stage.id))
+            elif not uses_depends and prev_id is not None:
+                pipeline.edges.append(Edge(prev_id, stage.id))
         prev_id = stage.id
 
     for raw in explicit_edges or []:

@@ -42,7 +42,7 @@ KNOWN_TRANSFORMS = {
     "retrieval_eval", "leakage_splits", "epoch_upsample", "snapshot_diff",
     "domain_cap", "filter_attribution", "strip_repeated_lines",
     "redact_spans", "yield_curve", "decontaminate_fuzzy",
-    "hard_negatives",
+    "hard_negatives", "bloom_build",
 }
 
 KNOWN_SOURCES = {

@@ -1168,7 +1168,16 @@ def test_dedup_at_scale_example_manifest(spark, sf_dir, tmp_path):
     for st in doc["spec"]["stages"]:
         if st["type"] == "sink":
             st["config"]["path"] = str(tmp_path / st["id"])
-    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    pipeline = parse_manifest_dict(doc)
+    # the declared DAG is a two-branch fan-out: BOTH branches hang off
+    # the source (pre-r11 the parser ignored depends_on and chained
+    # sequentially, so the LSH branch silently ran over the semantic
+    # branch's survivors instead of the corpus)
+    assert {e.from_stage for e in pipeline.incoming("lsh_pairs")} == {
+        "embeddings"}
+    assert {e.from_stage for e in pipeline.incoming("semantic_kept")} == {
+        "embeddings"}
+    frames = compile_pipeline(spark, pipeline).sink_frames
     n_in = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     kept = frames["kept_out"]
     assert 0 < kept.count() <= n_in and "cell" in kept.columns
@@ -1445,6 +1454,91 @@ def test_release_manifest_build_once_decontamination(spark, sf_dir, tmp_path):
     assert bench_path not in plan, plan
     assert (frames[False]._jdf.queryExecution().executedPlan()
             .toString().count(bench_path)) >= 1  # rebuild DOES scan it
+
+
+def test_bloom_build_manifest_closes_the_nightly_loop(spark, sf_dir, tmp_path):
+    """The artifact-refresh side is declarative too: the
+    nightly-benchmark-refresh manifest (bloom_build + dedup_index_build
+    fanning out from ONE benchmark scan) produces artifacts the probe
+    keys (`filter:`, `benchmark_index:`) consume directly — the whole
+    nightly loop is two manifests, no Python in between. The
+    engine-side filter frame is bit-identical to the driver-side
+    bloom_bitmap build."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap, bloom_decontaminate, bloom_filter_frame,
+        load_bloom_filter)
+    from etl_router_spark.io import load_table
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench_path = str(tmp_path / "bench")
+    bench.write.parquet(bench_path)
+
+    # engine-side frame == driver-side build, bit for bit
+    kw = dict(n=4, m_bits=1 << 18, k=3, hash_family="h60")
+    row = bloom_filter_frame(bench, **kw).collect()
+    assert len(row) == 1
+    assert list(row[0]["words"]) == bloom_bitmap(bench, **kw)
+    assert (row[0]["m_bits"], row[0]["n"], row[0]["k"],
+            row[0]["hash_family"]) == (1 << 18, 4, 3, "h60")
+
+    with open("examples/manifests/nightly-benchmark-refresh.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    doc["spec"]["stages"][0]["config"]["path"] = bench_path
+    for st in doc["spec"]["stages"]:
+        cfg = st["config"]
+        if cfg.get("transform_type") == "bloom_build":
+            cfg.update({"ngram": 4, "m_bits": 1 << 18,
+                        "hash_family": "h60"})
+        if st["id"] == "bloom_out":
+            cfg["path"] = str(tmp_path / "bloom")
+        if st["id"] == "index_out":
+            cfg["path"] = str(tmp_path / "minhash_idx")
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+
+    # the sink output IS what the probe keys consume
+    bf = load_bloom_filter(spark, str(tmp_path / "bloom"))
+    assert bf["words"] == bloom_bitmap(bench, **kw)
+    probe = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": "probe"},
+             "spec": {"stages": [
+                 {"id": "s", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": bench_path}},  # replaced below
+                 {"id": "b", "type": "transform", "depends_on": ["s"],
+                  "config": {"transform_type": "bloom_decontaminate",
+                             "filter": str(tmp_path / "bloom")}},
+                 {"id": "f", "type": "transform", "depends_on": ["b"],
+                  "config": {"transform_type": "decontaminate_fuzzy",
+                             "num_hashes": 16, "bands": 4,
+                             "threshold": 0.5,
+                             "benchmark_index": {
+                                 "source_type": "file",
+                                 "format": "parquet",
+                                 "path": str(tmp_path / "minhash_idx")}}},
+                 {"id": "o", "type": "sink", "depends_on": ["f"],
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": str(tmp_path / "kept")}}]}}
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    probe["spec"]["stages"][0]["config"]["path"] = corpus_path
+    compile_pipeline(spark, parse_manifest_dict(probe)).run()
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "kept")).collect()}
+    # equals the inline (rebuild) composition
+    from etl_router_spark.functions.corpus import decontaminate_fuzzy
+
+    expect = {r["doc_id"] for r in decontaminate_fuzzy(
+        bloom_decontaminate(corpus, bench, **kw),
+        bench, num_hashes=16, bands=4, threshold=0.5,
+    ).select("doc_id").collect()}
+    assert kept == expect and kept
 
 
 def test_bloom_filter_save_load_roundtrip_and_conflicts(spark, tmp_path):

@@ -538,3 +538,65 @@ def test_curation_transform_types_dispatch(spark, tmp_path):
               "thresholds": [3, 9]}, "yield_out")
     got = {r["threshold"]: r["n_docs_kept"] for r in yc.collect()}
     assert got == {3.0: 9, 9.0: 3}
+
+
+def test_depends_on_builds_the_declared_dag():
+    """depends_on is honored (r11 fix — it used to be silently
+    IGNORED: edges always chained sequentially in declaration order,
+    mis-wiring every fan-out declared that way, e.g.
+    dedup-at-scale.yaml's LSH branch ran over the semantic branch's
+    survivors). Declared-style manifests wire from declarations,
+    undeclared manifests keep the sequential chain, and an explicit
+    spec.edges list still wins over both."""
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.model.validation import (
+        ValidationError, validate_pipeline)
+
+    def doc(stages, edges=None):
+        spec = {"stages": stages}
+        if edges is not None:
+            spec["edges"] = edges
+        return {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": "dag"}, "spec": spec}
+
+    src = {"id": "src", "type": "source",
+           "config": {"source_type": "memory"}}
+    tr = lambda i, dep: {"id": i, "type": "transform",
+                         "depends_on": dep,
+                         "config": {"transform_type": "filter",
+                                    "condition": {"type": "expression",
+                                                  "expression": "1=1"}}}
+    sk = lambda i, dep: {"id": i, "type": "sink", "depends_on": dep,
+                         "config": {"sink_type": "file",
+                                    "format": "parquet", "path": "/tmp/x"}}
+
+    # two-branch fan-out: both branches hang off the SOURCE
+    p = parse_manifest_dict(doc([
+        src, tr("a", ["src"]), sk("a_out", ["a"]),
+        tr("b", ["src"]), sk("b_out", ["b"])]))
+    edges = {(e.from_stage, e.to_stage) for e in p.edges}
+    assert edges == {("src", "a"), ("a", "a_out"),
+                     ("src", "b"), ("b", "b_out")}
+    validate_pipeline(p)
+    # string form allowed
+    p2 = parse_manifest_dict(doc([src, tr("a", "src"), sk("o", "a")]))
+    assert {(e.from_stage, e.to_stage) for e in p2.edges} == {
+        ("src", "a"), ("a", "o")}
+    # no depends_on anywhere -> the sequential chain, unchanged
+    chain = [dict(src), {**tr("a", None)}, {**sk("o", None)}]
+    for st in chain:
+        st.pop("depends_on", None)
+    p3 = parse_manifest_dict(doc(chain))
+    assert {(e.from_stage, e.to_stage) for e in p3.edges} == {
+        ("src", "a"), ("a", "o")}
+    # explicit spec.edges wins over depends_on
+    p4 = parse_manifest_dict(doc(
+        [src, tr("a", ["src"]), sk("o", ["a"])],
+        edges=[{"from": "src", "to": "a"}, {"from": "a", "to": "o"}]))
+    assert len(p4.edges) == 2
+    # a stranded stage in a depends_on-style manifest fails LOUDLY
+    with pytest.raises(ValidationError, match="source->sink path"):
+        bad = doc([src, tr("a", ["src"]), sk("o", ["a"]),
+                   {**tr("stranded", None)}])
+        bad["spec"]["stages"][-1].pop("depends_on")
+        validate_pipeline(parse_manifest_dict(bad))
