@@ -236,8 +236,6 @@ def bloom_bitmap(
     """
     if m_bits <= 0 or m_bits % 64:
         raise ValueError("m_bits must be a positive multiple of 64")
-    from etl_router_spark.functions.text import shingles_sql, tokens_sql
-
     packed = _bloom_packed_words(benchmark, text_col, n, m_bits, k,
                                  hash_family)
     words = [0] * (m_bits // 64)

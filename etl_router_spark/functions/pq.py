@@ -444,17 +444,25 @@ def write_pq_index(
     # never read) buys every future rerank its occupancy guard for
     # free — the number that decides whether a shortlist is sized
     # above or below the recall collapse (IVFPQ_RECALL_r10.json)
-    occ = (corpus.sparkSession.read.parquet(path)
-           .groupBy("cid").count()
-           .agg(F.expr("percentile_approx(count, 0.95)").alias("p95"),
-                F.max("count").alias("max"),
-                F.count("*").alias("n_cells")).collect()[0])
+    try:
+        occ = (corpus.sparkSession.read.parquet(path)
+               .groupBy("cid").count()
+               .agg(F.expr("percentile_approx(count, 0.95)").alias("p95"),
+                    F.max("count").alias("max"),
+                    F.count("*").alias("n_cells")).collect()[0])
+        occupancy = {"p95": int(occ["p95"] or 0),
+                     "max": int(occ["max"] or 0),
+                     "n_cells": int(occ["n_cells"])}
+    except Exception:
+        # an EMPTY corpus writes a parquet dir with no schema files,
+        # which Spark cannot re-read (and read_pq_index never could —
+        # pre-existing); record a zeroed block so the sidecar is
+        # complete either way
+        occupancy = {"p95": 0, "max": 0, "n_cells": 0}
     with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
         json.dump({"codebooks": codebooks,
                    "centroids": [[cid, list(v)] for cid, v in centroids],
-                   "cell_occupancy": {"p95": int(occ["p95"]),
-                                      "max": int(occ["max"]),
-                                      "n_cells": int(occ["n_cells"])}}, fh)
+                   "cell_occupancy": occupancy}, fh)
 
 
 def read_pq_index(spark, path: str):

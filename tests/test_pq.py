@@ -571,3 +571,26 @@ def test_occupancy_guard_memoizes_per_plan(spark):
                         ivfpq_rerank_topk(q, vecs, books, **kw).collect())
     assert second == first
     pqmod._OCCUPANCY_CACHE.clear()
+
+
+def test_write_pq_index_empty_corpus(spark, tmp_path):
+    """An empty corpus still writes a complete sidecar with a zeroed
+    occupancy block instead of crashing on the unreadable empty
+    parquet dir (Spark writes no schema files for an empty
+    partitioned write — read_pq_index never could read one, which is
+    pre-existing and unchanged)."""
+    import json
+    import os
+
+    from etl_router_spark.functions.pq import write_pq_index
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    books = deterministic_codebooks(8, m=4, k=8)
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    path = str(tmp_path / "empty_idx")
+    write_pq_index(empty, books, cents, path)
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["cell_occupancy"] == {"p95": 0, "max": 0, "n_cells": 0}
+    assert meta["codebooks"] == books
