@@ -187,9 +187,12 @@ def compile_group(
         rep_chain = g.chains[rep.id]
         shared_ids = rep_chain[: 1 + g.prefix_len]
         shared_outputs: dict[str, DataFrame] = {}
-        compile_stages(spark, rep, shared_ids, shared_outputs, streaming, source_overrides)
+        _, shared_dlq = compile_stages(
+            spark, rep, shared_ids, shared_outputs, streaming,
+            source_overrides)
         shared_df = shared_outputs[shared_ids[-1]].persist()
 
+        rep_prefix = g.prefix_stage_ids(rep.id)
         for p in g.pipelines:
             chain = g.chains[p.id]
             seed_id = chain[g.prefix_len]  # this pipeline's last shared stage id
@@ -198,6 +201,19 @@ def compile_group(
             sink_frames, dlq_frames = compile_stages(
                 spark, p, tail_ids, outputs, streaming, source_overrides
             )
+            if shared_dlq:
+                # a route-mode validate inside the SHARED prefix still
+                # owns a DLQ side; it belongs to every pipeline in the
+                # group (the configs are identical by construction),
+                # keyed by each pipeline's own stage id at the same
+                # prefix position — dropping it silently lost DLQ rows
+                # for the whole group (r11 fix)
+                p_prefix = g.prefix_stage_ids(p.id)
+                mapped = {
+                    p_prefix[rep_prefix.index(rid)]: frame
+                    for rid, frame in shared_dlq.items()
+                }
+                dlq_frames = {**mapped, **dlq_frames}
             out[p.id] = CompiledPipeline(
                 p, sink_frames, dlq_frames, stage_frames=outputs,
                 spark=spark, streaming=streaming,

@@ -105,3 +105,32 @@ def test_render_outputs(sf_dir, tmp_path):
     assert dot.startswith("digraph") and "peripheries=2" in dot
     txt = render_ascii([a, b])
     assert "keep*" in txt and "shared across 2 pipelines" in txt
+
+
+def test_shared_prefix_validate_route_keeps_dlq(spark, sf_dir, tmp_path):
+    """A route-mode validate inside the SHARED prefix still delivers
+    its DLQ side to EVERY pipeline in the group (r11 fix — the shared
+    compile's dlq_frames were discarded, silently losing the rejected
+    rows for the whole group). Each pipeline sees the side under its
+    OWN stage id, and the rows match an independent compile."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+
+    VALIDATE = {"id": "gate", "type": "transform",
+                "config": {"transform_type": "validate",
+                           "on_invalid": "route",
+                           "rules": [{"field": "value", "required": True,
+                                      "min": 0}]}}
+    ps = [
+        _pipeline("a", sf_dir, str(tmp_path / "a"), steps=(VALIDATE, FILTER)),
+        _pipeline("b", sf_dir, str(tmp_path / "b"), steps=(VALIDATE, PROJECT)),
+    ]
+    dag = optimize(ps)
+    (grp,) = [g for g in dag.groups if len(g.pipelines) == 2]
+    assert grp.prefix_len >= 1  # validate IS shared
+    compiled = compile_group(spark, ps)
+    solo = compile_pipeline(spark, ps[0])
+    assert "gate" in solo.dlq_frames  # the side exists independently
+    expect = solo.dlq_frames["gate"].count()
+    for pid in ("a", "b"):
+        assert "gate" in compiled[pid].dlq_frames, pid
+        assert compiled[pid].dlq_frames["gate"].count() == expect
