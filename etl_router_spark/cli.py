@@ -187,6 +187,26 @@ def cmd_run(args) -> int:
         pipelines, _, _ = _parse_any(Path(args.file).read_text())
     else:
         pipelines = _load_registry(_registry(args))
+    if args.all:
+        # run EVERY pipeline through the shared-prefix optimizer: one
+        # scan + one stateless-prefix compute per source group
+        # (`graph` shows the merged DAG this executes). Batch only —
+        # the sharing mechanism is a persist, which has no streaming
+        # analog here (see compile_group).
+        if args.streaming:
+            print("--all is batch-only (shared-prefix persist); run "
+                  "streaming pipelines individually", file=sys.stderr)
+            return 1
+        if not pipelines:
+            print("no pipelines found", file=sys.stderr)
+            return 1
+        from etl_router_spark.compile.optimizer import compile_group
+
+        spark = get_spark("etl_router_spark.group")
+        for pid, compiled in compile_group(spark, pipelines).items():
+            compiled.run()
+            print(f"pipeline/{pid} finished")
+        return 0
     if args.name:
         pipeline = next((p for p in pipelines if p.id == args.name), None)
         if pipeline is None:
@@ -195,7 +215,8 @@ def cmd_run(args) -> int:
     elif len(pipelines) == 1:
         pipeline = pipelines[0]
     else:
-        print("multiple pipelines; pick one with --name", file=sys.stderr)
+        print("multiple pipelines; pick one with --name (or --all to run "
+              "every pipeline with shared scans)", file=sys.stderr)
         return 1
     spark = get_spark(f"etl_router_spark.{pipeline.id}")
     compiled = compile_pipeline(spark, pipeline, streaming=args.streaming)
@@ -335,6 +356,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("run", help="compile + execute a manifest")
     p.add_argument("-f", "--file")
     p.add_argument("--name", help="pipeline id (when file/registry has several)")
+    p.add_argument("--all", action="store_true",
+                   help="run every pipeline via the shared-prefix "
+                        "optimizer (one scan per source group; batch only)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--once", action="store_true",
                    help="streaming: availableNow then exit")

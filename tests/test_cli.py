@@ -206,3 +206,64 @@ def test_cli_profile_table_and_histogram(spark, sf_dir, capsys):
     assert args.fn(args) == 0
     out = capsys.readouterr().out
     assert out.count("..") == 5 and "#" in out
+
+
+def test_run_all_shared_scan(tmp_path, reg, sf_dir, capsys):
+    """`run --all` executes every pipeline in the file through the
+    shared-prefix optimizer (the CLI path to the one-scan-per-group
+    plan `graph` renders); both sinks land, and --all refuses
+    streaming (the sharing mechanism is a batch persist)."""
+    multi = f"""
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: grp-a}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: {sf_dir}/events.parquet, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: {tmp_path}/a}}
+---
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: grp-b}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: {sf_dir}/events.parquet, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: slim
+      type: transform
+      config: {{transform_type: project, fields: [event_id, user_id]}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: {tmp_path}/b}}
+"""
+    f = tmp_path / "multi.yaml"
+    f.write_text(multi)
+    # without --all, multiple pipelines require --name
+    assert main(["--registry", reg, "run", "-f", str(f)]) == 1
+    assert main(["--registry", reg, "run", "-f", str(f), "--all",
+                 "--streaming"]) == 1
+    assert main(["--registry", reg, "run", "-f", str(f), "--all"]) == 0
+    out = capsys.readouterr().out
+    assert "pipeline/grp-a finished" in out and "pipeline/grp-b finished" in out
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    a = spark.read.parquet(f"{tmp_path}/a")
+    b = spark.read.parquet(f"{tmp_path}/b")
+    assert a.count() == b.count() > 0
+    assert set(b.columns) == {"event_id", "user_id"}
