@@ -120,10 +120,72 @@ def mix_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+
+def shared_scan(spark, sf_dir: str) -> dict:
+    """N pipelines over one source with an identical expensive
+    stateless prefix: compile_group (one scan + one prefix compute,
+    persisted) vs N independent compile_pipeline runs. The optimizer\'s
+    headline claim ("N full-table scans become one"), finally measured.
+    """
+    import shutil
+
+    from etl_router_spark.compile.optimizer import compile_group
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    N = 4
+
+    def pipes(tag: str):
+        ps = []
+        for i in range(N):
+            out = f"/tmp/etl_out/ab_shared/{tag}_{i}"
+            shutil.rmtree(out, ignore_errors=True)
+            ps.append(parse_manifest_dict({
+                "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": f"{tag}-p{i}"},
+                "spec": {"stages": [
+                    {"id": "src", "type": "source",
+                     "config": {"source_type": "file", "format": "parquet",
+                                "path": f"{sf_dir}/documents.parquet"}},
+                    # the shared prefix: an expensive stateless map
+                    # (identical config across all N pipelines)
+                    {"id": "feat", "type": "transform",
+                     "config": {"transform_type": "map", "mappings": [
+                         {"target": "doc_id", "source": "doc_id"},
+                         {"target": "fp",
+                          "expression": "sha2(repeat(text, 8), 512)"}]}},
+                    # tails DIVERGE per pipeline (prefix ends here)
+                    {"id": "keep", "type": "transform",
+                     "config": {"transform_type": "filter",
+                                "condition": {
+                                    "type": "expression",
+                                    "expression":
+                                        f"substring(fp, {i + 1}, 1) != 'f'"}}},
+                    {"id": "out", "type": "sink",
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": out}}]}}))
+        return ps
+
+    def run_independent():
+        for p in pipes("ind"):
+            compile_pipeline(spark, p).run()
+
+    def run_shared():
+        for compiled in compile_group(spark, pipes("shr")).values():
+            compiled.run()
+
+    out: dict = {"experiment": "shared_scan", "sf": sf_dir,
+                 "n_pipelines": N, "arms": {}}
+    out["arms"]["independent"] = _median_wall(run_independent, spark)
+    out["arms"]["shared_group"] = _median_wall(run_shared, spark)
+    return out
+
+
 EXPERIMENTS = {
     "bloom_transport": bloom_transport,
     "dsir_cache": dsir_cache,
     "mix_counts": mix_counts,
+    "shared_scan": shared_scan,
 }
 
 
