@@ -1541,6 +1541,49 @@ def test_bloom_build_manifest_closes_the_nightly_loop(spark, sf_dir, tmp_path):
     assert kept == expect and kept
 
 
+def test_bloom_build_xxhash_family_and_index_width_failfast(spark, tmp_path):
+    """Two contract pins on the build-once path: (1) the engine-side
+    filter frame equals the driver-side build for the PRODUCTION
+    xxhash64 family too (the unit equality above pins h60); (2) a
+    manifest `benchmark_index:` built with a different num_hashes
+    fails IN-TASK with the descriptive width error instead of silently
+    missing contamination."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap, bloom_filter_frame)
+    from etl_router_spark.functions.dedup import minhash_index
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    kw = dict(n=4, m_bits=1 << 14, k=3, hash_family="xxhash64")
+    row = bloom_filter_frame(bench, **kw).collect()[0]
+    assert list(row["words"]) == bloom_bitmap(bench, **kw)
+
+    idx_path = str(tmp_path / "idx8")
+    minhash_index(bench, num_hashes=8, bands=4).write.parquet(idx_path)
+    docs_path = str(tmp_path / "docs")
+    bench.write.parquet(docs_path)
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "width-mismatch"},
+           "spec": {"stages": [
+               {"id": "s", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": docs_path}},
+               {"id": "f", "type": "transform", "depends_on": ["s"],
+                "config": {"transform_type": "decontaminate_fuzzy",
+                           "num_hashes": 16, "bands": 4,  # != index's 8
+                           "benchmark_index": {"source_type": "file",
+                                               "format": "parquet",
+                                               "path": idx_path}}},
+               {"id": "o", "type": "sink", "depends_on": ["f"],
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": str(tmp_path / "out")}}]}}
+    with pytest.raises(Exception, match="width|num_hashes"):
+        compile_pipeline(spark, parse_manifest_dict(doc)).run()
+
+
 def test_bloom_filter_save_load_roundtrip_and_conflicts(spark, tmp_path):
     """save_bloom_filter persists the build parameters WITH the bits;
     load hands both back; the manifest `filter:` key refuses
