@@ -491,3 +491,56 @@ def test_group_topk_rejects_non_json_exact_columns(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(TypeError, match="epoch_us"):
         streaming_group_topk(stream, ["uid"], "v", k=3)
+
+
+def test_stream_bloom_probe_via_manifest_filter_key(spark, tmp_path):
+    """The nightly micro-batch shape as a STREAMING manifest: a
+    bloom_decontaminate stage with the `filter:` key probes a
+    persisted filter on a file-stream source — no per-batch rebuild
+    (there is no benchmark source to rebuild from), results equal the
+    batch run. This is stream_bloom_probe's API gate re-proved at the
+    declarative layer."""
+    from etl_router_spark.functions.corpus import (
+        bloom_bitmap, bloom_decontaminate, save_bloom_filter)
+
+    bench = spark.createDataFrame(
+        [(900001, "benchmark eval question alpha beta gamma delta")],
+        ["doc_id", "text"])
+    bf_path = str(tmp_path / "bf")
+    kw = dict(n=4, m_bits=1 << 14, k=3, hash_family="xxhash64")
+    save_bloom_filter(spark, bloom_bitmap(bench, **kw), bf_path,
+                      n=4, k=3, hash_family="xxhash64")
+    docs = spark.createDataFrame(
+        [(1, "benchmark eval question alpha beta gamma delta leaked"),
+         (2, "completely unrelated clean text nothing shared at all"),
+         (3, "another clean document with different words entirely")],
+        ["doc_id", "text"])
+    docs_in = str(tmp_path / "docs_in")
+    docs.write.parquet(docs_in)
+
+    out = str(tmp_path / "out")
+    pipeline = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "stream-bloom-probe"},
+        "spec": {"stages": [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "file", "path": docs_in,
+                        "format": "parquet"}},
+            {"id": "probe", "type": "transform", "depends_on": ["src"],
+             "config": {"transform_type": "bloom_decontaminate",
+                        "filter": bf_path}},
+            {"id": "out", "type": "sink", "depends_on": ["probe"],
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": out}}]}})
+    schema = spark.read.parquet(docs_in).schema
+    compiled = compile_pipeline(
+        spark, pipeline, streaming=True,
+        source_overrides={"src": spark.readStream.schema(schema)
+                          .parquet(docs_in)})
+    assert compiled.sink_frames["out"].isStreaming
+    run_streaming(compiled, str(tmp_path / "ckpt")).await_termination()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    expect = sorted(r.doc_id for r in bloom_decontaminate(
+        docs, None, prebuilt_words=bloom_bitmap(bench, **kw),
+        **kw).collect())
+    assert got == expect == [2, 3]
