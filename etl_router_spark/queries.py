@@ -3924,7 +3924,15 @@ _DEFER_NEW: tuple[str, ...] = (
     # never-checked rule, and the 45-gate r6-stale tier fills the
     # remaining window slots (5 + 45 = exactly the 50-slot window).
     # Round 11 registers ZERO new live gates so the whole r6 tier
-    # burns in one round, per the r10 verdict.)
+    # burns in one round, per the r10 verdict. The 3 compile-layer
+    # gates REGISTERED in r11 are deferred below — verified green
+    # against the DuckDB oracle at sf0.01 AND sf0.1 this round
+    # (scripts/check_correctness.py). Release them in r12: they rank
+    # first by the never-checked rule, and 3 + the 47-gate r7 tier =
+    # exactly the 50-slot window.)
+    "pipeline_manifest_chain",
+    "pipeline_depends_on_fanout",
+    "pipeline_shared_prefix_group",
 )
 
 
@@ -5430,3 +5438,136 @@ def dlq_expiry_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_dlq_retry_count").alias("retry_count"),
         F.col("_dlq_first_failure").alias("first_failure"),
     )
+
+
+# ---------------------------------------------------------------------------
+# compile-layer gates: the manifest -> DAG -> frame path itself, oracled.
+# Every r11 latent bug (ignored depends_on, dropped shared-prefix DLQ)
+# lived in this layer precisely BECAUSE it had no oracle coverage — the
+# operator gates call functions directly. These gates compile real
+# manifests and hand the driver the sink frame, so a wiring regression
+# (wrong input to a branch, wrong shared seed) is a value-hash mismatch,
+# not a silent re-route. Registered in _DEFER_NEW (r12 window head).
+# ---------------------------------------------------------------------------
+def _compile_manifest(spark: SparkSession, doc: dict):
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    return compile_pipeline(spark, parse_manifest_dict(doc))
+
+
+@query(
+    "pipeline_manifest_chain",
+    """
+    SELECT event_id, event_type, sha256(props) AS props
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def pipeline_manifest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship declarative chain (manifest -> parse -> compile),
+    value-oracled end to end: filter (field_in) -> mask (sha256 hash)
+    -> project. Pins the sequential-chain wiring AND the mask/project
+    stage compilation in one hash — reference shape
+    ``examples/manifests/pipelines/user-analytics.yaml``."""
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "gate-chain"},
+           "spec": {"stages": [
+               {"id": "src", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": f"{sf_dir}/events.parquet"}},
+               {"id": "keep", "type": "transform",
+                "config": {"transform_type": "filter",
+                           "condition": {"type": "field_in",
+                                         "key": "event_type",
+                                         "values": ["purchase", "signup"]}}},
+               {"id": "masked", "type": "transform",
+                "config": {"transform_type": "mask",
+                           "rules": [{"field": "props",
+                                      "strategy": "hash"}]}},
+               {"id": "slim", "type": "transform",
+                "config": {"transform_type": "project",
+                           "fields": ["event_id", "event_type", "props"]}},
+               {"id": "out", "type": "sink",
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": "/tmp/etl_out/gate_chain"}}]}}
+    return _compile_manifest(spark, doc).sink_frames["out"]
+
+
+@query(
+    "pipeline_depends_on_fanout",
+    "SELECT doc_id, source, n_chars FROM documents",
+)
+def pipeline_depends_on_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """depends_on DAG wiring, value-oracled (the r11 parser fix): two
+    branches fan out from ONE source; the gate returns the PROJECT
+    branch, whose oracle is the FULL table. Under the pre-r11 bug
+    (depends_on ignored, stages chained sequentially) this branch
+    would consume the filter branch's survivors and the row count —
+    and hash — would shrink to the 'en' subset."""
+    doc = {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+           "metadata": {"name": "gate-fanout"},
+           "spec": {"stages": [
+               {"id": "src", "type": "source",
+                "config": {"source_type": "file", "format": "parquet",
+                           "path": f"{sf_dir}/documents.parquet"}},
+               {"id": "english", "type": "transform",
+                "depends_on": ["src"],
+                "config": {"transform_type": "filter",
+                           "condition": {"type": "expression",
+                                         "expression": "lang = 'en'"}}},
+               {"id": "out_en", "type": "sink", "depends_on": ["english"],
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": "/tmp/etl_out/gate_fanout_en"}},
+               {"id": "stats", "type": "transform", "depends_on": ["src"],
+                "config": {"transform_type": "project",
+                           "fields": ["doc_id", "source", "n_chars"]}},
+               {"id": "out_stats", "type": "sink", "depends_on": ["stats"],
+                "config": {"sink_type": "file", "format": "parquet",
+                           "path": "/tmp/etl_out/gate_fanout_stats"}}]}}
+    return _compile_manifest(spark, doc).sink_frames["out_stats"]
+
+
+@query(
+    "pipeline_shared_prefix_group",
+    """
+    SELECT event_id, user_id FROM events WHERE value >= 100
+    """,
+)
+def pipeline_shared_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compile_group's shared-prefix execution, value-oracled: two
+    pipelines share (source, filter) — ONE scan + one persisted prefix
+    compute — and the gate returns the SECOND pipeline's tail, so a
+    wrong shared seed or a prefix/tail boundary error is a hash
+    mismatch. Mirrors dsl/src/optimizer.rs:57-237's rewrite, executed."""
+    from etl_router_spark.compile.optimizer import compile_group
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    def pipe(name: str, tail: dict, out: str):
+        return parse_manifest_dict(
+            {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": name},
+             "spec": {"stages": [
+                 {"id": "src", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": f"{sf_dir}/events.parquet"}},
+                 {"id": "big", "type": "transform",
+                  "config": {"transform_type": "filter",
+                             "condition": {"type": "expression",
+                                           "expression": "value >= 100"}}},
+                 tail,
+                 {"id": "out", "type": "sink",
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": out}}]}})
+
+    a = pipe("gate-grp-a",
+             {"id": "t", "type": "transform",
+              "config": {"transform_type": "project",
+                         "fields": ["event_id", "value"]}},
+             "/tmp/etl_out/gate_grp_a")
+    b = pipe("gate-grp-b",
+             {"id": "t", "type": "transform",
+              "config": {"transform_type": "project",
+                         "fields": ["event_id", "user_id"]}},
+             "/tmp/etl_out/gate_grp_b")
+    compiled = compile_group(spark, [a, b])
+    return compiled["gate-grp-b"].sink_frames["out"]
