@@ -158,6 +158,25 @@ def optimize(pipelines: list[Pipeline]) -> OptimizedDag:
     return OptimizedDag(groups=list(groups.values()) + singletons)
 
 
+class _SharedPrefix:
+    """Lifecycle handle for one group's persisted prefix frame: every
+    member pipeline holds it, and the LAST member to finish (via
+    ``CompiledPipeline.run`` or an explicit ``release_shared``)
+    unpersists — without this, the CLI ``--all`` loop and any
+    long-lived session that compiles groups repeatedly accrete
+    persisted frames in executor storage for the session's life."""
+
+    def __init__(self, df: DataFrame, members: int):
+        self._df = df
+        self._remaining = members
+
+    def release(self) -> None:
+        self._remaining -= 1
+        if self._remaining <= 0 and self._df is not None:
+            self._df.unpersist()
+            self._df = None
+
+
 def compile_group(
     spark: SparkSession,
     pipelines: list[Pipeline],
@@ -165,7 +184,10 @@ def compile_group(
     source_overrides: dict[str, DataFrame] | None = None,
 ) -> dict[str, CompiledPipeline]:
     """Compile pipelines with shared-prefix reuse: one scan + one prefix
-    compute per group, persisted, then per-pipeline tails.
+    compute per group, persisted, then per-pipeline tails. The persist
+    is released by the group's last ``CompiledPipeline.run`` (or an
+    explicit ``release_shared`` on every member for callers that only
+    read the frames).
 
     Batch only for the persist (streaming groups fall back to
     independent queries — cross-query sharing in streaming means one
@@ -191,6 +213,7 @@ def compile_group(
             spark, rep, shared_ids, shared_outputs, streaming,
             source_overrides)
         shared_df = shared_outputs[shared_ids[-1]].persist()
+        handle = _SharedPrefix(shared_df, len(g.pipelines))
 
         rep_prefix = g.prefix_stage_ids(rep.id)
         for p in g.pipelines:
@@ -216,7 +239,7 @@ def compile_group(
                 dlq_frames = {**mapped, **dlq_frames}
             out[p.id] = CompiledPipeline(
                 p, sink_frames, dlq_frames, stage_frames=outputs,
-                spark=spark, streaming=streaming,
+                spark=spark, streaming=streaming, shared_prefix=handle,
             )
     return out
 

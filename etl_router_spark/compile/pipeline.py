@@ -197,16 +197,36 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              shingle_n=int(cfg.get("shingle_n", 3)))
     if tt == "dedup_index_probe":
         # incremental fuzzy dedup: keep input rows with no near-dup in
-        # the persisted index at index_path
-        from etl_router_spark.functions.dedup import dedup_against_minhash_index
+        # the persisted index at index_path. The index's persisted
+        # (num_hashes, bands, shingle_n) are authoritative when
+        # present — conflicting overrides are compile errors (see
+        # decontaminate_fuzzy's benchmark_index for why: a mismatch is
+        # silent non-detection, not a loud failure), omitted keys
+        # adopt the index's.
+        from etl_router_spark.functions.dedup import (
+            dedup_against_minhash_index,
+            minhash_index_params,
+        )
 
         idx = df.sparkSession.read.parquet(cfg["index_path"])
+        nh, bd, sn = (int(cfg.get("num_hashes", 16)),
+                      int(cfg.get("bands", 4)),
+                      int(cfg.get("shingle_n", 3)))
+        built = minhash_index_params(idx)
+        if built is not None:
+            for key in ("num_hashes", "bands", "shingle_n"):
+                if key in cfg and int(cfg[key]) != built[key]:
+                    raise ValueError(
+                        f"dedup_index_probe: {key}={cfg[key]!r} conflicts "
+                        f"with the persisted index's {built[key]!r} — "
+                        "probe params must match the build exactly; drop "
+                        "the key to use the index's own")
+            nh, bd, sn = (built["num_hashes"], built["bands"],
+                          built["shingle_n"])
         return dedup_against_minhash_index(
             df, idx, id_col=cfg.get("id_field", "doc_id"),
             text_col=cfg.get("text_field", "text"),
-            num_hashes=int(cfg.get("num_hashes", 16)),
-            bands=int(cfg.get("bands", 4)),
-            shingle_n=int(cfg.get("shingle_n", 3)),
+            num_hashes=nh, bands=bd, shingle_n=sn,
             threshold=float(cfg.get("threshold", 0.5)))
     # optional pre-flight candidate budget (pair-generation types):
     # fail fast with CandidateBudgetExceeded instead of launching a
@@ -469,13 +489,36 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         # persisted minhash_index table (a source config, like
         # lookup's dim) — the benchmark shingle->minhash build is
         # skipped entirely and the stage costs one corpus probe pass.
-        # num_hashes/bands/shingle_n must match the index build; the
-        # probe validates signature width at run time and fails fast.
+        # The index's own (num_hashes, bands, shingle_n) — persisted
+        # as column metadata through the parquet footer — are
+        # authoritative, exactly like the Bloom twin's `filter:`: a
+        # conflicting override would build band keys that never
+        # collide and pass every contaminated doc through silently,
+        # so it is a compile error; omitted keys adopt the index's.
         bench_index = None
         bench = None
+        nh, bd, sn = (int(cfg.get("num_hashes", 16)),
+                      int(cfg.get("bands", 4)),
+                      int(cfg.get("shingle_n", 3)))
         if "benchmark_index" in cfg:
+            from etl_router_spark.functions.dedup import minhash_index_params
+
             bench_index = read_source(
                 df.sparkSession, cfg["benchmark_index"], streaming=False)
+            built = minhash_index_params(bench_index)
+            if built is not None:
+                for key in ("num_hashes", "bands", "shingle_n"):
+                    if key in cfg and int(cfg[key]) != built[key]:
+                        raise ValueError(
+                            f"decontaminate_fuzzy: {key}={cfg[key]!r} "
+                            f"conflicts with the persisted index's "
+                            f"{built[key]!r} — probe params must match "
+                            "the build exactly (a mismatch means zero "
+                            "band-key collisions, i.e. silent "
+                            "non-detection); drop the key to use the "
+                            "index's own")
+                nh, bd, sn = (built["num_hashes"], built["bands"],
+                              built["shingle_n"])
         else:
             bench = read_source(
                 df.sparkSession, cfg["benchmark"], streaming=False)
@@ -483,9 +526,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             df, bench,
             id_col=cfg.get("id_field", "doc_id"),
             text_col=cfg.get("text_field", "text"),
-            num_hashes=int(cfg.get("num_hashes", 16)),
-            bands=int(cfg.get("bands", 4)),
-            shingle_n=int(cfg.get("shingle_n", 3)),
+            num_hashes=nh,
+            bands=bd,
+            shingle_n=sn,
             threshold=float(cfg.get("threshold", 0.5)),
             mode=cfg.get("mode", "drop"),
             benchmark_index=bench_index)
@@ -1170,30 +1213,50 @@ class CompiledPipeline:
                  dlq_frames: dict[str, DataFrame],
                  stage_frames: dict[str, DataFrame] | None = None,
                  spark: SparkSession | None = None,
-                 streaming: bool = False):
+                 streaming: bool = False,
+                 shared_prefix=None):
         self.pipeline = pipeline
         self.sink_frames = sink_frames
         self.dlq_frames = dlq_frames
         self.stage_frames = stage_frames or {}
         self.spark = spark
         self.streaming = streaming
+        # set by compile_group: the group's persisted-prefix lifecycle
+        # handle; the last member to run (or release) unpersists
+        self.shared_prefix = shared_prefix
 
     def run(self) -> None:
         """Write every sink (batch mode), plus DLQ side-outputs when the
         pipeline declares a dlq sink."""
-        for sink_id, df in self.sink_frames.items():
-            write_sink(df, self.pipeline.stages[sink_id].config)
-        if self.pipeline.dlq:
-            from etl_router_spark.sinks.dlq import to_dlq
+        try:
+            for sink_id, df in self.sink_frames.items():
+                write_sink(df, self.pipeline.stages[sink_id].config)
+            if self.pipeline.dlq:
+                from etl_router_spark.sinks.dlq import to_dlq
 
-            for sid, df in self.dlq_frames.items():
-                stage = self.pipeline.stages[sid]
-                write_sink(
-                    to_dlq(df, failed_stage=sid,
-                           failed_stage_type=stage.transform_type or "transform",
-                           pipeline=self.pipeline.name),
-                    self.pipeline.dlq,
-                )
+                for sid, df in self.dlq_frames.items():
+                    stage = self.pipeline.stages[sid]
+                    write_sink(
+                        to_dlq(df, failed_stage=sid,
+                               failed_stage_type=stage.transform_type
+                               or "transform",
+                               pipeline=self.pipeline.name),
+                        self.pipeline.dlq,
+                    )
+        finally:
+            self.release_shared()
+
+    def release_shared(self) -> None:
+        """Drop this pipeline's claim on the group's persisted shared
+        prefix (compile_group); the last release unpersists it.
+        Idempotent, and a no-op for singly-compiled pipelines. Callers
+        that read ``sink_frames`` without ever ``run()``-ing (tests,
+        oracle gates) should release every group member when done —
+        the frames stay valid, they just recompute instead of reading
+        the persisted prefix."""
+        if self.shared_prefix is not None:
+            handle, self.shared_prefix = self.shared_prefix, None
+            handle.release()
 
 
 def compile_pipeline(

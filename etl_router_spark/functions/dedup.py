@@ -436,14 +436,61 @@ def minhash_index(
     anti-pattern.
 
     The index must be rebuilt only when (num_hashes, bands, shingle_n)
-    change; probes validate signature width at run time and fail fast
-    on a mismatched index.
+    change. The build parameters travel WITH the index as column
+    metadata on ``sig`` — Spark persists column metadata in the
+    parquet footer (and through any generic file sink), so a probe can
+    read them back via :func:`minhash_index_params` with zero I/O and
+    fail fast on a mismatch. This closes the silent-miss hole the
+    in-task signature-width guard cannot: a mismatched ``bands`` /
+    ``shingle_n`` produces band keys that simply never collide, zero
+    rows join, the width guard never evaluates, and every near-dup
+    sails through undetected.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    return _banded_buckets(
+    idx = _banded_buckets(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
         num_hashes, bands)
+    return idx.withMetadata("sig", {"num_hashes": num_hashes,
+                                    "bands": bands,
+                                    "shingle_n": shingle_n})
+
+
+def minhash_index_params(index_df: DataFrame) -> dict | None:
+    """The (num_hashes, bands, shingle_n) a :func:`minhash_index` frame
+    was built with, read back from the ``sig`` column's metadata —
+    driver-side schema inspection, no job. ``None`` for pre-metadata
+    indexes (or frames that never carried it), where callers fall back
+    to trusting their own parameters plus the in-task width guard."""
+    try:
+        md = index_df.schema["sig"].metadata or {}
+    except KeyError:
+        return None
+    keys = ("num_hashes", "bands", "shingle_n")
+    if not all(k in md for k in keys):
+        return None
+    return {k: int(md[k]) for k in keys}
+
+
+def _check_index_params(index_df: DataFrame, num_hashes: int, bands: int,
+                        shingle_n: int, caller: str) -> None:
+    """Fail fast (driver-side, zero I/O) when a probe's parameters
+    disagree with what the index frame says it was built with."""
+    built = minhash_index_params(index_df)
+    if built is None:
+        return
+    asked = {"num_hashes": num_hashes, "bands": bands,
+             "shingle_n": shingle_n}
+    diff = {k: (asked[k], built[k]) for k in asked if asked[k] != built[k]}
+    if diff:
+        detail = ", ".join(f"{k}={a} but index was built with {b}"
+                           for k, (a, b) in diff.items())
+        raise ValueError(
+            f"{caller}: probe parameters conflict with the index "
+            f"({detail}). Mismatched bands/shingle_n makes band keys "
+            "that never collide — zero matches, silently — so this is "
+            "an error, not a warning. Probe with the index's own "
+            "parameters or rebuild the index.")
 
 
 def dedup_against_minhash_index(
@@ -478,9 +525,14 @@ def dedup_against_minhash_index(
       and drop via broadcast left_anti — same shape as SemDeDup's
       neighbor drop.
 
-    Parameters must match the index build; a mismatched signature
-    width raises in-task with a descriptive error rather than silently
-    mis-scoring.
+    Parameters must match the index build. An index carrying its
+    build parameters (any :func:`minhash_index` frame, including ones
+    read back from parquet — the metadata rides the footer) raises
+    driver-side on ANY mismatch before a job launches; legacy
+    metadata-free indexes still get the in-task signature-width guard,
+    which catches ``num_hashes`` but not ``bands``/``shingle_n`` (those
+    mis-key the bands so nothing collides — why the metadata check
+    exists).
     """
     hits = minhash_index_matches(new_df, index_df, id_col, text_col,
                                  num_hashes, bands, shingle_n, threshold)
@@ -518,6 +570,8 @@ def minhash_index_matches(
     if broadcast_side not in ("probes", "index"):
         raise ValueError(
             f"broadcast_side must be probes|index, got {broadcast_side!r}")
+    _check_index_params(index_df, num_hashes, bands, shingle_n,
+                        "minhash_index_matches")
     probes = _banded_buckets(
         minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
         num_hashes, bands,

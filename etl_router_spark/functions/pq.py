@@ -456,9 +456,12 @@ def write_pq_index(
     except Exception:
         # an EMPTY corpus writes a parquet dir with no schema files,
         # which Spark cannot re-read (and read_pq_index never could —
-        # pre-existing); record a zeroed block so the sidecar is
-        # complete either way
-        occupancy = {"p95": 0, "max": 0, "n_cells": 0}
+        # pre-existing) — but a TRANSIENT read failure lands here too,
+        # so record null rather than a zeroed block: a 0 would satisfy
+        # readers forever and silently disable the occupancy guard,
+        # while null makes read_pq_index hand back no histogram and
+        # the runtime path re-measures (or skips) as configured
+        occupancy = None
     with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
         json.dump({"codebooks": codebooks,
                    "centroids": [[cid, list(v)] for cid, v in centroids],
@@ -672,27 +675,43 @@ def ivfpq_rerank_topk(
     (``occupancy_guard``: ``"warn"`` default / ``"auto"`` raises the
     shortlist to the p95 occupancy / ``"error"`` / ``"off"``): when
     ``shortlist`` < the p95 IVF cell occupancy, the guard fires with
-    the measured collapse numbers. ``cell_occupancy_p95`` supplies the
-    histogram for free — :func:`write_pq_index` persists it in the
-    sidecar and :func:`read_pq_index` hands it back; when absent the
-    guard spends ONE count-shaped aggregation (cid-only scan of the
-    index codes, or one map-side assignment pass over the corpus
-    vectors inline) before planning. At 100 TB pass the sidecar value
-    or ``"off"`` — never pay a corpus scan for a number the build
-    already knew.
+    the measured collapse numbers. The guard's cost model:
+
+    - ``cell_occupancy_p95`` supplies the histogram for free —
+      :func:`write_pq_index` persists it in the sidecar and
+      :func:`read_pq_index` hands it back.
+    - ``"warn"`` (the default) NEVER launches a job: with no supplied
+      p95 and no memo hit it emits a one-line hint and skips — a lazy
+      plan construction stays lazy, and a streaming corpus compiles
+      (an eager aggregation here used to be both a surprise full-scan
+      driver job and an AnalysisException on streaming input).
+    - ``"auto"`` / ``"error"`` are the explicit enforcement opt-ins:
+      when p95 is unknown they spend ONE count-shaped aggregation
+      (cid-only scan of the index codes, or one map-side assignment
+      pass over the corpus vectors inline), memoized per
+      (app, plan, centroids). On streaming input they skip with a
+      loud warning instead of measuring.
+
+    At 100 TB pass the sidecar value or ``"off"`` — never pay a
+    corpus scan for a number the build already knew.
     """
     if occupancy_guard not in ("warn", "auto", "error", "off"):
         raise ValueError(
             f"occupancy_guard must be warn|auto|error|off, "
             f"got {occupancy_guard!r}")
     if occupancy_guard != "off":
+        import warnings
+
         p95 = cell_occupancy_p95
-        if p95 is None:
-            if centroids is None and corpus_index is None:
-                # reuse below so stage 1 sees the same stand-ins
+        src = corpus_index if corpus_index is not None else corpus
+        memo_key = None
+        if p95 is None and not src.isStreaming:
+            if (centroids is None and corpus_index is None
+                    and not corpus.isStreaming):
+                # reuse below so stage 1 sees the same stand-ins (this
+                # collect is the one stage 1 pays anyway, not an extra)
                 centroids = standin_centroids(
                     corpus, id_col, vec_col, n_centroids)
-            src = corpus_index if corpus_index is not None else corpus
             try:
                 cents_fp = (hash(tuple((cid, tuple(v))
                                        for cid, v in centroids))
@@ -702,8 +721,11 @@ def ivfpq_rerank_topk(
             except Exception:
                 memo_key = None
             if memo_key is not None and memo_key in _OCCUPANCY_CACHE:
-                p95 = _OCCUPANCY_CACHE[memo_key]
-        if p95 is None:
+                # touch-on-hit so eviction is genuinely LRU
+                p95 = _OCCUPANCY_CACHE.pop(memo_key)
+                _OCCUPANCY_CACHE[memo_key] = p95
+        if p95 is None and occupancy_guard in ("auto", "error") \
+                and not src.isStreaming:
             if corpus_index is not None:
                 cells = corpus_index.groupBy("cid").count()
             else:
@@ -718,7 +740,22 @@ def ivfpq_rerank_topk(
                 _OCCUPANCY_CACHE[memo_key] = p95
                 while len(_OCCUPANCY_CACHE) > _OCCUPANCY_CACHE_MAX:
                     _OCCUPANCY_CACHE.pop(next(iter(_OCCUPANCY_CACHE)))
-        if shortlist < p95:
+        if p95 is None:
+            if src.isStreaming and occupancy_guard in ("auto", "error"):
+                warnings.warn(
+                    f"ivfpq_rerank_topk: occupancy_guard="
+                    f"{occupancy_guard!r} skipped — the corpus frame is "
+                    "streaming, so the occupancy histogram cannot be "
+                    "measured here; pass cell_occupancy_p95 from the "
+                    "write_pq_index sidecar to enforce the guard")
+            else:
+                warnings.warn(
+                    "ivfpq_rerank_topk: cell occupancy unknown — guard "
+                    "skipped (pass cell_occupancy_p95 from the "
+                    "write_pq_index sidecar for a free check, or set "
+                    "occupancy_guard='auto'/'error' to measure it with "
+                    "one aggregation)")
+        elif shortlist < p95:
             msg = (
                 f"ivfpq_rerank_topk: shortlist={shortlist} < p95 IVF cell "
                 f"occupancy ({p95}). In near-duplicate-dense cells ADC "
@@ -730,8 +767,6 @@ def ivfpq_rerank_topk(
                 "(dedup.semantic_dedup).")
             if occupancy_guard == "error":
                 raise ValueError(msg)
-            import warnings
-
             if occupancy_guard == "auto":
                 warnings.warn(msg + f" [auto: shortlist raised to {p95}]")
                 shortlist = p95

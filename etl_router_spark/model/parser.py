@@ -163,6 +163,17 @@ def parse_manifest_dict(doc: dict[str, Any]) -> Pipeline:
                     deps = [deps]
                 for d in deps:
                     pipeline.edges.append(Edge(d, stage.id))
+            elif uses_depends and stage.stage_type != StageType.SOURCE:
+                # a depends_on-style manifest with a non-source stage
+                # that forgot its declaration would silently become a
+                # DAG root and only surface later as a confusing
+                # "not on a source->sink path" validation error (or
+                # worse, validate); name the stage at parse time
+                raise ValueError(
+                    f"stage {stage.id!r} has no depends_on, but this "
+                    "manifest declares edges via depends_on (only "
+                    "source stages may omit it — add depends_on to "
+                    f"{stage.id!r} or declare spec.edges explicitly)")
             elif not uses_depends and prev_id is not None:
                 pipeline.edges.append(Edge(prev_id, stage.id))
         prev_id = stage.id

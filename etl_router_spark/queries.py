@@ -5570,4 +5570,12 @@ def pipeline_shared_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "fields": ["event_id", "user_id"]}},
              "/tmp/etl_out/gate_grp_b")
     compiled = compile_group(spark, [a, b])
-    return compiled["gate-grp-b"].sink_frames["out"]
+    out = compiled["gate-grp-b"].sink_frames["out"]
+    # this gate reads the frame without run()-ing the pipelines, so it
+    # must drop the group's claim on the persisted prefix itself —
+    # otherwise every correctness round leaks one persisted frame into
+    # executor storage for the session's life (r11 advisor). The frame
+    # stays valid; it recomputes the (tiny) prefix at collect time.
+    for c in compiled.values():
+        c.release_shared()
+    return out

@@ -64,6 +64,12 @@ def frame_to_rows(pdf) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if sf_dir in ("-h", "--help") or not Path(sf_dir).is_dir():
+        print(__doc__.strip())
+        if sf_dir not in ("-h", "--help"):
+            print(f"\nerror: {sf_dir!r} is not a directory", file=sys.stderr)
+            return 2
+        return 0
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry

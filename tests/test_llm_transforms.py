@@ -603,6 +603,43 @@ def test_round4_example_manifests_compile(spark, tmp_path):
         assert frames[sink_key].count() >= 1
 
 
+def test_rerank_stage_occupancy_guard_manifest_key(spark, tmp_path):
+    """The r11 verdict ask: ``occupancy_guard`` is a first-class rerank
+    stage key, not API-only — a manifest can declare the enforcement
+    mode. 'error' on a one-cell (tight) corpus fails the compile with
+    the measured-collapse message; the DEFAULT stays lazy (hints, no
+    measurement job, no raise)."""
+    import warnings
+
+    rows = [(i, [float(i == 0)] * 8) for i in range(40)]
+    src = str(tmp_path / "tight")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(src)
+    cfg = {"transform_type": "pq_topk", "dim": 8, "k": 3,
+           "nprobe": 2, "shortlist": 5,
+           "query_condition": {"type": "field_lt", "key": "vec_id",
+                               "value": 2}}
+    from etl_router_spark.functions import pq as pqmod
+
+    pqmod._OCCUPANCY_CACHE.clear()
+    # default first (an error-mode run would memoize the histogram and
+    # hand the default a free hit — the production cold path has none)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = _run(spark, src, cfg, str(tmp_path / "o2"))
+    assert [w for w in caught if "occupancy unknown" in str(w.message)]
+    assert not [w for w in caught
+                if "p95 IVF cell occupancy" in str(w.message)]
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="p95 IVF cell occupancy"):
+        _run(spark, src, {**cfg, "occupancy_guard": "error"},
+             str(tmp_path / "o1"))
+    pqmod._OCCUPANCY_CACHE.clear()
+    with pytest.raises(ValueError, match="occupancy_guard must be"):
+        _run(spark, src, {**cfg, "occupancy_guard": "loud"},
+             str(tmp_path / "o3"))
+
+
 def test_quantized_ann_recall_at_10(spark, sf_dir):
     """int8 quantization must preserve ANN quality: top-10 neighbors
     computed on dequantized vectors recall >= 0.9 of the exact float
@@ -1257,6 +1294,13 @@ class TestMinhashIncrementalIndex:
         assert dropped == paired_with_index
 
     def test_mismatched_index_width_fails_fast(self, spark):
+        """A minhash_index frame carries its build parameters as
+        column metadata, so ANY probe mismatch — including the
+        bands/shingle_n kinds whose band keys simply never collide
+        and used to pass everything through silently — raises
+        DRIVER-SIDE before a job launches (r11 advisor). An index
+        stripped of its metadata (legacy artifact) still gets the
+        in-task signature-width guard for num_hashes."""
         import pytest as _pytest
 
         from etl_router_spark.functions.dedup import (
@@ -1268,9 +1312,24 @@ class TestMinhashIncrementalIndex:
             [(1, "alpha beta gamma delta epsilon zeta eta theta")],
             "doc_id long, text string")
         idx = minhash_index(docs, num_hashes=16, bands=4)
+        with _pytest.raises(ValueError,
+                            match="conflict with the index"):
+            dedup_against_minhash_index(docs, idx, num_hashes=8, bands=4)
+        # the silent killers: same num_hashes, different banding or
+        # shingling — zero collisions, no in-task guard could fire
+        with _pytest.raises(ValueError, match="bands=8"):
+            dedup_against_minhash_index(docs, idx, num_hashes=16, bands=8)
+        with _pytest.raises(ValueError, match="shingle_n=5"):
+            dedup_against_minhash_index(docs, idx, num_hashes=16, bands=4,
+                                        shingle_n=5)
+        # legacy (metadata-free) index: in-task width guard still fires
+        legacy = idx.withMetadata("sig", {})
+        from etl_router_spark.functions.dedup import minhash_index_params
+
+        assert minhash_index_params(legacy) is None
         with _pytest.raises(Exception, match="signature width"):
             dedup_against_minhash_index(
-                docs, idx, num_hashes=8, bands=4).collect()
+                docs, legacy, num_hashes=8, bands=4).collect()
 
 
 def test_dedup_index_manifests(spark, tmp_path):
@@ -1546,7 +1605,9 @@ def test_bloom_build_xxhash_family_and_index_width_failfast(spark, tmp_path):
     filter frame equals the driver-side build for the PRODUCTION
     xxhash64 family too (the unit equality above pins h60); (2) a
     manifest `benchmark_index:` built with a different num_hashes
-    fails IN-TASK with the descriptive width error instead of silently
+    fails AT COMPILE (the index's persisted params are authoritative,
+    r11 advisor — it used to rely on the in-task width guard, which a
+    bands/shingle_n mismatch never even reaches) instead of silently
     missing contamination."""
     from etl_router_spark.compile.pipeline import compile_pipeline
     from etl_router_spark.functions.corpus import (
@@ -1582,6 +1643,15 @@ def test_bloom_build_xxhash_family_and_index_width_failfast(spark, tmp_path):
                            "path": str(tmp_path / "out")}}]}}
     with pytest.raises(Exception, match="width|num_hashes"):
         compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    # omitted keys ADOPT the index's persisted params (like the Bloom
+    # twin's `filter:`): same manifest minus the conflicting override
+    # detects the verbatim-contaminated doc and drops it
+    del doc["spec"]["stages"][1]["config"]["num_hashes"]
+    del doc["spec"]["stages"][1]["config"]["bands"]
+    doc["spec"]["stages"][1]["config"]["mode"] = "drop"
+    doc["spec"]["stages"][2]["config"]["path"] = str(tmp_path / "out2")
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    assert spark.read.parquet(str(tmp_path / "out2")).count() == 0
 
 
 def test_bloom_filter_save_load_roundtrip_and_conflicts(spark, tmp_path):

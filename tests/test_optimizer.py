@@ -98,6 +98,31 @@ def test_compile_group_shared_results_match_independent(spark, sf_dir, tmp_path)
     a_prefix.unpersist()
 
 
+def test_shared_prefix_unpersists_after_group_runs(spark, sf_dir, tmp_path):
+    """The persisted shared prefix is RELEASED by the group's last
+    run() — without this the CLI --all loop (and any session that
+    compiles groups repeatedly) accretes persisted frames in executor
+    storage forever (r11 advisor). release_shared is idempotent and
+    available to callers that never run()."""
+    a = _pipeline("a", sf_dir, str(tmp_path / "a"), steps=(FILTER, PROJECT))
+    b = _pipeline("b", sf_dir, str(tmp_path / "b"), steps=(FILTER, PROJECT))
+    compiled = compile_group(spark, [a, b])
+    prefix = compiled["a"].stage_frames["slim"]
+    assert prefix.storageLevel.useMemory
+    compiled["a"].run()
+    assert prefix.storageLevel.useMemory  # b still holds a claim
+    compiled["b"].run()
+    assert not prefix.storageLevel.useMemory  # last member released
+    compiled["b"].release_shared()  # idempotent no-op
+    # a singly-compiled pipeline has no shared handle
+    from etl_router_spark.compile.pipeline import compile_pipeline
+
+    solo = compile_pipeline(spark, _pipeline(
+        "c", sf_dir, str(tmp_path / "c"), steps=(FILTER, PROJECT)))
+    assert solo.shared_prefix is None
+    solo.release_shared()
+
+
 def test_render_outputs(sf_dir, tmp_path):
     a = _pipeline("a", sf_dir, str(tmp_path / "a"), steps=(FILTER, PROJECT))
     b = _pipeline("b", sf_dir, str(tmp_path / "b"), steps=(FILTER, PROJECT))

@@ -91,6 +91,27 @@ def test_explicit_edges_override_depends_on(dag):
         (f"s{i}", f"s{i + 1}") for i in range(n - 1)}
 
 
+@given(declared_dags(), st.data())
+@settings(max_examples=100, deadline=None)
+def test_missing_depends_on_raises_at_parse_naming_the_stage(dag, data):
+    """A depends_on-style manifest where a NON-SOURCE stage omits its
+    declaration fails at parse time, naming the stage (r11 advisor —
+    it used to silently become a DAG root and surface only as a
+    confusing validation error, if at all)."""
+    import pytest
+
+    stages, _ = dag
+    victims = [s for s in stages if s.get("depends_on")]
+    if not victims:
+        return
+    victim = data.draw(st.sampled_from(victims))
+    del victim["depends_on"]
+    if not any(s.get("depends_on") for s in stages):
+        return  # no longer depends_on-style: sequential chain applies
+    with pytest.raises(ValueError, match=victim["id"]):
+        parse_manifest_dict(_doc(stages))
+
+
 @given(declared_dags())
 @settings(max_examples=50, deadline=None)
 def test_parse_is_deterministic(dag):

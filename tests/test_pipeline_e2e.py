@@ -594,9 +594,12 @@ def test_depends_on_builds_the_declared_dag():
         [src, tr("a", ["src"]), sk("o", ["a"])],
         edges=[{"from": "src", "to": "a"}, {"from": "a", "to": "o"}]))
     assert len(p4.edges) == 2
-    # a stranded stage in a depends_on-style manifest fails LOUDLY
-    with pytest.raises(ValidationError, match="source->sink path"):
-        bad = doc([src, tr("a", ["src"]), sk("o", ["a"]),
-                   {**tr("stranded", None)}])
-        bad["spec"]["stages"][-1].pop("depends_on")
-        validate_pipeline(parse_manifest_dict(bad))
+    # a non-source stage that forgot its depends_on in a declared-style
+    # manifest fails AT PARSE, naming the stage (r11 advisor — it used
+    # to silently become a DAG root and only surface from
+    # validate_pipeline as a confusing "source->sink path" error)
+    bad = doc([src, tr("a", ["src"]), sk("o", ["a"]),
+               {**tr("stranded", None)}])
+    bad["spec"]["stages"][-1].pop("depends_on")
+    with pytest.raises(ValueError, match="stranded"):
+        parse_manifest_dict(bad)

@@ -466,7 +466,9 @@ def test_ivfpq_rerank_occupancy_guard(spark):
     shortlist=80 vs occupancy~625) is CODE, not just a docstring. A
     tight-cluster corpus (p95 cell occupancy >> shortlist) fires the
     guard; a wide, balanced corpus does not; 'error' raises, 'auto'
-    widens the shortlist, 'off' is silent."""
+    widens the shortlist, 'off' is silent. The default 'warn' never
+    measures: with no known p95 it hints and skips (r11 advisor — the
+    eager histogram job made lazy compilation launch a full scan)."""
     import warnings
 
     from etl_router_spark.functions.pq import ivfpq_rerank_topk
@@ -477,17 +479,30 @@ def test_ivfpq_rerank_occupancy_guard(spark):
     tight = _grouped_vecs(spark, 60, groups=1, jitter=0.0)
     q = tight.filter("vec_id < 3")
     kw = dict(k=3, nprobe=2, n_centroids=8)
-    with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
+    from etl_router_spark.functions import pq as pqmod
+
+    pqmod._OCCUPANCY_CACHE.clear()
+    # default warn + unknown p95: hint-and-skip, NOT a measurement job
+    # (no occupancy number in the message, nothing memoized)
+    with pytest.warns(UserWarning, match="cell occupancy unknown"):
         got = ivfpq_rerank_topk(q, tight, books, shortlist=5, **kw)
     assert got.count() == 9  # warn mode still answers (3 q x k=3)
+    assert not pqmod._OCCUPANCY_CACHE
+    # warn + the sidecar's p95 supplied: fires for free
+    with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
+        ivfpq_rerank_topk(q, tight, books, shortlist=5,
+                          cell_occupancy_p95=60, **kw)
     # wide: 8 balanced clusters, occupancy ~8 -> shortlist 20 is fine
+    # even under explicit enforcement (auto measures, finds p95=8)
     wide = _grouped_vecs(spark, 64, groups=8)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         ivfpq_rerank_topk(wide.filter("vec_id < 3"), wide, books,
-                          shortlist=20, **kw).count()
+                          shortlist=20, occupancy_guard="auto",
+                          **kw).count()
     assert not [w for w in caught if "occupancy" in str(w.message)]
-    # error mode fails fast; off is silent even on the tight corpus
+    # error mode measures and fails fast; off is silent on the tight
+    # corpus
     with pytest.raises(ValueError, match="p95 IVF cell occupancy"):
         ivfpq_rerank_topk(q, tight, books, shortlist=5,
                           occupancy_guard="error", **kw)
@@ -496,6 +511,7 @@ def test_ivfpq_rerank_occupancy_guard(spark):
         ivfpq_rerank_topk(q, tight, books, shortlist=5,
                           occupancy_guard="off", **kw).count()
     assert not [w for w in caught if "occupancy" in str(w.message)]
+    pqmod._OCCUPANCY_CACHE.clear()
     # auto mode widens the shortlist to the p95 occupancy: on the
     # tight corpus that makes stage 2 exact over the whole cell, so
     # the result equals an explicitly well-sized run
@@ -542,10 +558,12 @@ def test_pq_index_sidecar_carries_occupancy(spark, tmp_path):
 
 
 def test_occupancy_guard_memoizes_per_plan(spark):
-    """The histogram job runs once per (app, plan, centroids): a
-    repeated rerank over the same corpus plan reads the memo (proved
-    by poisoning it), and the memo is advisory — it tunes the warning
-    only, never the rows."""
+    """The histogram job runs once per (app, plan, centroids) under the
+    enforcement modes: a repeated rerank over the same corpus plan
+    reads the memo — including from the default 'warn' mode, which
+    never measures but uses a hit for free (proved by poisoning it) —
+    and the memo is advisory: it tunes the warning only, never the
+    rows."""
     import warnings
 
     from etl_router_spark.functions import pq as pqmod
@@ -559,11 +577,14 @@ def test_occupancy_guard_memoizes_per_plan(spark):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         first = sorted(tuple(r) for r in
-                       ivfpq_rerank_topk(q, vecs, books, **kw).collect())
+                       ivfpq_rerank_topk(q, vecs, books,
+                                         occupancy_guard="auto",
+                                         **kw).collect())
     assert not [w for w in caught if "occupancy" in str(w.message)]
     assert len(pqmod._OCCUPANCY_CACHE) == 1
-    # poison the memo: the second identical call must READ it (warn
-    # despite the corpus being wide) and still return identical rows
+    # poison the memo: a second call under DEFAULT warn must READ it
+    # (warn despite the corpus being wide — and despite warn never
+    # launching a measurement) and still return identical rows
     key = next(iter(pqmod._OCCUPANCY_CACHE))
     pqmod._OCCUPANCY_CACHE[key] = 10_000
     with pytest.warns(UserWarning, match="p95 IVF cell occupancy"):
@@ -571,6 +592,27 @@ def test_occupancy_guard_memoizes_per_plan(spark):
                         ivfpq_rerank_topk(q, vecs, books, **kw).collect())
     assert second == first
     pqmod._OCCUPANCY_CACHE.clear()
+
+
+def test_occupancy_guard_streaming_corpus_compiles(spark):
+    """A streaming corpus frame must never trigger the guard's eager
+    histogram aggregation (it used to raise AnalysisException at plan
+    construction — r11 advisor): enforcement modes skip with a loud
+    warning, and plan construction stays lazy."""
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    dims = ", ".join(f"cast(value + {d} as double)" for d in range(8))
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("value AS vec_id",
+                          f"array({dims}) AS embedding"))
+    q = _grouped_vecs(spark, 4, groups=1)
+    books = deterministic_codebooks(8, m=4, k=8)
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    with pytest.warns(UserWarning, match="corpus frame is streaming"):
+        got = ivfpq_rerank_topk(q, stream, books, k=3, shortlist=5,
+                                nprobe=2, centroids=cents,
+                                occupancy_guard="error")
+    assert got.isStreaming
 
 
 def test_write_pq_index_empty_corpus(spark, tmp_path):
@@ -592,5 +634,8 @@ def test_write_pq_index_empty_corpus(spark, tmp_path):
     write_pq_index(empty, books, cents, path)
     with open(os.path.join(path, "_pq_meta.json")) as fh:
         meta = json.load(fh)
-    assert meta["cell_occupancy"] == {"p95": 0, "max": 0, "n_cells": 0}
+    # null, not a zeroed block: a persisted 0 would satisfy readers
+    # forever and silently disable the guard; null makes read_pq_index
+    # hand back no histogram so the runtime path decides (r11 advisor)
+    assert meta["cell_occupancy"] is None
     assert meta["codebooks"] == books
