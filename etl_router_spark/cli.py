@@ -190,19 +190,29 @@ def cmd_run(args) -> int:
     if args.all:
         # run EVERY pipeline through the shared-prefix optimizer: one
         # scan + one stateless-prefix compute per source group
-        # (`graph` shows the merged DAG this executes). Batch only —
-        # the sharing mechanism is a persist, which has no streaming
-        # analog here (see compile_group).
-        if args.streaming:
-            print("--all is batch-only (shared-prefix persist); run "
-                  "streaming pipelines individually", file=sys.stderr)
-            return 1
+        # (`graph` shows the merged DAG this executes). Batch shares
+        # via a persisted prefix (compile_group); streaming fuses each
+        # group into ONE foreachBatch query whose epochs compute the
+        # prefix once and fan every member's tail (run_streaming_group
+        # — optimizer.rs:57-107 groups by source regardless of mode).
         if not pipelines:
             print("no pipelines found", file=sys.stderr)
             return 1
+        spark = get_spark("etl_router_spark.group")
+        if args.streaming:
+            from etl_router_spark.streaming.group import run_streaming_group
+
+            execu = run_streaming_group(
+                spark, pipelines,
+                args.checkpoint or "/tmp/etl_ckpt/_group")
+            print(f"started {len(execu.queries)} streaming queries")
+            if args.once:
+                execu.await_termination()
+            else:
+                spark.streams.awaitAnyTermination()
+            return 0
         from etl_router_spark.compile.optimizer import compile_group
 
-        spark = get_spark("etl_router_spark.group")
         for pid, compiled in compile_group(spark, pipelines).items():
             compiled.run()
             print(f"pipeline/{pid} finished")
@@ -358,7 +368,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", help="pipeline id (when file/registry has several)")
     p.add_argument("--all", action="store_true",
                    help="run every pipeline via the shared-prefix "
-                        "optimizer (one scan per source group; batch only)")
+                        "optimizer (one scan per source group; with "
+                        "--streaming, one fused query per group)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--once", action="store_true",
                    help="streaming: availableNow then exit")

@@ -3917,22 +3917,19 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
 _DEFER_NEW: tuple[str, ...] = (
-    # (r11: the 5 gates REGISTERED in r10 —
-    # corpus_bloom_decontaminate_bcast, corpus_yield_curve,
-    # stream_bloom_probe, corpus_decontaminate_fuzzy,
-    # search_hard_negatives — are RELEASED; they rank first by the
-    # never-checked rule, and the 45-gate r6-stale tier fills the
-    # remaining window slots (5 + 45 = exactly the 50-slot window).
-    # Round 11 registers ZERO new live gates so the whole r6 tier
-    # burns in one round, per the r10 verdict. The 3 compile-layer
-    # gates REGISTERED in r11 are deferred below — verified green
-    # against the DuckDB oracle at sf0.01 AND sf0.1 this round
-    # (scripts/check_correctness.py). Release them in r12: they rank
-    # first by the never-checked rule, and 3 + the 47-gate r7 tier =
-    # exactly the 50-slot window.)
-    "pipeline_manifest_chain",
-    "pipeline_depends_on_fanout",
-    "pipeline_shared_prefix_group",
+    # (r12: the 3 compile-layer gates REGISTERED in r11 —
+    # pipeline_manifest_chain, pipeline_depends_on_fanout,
+    # pipeline_shared_prefix_group — are RELEASED; they rank first by
+    # the never-checked rule, and the 47-gate r7-stale tier fills the
+    # remaining slots (3 + 47 = exactly the 50-slot window). Round 12
+    # registers ZERO new live gates so the whole r7 tier burns in one
+    # round, per the r11 verdict. The 2 gates REGISTERED in r12 are
+    # deferred below — both verified green against the DuckDB oracle
+    # at sf0.01 this round (scripts/check_correctness.py). Release
+    # them in r13: they rank first by the never-checked rule, ahead of
+    # the 50-gate r8 tier.)
+    "pipeline_shared_prefix_dlq",
+    "stream_shared_prefix_group",
 )
 
 
@@ -5579,3 +5576,57 @@ def pipeline_shared_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in compiled.values():
         c.release_shared()
     return out
+
+
+@query(
+    "pipeline_shared_prefix_dlq",
+    """
+    SELECT event_id, event_type, value FROM events
+    WHERE NOT (value IS NOT NULL AND coalesce(value >= 0, FALSE)
+               AND coalesce(value <= 1, FALSE))
+    """,
+)
+def pipeline_shared_prefix_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared-prefix group's PROPAGATED DLQ side, value-oracled:
+    a route-mode validate inside the shared prefix owns a rejected-rows
+    side-output that belongs to EVERY pipeline in the group — exactly
+    the frame the pre-r11 compile_group silently discarded (fixed
+    commit 3517453; this gate is its oracle upgrade, per the r11
+    verdict). The gate returns the SECOND pipeline's dlq_frames entry,
+    so a regression that drops, mis-keys, or re-derives the side from
+    the wrong seed is a hash mismatch, not a quiet row loss. Reference
+    semantics: DLQ side-output record model dlq/src/record.rs:96-180;
+    shared-prefix rewrite dsl/src/optimizer.rs:57-237 (validate is in
+    the stateless whitelist, optimizer.rs:223-237)."""
+    from etl_router_spark.compile.optimizer import compile_group
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    def pipe(name: str, fields: list, out: str):
+        return parse_manifest_dict(
+            {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": name},
+             "spec": {"stages": [
+                 {"id": "src", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": f"{sf_dir}/events.parquet"}},
+                 {"id": "vgate", "type": "transform",
+                  "config": {"transform_type": "validate",
+                             "on_invalid": "route",
+                             "rules": [{"field": "value", "required": True,
+                                        "min": 0, "max": 1}]}},
+                 {"id": "t", "type": "transform",
+                  "config": {"transform_type": "project",
+                             "fields": fields}},
+                 {"id": "out", "type": "sink",
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": out}}]}})
+
+    a = pipe("gate-dlq-a", ["event_id", "value"],
+             "/tmp/etl_out/gate_dlq_a")
+    b = pipe("gate-dlq-b", ["event_id", "user_id"],
+             "/tmp/etl_out/gate_dlq_b")
+    compiled = compile_group(spark, [a, b])
+    dlq = compiled["gate-dlq-b"].dlq_frames["vgate"]
+    for c in compiled.values():
+        c.release_shared()
+    return dlq.select("event_id", "event_type", "value")

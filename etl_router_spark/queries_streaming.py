@@ -1544,6 +1544,58 @@ def stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "stream_shared_prefix_group",
+    f"SELECT event_id, user_id FROM {EVENTS_US} WHERE value >= 100",
+)
+def stream_shared_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_streaming_group, value-oracled: two pipelines sharing
+    (source, filter) fuse into ONE streaming query — each epoch
+    computes the shared prefix once and fans both tails (the r11
+    verdict ask: the shared-prefix optimizer applied to STREAMING,
+    dsl/src/optimizer.rs:57-107 groups by source regardless of mode).
+    The gate returns the SECOND pipeline's sink read back, the same
+    tail the batch twin (pipeline_shared_prefix_group) hashes — a
+    wrong seed, a prefix/tail boundary error, or a lost member sink is
+    a hash mismatch."""
+    import os
+
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_grp_")
+    src = os.path.join(wd, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+
+    def pipe(name: str, fields: list, out: str):
+        return parse_manifest_dict(
+            {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": name},
+             "spec": {"stages": [
+                 {"id": "src", "type": "source",
+                  "config": {"source_type": "file", "format": "parquet",
+                             "path": src}},
+                 {"id": "big", "type": "transform",
+                  "config": {"transform_type": "filter",
+                             "condition": {"type": "expression",
+                                           "expression": "value >= 100"}}},
+                 {"id": "t", "type": "transform",
+                  "config": {"transform_type": "project",
+                             "fields": fields}},
+                 {"id": "out", "type": "sink",
+                  "config": {"sink_type": "file", "format": "parquet",
+                             "path": out}}]}})
+
+    a = pipe("sgrp-a", ["event_id", "value"], os.path.join(wd, "out_a"))
+    b = pipe("sgrp-b", ["event_id", "user_id"], os.path.join(wd, "out_b"))
+    execu = run_streaming_group(spark, [a, b], os.path.join(wd, "ckpt"))
+    assert len(execu.queries) == 1, "group must fuse into one query"
+    execu.await_termination()
+    result = spark.read.parquet(os.path.join(wd, "out_b"))
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
 from etl_router_spark.queries import ORACLES as _Q_ORACLES  # noqa: E402
 
 # per-document probe => batch boundaries are invisible: share the

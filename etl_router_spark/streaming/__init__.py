@@ -6,6 +6,7 @@ the compiled sinks into checkpointed StreamingQueries (SURVEY §2.8
 mapping table).
 """
 
+from etl_router_spark.streaming.group import run_streaming_group
 from etl_router_spark.streaming.runner import (
     StreamingExecution,
     infer_output_mode,
@@ -22,6 +23,7 @@ __all__ = [
     "StreamingExecution",
     "infer_output_mode",
     "run_streaming",
+    "run_streaming_group",
     "streaming_ratelimit",
     "track_source_watermarks",
 ]

@@ -211,8 +211,10 @@ def test_cli_profile_table_and_histogram(spark, sf_dir, capsys):
 def test_run_all_shared_scan(tmp_path, reg, sf_dir, capsys):
     """`run --all` executes every pipeline in the file through the
     shared-prefix optimizer (the CLI path to the one-scan-per-group
-    plan `graph` renders); both sinks land, and --all refuses
-    streaming (the sharing mechanism is a batch persist)."""
+    plan `graph` renders); both sinks land — in batch (persisted
+    prefix) AND in streaming, where the group fuses into ONE
+    foreachBatch query per source group (r11 verdict ask; the old
+    batch-only refusal is gone)."""
     multi = f"""
 apiVersion: etl.dev/v1
 kind: Pipeline
@@ -255,11 +257,33 @@ spec:
     f.write_text(multi)
     # without --all, multiple pipelines require --name
     assert main(["--registry", reg, "run", "-f", str(f)]) == 1
-    assert main(["--registry", reg, "run", "-f", str(f), "--all",
-                 "--streaming"]) == 1
     assert main(["--registry", reg, "run", "-f", str(f), "--all"]) == 0
     out = capsys.readouterr().out
     assert "pipeline/grp-a finished" in out and "pipeline/grp-b finished" in out
+    # streaming --all: one fused query per group writes BOTH sinks
+    # (file STREAMS need a directory source, so stage the fixture)
+    import shutil as _sh
+
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    f2 = tmp_path / "multi_stream.yaml"
+    f2.write_text(multi.replace(f"{tmp_path}/a", f"{tmp_path}/sa")
+                       .replace(f"{tmp_path}/b", f"{tmp_path}/sb")
+                       .replace(f"{sf_dir}/events.parquet", str(src_dir)))
+    assert main(["--registry", reg, "run", "-f", str(f2), "--all",
+                 "--streaming", "--once",
+                 "--checkpoint", str(tmp_path / "ck")]) == 0
+    out = capsys.readouterr().out
+    assert "started 1 streaming queries" in out  # ONE query, two sinks
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    batch_a = spark.read.parquet(f"{tmp_path}/a")
+    stream_a = spark.read.parquet(f"{tmp_path}/sa")
+    assert stream_a.count() == batch_a.count()
+    assert spark.read.parquet(f"{tmp_path}/sb").columns == \
+        spark.read.parquet(f"{tmp_path}/b").columns
     import pyspark.sql
 
     spark = pyspark.sql.SparkSession.getActiveSession()

@@ -286,6 +286,63 @@ def test_stream_dlq_route(spark, events_in, tmp_path):
     assert bad.filter("_dlq_failed_stage = 'checked'").count() == bad.count()
 
 
+def test_run_streaming_group_fuses_and_propagates_dlq(spark, events_in,
+                                                      tmp_path):
+    """run_streaming_group (r11 verdict ask): two pipelines sharing
+    (source, route-validate) fuse into ONE streaming query whose
+    epochs compute the prefix once and fan both tails — and the shared
+    prefix's DLQ side lands in EVERY member's DLQ sink under the
+    member's own stage id, the same propagation contract the batch
+    compile_group enforces (commit 3517453)."""
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    def pipe(name, fields, out, dlq_path):
+        return parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": name},
+            "spec": {
+                "dlq": {"sink_type": "file", "format": "parquet",
+                        "path": dlq_path},
+                "stages": [
+                    {"id": "src", "type": "source",
+                     "config": {"source_type": "file", "path": events_in,
+                                "format": "parquet"}},
+                    {"id": "vgate", "type": "transform",
+                     "config": {"transform_type": "validate",
+                                "on_invalid": "route",
+                                "rules": [{"field": "value",
+                                           "required": True, "min": 0.5}]}},
+                    {"id": "t", "type": "transform",
+                     "config": {"transform_type": "project",
+                                "fields": fields}},
+                    {"id": "out", "type": "sink",
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": out}}]}})
+
+    out_a, out_b = str(tmp_path / "ga"), str(tmp_path / "gb")
+    dlq_a, dlq_b = str(tmp_path / "dlq_a"), str(tmp_path / "dlq_b")
+    a = pipe("ga", ["event_id", "value"], out_a, dlq_a)
+    b = pipe("gb", ["event_id", "user_id"], out_b, dlq_b)
+    execu = run_streaming_group(spark, [a, b], str(tmp_path / "ck"))
+    assert len(execu.queries) == 1  # ONE fused query for the group
+    execu.await_termination()
+
+    total = spark.read.parquet(events_in).count()
+    good_a = spark.read.parquet(out_a)
+    bad_a = spark.read.parquet(dlq_a)
+    assert good_a.count() + bad_a.count() == total
+    assert good_a.filter("value < 0.5 OR value IS NULL").count() == 0
+    # the SHARED stage's rejects reached BOTH members, keyed by the
+    # member's own stage id
+    bad_b = spark.read.parquet(dlq_b)
+    assert bad_b.count() == bad_a.count() > 0
+    for bad in (bad_a, bad_b):
+        assert bad.filter("_dlq_failed_stage = 'vgate'").count() \
+            == bad.count()
+    assert set(good_a.columns) == {"event_id", "value"}
+    assert set(spark.read.parquet(out_b).columns) == {"event_id", "user_id"}
+
+
 def test_stream_stream_windowed_join(spark, events_in, tmp_path):
     """T13 streaming: stream-stream equi-join with watermarks on both
     sides and a time-range bound (types.rs:643-678 windowed join)."""
