@@ -1,0 +1,180 @@
+"""Chain-level timing of the retrieval stack (r11 verdict ask #4).
+
+``chain_timing.py`` times the shipped curation artifact
+(training-data-release.yaml); the OTHER shipped loop is retrieval
+(examples/retrieval_loop.py): index -> search -> mine -> evaluate.
+Per-operator sweeps time each stage in isolation; only the chain-level
+number catches cross-stage effects — the index build feeding the
+rerank's occupancy guard through the sidecar (zero-cost guard), the
+runs frame fanning into BOTH mine and eval, shuffle-partition pressure
+between the search and the query-keyed aggregations.
+
+The timed chain, per scale factor (min-of-``--reps``, calibrated):
+
+1. ``index_build``  pq_train codebooks + write_pq_index (persists the
+                    cell-occupancy histogram in the sidecar — the
+                    guard's free feed)
+2. ``rerank``       ivfpq_rerank_topk with ``occupancy_guard="auto"``
+                    fed by the sidecar p95 — the self-enforcing
+                    operating rule measured in IVFPQ_RECALL_r11.json,
+                    running exactly as a production query service would
+3. ``mine``         mine_hard_negatives over the runs + label-derived
+                    qrels (same-label = relevant, self = highly)
+4. ``evaluate``     retrieval_eval (trec_eval recall/MRR/nDCG @10)
+
+Queries are a PROPORTIONAL slice (vec_id % 100 == 0), never a fixed id
+range (the r9 fixture lesson: fixed splits invert ratios across SFs).
+
+Usage:
+    python scripts/gen_scale_data.py --out /tmp/sf1 --scale 10
+    python scripts/retrieval_chain_timing.py /root/testdata/sf0.1 /tmp/sf1 \
+        [--reps 3] [--out RETRIEVAL_CHAIN_r12.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+STAGE_ROOT = "/tmp/retrieval_chain"
+
+
+def _qrels(spark, emb, queries):
+    """Graded judgments from the embeddings fixture's label column:
+    same-label corpus docs are relevant (1.0), the query's own vector
+    highly so (2.0) — the retrieval_loop.py recipe at scale."""
+    from pyspark.sql import functions as F
+
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("__ql"))
+    return (emb.select(F.col("vec_id").alias("doc_id"),
+                       F.col("label").alias("__dl"))
+            .join(q, F.col("__ql") == F.col("__dl"))
+            .select("query_id", "doc_id",
+                    F.when(F.col("doc_id") == F.col("query_id"), 2.0)
+                     .otherwise(1.0).alias("rel")))
+
+
+def run_chain(spark, sf_dir: str, tag: str, rep: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.indexing import (
+        mine_hard_negatives,
+        retrieval_eval,
+    )
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        pq_train,
+        read_pq_index,
+        standin_centroids,
+        write_pq_index,
+    )
+    from etl_router_spark.io import load_table
+
+    base = os.path.join(STAGE_ROOT, tag, f"rep{rep}")
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    row: dict = {}
+
+    # 1. index build (codebook training + persisted index + sidecar)
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=4, k=16)
+    cents = standin_centroids(emb, "vec_id", "embedding", 8)
+    idx_path = os.path.join(base, "index")
+    write_pq_index(emb, books, cents, idx_path)
+    row["index_build"] = time.perf_counter() - t0
+
+    # 2. search: shortlist -> exact re-rank, guard auto on the sidecar
+    # p95 (no measurement job — the build already paid it)
+    t0 = time.perf_counter()
+    idx, rbooks, rcents, meta = read_pq_index(spark, idx_path)
+    p95 = (meta.get("cell_occupancy") or {}).get("p95")
+    runs_path = os.path.join(base, "runs")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # guard-auto shortlist raise
+        ivfpq_rerank_topk(
+            queries, emb, rbooks, k=10, shortlist=50, nprobe=2,
+            centroids=rcents, corpus_index=idx,
+            cell_occupancy_p95=p95, occupancy_guard="auto",
+        ).write.parquet(runs_path)
+    row["rerank"] = time.perf_counter() - t0
+    row["p95_occupancy"] = p95
+
+    runs = (spark.read.parquet(runs_path)
+            .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                    "rank"))
+    qrels = _qrels(spark, emb, queries)
+
+    # 3. mine: DPR-style contrastive pairs from runs + judgments
+    t0 = time.perf_counter()
+    mine_hard_negatives(runs, qrels, n_negatives=4) \
+        .write.parquet(os.path.join(base, "pairs"))
+    row["mine"] = time.perf_counter() - t0
+
+    # 4. evaluate: trec_eval @10 — per-query metrics, macro-averaged
+    # (the collect is one row per QUERY, metadata-sized)
+    t0 = time.perf_counter()
+    macro = retrieval_eval(runs, qrels, k=10) \
+        .agg(F.avg("recall").alias("r"), F.avg("ndcg").alias("n")) \
+        .collect()[0]
+    row["evaluate"] = time.perf_counter() - t0
+    row["total"] = sum(row[k] for k in
+                       ("index_build", "rerank", "mine", "evaluate"))
+    row["macro_recall_at_10"] = round(float(macro["r"] or 0.0), 4)
+    row["macro_ndcg_at_10"] = round(float(macro["n"] or 0.0), 4)
+    return row
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dirs", nargs="*",
+                    default=["/root/testdata/sf0.1", "/tmp/sf1"])
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from etl_router_spark.calibration import calibration_query
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("retrieval_chain_timing")
+    result: dict = {"chain": "index_build->rerank(guard=auto)->mine->eval",
+                    "reps": args.reps, "sfs": {}}
+    for sf_dir in args.sf_dirs:
+        tag = Path(sf_dir).name
+        t0 = time.perf_counter()
+        calibration_query(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        cal = round(time.perf_counter() - t0, 3)
+        best: dict = {}
+        for rep in range(args.reps):
+            row = run_chain(spark, sf_dir, tag, rep)
+            if not best or row["total"] < best["total"]:
+                best = row
+            spark.catalog.clearCache()
+        best = {k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in best.items()}
+        best["calibration"] = cal
+        result["sfs"][tag] = best
+        print(f"{tag:8s} total {best['total']:8.3f}s "
+              f"(idx {best['index_build']:.3f} rerank {best['rerank']:.3f} "
+              f"mine {best['mine']:.3f} eval {best['evaluate']:.3f}; "
+              f"cal {cal:.3f}s)", flush=True)
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
