@@ -124,6 +124,7 @@ def _ops():
         # round 10: the broadcast transport (the auto default at this
         # m_bits) next to the pinned literal rows above
         "decontaminate_bloombc_full": lambda s, sf: _decon_bloombc_full(s, sf),
+        "decontaminate_bloomauto_full": lambda s, sf: _decon_bloomauto_full(s, sf),
         # round 10 third pass: the lexical-fuzzy decontamination rung
         "decontaminate_fuzzy_full": lambda s, sf: _decon_fuzzy_full(s, sf),
         "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
@@ -256,6 +257,18 @@ def _decon_bloombc_full(s, sf):
     return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
                                k=3, hash_family="xxhash64",
                                broadcast=True).select("doc_id")
+
+
+def _decon_bloomauto_full(s, sf):
+    # the DEFAULT transport since r11 (auto: literal below 2^17 bits,
+    # broadcast above) — swept so the default path has its own scale
+    # row, not just the two forced arms (r11 verdict polish ask)
+    from etl_router_spark.functions.corpus import bloom_decontaminate
+
+    corpus, bench = _decon_split(s, sf)
+    return bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 20,
+                               k=3, hash_family="xxhash64",
+                               broadcast="auto").select("doc_id")
 
 
 def _decon_fuzzy_full(s, sf):
