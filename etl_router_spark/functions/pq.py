@@ -354,6 +354,37 @@ def _centroid_dists_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> s
     return _book_dists_sql(vec_sql, [cv for _, cv in cents])
 
 
+def suggest_n_centroids(n_vectors: int,
+                        target_occupancy: int | None = None) -> int:
+    """How many IVF cells a corpus of ``n_vectors`` should use.
+
+    Chain-level measurement (RETRIEVAL_CHAIN_r12.json / SCALE.md
+    round-12): with n_centroids FIXED, p95 cell occupancy grows
+    linearly with the corpus, and ``occupancy_guard="auto"`` — doing
+    exactly its job — raises the rerank shortlist to match, so
+    stage-2's exact fetch scales as |Q| x (n/cells) and quietly
+    becomes the dominant chain stage. The fix is structural, not a
+    guard setting: grow the cell count with the corpus.
+
+    - default: FAISS's ``sqrt(n)`` training heuristic (cells ~
+      occupancy ~ sqrt(n)) — balanced scan-vs-probe cost, floor 8.
+    - ``target_occupancy``: size cells for a CHOSEN occupancy bound
+      instead (``n / target``) — pick this when the shortlist budget
+      is fixed by fetch-volume limits and the guard must never need
+      to raise it.
+    """
+    import math
+
+    if n_vectors <= 0:
+        raise ValueError(f"n_vectors must be positive, got {n_vectors}")
+    if target_occupancy is not None:
+        if target_occupancy <= 0:
+            raise ValueError(
+                f"target_occupancy must be positive, got {target_occupancy}")
+        return max(1, round(n_vectors / target_occupancy))
+    return max(8, round(math.sqrt(n_vectors)))
+
+
 def standin_centroids(
     df, id_col: str, vec_col: str, n: int,
 ) -> list[tuple[int, list[float]]]:

@@ -594,6 +594,26 @@ def test_occupancy_guard_memoizes_per_plan(spark):
     pqmod._OCCUPANCY_CACHE.clear()
 
 
+def test_suggest_n_centroids():
+    """The structural answer to the r12 chain finding (fixed cells ->
+    occupancy grows with corpus -> guard-auto shortlist grows with
+    it): sqrt(n) cells by default, n/target when a fetch budget fixes
+    the occupancy bound."""
+    from etl_router_spark.functions.pq import suggest_n_centroids
+
+    assert suggest_n_centroids(100) == 10
+    assert suggest_n_centroids(1_000_000) == 1000
+    assert suggest_n_centroids(4) == 8  # floor
+    # occupancy-targeted sizing: 20k vectors, shortlist budget 200
+    assert suggest_n_centroids(20_000, target_occupancy=200) == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        suggest_n_centroids(0)
+    with _pytest.raises(ValueError):
+        suggest_n_centroids(100, target_occupancy=0)
+
+
 def test_occupancy_guard_streaming_corpus_compiles(spark):
     """A streaming corpus frame must never trigger the guard's eager
     histogram aggregation (it used to raise AnalysisException at plan
