@@ -286,9 +286,16 @@ EXPERIMENTS = {
 
 
 def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if sf_dir in ("-h", "--help") or not Path(sf_dir).is_dir():
+        print(__doc__.strip())
+        if sf_dir not in ("-h", "--help"):
+            print(f"\nerror: {sf_dir!r} is not a directory",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        return
     from etl_router_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = (sys.argv[2].split(",") if len(sys.argv) > 2
              else list(EXPERIMENTS))
     spark = get_spark("ab_measures")

@@ -476,6 +476,13 @@ def _cc_full(s, sf):
 
 def main() -> None:
     sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if sf_small in ("-h", "--help") or not Path(sf_small).is_dir():
+        print(__doc__.strip())
+        if sf_small not in ("-h", "--help"):
+            print(f"\nerror: {sf_small!r} is not a directory",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        return
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     runs = 3
 
