@@ -253,6 +253,29 @@ def render_dot(pipelines: list[Pipeline]) -> str:
     lines = ["digraph pipelines {", "  rankdir=LR;", "  node [shape=box];"]
     for gi, g in enumerate(dag.groups):
         shared = len(g.pipelines) > 1
+        if not shared and g.chains.get(g.pipelines[0].id) is None:
+            # non-linear pipeline (fan-out/fan-in/conditional edges):
+            # render the DECLARED DAG from its edges instead of
+            # collapsing to a bare source node (pre-r12 the 5-stage
+            # dedup-at-scale fan-out rendered as one cylinder)
+            p = g.pipelines[0]
+            for sid, st in p.stages.items():
+                node = f"{p.id}_{sid}".replace("-", "_")
+                if st.stage_type == StageType.SOURCE:
+                    shape = "cylinder"
+                elif st.stage_type == StageType.SINK:
+                    shape = "cds"
+                else:
+                    shape = "box"
+                tt = st.transform_type
+                label = f"{p.id}:{sid}" + (f"\\n({tt})" if tt else "")
+                lines.append(f'  {node} [label="{label}" shape={shape}];')
+            for e in p.edges:
+                a = f"{p.id}_{e.from_stage}".replace("-", "_")
+                b = f"{p.id}_{e.to_stage}".replace("-", "_")
+                attr = ' [style=dashed]' if e.condition is not None else ""
+                lines.append(f"  {a} -> {b}{attr};")
+            continue
         src_node = f"g{gi}_src"
         lines.append(f'  {src_node} [label="{g.source_label}" shape=cylinder];')
         prev = src_node
@@ -290,7 +313,13 @@ def render_ascii(pipelines: list[Pipeline]) -> str:
         for p in g.pipelines:
             chain = g.chains.get(p.id)
             if chain is None:
-                out.append(f"{p.id}: <non-linear: {len(p.stages)} stages>")
+                # non-linear: render the declared edges (r12 — the
+                # 5-stage fan-out used to print as an opaque count)
+                edges = ", ".join(
+                    f"{e.from_stage}->{e.to_stage}"
+                    + ("?" if e.condition is not None else "")
+                    for e in p.edges)
+                out.append(f"{p.id}: {edges}")
                 continue
             parts = []
             for i, sid in enumerate(chain):

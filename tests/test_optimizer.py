@@ -132,6 +132,42 @@ def test_render_outputs(sf_dir, tmp_path):
     assert "keep*" in txt and "shared across 2 pipelines" in txt
 
 
+def test_render_non_linear_dag(sf_dir, tmp_path):
+    """A fan-out (non-linear) pipeline renders its DECLARED DAG —
+    every stage node and every edge — instead of collapsing to a bare
+    source cylinder (dot) or an opaque stage count (ascii), which is
+    what `cli graph` showed for dedup-at-scale.yaml before r12."""
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    p = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "fan"},
+        "spec": {"stages": [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "file", "format": "parquet",
+                        "path": f"{sf_dir}/events.parquet"}},
+            {"id": "a", "type": "transform", "depends_on": ["src"],
+             "config": {"transform_type": "filter",
+                        "condition": {"type": "expression",
+                                      "expression": "value >= 0"}}},
+            {"id": "a_out", "type": "sink", "depends_on": ["a"],
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": str(tmp_path / "a")}},
+            {"id": "b", "type": "transform", "depends_on": ["src"],
+             "config": {"transform_type": "project",
+                        "fields": ["event_id"]}},
+            {"id": "b_out", "type": "sink", "depends_on": ["b"],
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": str(tmp_path / "b")}}]}})
+    dot = render_dot([p])
+    for sid in ("src", "a", "a_out", "b", "b_out"):
+        assert f"fan_{sid} " in dot, sid
+    assert "fan_src -> fan_a;" in dot and "fan_src -> fan_b;" in dot
+    assert "shape=cylinder" in dot and dot.count("shape=cds") == 2
+    txt = render_ascii([p])
+    assert "src->a" in txt and "src->b" in txt and "b->b_out" in txt
+
+
 def test_shared_prefix_validate_route_keeps_dlq(spark, sf_dir, tmp_path):
     """A route-mode validate inside the SHARED prefix still delivers
     its DLQ side to EVERY pipeline in the group (r11 fix — the shared
