@@ -156,7 +156,16 @@ def cmd_delete(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    pipelines, _, _ = _parse_any(Path(args.file).read_text())
+    import yaml
+
+    try:
+        pipelines, _, _ = _parse_any(Path(args.file).read_text())
+    except (ValueError, KeyError, yaml.YAMLError) as e:
+        # parse-time problems (bad kind, duplicate ids, a forgotten
+        # depends_on, malformed YAML) are exactly what `validate` is
+        # for — report them as INVALID, not a traceback
+        print(f"{args.file}: INVALID — {e}")
+        return 1
     rc = 0
     for p in pipelines:
         try:

@@ -74,6 +74,16 @@ def test_validate(tmp_path, reg, capsys):
     assert main(["--registry", reg, "validate", "-f", str(bad)]) == 1
     assert "INVALID" in capsys.readouterr().out
 
+    # PARSE-time problems report as INVALID too, not a traceback
+    # (r12: a forgotten depends_on in a declared-style manifest)
+    unparsable = tmp_path / "unparsable.yaml"
+    unparsable.write_text(MANIFEST.replace(
+        "- id: out", "  depends_on: [src]\n    - id: out"))
+    assert main(["--registry", reg, "validate",
+                 "-f", str(unparsable)]) == 1
+    out = capsys.readouterr().out
+    assert "INVALID" in out and "depends_on" in out
+
 
 def test_graph(tmp_path, reg, capsys):
     f = tmp_path / "p.yaml"
