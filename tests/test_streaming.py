@@ -343,6 +343,62 @@ def test_run_streaming_group_fuses_and_propagates_dlq(spark, events_in,
     assert set(spark.read.parquet(out_b).columns) == {"event_id", "user_id"}
 
 
+def test_run_streaming_group_multi_epoch(spark, tmp_path):
+    """The fused group under MULTIPLE epochs (maxFilesPerTrigger=1 over
+    three staged files): per-epoch prefix replay + append-mode sinks
+    must reassemble the complete result for every member — no epoch
+    lost, none double-written."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    src = str(tmp_path / "in")
+    base = spark.range(90).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") % 5 * 30.0).alias("value"))
+    for i in range(3):
+        base.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def pipe(name, fields, out):
+        return parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": name},
+            "spec": {"stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "path": src,
+                            "format": "parquet",
+                            "max_files_per_trigger": 1}},
+                {"id": "big", "type": "transform",
+                 "config": {"transform_type": "filter",
+                            "condition": {"type": "expression",
+                                          "expression": "value >= 60"}}},
+                {"id": "t", "type": "transform",
+                 "config": {"transform_type": "project",
+                            "fields": fields}},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": out}}]}})
+
+    out_a, out_b = str(tmp_path / "ea"), str(tmp_path / "eb")
+    execu = run_streaming_group(
+        spark,
+        [pipe("ea", ["event_id", "value"], out_a),
+         pipe("eb", ["event_id", "user_id"], out_b)],
+        str(tmp_path / "ck"))
+    execu.await_termination()
+    expect = {(r.event_id,) for r in
+              base.filter("value >= 60").select("event_id").collect()}
+    got_a = {(r.event_id,) for r in
+             spark.read.parquet(out_a).select("event_id").collect()}
+    got_b = {(r.event_id,) for r in
+             spark.read.parquet(out_b).select("event_id").collect()}
+    assert got_a == expect and got_b == expect
+    # append mode, one row per event per member — no epoch replayed
+    assert spark.read.parquet(out_a).count() == len(expect)
+
+
 def test_stream_stream_windowed_join(spark, events_in, tmp_path):
     """T13 streaming: stream-stream equi-join with watermarks on both
     sides and a time-range bound (types.rs:643-678 windowed join)."""
