@@ -89,6 +89,57 @@ def test_fanout_exactly_once_markers(spark, events, tmp_path):
     assert spark.read.parquet(str(tmp_path / "s2")).count() == 100
 
 
+def test_group_exactly_once_markers(spark, events, tmp_path):
+    """run_streaming_group's CommitMarker arm (r12): checkpoint lost but
+    the group's epoch markers intact -> the replayed epoch is skipped
+    for EVERY member's sinks, none duplicated."""
+    import shutil
+
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    src_dir = str(tmp_path / "in")
+    events.limit(100).write.parquet(src_dir)
+
+    def pipe(name, fields, out):
+        return parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": name},
+            "spec": {"stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "path": src_dir,
+                            "format": "parquet"}},
+                {"id": "big", "type": "transform",
+                 "config": {"transform_type": "filter",
+                            "condition": {"type": "expression",
+                                          "expression": "value >= 0"}}},
+                {"id": "t", "type": "transform",
+                 "config": {"transform_type": "project",
+                            "fields": fields}},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": out}}]}})
+
+    out_a, out_b = str(tmp_path / "xa"), str(tmp_path / "xb")
+
+    def _go():
+        run_streaming_group(
+            spark,
+            [pipe("xa", ["event_id", "value"], out_a),
+             pipe("xb", ["event_id", "user_id"], out_b)],
+            str(tmp_path / "ck"), exactly_once=True).await_termination()
+
+    _go()
+    n = spark.read.parquet(out_a).count()
+    assert n > 0
+    # lose the streaming checkpoint (epoch ids restart at 0) but keep
+    # the group's markers: the replayed epoch must be skipped
+    shutil.rmtree(str(tmp_path / "ck" / "group_0"))
+    _go()
+    assert spark.read.parquet(out_a).count() == n
+    assert spark.read.parquet(out_b).count() == n
+
+
 def test_dedupe_idempotency(spark, events):
     from etl_router_spark.model.envelope import wrap
 
