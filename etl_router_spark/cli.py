@@ -424,7 +424,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as e:
+        # user-input problems (unparsable manifest, unknown
+        # transform_type, conflicting build-once params —
+        # ValidationError subclasses ValueError) print as one line,
+        # not a traceback; genuine engine bugs raise other types and
+        # still surface loudly
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
