@@ -62,7 +62,12 @@ def _qrels(spark, emb, queries):
                      .otherwise(1.0).alias("rel")))
 
 
-def run_chain(spark, sf_dir: str, tag: str, rep: int) -> dict:
+def run_chain(spark, sf_dir: str, tag: str, rep: int,
+              n_centroids: int | None = None) -> dict:
+    """One timed chain pass. ``n_centroids=None`` = the fixed-8 arm
+    (exposes the occupancy-growth effect); an int = the sized arm
+    (``suggest_n_centroids``'s sqrt(n) rule, bounding occupancy and
+    with it guard-auto's shortlist)."""
     from pyspark.sql import functions as F
 
     from etl_router_spark.functions.indexing import (
@@ -82,12 +87,13 @@ def run_chain(spark, sf_dir: str, tag: str, rep: int) -> dict:
     shutil.rmtree(base, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    row: dict = {}
+    row: dict = {"n_centroids": n_centroids or 8}
 
     # 1. index build (codebook training + persisted index + sidecar)
     t0 = time.perf_counter()
     books = pq_train(emb, m=4, k=16)
-    cents = standin_centroids(emb, "vec_id", "embedding", 8)
+    cents = standin_centroids(emb, "vec_id", "embedding",
+                              n_centroids or 8)
     idx_path = os.path.join(base, "index")
     write_pq_index(emb, books, cents, idx_path)
     row["index_build"] = time.perf_counter() - t0
@@ -149,26 +155,35 @@ def main() -> None:
     spark = get_spark("retrieval_chain_timing")
     result: dict = {"chain": "index_build->rerank(guard=auto)->mine->eval",
                     "reps": args.reps, "sfs": {}}
+    from etl_router_spark.functions.pq import suggest_n_centroids
+    from etl_router_spark.io import load_table
+
     for sf_dir in args.sf_dirs:
         tag = Path(sf_dir).name
         t0 = time.perf_counter()
         calibration_query(spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()
         cal = round(time.perf_counter() - t0, 3)
-        best: dict = {}
-        for rep in range(args.reps):
-            row = run_chain(spark, sf_dir, tag, rep)
-            if not best or row["total"] < best["total"]:
-                best = row
-            spark.catalog.clearCache()
-        best = {k: (round(v, 3) if isinstance(v, float) else v)
-                for k, v in best.items()}
-        best["calibration"] = cal
-        result["sfs"][tag] = best
-        print(f"{tag:8s} total {best['total']:8.3f}s "
-              f"(idx {best['index_build']:.3f} rerank {best['rerank']:.3f} "
-              f"mine {best['mine']:.3f} eval {best['evaluate']:.3f}; "
-              f"cal {cal:.3f}s)", flush=True)
+        n_vec = load_table(spark, sf_dir, "embeddings").count()
+        sized = suggest_n_centroids(n_vec)
+        result["sfs"][tag] = {"calibration": cal, "n_vectors": n_vec}
+        for arm, cells in (("fixed8", None), ("sqrt_cells", sized)):
+            best: dict = {}
+            for rep in range(args.reps):
+                row = run_chain(spark, sf_dir, f"{tag}_{arm}", rep,
+                                n_centroids=cells)
+                if not best or row["total"] < best["total"]:
+                    best = row
+                spark.catalog.clearCache()
+            best = {k: (round(v, 3) if isinstance(v, float) else v)
+                    for k, v in best.items()}
+            result["sfs"][tag][arm] = best
+            print(f"{tag:8s} {arm:10s} total {best['total']:8.3f}s "
+                  f"(idx {best['index_build']:.3f} "
+                  f"rerank {best['rerank']:.3f} "
+                  f"mine {best['mine']:.3f} eval {best['evaluate']:.3f}; "
+                  f"p95 {best['p95_occupancy']}; cal {cal:.3f}s)",
+                  flush=True)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as fh:
