@@ -213,7 +213,8 @@ def cmd_run(args) -> int:
 
             execu = run_streaming_group(
                 spark, pipelines,
-                args.checkpoint or "/tmp/etl_ckpt/_group")
+                args.checkpoint or "/tmp/etl_ckpt/_group",
+                exactly_once=args.exactly_once)
             print(f"started {len(execu.queries)} streaming queries")
             if args.once:
                 execu.await_termination()
@@ -242,7 +243,9 @@ def cmd_run(args) -> int:
     if args.streaming:
         from etl_router_spark.streaming import run_streaming
 
-        execu = run_streaming(compiled, args.checkpoint or f"/tmp/etl_ckpt/{pipeline.id}")
+        execu = run_streaming(
+            compiled, args.checkpoint or f"/tmp/etl_ckpt/{pipeline.id}",
+            exactly_once=args.exactly_once)
         if args.once:
             execu.await_termination()
         else:  # run until interrupted
@@ -382,6 +385,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--once", action="store_true",
                    help="streaming: availableNow then exit")
+    p.add_argument("--exactly-once", action="store_true",
+                   dest="exactly_once",
+                   help="streaming: commit a marker per epoch after all "
+                        "sinks; replayed epochs with a marker are skipped "
+                        "(CommitMarker semantics on fan-out and --all "
+                        "group queries)")
     p.add_argument("--checkpoint")
     p.set_defaults(fn=cmd_run)
 
