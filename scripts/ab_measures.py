@@ -208,7 +208,9 @@ def stream_shared_scan(spark, sf_dir: str) -> dict:
     from etl_router_spark.streaming.group import run_streaming_group
     from etl_router_spark.streaming.runner import run_streaming
 
-    N = 4
+    # the sharing win should grow with member count (one prefix pays
+    # for N tails); AB_STREAM_SHARED_N sweeps it
+    N = int(os.environ.get("AB_STREAM_SHARED_N", "4"))
     root = os.path.join("/tmp/etl_out/ab_stream_shared",
                         Path(sf_dir).name)
     src = os.path.join(root, "in")
