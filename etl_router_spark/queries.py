@@ -3925,9 +3925,11 @@ _DEFER_NEW: tuple[str, ...] = (
     # registers ZERO new live gates so the whole r7 tier burns in one
     # round, per the r11 verdict. The 2 gates REGISTERED in r12 are
     # deferred below — both verified green against the DuckDB oracle
-    # at sf0.01 this round (scripts/check_correctness.py). Release
-    # them in r13: they rank first by the never-checked rule, ahead of
-    # the 50-gate r8 tier.)
+    # at sf0.01 AND sf0.1 this round (scripts/check_correctness.py:
+    # 9820/98080 and 1317/13361 rows respectively). Release them in
+    # r13: they rank first by the never-checked rule, ahead of the
+    # 50-gate r8 tier (52 candidates for 50 slots — 2 r8 gates slip
+    # to r14; register zero new live gates again).)
     "pipeline_shared_prefix_dlq",
     "stream_shared_prefix_group",
 )
