@@ -211,9 +211,19 @@ def cmd_run(args) -> int:
         if args.streaming:
             from etl_router_spark.streaming.group import run_streaming_group
 
+            # default checkpoint keyed by the pipeline-id set: two
+            # different manifests run with defaults must NOT reuse
+            # each other's offsets/exactly-once epoch markers (the
+            # markers match by epoch_id alone — a shared fixed path
+            # would silently skip data across manifests)
+            import hashlib
+
+            digest = hashlib.sha256(
+                "\n".join(sorted(p.id for p in pipelines)).encode()
+            ).hexdigest()[:12]
             execu = run_streaming_group(
                 spark, pipelines,
-                args.checkpoint or "/tmp/etl_ckpt/_group",
+                args.checkpoint or f"/tmp/etl_ckpt/group_{digest}",
                 exactly_once=args.exactly_once)
             print(f"started {len(execu.queries)} streaming queries")
             if args.once:
@@ -264,6 +274,23 @@ def cmd_explain(args) -> int:
     from etl_router_spark.session import get_spark
 
     pipelines, _, _ = _parse_any(Path(args.file).read_text())
+    # shared-prefix note computed over the WHOLE manifest (before any
+    # --name filter): `run --all` executes the merged DAG, so explain
+    # says which stages this pipeline would share and with how many
+    # others (the reference's `graph` UX, cli/src/commands/graph.rs:
+    # 30-35, surfaced on the plan view)
+    from etl_router_spark.compile.optimizer import optimize
+
+    shared_note: dict[str, str] = {}
+    for g in optimize(pipelines).groups:
+        if len(g.pipelines) < 2 or not g.prefix_len:
+            continue
+        for p in g.pipelines:
+            stages = ", ".join(g.prefix_stage_ids(p.id))
+            shared_note[p.id] = (
+                f"-- prefix [{stages}] shared with "
+                f"{len(g.pipelines) - 1} other pipeline(s) under "
+                f"`run --all` (source {g.source_label})")
     if args.name:
         pipelines = [p for p in pipelines if p.id == args.name]
         if not pipelines:
@@ -274,6 +301,8 @@ def cmd_explain(args) -> int:
         compiled = compile_pipeline(spark, pipeline, streaming=args.streaming)
         for sink_id, df in compiled.sink_frames.items():
             print(f"== pipeline/{pipeline.id} sink/{sink_id}")
+            if pipeline.id in shared_note:
+                print(shared_note[pipeline.id])
             df.explain(mode=args.mode)
     return 0
 
@@ -432,16 +461,27 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except ValueError as e:
-        # user-input problems (unparsable manifest, unknown
-        # transform_type, conflicting build-once params —
-        # ValidationError subclasses ValueError) print as one line,
-        # not a traceback; genuine engine bugs raise other types and
-        # still surface loudly
+    except ValidationError as e:
+        # user-input problems (unparsable manifest, unknown stage
+        # fields, conflicting build-once params) print as one line
         print(f"error: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        # other ValueErrors are usually user-facing too (unknown
+        # transform_type, bad duration strings), but engine bugs can
+        # surface as ValueError as well — keep the one-liner for
+        # users, point at the debug escape hatch, and re-raise with
+        # the full traceback when it is set
+        if os.environ.get("ETL_ROUTER_DEBUG"):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        print("(set ETL_ROUTER_DEBUG=1 for the full traceback)",
+              file=sys.stderr)
         return 1
 
 

@@ -378,7 +378,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                     queries, df, books, k=int(cfg.get("k", 5)),
                     shortlist=int(cfg["shortlist"]),
                     nprobe=int(cfg["nprobe"]),
-                    n_centroids=int(cfg.get("n_centroids", 8)),
+                    # no n_centroids key -> suggest_n_centroids sizing
+                    # (sqrt(corpus) cells, one count() at build — the
+                    # r12 chain A/B's fix for occupancy growing with
+                    # the corpus under a fixed cell count)
+                    n_centroids=(int(cfg["n_centroids"])
+                                 if "n_centroids" in cfg else None),
                     centroids=centroids,
                     id_col=cfg.get("id_field", "vec_id"),
                     vec_col=cfg.get("vec_field", "embedding"),
@@ -389,7 +394,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
                               nprobe=int(cfg["nprobe"]),
-                              n_centroids=int(cfg.get("n_centroids", 8)),
+                              n_centroids=(int(cfg["n_centroids"])
+                                           if "n_centroids" in cfg
+                                           else None),
                               centroids=centroids,
                               id_col=cfg.get("id_field", "vec_id"),
                               vec_col=cfg.get("vec_field", "embedding"),

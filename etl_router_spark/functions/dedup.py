@@ -762,6 +762,15 @@ def _bucket_local_pairs(
 # (application id, detection-plan semantic hash, threshold) -> True when
 # detection found NO hot keys/lists. Advisory (see _bucket_local_pairs);
 # LRU-bounded like io._SPREAD_PROBE_CACHE.
+# Invalidation story (mirrors pq._OCCUPANCY_CACHE's memo contract):
+# keys are (applicationId, plan semanticHash, salt_cap) — a new
+# session, a changed input plan, or a changed cap each mint a new key,
+# so the only stale-entry scenario is the SAME plan re-reading a
+# mutated external table within one application. That scenario can
+# only replay the plain (pre-salting) plan — output stays correct,
+# worst case is a missed salting optimization for the session's life —
+# because positives are never cached (they re-detect every call, see
+# the memo comment at the call sites). LRU-bounded.
 _NO_HOT_BUCKET_CACHE: dict = {}
 _NO_HOT_BUCKET_CACHE_MAX = 256
 

@@ -523,7 +523,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]],
     k: int = 5,
     nprobe: int = 2,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -546,9 +546,18 @@ def ivfpq_topk(
     ``centroids``: (cid, vector) list; defaults to the ``n_centroids``
     lowest-id corpus vectors (``ivf_topk``'s deterministic stand-in —
     production trains them with ``train_ivf_centroids`` /
-    ``pq_train``-style sampled k-means). Assignment + probing use the
-    SAME rounded-L2 + lowest-cid-tie rule on both sides, so the DuckDB
-    oracle is value-exact.
+    ``pq_train``-style sampled k-means). ``n_centroids=None`` (the
+    default since r13) sizes the cell count with
+    :func:`suggest_n_centroids` — sqrt(corpus) cells, costing ONE
+    count() job at build time. The measured reason
+    (RETRIEVAL_CHAIN_r12.json): a fixed cell count turns corpus growth
+    into p95-occupancy growth, which ``occupancy_guard='auto'``
+    dutifully converts into a linearly growing rerank shortlist — the
+    no-config path must grow cells with the corpus. Pass an explicit
+    ``n_centroids`` to pin the historical behavior (e.g. oracle
+    twins). Assignment + probing use the SAME rounded-L2 +
+    lowest-cid-tie rule on both sides, so the DuckDB oracle is
+    value-exact.
 
     ``corpus_index``: a precomputed :func:`pq_index` frame (usually
     read back from its persisted table) replaces ``corpus`` — the scan
@@ -571,6 +580,8 @@ def ivfpq_topk(
                 "ivfpq_topk(corpus_index=...) requires explicit centroids — "
                 "the index was built against a fixed centroid set and the "
                 "stand-in derivation would silently desync from it")
+        if n_centroids is None:
+            n_centroids = suggest_n_centroids(corpus.count())
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
     m = len(codebooks)
     kc = len(codebooks[0])
@@ -644,7 +655,7 @@ def ivfpq_rerank_topk(
     k: int = 5,
     shortlist: int = 20,
     nprobe: int = 2,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -725,11 +736,32 @@ def ivfpq_rerank_topk(
 
     At 100 TB pass the sidecar value or ``"off"`` — never pay a
     corpus scan for a number the build already knew.
+
+    ``n_centroids=None`` (default, r13): cells sized by
+    :func:`suggest_n_centroids` — sqrt(corpus) — at the cost of ONE
+    count() job; the no-config path then keeps p95 occupancy (and so
+    guard-auto's shortlist) ~flat as the corpus grows instead of
+    linear (RETRIEVAL_CHAIN_r12.json). Explicit ``n_centroids`` pins
+    a fixed cell count (oracle twins, historical behavior).
     """
     if occupancy_guard not in ("warn", "auto", "error", "off"):
         raise ValueError(
             f"occupancy_guard must be warn|auto|error|off, "
             f"got {occupancy_guard!r}")
+    if centroids is None and corpus_index is None and n_centroids is None:
+        # default sizing (r13): sqrt(n) cells via suggest_n_centroids —
+        # one count() job at build time; fixed cell counts let p95
+        # occupancy (and so guard-auto's shortlist) grow linearly with
+        # the corpus (RETRIEVAL_CHAIN_r12.json). Streaming corpora
+        # cannot be counted here — they need explicit centroids (the
+        # stand-in derivation collects from the corpus anyway).
+        if corpus.isStreaming:
+            raise ValueError(
+                "ivfpq_rerank_topk: a streaming corpus needs explicit "
+                "centroids= (or a persisted corpus_index) — the "
+                "stand-in centroid derivation and the default sqrt(n) "
+                "cell sizing both require a batch corpus scan")
+        n_centroids = suggest_n_centroids(corpus.count())
     if occupancy_guard != "off":
         import warnings
 

@@ -18,12 +18,13 @@ Semantics and caveats, deliberately matching the fan-out writer in
 
 - The prefix whitelist is stateless-only (``optimizer.rs:223-237``),
   so per-epoch replay is semantics-preserving: no state crosses epochs
-  through a shared stage. Stateful tails (aggregate/sessionize) would
-  need their own watermark state and are exactly what keeps a pipeline
-  OUT of the shared prefix, never the tail replay — tails run as
-  per-epoch batch plans, so a stateful tail stage sees one epoch at a
-  time (the fan-out writer's long-standing contract; run pipelines
-  needing cross-epoch state individually).
+  through a shared stage. Tails replay as per-epoch batch plans, so a
+  member whose tail contains a STATEFUL stage (aggregate/sessionize/
+  dedupe/ratelimit) is ENFORCED out of fusion by
+  ``run_streaming_group`` (r12 verdict/advice): it starts individually
+  through ``run_streaming`` — genuine cross-epoch streaming state —
+  with a warning naming the stage, and fusion proceeds for the
+  remaining stateless-tail members.
 - Delivery is at-least-once per epoch (a retried epoch rewrites every
   member's sinks); ``exactly_once=True`` adds the CommitMarker skip
   (``proto/sink.proto:67-70``) shared with the fan-out path.
@@ -123,6 +124,33 @@ def _make_group_writer(
     return write_epoch
 
 
+# Transform types whose STREAMING compile keeps state across epochs
+# (aggregate/sessionize watermark state, dedupe's dropDuplicates /
+# running max_by, ratelimit's applyInPandasWithState counters). A
+# fused tail replays as a per-epoch BATCH plan, which would silently
+# reset that state every epoch — types.rs:634-641,690-697 emit modes
+# are cross-epoch semantics, so these members must run individually.
+_STATEFUL_TAIL_TYPES = frozenset(
+    {"aggregate", "sessionize", "dedupe", "ratelimit"}
+)
+
+
+def _stateful_tail_stage(pipeline: Pipeline, chain: list[str],
+                         prefix_len: int) -> str | None:
+    """First stateful stage id in the member's post-prefix tail, or
+    None — the ancestor-walk rule ``infer_output_mode`` applies per
+    sink, specialized to a linear chain (every tail stage is an
+    ancestor of the sink)."""
+    from etl_router_spark.model.manifest import StageType
+
+    for sid in chain[1 + prefix_len:]:
+        stage = pipeline.stages[sid]
+        if (stage.stage_type == StageType.TRANSFORM
+                and stage.transform_type in _STATEFUL_TAIL_TYPES):
+            return sid
+    return None
+
+
 def run_streaming_group(
     spark: SparkSession,
     pipelines: list[Pipeline],
@@ -138,25 +166,64 @@ def run_streaming_group(
     non-linear DAGs) start individually through ``run_streaming`` —
     identical behavior to running them one by one.
 
+    Members whose TAIL contains a stateful stage
+    (``_STATEFUL_TAIL_TYPES``) are routed out of fusion and started
+    individually — per-epoch tail replay would give them per-epoch
+    state where ``run_streaming`` gives genuine cross-epoch streaming
+    state (watermarked aggregates, dropDuplicates, ratelimit counters),
+    a silent semantics change. The fusion win is kept for the
+    remaining stateless-tail members when >= 2 remain. This also keeps
+    the trigger contract intact: ``emit: periodic`` stages (the one
+    case ``_derive_trigger`` maps to a processingTime trigger) are
+    stateful, so every fused member uses the group trigger and every
+    trigger-deriving member goes through ``run_streaming``'s
+    ``trigger or _derive_trigger or DEFAULT_TRIGGER`` chain.
+
     Returns one ``StreamingExecution`` over all started queries; group
     queries are keyed ``group:<n>:<source_label>``, individual queries
     ``<pipeline_id>:<sink_or_role>``.
     """
+    import warnings
+
     dag = optimize(pipelines)
     trig = trigger or dict(DEFAULT_TRIGGER)
     queries = {}
+
+    def run_individually(p: Pipeline) -> None:
+        compiled = compile_pipeline(
+            spark, p, streaming=True, source_overrides=source_overrides)
+        ex = run_streaming(
+            compiled, f"{checkpoint_root}/{p.id}", trigger=trigger,
+            dlq_sink=dlq_sink, exactly_once=exactly_once)
+        queries.update({f"{p.id}:{k}": q for k, q in ex.queries.items()})
+
     for gi, g in enumerate(dag.groups):
-        if len(g.pipelines) < 2:
+        fuse = g.pipelines
+        if len(g.pipelines) >= 2:
+            fuse = []
             for p in g.pipelines:
-                compiled = compile_pipeline(
-                    spark, p, streaming=True,
-                    source_overrides=source_overrides)
-                ex = run_streaming(
-                    compiled, f"{checkpoint_root}/{p.id}", trigger=trigger,
-                    dlq_sink=dlq_sink, exactly_once=exactly_once)
-                queries.update(
-                    {f"{p.id}:{k}": q for k, q in ex.queries.items()})
+                sid = _stateful_tail_stage(p, g.chains[p.id], g.prefix_len)
+                if sid is None:
+                    fuse.append(p)
+                    continue
+                warnings.warn(
+                    f"run_streaming_group: pipeline {p.id!r} excluded "
+                    f"from shared-prefix fusion — tail stage {sid!r} "
+                    f"({p.stages[sid].transform_type}) is stateful and "
+                    "per-epoch replay would reset its state each epoch; "
+                    "running it individually with full streaming "
+                    "semantics")
+                run_individually(p)
+        if len(fuse) < 2:
+            for p in fuse:
+                run_individually(p)
             continue
+        if fuse is not g.pipelines:
+            g = OptimizedGroup(
+                source_key=g.source_key, source_label=g.source_label,
+                pipelines=fuse,
+                chains={p.id: g.chains[p.id] for p in fuse},
+                prefix_len=g.prefix_len)
         rep = g.pipelines[0]
         src_id = g.chains[rep.id][0]
         src_outputs: dict[str, DataFrame] = {}

@@ -301,3 +301,157 @@ spec:
     b = spark.read.parquet(f"{tmp_path}/b")
     assert a.count() == b.count() > 0
     assert set(b.columns) == {"event_id", "user_id"}
+
+
+def test_cli_explain_shared_prefix_note(tmp_path, capsys, sf_dir):
+    """explain surfaces the merged-DAG decision (r12 verdict ask,
+    mirroring cli/src/commands/graph.rs:30-35): a pipeline whose
+    prefix would be shared under `run --all` gets a one-line note
+    naming the shared stages and the member count — including when
+    explained alone via --name, since sharing is a property of the
+    whole manifest."""
+    multi = f"""
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: exp-a}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: {sf_dir}/events.parquet, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: /tmp/exp_a}}
+---
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: exp-b}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: {sf_dir}/events.parquet, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: slim
+      type: transform
+      config: {{transform_type: project, fields: [event_id, user_id]}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: /tmp/exp_b}}
+"""
+    f = tmp_path / "exp.yaml"
+    f.write_text(multi)
+    from etl_router_spark.cli import build_parser
+
+    args = build_parser().parse_args(["explain", "-f", str(f),
+                                      "--name", "exp-b"])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "prefix [keep] shared with 1 other pipeline(s)" in out
+    # a single-pipeline manifest gets no note
+    single = tmp_path / "single.yaml"
+    single.write_text(multi.split("---")[0])
+    args = build_parser().parse_args(["explain", "-f", str(single)])
+    assert args.fn(args) == 0
+    assert "shared with" not in capsys.readouterr().out
+
+
+def test_run_all_streaming_default_checkpoint_keyed_by_manifest(
+        tmp_path, reg, monkeypatch):
+    """r12 advice: the default group checkpoint must be keyed by the
+    manifest's pipeline-id set — two different manifests run with
+    defaults previously shared /tmp/etl_ckpt/_group and could reuse
+    each other's offsets and exactly-once epoch markers (markers match
+    by epoch_id alone), silently skipping data."""
+    import etl_router_spark.streaming.group as grp
+
+    seen = []
+
+    def fake_group(spark, pipelines, checkpoint_root, **kw):
+        seen.append(checkpoint_root)
+
+        class _Ex:
+            queries = {}
+
+            def await_termination(self, *a):
+                pass
+
+        return _Ex()
+
+    monkeypatch.setattr(grp, "run_streaming_group", fake_group)
+
+    def manifest(name):
+        return f"""
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: {name}}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: /data/in, format: parquet}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: /tmp/{name}}}
+"""
+    f1, f2 = tmp_path / "m1.yaml", tmp_path / "m2.yaml"
+    f1.write_text(manifest("ck-one"))
+    f2.write_text(manifest("ck-two"))
+    assert main(["--registry", reg, "run", "-f", str(f1), "--all",
+                 "--streaming", "--once"]) == 0
+    assert main(["--registry", reg, "run", "-f", str(f2), "--all",
+                 "--streaming", "--once"]) == 0
+    assert len(seen) == 2 and seen[0] != seen[1]
+    assert all(c.startswith("/tmp/etl_ckpt/group_") for c in seen)
+    # same manifest -> same digest (checkpoints must survive restarts)
+    assert main(["--registry", reg, "run", "-f", str(f1), "--all",
+                 "--streaming", "--once"]) == 0
+    assert seen[2] == seen[0]
+    # an explicit --checkpoint still wins
+    assert main(["--registry", reg, "run", "-f", str(f1), "--all",
+                 "--streaming", "--once",
+                 "--checkpoint", str(tmp_path / "mine")]) == 0
+    assert seen[3] == str(tmp_path / "mine")
+
+
+def test_cli_value_error_one_liner_and_debug_reraise(monkeypatch,
+                                                     capsys):
+    """r12 advice: plain ValueErrors (possible engine bugs) keep the
+    user-facing one-liner but point at ETL_ROUTER_DEBUG, which
+    re-raises with the full traceback; ValidationErrors stay
+    one-line always."""
+    import etl_router_spark.cli as cli
+
+    def boom(args):
+        raise ValueError("engine exploded")
+
+    monkeypatch.setattr(cli, "cmd_graph", boom)
+    monkeypatch.delenv("ETL_ROUTER_DEBUG", raising=False)
+    assert cli.main(["graph"]) == 1
+    err = capsys.readouterr().err
+    assert "error: engine exploded" in err
+    assert "ETL_ROUTER_DEBUG" in err
+    monkeypatch.setenv("ETL_ROUTER_DEBUG", "1")
+    with pytest.raises(ValueError, match="engine exploded"):
+        cli.main(["graph"])
+
+    from etl_router_spark.model.validation import ValidationError
+
+    def invalid(args):
+        raise ValidationError("bad manifest field")
+
+    monkeypatch.setattr(cli, "cmd_graph", invalid)
+    # ValidationError stays a one-liner even under the debug flag
+    assert cli.main(["graph"]) == 1
+    err = capsys.readouterr().err
+    assert "error: bad manifest field" in err
+    assert "ETL_ROUTER_DEBUG" not in err

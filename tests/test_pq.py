@@ -659,3 +659,53 @@ def test_write_pq_index_empty_corpus(spark, tmp_path):
     # hand back no histogram so the runtime path decides (r11 advisor)
     assert meta["cell_occupancy"] is None
     assert meta["codebooks"] == books
+
+
+def test_ivfpq_default_n_centroids_is_suggested(spark, emb):
+    """r12 verdict ask: omitting n_centroids sizes the IVF cell count
+    with suggest_n_centroids (sqrt(corpus), one count() at build) —
+    the fixed-8 default let p95 occupancy (and guard-auto's rerank
+    shortlist) grow linearly with the corpus
+    (RETRIEVAL_CHAIN_r12.json). The no-config call must equal the
+    explicitly sized call bit-for-bit."""
+    import warnings
+
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        suggest_n_centroids,
+    )
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    q = emb.filter("vec_id < 4")
+    sized = suggest_n_centroids(emb.count())
+    assert sized == max(8, round(emb.count() ** 0.5)) and sized > 8
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert key(ivfpq_topk(q, emb, books, k=3, nprobe=2)) == \
+        key(ivfpq_topk(q, emb, books, k=3, nprobe=2, n_centroids=sized))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # occupancy-unknown hint
+        assert key(ivfpq_rerank_topk(q, emb, books, k=3, shortlist=30,
+                                     nprobe=2)) == \
+            key(ivfpq_rerank_topk(q, emb, books, k=3, shortlist=30,
+                                  nprobe=2, n_centroids=sized))
+
+
+def test_ivfpq_rerank_streaming_corpus_needs_centroids(spark, emb,
+                                                       tmp_path):
+    """The default sqrt(n) sizing needs a corpus count, which a
+    streaming frame cannot provide — fail fast with a descriptive
+    error instead of an opaque collect() AnalysisException."""
+    from etl_router_spark.functions.pq import ivfpq_rerank_topk
+
+    src = str(tmp_path / "estream")
+    emb.write.parquet(src)
+    stream = (spark.readStream.schema(emb.schema).parquet(src))
+    books = deterministic_codebooks(64, m=4, k=8)
+    with pytest.raises(ValueError, match="streaming corpus needs "
+                                         "explicit centroids"):
+        ivfpq_rerank_topk(emb.filter("vec_id < 2"), stream, books,
+                          k=3, shortlist=5, nprobe=2)

@@ -399,6 +399,99 @@ def test_run_streaming_group_multi_epoch(spark, tmp_path):
     assert spark.read.parquet(out_a).count() == len(expect)
 
 
+def test_run_streaming_group_stateful_tail_runs_individually(spark, tmp_path):
+    """r12 verdict/advice guard: a group member whose TAIL contains a
+    stateful stage (here dedupe keep-first — dropDuplicates key state)
+    must NOT be fused into per-epoch batch replay, which would reset
+    its state each epoch (one survivor per user PER EPOCH instead of
+    per stream). The member runs individually with genuine cross-epoch
+    streaming state, a fusion-skip warning names the stage, and fusion
+    still proceeds for the remaining stateless-tail members."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    src = str(tmp_path / "in")
+    base = spark.range(90).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") % 5 * 30.0).alias("value"))
+    # 3 staged files -> 3 epochs under maxFilesPerTrigger=1; every
+    # user_id appears in every epoch, so per-epoch dedupe is visibly
+    # wrong (21 rows) vs cross-epoch streaming dedupe (7 rows)
+    for i in range(3):
+        base.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def stage_src():
+        return {"id": "src", "type": "source",
+                "config": {"source_type": "file", "path": src,
+                           "format": "parquet",
+                           "max_files_per_trigger": 1}}
+
+    def stage_filter():
+        return {"id": "keep", "type": "transform",
+                "config": {"transform_type": "filter",
+                           "condition": {"type": "expression",
+                                         "expression": "value >= 0"}}}
+
+    def stateless(name, fields, out):
+        return parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": name},
+            "spec": {"stages": [
+                stage_src(), stage_filter(),
+                {"id": "t", "type": "transform",
+                 "config": {"transform_type": "project",
+                            "fields": fields}},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": out}}]}})
+
+    out_a, out_c = str(tmp_path / "sa"), str(tmp_path / "sc")
+    out_b = str(tmp_path / "sb")
+    stateful = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "sb"},
+        "spec": {"stages": [
+            stage_src(), stage_filter(),
+            {"id": "one_per_user", "type": "transform",
+             "config": {"transform_type": "dedupe",
+                        "key_fields": ["user_id"], "keep": "first"}},
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": out_b}}]}})
+
+    with pytest.warns(UserWarning,
+                      match="excluded from shared-prefix fusion.*"
+                            "one_per_user.*dedupe"):
+        execu = run_streaming_group(
+            spark,
+            [stateless("sa", ["event_id", "value"], out_a), stateful,
+             stateless("sc", ["event_id", "user_id"], out_c)],
+            str(tmp_path / "ck"))
+    # the two stateless-tail members still fused into ONE group query;
+    # the stateful member started individually
+    assert sum(k.startswith("group:") for k in execu.queries) == 1
+    assert any(k.startswith("sb:") for k in execu.queries)
+    assert len(execu.queries) == 2
+    execu.await_termination()
+
+    # cross-epoch streaming semantics: ONE row per user over the whole
+    # stream — identical to running the pipeline through run_streaming
+    # individually; per-epoch replay would emit one per user per epoch
+    got_b = spark.read.parquet(out_b)
+    assert got_b.count() == 7
+    assert {r.user_id for r in got_b.select("user_id").collect()} \
+        == set(range(7))
+    # fused members unaffected
+    expect = {r.event_id for r in base.select("event_id").collect()}
+    assert {r.event_id for r in
+            spark.read.parquet(out_a).collect()} == expect
+    assert {r.event_id for r in
+            spark.read.parquet(out_c).collect()} == expect
+
+
 def test_stream_stream_windowed_join(spark, events_in, tmp_path):
     """T13 streaming: stream-stream equi-join with watermarks on both
     sides and a time-range bound (types.rs:643-678 windowed join)."""
