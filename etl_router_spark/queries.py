@@ -3917,21 +3917,19 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
 _DEFER_NEW: tuple[str, ...] = (
-    # (r12: the 3 compile-layer gates REGISTERED in r11 —
-    # pipeline_manifest_chain, pipeline_depends_on_fanout,
-    # pipeline_shared_prefix_group — are RELEASED; they rank first by
-    # the never-checked rule, and the 47-gate r7-stale tier fills the
-    # remaining slots (3 + 47 = exactly the 50-slot window). Round 12
-    # registers ZERO new live gates so the whole r7 tier burns in one
-    # round, per the r11 verdict. The 2 gates REGISTERED in r12 are
-    # deferred below — both verified green against the DuckDB oracle
-    # at sf0.01 AND sf0.1 this round (scripts/check_correctness.py:
-    # 9820/98080 and 1317/13361 rows respectively). Release them in
-    # r13: they rank first by the never-checked rule, ahead of the
-    # 50-gate r8 tier (52 candidates for 50 slots — 2 r8 gates slip
-    # to r14; register zero new live gates again).)
-    "pipeline_shared_prefix_dlq",
-    "stream_shared_prefix_group",
+    # (r13: the 2 gates REGISTERED in r12 — pipeline_shared_prefix_dlq
+    # and stream_shared_prefix_group — are RELEASED per the r12
+    # verdict; they rank first by the never-checked rule, ahead of the
+    # 50-gate r8 tier (52 candidates for 50 slots — 2 r8 gates slip to
+    # r14 and rank first there by oldest-evidence). The ONE gate
+    # registered this round is deferred below: the r12 verdict's ask
+    # #4, oracle-gating the stateful-tail fusion guard's contract
+    # (a 2-member group whose stateful-tail member must hash-match
+    # DISTINCT-over-the-whole-stream regardless of fusion). Verified
+    # green against the DuckDB oracle at sf0.01 and sf0.1 this round
+    # (scripts/check_correctness.py). Release it in r14 at the head of
+    # the window, together with the 2 slipped r8 gates.)
+    "stream_group_stateful_tail",
 )
 
 

@@ -1601,3 +1601,92 @@ from etl_router_spark.queries import ORACLES as _Q_ORACLES  # noqa: E402
 # per-document probe => batch boundaries are invisible: share the
 # batch gate's oracle verbatim
 _ORACLES["stream_bloom_probe"] = _Q_ORACLES["corpus_bloom_decontaminate"]
+
+
+@query(
+    "stream_group_stateful_tail",
+    f"""
+    SELECT DISTINCT user_id, event_type
+    FROM {EVENTS_US} WHERE value >= 100
+    """,
+)
+def stream_group_stateful_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 guard's CONTRACT, oracle-gated (the gate-the-wiring
+    pattern that caught depends_on and the DLQ drop): a 2-member
+    source group where one member's tail is STATEFUL (dedupe
+    keep-first — dropDuplicates key state) run through
+    ``run_streaming_group`` over THREE epochs (staged files,
+    max_files_per_trigger=1). The returned frame is the stateful
+    member's sink, which must hash-match DISTINCT semantics over the
+    WHOLE stream regardless of fusion: pre-guard fusion replayed the
+    tail per epoch, resetting dedupe state and emitting one survivor
+    per key PER EPOCH (duplicates straddle the staged files by
+    construction, so that bug is a row-count blowup, not a tie-break
+    coincidence). Emit-mode anchor: types.rs:634-641,690-697 — the
+    reference's aggregate/sessionize emit modes are cross-epoch
+    semantics, which per-epoch replay silently changes."""
+    import os
+    import warnings
+
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming.group import run_streaming_group
+
+    wd = tempfile.mkdtemp(prefix="etl_stream_sgt_")
+    src = os.path.join(wd, "in")
+    ev = load_table(spark, sf_dir, "events")
+    # 3 staged files -> 3 epochs; user/event_type pairs recur across
+    # files, so cross-epoch dedupe state is genuinely exercised
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def stages(tail):
+        return [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "file", "format": "parquet",
+                        "path": src, "max_files_per_trigger": 1}},
+            {"id": "big", "type": "transform",
+             "config": {"transform_type": "filter",
+                        "condition": {"type": "expression",
+                                      "expression": "value >= 100"}}},
+            *tail,
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": tail_out if tail is stateful_tail
+                        else plain_out}}]
+
+    plain_out = os.path.join(wd, "out_plain")
+    tail_out = os.path.join(wd, "out_stateful")
+    stateless_tail = [
+        {"id": "t", "type": "transform",
+         "config": {"transform_type": "project",
+                    "fields": ["event_id", "user_id"]}}]
+    stateful_tail = [
+        {"id": "keys", "type": "transform",
+         "config": {"transform_type": "project",
+                    "fields": ["user_id", "event_type"]}},
+        {"id": "one_per_key", "type": "transform",
+         "config": {"transform_type": "dedupe",
+                    "key_fields": ["user_id", "event_type"],
+                    "keep": "first"}}]
+
+    def pipe(name, tail):
+        return parse_manifest_dict(
+            {"apiVersion": "etl.dev/v1", "kind": "Pipeline",
+             "metadata": {"name": name},
+             "spec": {"stages": stages(tail)}})
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        execu = run_streaming_group(
+            spark, [pipe("sgt-a", stateless_tail),
+                    pipe("sgt-b", stateful_tail)],
+            os.path.join(wd, "ckpt"))
+    assert any("excluded from shared-prefix fusion" in str(w.message)
+               for w in caught), "stateful tail must skip fusion"
+    assert not any(k.startswith("group:") for k in execu.queries), \
+        "1 fuseable member left => no fused query"
+    execu.await_termination()
+    result = spark.read.parquet(tail_out)
+    shutil.rmtree(src, ignore_errors=True)
+    return result

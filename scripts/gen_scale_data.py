@@ -45,6 +45,12 @@ def main() -> None:
     ap.add_argument("--ref", default="/root/testdata/sf0.1")
     ap.add_argument("--scale", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--tables", default=None,
+                    help="comma list to generate only these tables "
+                         "(e.g. 'embeddings' for a vectors-only dir — "
+                         "scale 100 of everything would put ~60M "
+                         "lineitem rows through driver numpy for a "
+                         "sweep that reads one table)")
     args = ap.parse_args()
 
     import os
@@ -52,10 +58,22 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     ref, out, s = args.ref, args.out, args.scale
+    only = (set(t.strip() for t in args.tables.split(","))
+            if args.tables else None)
 
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, f"{out}/{name}.parquet")
         print(f"{name}: {table.num_rows} rows")
+
+    if only is not None:
+        unsupported = only - {"embeddings"}
+        if unsupported:
+            raise SystemExit(
+                "--tables supports only the self-contained tables "
+                f"(embeddings); got {sorted(unsupported)} — the star-"
+                "schema tables cross-reference each other's key ranges")
+        write("embeddings", _gen_embeddings(rng, int(2_000 * s)))
+        return
 
     # nation/region: fixed dimensions, copied verbatim
     for t in ("nation", "region"):
@@ -178,6 +196,10 @@ def main() -> None:
     }))
 
     # --- embeddings: unit-norm float32, label-aligned clusters ---
+    write("embeddings", _gen_embeddings(rng, n_emb))
+
+
+def _gen_embeddings(rng, n_emb: int) -> pa.Table:
     dim, n_lab = 64, 10
     centers = rng.normal(0, 1, (n_lab, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -186,11 +208,11 @@ def main() -> None:
                                                     (n_emb, dim))
     vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
             ).astype(np.float32)
-    write("embeddings", pa.table({
+    return pa.table({
         "vec_id": pa.array(np.arange(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
-    }))
+    })
 
 
 if __name__ == "__main__":
