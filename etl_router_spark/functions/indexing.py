@@ -49,14 +49,20 @@ def tfidf_topk(
     tf = raw occurrence count in the document; idf = ln(N / df) with N
     the corpus size and df the term's document frequency; ties broken
     by term text for determinism. Two aggregations (doc-term counts,
-    term df), one broadcast of the df table, one per-doc window sort.
+    term df), one tf x df equi-join, one per-doc window sort.
     """
     terms = _doc_terms(df, id_col, text_col)
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.count("*").alias("__n"))
+    # df-table join strategy LEFT TO AQE (r13): dfreq is one row per
+    # DISTINCT CORPUS TERM — Heaps'-law-sized, not metadata-sized — so
+    # a forced broadcast hint OOMs at web-corpus vocabularies (the same
+    # hazard bm25_topk's qstats comment documents). AQE still
+    # broadcasts the small-vocabulary case from runtime stats and falls
+    # back to a shuffle join when the vocabulary is genuinely large.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("__n") / F.col("df_t")), 6))
     )

@@ -580,6 +580,17 @@ def ivfpq_topk(
                 "ivfpq_topk(corpus_index=...) requires explicit centroids — "
                 "the index was built against a fixed centroid set and the "
                 "stand-in derivation would silently desync from it")
+        if corpus.isStreaming:
+            # same contract as ivfpq_rerank_topk: both the default
+            # sqrt(n) sizing (count) and the stand-in derivation
+            # (collect) need a batch corpus scan — fail fast with the
+            # fix named instead of Spark's generic streaming-action
+            # AnalysisException
+            raise ValueError(
+                "ivfpq_topk: a streaming corpus needs explicit "
+                "centroids= — the stand-in centroid derivation and the "
+                "default sqrt(n) cell sizing both require a batch "
+                "corpus scan")
         if n_centroids is None:
             n_centroids = suggest_n_centroids(corpus.count())
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
@@ -681,10 +692,16 @@ def ivfpq_rerank_topk(
 
     - Stage 1 is unchanged: map-side assignment/encode, broadcast
       probe join, m-byte codes on the wire.
-    - The stage-2 fetch BROADCASTS the candidate id set (|Q| x
-      shortlist rows of two ids — metadata-sized) onto a second corpus
-      scan, so candidate vectors are selected map-side with NO corpus
-      shuffle; only the surviving |Q| x shortlist full vectors flow on.
+    - The stage-2 fetch joins the candidate id set (|Q| x shortlist
+      rows of two ids) onto a second corpus scan with the strategy
+      LEFT TO AQE: the common small-shortlist case still broadcasts at
+      runtime (candidates selected map-side, NO corpus shuffle), but
+      when guard-auto has inflated the shortlist to a mis-sized
+      index's p95 occupancy the id set is |Q| x occupancy — measured
+      48M rows at 200k vectors / 8 fixed cells, where a forced
+      broadcast hint OOM'd (r13) — and AQE falls back to a shuffle
+      join instead of dying. Only the surviving |Q| x shortlist full
+      vectors flow past the fetch either way.
     - Query vectors broadcast (|Q| is the small side by contract) and
       the exact distance is a zip_with/aggregate column expression —
       JVM codegen, no Python.
@@ -842,9 +859,17 @@ def ivfpq_rerank_topk(
     ).select("query_id", "neighbor_id")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     qv = queries.selectExpr(f"{id_col} AS query_id", f"{vec} AS qv")
+    # candidate fetch: cand is |Q| x shortlist rows — NOT bounded small
+    # (guard-auto raises shortlist to p95 occupancy, so a mis-sized
+    # index inflates it with the corpus: measured 2k queries x ~24k
+    # shortlist = 48M rows at 200k vectors / 8 cells, where a forced
+    # broadcast hint OOM'd the build, r13). Let AQE pick: runtime stats
+    # still broadcast the common small-shortlist case and fall back to
+    # a shuffle join when guard-auto has blown the shortlist up — the
+    # same hazard-removal as the r11 fuzzy-decontamination fix.
     fetched = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec} AS nv"
-    ).join(F.broadcast(cand), "neighbor_id")
+    ).join(cand, "neighbor_id")
     exact = ("round(aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), "
              "0D, (acc, x) -> acc + x), 6)")
     from pyspark.sql import Window

@@ -709,3 +709,20 @@ def test_ivfpq_rerank_streaming_corpus_needs_centroids(spark, emb,
                                          "explicit centroids"):
         ivfpq_rerank_topk(emb.filter("vec_id < 2"), stream, books,
                           k=3, shortlist=5, nprobe=2)
+
+
+def test_ivfpq_topk_streaming_corpus_needs_centroids(spark, emb,
+                                                     tmp_path):
+    """ivfpq_topk shares ivfpq_rerank_topk's contract: the default
+    sqrt(n) sizing and the stand-in derivation both need a batch
+    corpus scan — a streaming corpus without explicit centroids=
+    fails fast with the fix named."""
+    from etl_router_spark.functions.pq import ivfpq_topk
+
+    src = str(tmp_path / "estream_topk")
+    emb.write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    books = deterministic_codebooks(64, m=4, k=8)
+    with pytest.raises(ValueError, match="streaming corpus needs "
+                                         "explicit centroids"):
+        ivfpq_topk(emb.filter("vec_id < 2"), stream, books, k=3)
