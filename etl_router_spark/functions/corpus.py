@@ -1124,8 +1124,13 @@ def adaptive_quality_filter(
     if threshold_round is not None:
         thr_col = F.round(thr_col, threshold_round)
     thr = df.groupBy(group_col).agg(thr_col.alias("__thr"))
+    # join strategy left to AQE (r13): thr is one row per group_col
+    # VALUE — metadata-sized for language/source grouping, but
+    # data-sized when callers group by domain/host, where a forced
+    # broadcast hint OOMs. AQE still broadcasts the small case from
+    # runtime stats.
     return (
-        df.join(F.broadcast(thr), group_col)
+        df.join(thr, group_col)
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
@@ -1226,8 +1231,10 @@ def quality_buckets(
         cond = F.col(score_col) <= F.col("__thr")[i]
         bucket = F.when(cond, labels[i]) if bucket is None else bucket.when(cond, labels[i])
     bucket = bucket.otherwise(labels[-1])
+    # strategy left to AQE — same rationale as quantile_filter: one
+    # row per group value is only metadata-sized for coarse groupings
     return (
-        df.join(F.broadcast(thr), group_col)
+        df.join(thr, group_col)
         .withColumn("bucket", bucket)
         .drop("__thr")
     )
@@ -1388,8 +1395,13 @@ def domain_cap(
     # mode's ordering, so thresholding keeps (a binomial draw of) the
     # lowest-ranked rows rather than an unrelated subset
     frac = rank_key.cast("double") / float(1 << 60)
+    # strategy left to AQE (r13): `over` is one row per OVER-CAP host —
+    # usually a short heavy-tail list, but its size is data-dependent
+    # (a low cap over a web crawl puts millions of hosts over it), so a
+    # forced broadcast hint is an OOM hazard; AQE still broadcasts the
+    # short-list case from runtime stats.
     thinned = (
-        hdf.join(F.broadcast(over), "host", "left")
+        hdf.join(over, "host", "left")
         .filter(F.col("__keep_rate").isNull() | (frac < F.col("__keep_rate")))
         .drop("__keep_rate")
     )

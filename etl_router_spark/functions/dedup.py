@@ -1381,10 +1381,13 @@ def semantic_dedup(
     fixed ordering, so the DuckDB oracle is value-exact.
 
     The 100 TB shape mirrors ``ivfpq_topk``'s candidate generation:
-    cell assignment is a map-side literal-centroid expression (the
-    shared :func:`~etl_router_spark.functions.pq.cell_assign_sql`
-    contract — rounded squared L2, lowest-cid ties; the corpus never
-    shuffles to be assigned), and pair generation is bucket-local per
+    cell assignment is map-side via
+    :func:`~etl_router_spark.functions.pq.with_cells` (the shared
+    :func:`~etl_router_spark.functions.pq.cell_assign_sql` contract —
+    rounded squared L2, lowest-cid ties — as a literal expression at
+    small cell counts, Arrow-vectorized numpy at data-sized ones; the
+    corpus never shuffles to be assigned), and pair generation is
+    bucket-local per
     cell via the budgeted ``_bucket_local_pairs`` machinery, so cost
     follows cell occupancy, never corpus². Quadratic within-cell work
     is the POINT of the coarse quantizer: cells bound the pair problem
@@ -1417,7 +1420,7 @@ def semantic_dedup(
     10× rows with occupancy pinned; SCALE.md), the same self-tuning
     rule as ``planes="auto"`` on :func:`embedding_lsh_pairs`.
     """
-    from etl_router_spark.functions.pq import cell_assign_sql, standin_centroids
+    from etl_router_spark.functions.pq import standin_centroids, with_cells
 
     if n_cells == "auto":
         n_cells = max(1, math.ceil(df.count() / target_occupancy))
@@ -1433,7 +1436,13 @@ def semantic_dedup(
             "centroids= is empty; an empty stand-in would put every "
             "row in one NULL cell and silently go corpus-quadratic")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    assigned = df.withColumn(cell_col, F.expr(cell_assign_sql(vec, centroids)))
+    # with_cells = the shared assignment contract with pq_index's size
+    # dispatch: expression below 64 cells (oracle-gate fixtures keep
+    # their pure-JVM plan), Arrow-vectorized numpy above it — at
+    # n_cells="auto" the cell count is ceil(n/occupancy), so at scale
+    # the interpreted-lambda expression would cost O(n/occupancy x
+    # dims) per row (see pq._ARROW_ASSIGN_MIN_CELLS)
+    assigned = with_cells(df, vec_col, centroids, cell_col)
     buckets = assigned.selectExpr(
         f"{id_col} AS id", f"{vec} AS vec", f"{cell_col} AS __cell")
     pinned: list[DataFrame] = []

@@ -418,6 +418,136 @@ def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
             f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
 
 
+# Cell counts at or above this dispatch to the Arrow-vectorized
+# assignment path. The expression path evaluates transform/zip_with/
+# aggregate lambdas — HIGHER-ORDER functions Spark interprets per
+# element, outside whole-stage codegen — so assignment costs
+# O(cells x dims) interpreted ops PER ROW: measured 890 s to index
+# 200k 64-dim vectors at the sqrt(n)=447 cells the default sizing
+# picks (RETRIEVAL_CHAIN_r13.json, pre-fix run). The numpy twin does
+# the same math as one chunked (rows x cells x dims) batch per Arrow
+# batch. Below the threshold the expression path stays: plans remain
+# pure-JVM (no Python worker round-trip) and every oracle gate
+# (8-cell fixtures) keeps its historical plan byte-for-byte.
+_ARROW_ASSIGN_MIN_CELLS = 64
+
+
+def _round6_half_up(a):
+    """numpy twin of Spark's round(x, 6) for NON-NEGATIVE doubles
+    (HALF_UP; np.round would band to even). Distances are sums of
+    squares, so the non-negative restriction always holds here."""
+    import numpy as np
+
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
+
+def _nearest_rows(V, C, chunk: int = 128):
+    """Index of the nearest row of C for every row of V — argmin over
+    6dp-ROUNDED squared L2 with first-occurrence ties, the exact
+    cell_assign_sql/pq_code_sql contract. Chunked over C so peak
+    memory is rows x chunk x dims, not rows x cells x dims."""
+    import numpy as np
+
+    n = V.shape[0]
+    best_d = np.full(n, np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    for s in range(0, C.shape[0], chunk):
+        d = _round6_half_up(
+            ((V[:, None, :] - C[None, s:s + chunk, :]) ** 2).sum(-1))
+        i = d.argmin(1)  # first occurrence within the chunk
+        dm = d[np.arange(n), i]
+        upd = dm < best_d  # strict: earlier chunks keep ties
+        best_d[upd] = dm[upd]
+        best_i[upd] = i[upd] + s
+    return best_i
+
+
+def _pq_index_arrow(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]] | None,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    with_code: bool = True,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`pq_index`'s selectExpr — same
+    (id, cid[, code]) output and the same rounded-argmin determinism
+    contract, with the per-row lambda evaluation replaced by chunked
+    numpy over each Arrow batch (pinned equal to the expression path
+    by tests/test_pq.py's arrow-parity tests)."""
+    import numpy as np
+
+    cents_mat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+    books = ([np.asarray(b, dtype=np.float64) for b in codebooks]
+             if with_code else None)
+    schema = "id bigint, cid int" + (", code array<int>" if with_code else "")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["__v"].to_list(), dtype=np.float64)
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "cid": cids[_nearest_rows(V, cents_mat)],
+            }
+            if with_code:
+                m = len(books)
+                sub = V.shape[1] // m
+                codes = np.empty((len(V), m), dtype=np.int32)
+                for j, book in enumerate(books):
+                    codes[:, j] = _nearest_rows(
+                        V[:, j * sub:(j + 1) * sub], book)
+                out["code"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).mapInPandas(gen, schema=schema)
+    )
+
+
+def with_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    cell_col: str = "cid",
+) -> DataFrame:
+    """``df`` plus a nearest-centroid ``cell_col`` — the shared
+    assignment contract (:func:`cell_assign_sql`'s rounded-L2 argmin,
+    lowest-cid ties) with the same size dispatch as :func:`pq_index`:
+    a pure-JVM expression below ``_ARROW_ASSIGN_MIN_CELLS`` cells, an
+    Arrow-vectorized passthrough above it (all input columns ride the
+    Arrow batch unchanged). Used by semantic_dedup, whose
+    ``n_cells="auto"`` = ceil(n/occupancy) is data-sized by design."""
+    if len(centroids) < _ARROW_ASSIGN_MIN_CELLS:
+        vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        return df.withColumn(cell_col, F.expr(cell_assign_sql(vec, centroids)))
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents_mat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(cell_col, IntegerType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf[cell_col] = cids[_nearest_rows(V, cents_mat)]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def pq_index(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -439,7 +569,18 @@ def pq_index(
 
     Rebuild only when codebooks/centroids change; probes validate the
     code width at run time and fail fast on a mismatched index.
+
+    Cell counts >= ``_ARROW_ASSIGN_MIN_CELLS`` dispatch to the
+    Arrow-vectorized twin (same output, same rounded-argmin ties):
+    the expression path's interpreted higher-order lambdas cost
+    O(cells x dims) per row, which at the default sqrt(n) sizing
+    turns the build super-linear in the corpus (measured 890 s at
+    200k x 447 cells; the numpy path is one chunked GEMM-shaped batch
+    per Arrow batch).
     """
+    if len(centroids) >= _ARROW_ASSIGN_MIN_CELLS:
+        return _pq_index_arrow(corpus, codebooks, centroids,
+                               id_col, vec_col)
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     return corpus.selectExpr(
         f"{id_col} AS id",
@@ -606,6 +747,12 @@ def ivfpq_topk(
         )
         c = corpus_index.selectExpr(
             "id AS neighbor_id", "cid", f"{guard} AS code")
+    elif len(centroids) >= _ARROW_ASSIGN_MIN_CELLS:
+        # large cell counts: the Arrow-vectorized assign/encode twin
+        # (see pq_index) — identical (id, cid, code) contract
+        c = _pq_index_arrow(
+            corpus, codebooks, centroids, id_col, vec_col,
+        ).selectExpr("id AS neighbor_id", "cid", "code")
     else:
         # corpus: nearest cell — shared assignment contract
         # (cell_assign_sql) + map-side encode, one pass over vectors
@@ -808,6 +955,10 @@ def ivfpq_rerank_topk(
                 and not src.isStreaming:
             if corpus_index is not None:
                 cells = corpus_index.groupBy("cid").count()
+            elif len(centroids) >= _ARROW_ASSIGN_MIN_CELLS:
+                cells = _pq_index_arrow(
+                    corpus, None, centroids, id_col, vec_col,
+                    with_code=False).groupBy("cid").count()
             else:
                 assign = cell_assign_sql(
                     f"CAST({vec_col} AS ARRAY<DOUBLE>)", centroids)

@@ -2671,8 +2671,10 @@ _QUALITY_SQL = f"""round(
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-domain quality filtering (FineWeb/CCNet shape):
     drop each source's bottom quartile by composite quality score.
-    Exact interpolated percentile per group, thresholds broadcast —
-    the corpus never shuffles; both engines round score AND threshold
+    Exact interpolated percentile per group; the group-sized threshold
+    table joins back with the strategy left to AQE (runtime broadcast
+    at sane group cardinalities, shuffle when a caller groups by a
+    data-sized key like host); both engines round score AND threshold
     to the same 6-decimal grid so the boundary comparison is
     deterministic."""
     from etl_router_spark.functions.corpus import adaptive_quality_filter
@@ -2798,8 +2800,8 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020): each
     source's documents tertiled by self-corpus unigram log-probability
     (higher = more typical = head). Thresholds are one array-percentile
-    aggregation broadcast back; the corpus never shuffles for the
-    bucketing itself."""
+    aggregation per group joined back, strategy left to AQE (runtime
+    broadcast at sane group cardinalities)."""
     from etl_router_spark.functions.corpus import quality_buckets
     from etl_router_spark.functions.text import unigram_logprob
 

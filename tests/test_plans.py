@@ -579,8 +579,15 @@ def test_domain_cap_threshold_rows_never_shuffle(spark, sf_dir):
 
 
 def test_domain_cap_external_counts_zero_row_exchange(spark, sf_dir):
-    """With a persisted (host, __n) table the probe plan has NO hash
-    exchange at all: broadcast the over-cap hosts, filter map-side."""
+    """With a persisted (host, __n) table the docs probe side never
+    hash-shuffles: the over-cap host list joins as a broadcast, so
+    documents are filtered map-side. Since r13 the broadcast is
+    AQE-picked, not hinted (an over-cap list is data-dependent — a low
+    cap over a crawl puts millions of hosts over it, where a forced
+    hint OOMs), and a stats-less external counts frame plans SMJ
+    statically — so assert the RUNTIME-final adaptive plan: the join
+    ran as broadcast and the only hash exchange is the host list's own
+    (over-cap-sized), never the documents'."""
     from pyspark.sql import functions as F
 
     from etl_router_spark.functions.corpus import domain_cap
@@ -592,11 +599,22 @@ def test_domain_cap_external_counts_zero_row_exchange(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "url", F.expr("concat('https://', source, '.example.com/p/', "
                       "CAST(doc_id AS STRING))"))
-    plan = (domain_cap(docs, url_col="url", cap=5, method="threshold",
-                       domain_counts=counts)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    out = domain_cap(docs, url_col="url", cap=5, method="threshold",
+                     domain_counts=counts)
+    out.collect()  # finalize THIS frame's adaptive plan in place
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "SortMergeJoin" not in final, plan
+    # the initial SMJ's leaf shuffles materialize before AQE replans,
+    # but are read back LOCALLY (map-side files, no cross-partition
+    # redistribution of the documents) — the known cost of runtime
+    # conversion on a stats-less frame, vs. zero shuffle when the
+    # counts come from a source with statistics (static broadcast,
+    # test_quality_filter_broadcasts_thresholds) and vs. an OOM when
+    # a data-sized over-cap list is force-hinted
+    assert "AQEShuffleRead local" in final, plan
 
 
 def test_yield_curve_one_pass_no_row_shuffle(spark, sf_dir):

@@ -726,3 +726,69 @@ def test_ivfpq_topk_streaming_corpus_needs_centroids(spark, emb,
     with pytest.raises(ValueError, match="streaming corpus needs "
                                          "explicit centroids"):
         ivfpq_topk(emb.filter("vec_id < 2"), stream, books, k=3)
+
+
+def test_pq_index_arrow_parity_with_expression(spark, emb):
+    """The Arrow-vectorized assignment/encode twin must equal the
+    expression path row-for-row (cid AND code) — the determinism
+    contract (6dp-rounded squared L2, first-occurrence/lowest-cid
+    ties) is one definition with two executions."""
+    from etl_router_spark.functions.pq import (
+        _pq_index_arrow,
+        cell_assign_sql,
+        pq_code_sql,
+        pq_index,
+        standin_centroids,
+    )
+
+    books = deterministic_codebooks(64, m=4, k=8)
+    cents = standin_centroids(emb, "vec_id", "embedding", 70)
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+    expr_rows = {
+        r["id"]: (r["cid"], tuple(r["code"]))
+        for r in emb.selectExpr(
+            "vec_id AS id",
+            f"{cell_assign_sql(vec, cents)} AS cid",
+            f"{pq_code_sql(vec, books)} AS code",
+        ).collect()
+    }
+    arrow_rows = {
+        r["id"]: (r["cid"], tuple(r["code"]))
+        for r in _pq_index_arrow(
+            emb, books, cents, "vec_id", "embedding").collect()
+    }
+    assert arrow_rows == expr_rows
+    # 70 cells >= _ARROW_ASSIGN_MIN_CELLS, so pq_index dispatches to
+    # the arrow twin; 8 cells stays on the expression path (oracle
+    # gates keep their pure-JVM plan)
+    sized = {
+        r["id"]: (r["cid"], tuple(r["code"]))
+        for r in pq_index(emb, books, cents).collect()
+    }
+    assert sized == expr_rows
+
+
+def test_with_cells_arrow_passthrough_parity(spark, emb):
+    """with_cells above the dispatch threshold must keep every input
+    column intact and assign the same cells as the expression path."""
+    from etl_router_spark.functions.pq import (
+        cell_assign_sql,
+        standin_centroids,
+        with_cells,
+    )
+    from pyspark.sql import functions as F
+
+    df = emb.withColumn("extra", F.col("vec_id") * 2)
+    cents = standin_centroids(emb, "vec_id", "embedding", 70)
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+    expr_rows = {
+        r["vec_id"]: (r["cid"], r["extra"])
+        for r in df.withColumn(
+            "cid", F.expr(cell_assign_sql(vec, cents))).collect()
+    }
+    got = with_cells(df, "embedding", cents, "cid")
+    assert got.columns == df.columns + ["cid"]
+    arrow_rows = {
+        r["vec_id"]: (r["cid"], r["extra"]) for r in got.collect()
+    }
+    assert arrow_rows == expr_rows
