@@ -160,14 +160,25 @@ def main() -> None:
 
     for sf_dir in args.sf_dirs:
         tag = Path(sf_dir).name
+        # embeddings-only dirs (gen_scale_data --tables embeddings, the
+        # 200k arm) have no lineitem; calibrate on the reference SF so
+        # the machine-state number stays comparable across dirs.
+        cal_dir = sf_dir if os.path.exists(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ) else "/root/testdata/sf0.1"
         t0 = time.perf_counter()
-        calibration_query(spark, sf_dir).write.format("noop") \
+        calibration_query(spark, cal_dir).write.format("noop") \
             .mode("overwrite").save()
         cal = round(time.perf_counter() - t0, 3)
         n_vec = load_table(spark, sf_dir, "embeddings").count()
         sized = suggest_n_centroids(n_vec)
-        result["sfs"][tag] = {"calibration": cal, "n_vectors": n_vec}
-        for arm, cells in (("fixed8", None), ("sqrt_cells", sized)):
+        result["sfs"][tag] = {"calibration": cal, "n_vectors": n_vec,
+                              "calibration_dir": cal_dir}
+        # arm naming: "sized_default" IS the no-config path since r13
+        # (ivfpq_*'s n_centroids=None -> suggest_n_centroids); "fixed8"
+        # pins the pre-r13 default to keep exposing the occupancy-growth
+        # effect the sizing rule exists to bound.
+        for arm, cells in (("fixed8", None), ("sized_default", sized)):
             best: dict = {}
             for rep in range(args.reps):
                 row = run_chain(spark, sf_dir, f"{tag}_{arm}", rep,
