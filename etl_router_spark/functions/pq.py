@@ -372,6 +372,12 @@ def suggest_n_centroids(n_vectors: int,
       instead (``n / target``) — pick this when the shortlist budget
       is fixed by fetch-volume limits and the guard must never need
       to raise it.
+
+    r13 update (RETRIEVAL_CHAIN_r13.json / SCALE.md round-13): with
+    large-cell assignment Arrow-vectorized, the sized index is cheaper
+    than fixed-8 at EVERY chain stage from the first build at 20k+
+    vectors (200k: build 69 vs 93 s, rerank 19.7 vs 99.5 s) — the r12
+    "amortizes after ~3 query batches" caveat is retired.
     """
     import math
 
