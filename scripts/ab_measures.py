@@ -278,12 +278,111 @@ def stream_shared_scan(spark, sf_dir: str) -> dict:
     return out
 
 
+def stream_mixed_group(spark, sf_dir: str) -> dict:
+    """Does the r12 stateful-tail guard forfeit the fusion win? A
+    group of N members sharing the same expensive stateless prefix,
+    where ONE member's tail is stateful (dedupe keep-first) — under
+    run_streaming_group the guard routes that member through
+    individual run_streaming and fuses the other N-1. Arms:
+
+    - ``all_individual``: every member via run_streaming (the pre-r12
+      behavior for any group the runner refused to fuse).
+    - ``guarded_group``: run_streaming_group on the same members
+      (N-1 fused + 1 individual).
+
+    Same compute-bound caveat as stream_shared_scan: run with
+    SPARK_GRAFT_CPUS=4 so duplicate prefix work cannot hide in spare
+    cores."""
+    import itertools
+    import os
+    import shutil
+    import tempfile
+    import warnings
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+    from etl_router_spark.streaming.group import run_streaming_group
+    from etl_router_spark.streaming.runner import run_streaming
+
+    N = int(os.environ.get("AB_STREAM_SHARED_N", "4"))
+    root = os.path.join("/tmp/etl_out/ab_stream_mixed", Path(sf_dir).name)
+    src = os.path.join(root, "in")
+    if not os.path.exists(src):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .write.mode("overwrite").parquet(src)
+    seq = itertools.count()
+
+    def pipes(tag: str, run_id: int):
+        ps = []
+        for i in range(N):
+            out = f"{root}/{tag}_{run_id}_{i}"
+            shutil.rmtree(out, ignore_errors=True)
+            tail = [
+                {"id": "keep", "type": "transform",
+                 "config": {"transform_type": "filter",
+                            "condition": {
+                                "type": "expression",
+                                "expression":
+                                    f"substring(fp, {i + 1}, 1) != 'f'"}}}]
+            if i == N - 1:  # the stateful-tail member the guard routes out
+                tail.append(
+                    {"id": "one_per_lang", "type": "transform",
+                     "config": {"transform_type": "dedupe",
+                                "key_fields": ["lang"], "keep": "first"}})
+            ps.append(parse_manifest_dict({
+                "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+                "metadata": {"name": f"{tag}-p{i}"},
+                "spec": {"stages": [
+                    {"id": "src", "type": "source",
+                     "config": {"source_type": "file", "format": "parquet",
+                                "path": src}},
+                    {"id": "feat", "type": "transform",
+                     "config": {"transform_type": "map", "mappings": [
+                         {"target": "doc_id", "source": "doc_id"},
+                         {"target": "lang", "source": "lang"},
+                         {"target": "fp",
+                          "expression": "sha2(repeat(text, 64), 512)"}]}},
+                    *tail,
+                    {"id": "out", "type": "sink",
+                     "config": {"sink_type": "file", "format": "parquet",
+                                "path": out}}]}}))
+        return ps
+
+    ck_root = tempfile.mkdtemp(prefix="ab_stream_mixed_ck_")
+
+    def run_individual():
+        run_id = next(seq)
+        execs = [
+            run_streaming(
+                compile_pipeline(spark, p, streaming=True),
+                f"{ck_root}/ind_{run_id}/{p.id}")
+            for p in pipes("mind", run_id)
+        ]
+        for ex in execs:
+            ex.await_termination()
+
+    def run_guarded():
+        run_id = next(seq)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the guard's exclusion warning
+            run_streaming_group(
+                spark, pipes("mshr", run_id),
+                f"{ck_root}/shr_{run_id}").await_termination()
+
+    out: dict = {"experiment": "stream_mixed_group", "sf": sf_dir,
+                 "n_pipelines": N, "stateful_members": 1, "arms": {}}
+    out["arms"]["all_individual"] = _median_wall(run_individual, spark)
+    out["arms"]["guarded_group"] = _median_wall(run_guarded, spark)
+    return out
+
+
 EXPERIMENTS = {
     "bloom_transport": bloom_transport,
     "dsir_cache": dsir_cache,
     "mix_counts": mix_counts,
     "shared_scan": shared_scan,
     "stream_shared_scan": stream_shared_scan,
+    "stream_mixed_group": stream_mixed_group,
 }
 
 
