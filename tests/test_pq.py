@@ -792,3 +792,42 @@ def test_with_cells_arrow_passthrough_parity(spark, emb):
         r["vec_id"]: (r["cid"], r["extra"]) for r in got.collect()
     }
     assert arrow_rows == expr_rows
+
+
+def test_arrow_assignment_tie_rule_matches_expression(spark):
+    """Exact distance ties (duplicate centroid vectors, and a vector
+    equidistant between two centroids) must resolve to the LOWEST cid
+    on both paths — the first-occurrence contract the DuckDB oracles
+    replicate. Built with 70 centroids so with_cells dispatches to the
+    Arrow path, then compared against the expression twin."""
+    from etl_router_spark.functions.pq import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        cell_assign_sql,
+        with_cells,
+    )
+    from pyspark.sql import functions as F
+
+    # centroids: cid 2i has vector [i, 0, ...]; cid 2i+1 DUPLICATES it
+    # (every assignment to such a pair is an exact tie -> even cid)
+    cents = []
+    for i in range(35):
+        v = [float(i)] + [0.0] * 7
+        cents.append((2 * i, v))
+        cents.append((2 * i + 1, list(v)))
+    assert len(cents) >= _ARROW_ASSIGN_MIN_CELLS
+    rows = [(i, [float(i % 35), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+            for i in range(100)]
+    # plus equidistant-between-centroids probes (x = i + 0.5)
+    rows += [(100 + i, [i + 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+             for i in range(34)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cid"]
+           for r in with_cells(df, "embedding", cents, "cid").collect()}
+    want = {r["vec_id"]: r["cid"]
+            for r in df.withColumn("cid", F.expr(cell_assign_sql(
+                "CAST(embedding AS ARRAY<DOUBLE>)", cents))).collect()}
+    assert got == want
+    # the tie rule itself: exact hits pick the EVEN (lower) cid of the
+    # duplicate pair; equidistant probes pick the lower-x pair's even cid
+    assert all(got[i] == 2 * (i % 35) for i in range(100))
+    assert all(got[100 + i] == 2 * i for i in range(34))
