@@ -3901,12 +3901,24 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
 _TOUCHED_BOOST: tuple[str, ...] = (
-    # (r9: all 10 r8 entries — the gRPC flow-control, budget-GC pair
-    # ops and JDBC exactly-once gates — received fresh r8 driver rows;
-    # pruned so the window's priority slots go to the oldest evidence.
-    # r9 code changes sit behind gates with NO driver row yet —
-    # dedup_semantic and the pq/classifier gates — which rank in the
-    # never-checked tier already, so no boost entry is needed.)
+    # r13: the 6 gates whose EXECUTED PLAN changed this round and are
+    # not already in the r13 window by age — the forced-broadcast
+    # un-hinting (SCALE.md round-13) switched their dimension joins
+    # from hinted to Catalyst/AQE-derived strategies, so their newest
+    # driver rows (r10-r12) predate the plan they now run. All 6 were
+    # value-verified locally post-change this session (individually
+    # AND in the full-registry sweep, scripts/check_correctness.py at
+    # sf0.01); the 6 r8-tier gates they displace rank first in r14
+    # alongside the 2 documented r13 slips. text_tfidf also changed
+    # but already sits in the r13 window by age; the >= 64-cell Arrow
+    # assignment dispatch changes NO gate's plan (all gate fixtures
+    # use 8-45 cells, below the threshold, pinned by parity tests).
+    "embedding_ivfpq_rerank_topk",
+    "corpus_quality_filter",
+    "corpus_perplexity_buckets",
+    "corpus_curation_report",
+    "curate_domain_cap",
+    "curate_domain_cap_threshold",
 )
 
 # Gates REGISTERED this round: rank them after every already-known
