@@ -447,25 +447,64 @@ def _round6_half_up(a):
     return np.floor(a * 1e6 + 0.5) / 1e6
 
 
-def _nearest_rows(V, C, chunk: int = 128):
+def _nearest_rows(V, C, chunk: int = 128, row_chunk: int = 2048):
     """Index of the nearest row of C for every row of V — argmin over
     6dp-ROUNDED squared L2 with first-occurrence ties, the exact
-    cell_assign_sql/pq_code_sql contract. Chunked over C so peak
-    memory is rows x chunk x dims, not rows x cells x dims."""
+    cell_assign_sql/pq_code_sql contract. Chunked over BOTH axes so
+    the 3-D difference intermediate peaks at row_chunk x chunk x dims
+    (~134 MiB at the defaults for 64-dim float64), independent of the
+    Arrow batch size and the cell count. Difference-form on purpose:
+    the GEMM identity (|v|^2 - 2v.c + |c|^2) cancels catastrophically
+    for near-identical vectors and would disagree with the SQL's
+    per-element (a-b)^2 at the 6dp rounding boundary far more often."""
     import numpy as np
 
     n = V.shape[0]
     best_d = np.full(n, np.inf)
     best_i = np.zeros(n, dtype=np.int64)
-    for s in range(0, C.shape[0], chunk):
-        d = _round6_half_up(
-            ((V[:, None, :] - C[None, s:s + chunk, :]) ** 2).sum(-1))
-        i = d.argmin(1)  # first occurrence within the chunk
-        dm = d[np.arange(n), i]
-        upd = dm < best_d  # strict: earlier chunks keep ties
-        best_d[upd] = dm[upd]
-        best_i[upd] = i[upd] + s
+    for r in range(0, n, row_chunk):
+        Vr = V[r:r + row_chunk]
+        nr = Vr.shape[0]
+        bd = np.full(nr, np.inf)
+        bi = np.zeros(nr, dtype=np.int64)
+        for s in range(0, C.shape[0], chunk):
+            d = _round6_half_up(
+                ((Vr[:, None, :] - C[None, s:s + chunk, :]) ** 2).sum(-1))
+            i = d.argmin(1)  # first occurrence within the chunk
+            dm = d[np.arange(nr), i]
+            upd = dm < bd  # strict: earlier chunks keep ties
+            bd[upd] = dm[upd]
+            bi[upd] = i[upd] + s
+        best_d[r:r + row_chunk] = bd
+        best_i[r:r + row_chunk] = bi
     return best_i
+
+
+def _dense_vectors(col, what: str, dim: int):
+    """(n, dim) float64 matrix from an Arrow-batch vector column, or a
+    DESCRIPTIVE error. The expression path maps a NULL vector to a
+    NULL cell (which downstream probes silently never search); the
+    Arrow path refuses instead — same fixture-contract violation,
+    named at the point of failure rather than surfaced as an opaque
+    numpy shape error or an unsearchable index row. ``dim`` is the
+    centroid dimension, checked per batch so a wrong-width vector is
+    caught even when batch boundaries hide the raggedness."""
+    import numpy as np
+
+    vals = col.to_list()
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"{what}: null vector in the corpus — filter nulls before "
+            "indexing (the small-cell-count expression path would "
+            "assign them a NULL cell that probes never search)")
+    V = np.asarray(vals, dtype=np.float64)
+    if V.ndim != 2 or V.shape[1] != dim:
+        got = ("ragged" if V.ndim != 2
+               else f"length {V.shape[1]}")
+        raise ValueError(
+            f"{what}: corpus vector {got} != centroid dimension {dim} "
+            "— all vectors must share the quantizer's dimension")
+    return V
 
 
 def _pq_index_arrow(
@@ -495,7 +534,7 @@ def _pq_index_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.asarray(pdf["__v"].to_list(), dtype=np.float64)
+            V = _dense_vectors(pdf["__v"], "pq_index", cents_mat.shape[1])
             out = {
                 "id": pdf["id"].to_numpy(),
                 "cid": cids[_nearest_rows(V, cents_mat)],
@@ -546,7 +585,7 @@ def with_cells(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            V = _dense_vectors(pdf[vec_col], "with_cells", cents_mat.shape[1])
             pdf = pdf.copy()
             pdf[cell_col] = cids[_nearest_rows(V, cents_mat)]
             yield pdf

@@ -831,3 +831,24 @@ def test_arrow_assignment_tie_rule_matches_expression(spark):
     # duplicate pair; equidistant probes pick the lower-x pair's even cid
     assert all(got[i] == 2 * (i % 35) for i in range(100))
     assert all(got[100 + i] == 2 * i for i in range(34))
+
+
+def test_arrow_assignment_rejects_null_and_ragged_vectors(spark):
+    """The Arrow path names the fixture-contract violation instead of
+    surfacing an opaque numpy shape error (or, as the expression path
+    would, silently assigning a NULL cell that probes never search)."""
+    from etl_router_spark.functions.pq import with_cells
+
+    cents = [(i, [float(i)] * 4) for i in range(70)]
+    nulls = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="null vector"):
+        with_cells(nulls, "embedding", cents).collect()
+    ragged = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    # checked against the CENTROID dimension per batch, so a
+    # wrong-width vector is caught even when it lands alone in a batch
+    with pytest.raises(Exception, match="centroid dimension"):
+        with_cells(ragged, "embedding", cents).collect()
