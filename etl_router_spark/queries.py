@@ -3931,8 +3931,14 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 _DEFER_NEW: tuple[str, ...] = (
     # (r13: the 2 gates REGISTERED in r12 — pipeline_shared_prefix_dlq
     # and stream_shared_prefix_group — are RELEASED per the r12
-    # verdict; they rank first by the never-checked rule, ahead of the
-    # 50-gate r8 tier (52 candidates for 50 slots — 2 r8 gates slip to
+    # verdict; they rank first by the never-checked rule, then the 6
+    # _TOUCHED_BOOST plan-changed gates, then the r8 tier — so 8 r8
+    # gates slip to r14 total (the 2 original slips + the 6 the boost
+    # displaced), ranking first there by oldest-evidence. The whole
+    # registry was locally sweep-verified green at r13 HEAD
+    # (scripts/check_correctness.py at sf0.01, 0 failures), so every
+    # slipped gate carries fresh post-change local evidence.
+    # Original r13 plan note: (52 candidates for 50 slots — 2 r8 gates slip to
     # r14 and rank first there by oldest-evidence). The ONE gate
     # registered this round is deferred below: the r12 verdict's ask
     # #4, oracle-gating the stateful-tail fusion guard's contract
