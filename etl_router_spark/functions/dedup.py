@@ -513,16 +513,22 @@ def dedup_against_minhash_index(
     text is never touched:
 
     - The new batch's (band_key, id, sig) table is built once
-      (shingle->minhash over the BATCH only) and BROADCAST onto the
-      index scan — by contract the batch (a day's crawl) is the small
-      side. The band_key equi-join selects candidate index rows
-      map-side; with the index stored bucketed by band_key (or
+      (shingle->minhash over the BATCH only) and joined onto the
+      index scan on band_key — the batch (a day's crawl) is usually
+      the small side, and AQE broadcasts it AT RUNTIME from its
+      measured size rather than a forced hint (a 10M-doc backfill
+      batch at 4 bands is 40M band rows; a forced broadcast of that
+      is the exact OOM class SCALE.md round-13 defect 1 fixed in the
+      rerank fetch — pass ``broadcast_side="probes"`` through
+      :func:`minhash_index_matches` only when the batch is bounded by
+      contract). With the index stored bucketed by band_key (or
       partitioned by its short prefix — see :func:`minhash_index`),
       the scan co-locates or coarsely prunes to the batch's buckets.
     - Scoring is signature agreement (k position compares) per
       candidate row — no shingling of index docs, no text reads.
     - Matched batch ids come back through one DISTINCT on (batch id)
-      and drop via broadcast left_anti — same shape as SemDeDup's
+      and drop via left_anti on the batch — AQE broadcasts the
+      matched-id side when small, same shape as SemDeDup's
       neighbor drop.
 
     Parameters must match the index build. An index carrying its
@@ -536,7 +542,7 @@ def dedup_against_minhash_index(
     """
     hits = minhash_index_matches(new_df, index_df, id_col, text_col,
                                  num_hashes, bands, shingle_n, threshold)
-    return new_df.join(F.broadcast(hits), id_col, "left_anti")
+    return new_df.join(hits, id_col, "left_anti")
 
 
 def minhash_index_matches(
@@ -548,7 +554,7 @@ def minhash_index_matches(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    broadcast_side: str = "probes",
+    broadcast_side: str = "auto",
 ) -> DataFrame:
     """The DISTINCT ``id_col`` values of ``new_df`` that have a
     near-duplicate (estimated Jaccard >= ``threshold``) in the corpus
@@ -558,18 +564,26 @@ def minhash_index_matches(
     a benchmark index).
 
     ``broadcast_side`` picks which side of the band_key equi-join
-    ships whole, by which side is small BY CONTRACT: ``"probes"``
-    (default — incremental dedup, where ``new_df`` is a day's batch
-    probing a huge corpus index) broadcasts the batch's (id, sig,
-    band_key) rows onto the index scan; ``"index"`` (fuzzy
-    decontamination, where a huge corpus probes a tiny benchmark
-    index) broadcasts the index so the corpus's band rows stay
-    distributed and nothing corpus-sized ever ships or shuffles."""
+    ships whole. ``"auto"`` (default) leaves the strategy to
+    Catalyst/AQE: the common small side (a day's batch, a benchmark
+    index) broadcasts at runtime from its MEASURED size, and a batch
+    that scale inflated past the broadcast threshold — a 10M-doc
+    backfill is 40M band rows at 4 bands — degrades to a shuffle join
+    instead of an OOM (a forced hint has no such fallback; SCALE.md
+    round-13 defect 1 is this exact failure in the rerank fetch).
+    The forced overrides remain for sides that are small BY CONTRACT
+    and must ship whole even when stats are missing or stale:
+    ``"probes"`` (incremental dedup — a bounded batch probing a huge
+    corpus index) broadcasts the batch's (id, sig, band_key) rows onto
+    the index scan; ``"index"`` (fuzzy decontamination — a huge corpus
+    probing a tiny benchmark index) broadcasts the index so the
+    corpus's band rows stay distributed and nothing corpus-sized ever
+    ships or shuffles."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    if broadcast_side not in ("probes", "index"):
+    if broadcast_side not in ("auto", "probes", "index"):
         raise ValueError(
-            f"broadcast_side must be probes|index, got {broadcast_side!r}")
+            f"broadcast_side must be auto|probes|index, got {broadcast_side!r}")
     _check_index_params(index_df, num_hashes, bands, shingle_n,
                         "minhash_index_matches")
     probes = _banded_buckets(
@@ -587,8 +601,10 @@ def minhash_index_matches(
     guarded = index_df.withColumn("sig", F.expr(guard))
     if broadcast_side == "probes":
         joined = guarded.join(F.broadcast(probes), "band_key")
-    else:
+    elif broadcast_side == "index":
         joined = probes.join(F.broadcast(guarded), "band_key")
+    else:
+        joined = guarded.join(probes, "band_key")
     return (
         joined
         .filter(F.expr(f"{agree} / {float(num_hashes)}D") >= threshold)

@@ -417,11 +417,29 @@ def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
     first-occurrence (= lowest cid, the list being cid-sorted) ties —
     the cross-engine determinism contract both the IVF-PQ and
     semantic-dedup DuckDB oracles replicate. ONE definition so the
-    two operators cannot desynchronize."""
+    two operators cannot desynchronize.
+
+    NULL/NaN guard (r14, unifying the two assignment paths): a NULL
+    vector used to yield a NULL cell here — a silently unsearchable
+    index row — while the Arrow path (>= ``_ARROW_ASSIGN_MIN_CELLS``)
+    raised, so the outcome for the same bad input depended on the
+    cell count. Both paths now raise the same descriptive errors
+    (pinned either side of the threshold by tests/test_pq.py); the
+    oracles are unaffected because fixtures carry no null vectors and
+    the DuckDB twins are hand-written SQL, not this string."""
     d_arr = _centroid_dists_sql(vec_sql, cents)
     cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
-    return (f"element_at({cid_arr}, "
+    expr = (f"element_at({cid_arr}, "
             f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+    return (
+        f"CASE WHEN ({vec_sql}) IS NULL THEN "
+        "raise_error('cell_assign: null vector in the corpus — filter "
+        "nulls before indexing (an unassignable vector would otherwise "
+        "become an unsearchable index row)') "
+        f"WHEN exists({vec_sql}, __x -> __x IS NULL OR isnan(__x)) THEN "
+        "raise_error('cell_assign: null/NaN element in a corpus vector "
+        "— clean or filter before indexing') "
+        f"ELSE {expr} END")
 
 
 # Cell counts at or above this dispatch to the Arrow-vectorized
@@ -441,7 +459,23 @@ _ARROW_ASSIGN_MIN_CELLS = 64
 def _round6_half_up(a):
     """numpy twin of Spark's round(x, 6) for NON-NEGATIVE doubles
     (HALF_UP; np.round would band to even). Distances are sums of
-    squares, so the non-negative restriction always holds here."""
+    squares, so the non-negative restriction always holds here.
+
+    Residual boundary risk (documented, not closed — r13 advisor
+    finding): Spark rounds via BigDecimal.valueOf, i.e. HALF_UP on the
+    double's SHORTEST decimal representation, while floor(x*1e6+0.5)
+    operates on the binary value — doubles within a few ulps of a
+    7th-decimal half boundary (~1e-13 relative) can round differently
+    (e.g. 0.0020245 -> Spark 0.002025, this twin 0.002024). A distance
+    landing in such an interval could flip the rounded argmin or a
+    tie, so the cell_assign_sql parity contract is
+    almost-always-exact, not bit-guaranteed; the parity tests pass
+    because fixture distances sit far from half boundaries. Matching
+    exactly would require per-element shortest-repr decimal rounding
+    (repr round-trip) on the rare near-boundary values — not worth the
+    vectorization loss: a flipped assignment routes one vector to a
+    neighboring cell (a marginal recall effect at probe time), it
+    cannot corrupt a result computed within either path."""
     import numpy as np
 
     return np.floor(a * 1e6 + 0.5) / 1e6
@@ -482,21 +516,25 @@ def _nearest_rows(V, C, chunk: int = 128, row_chunk: int = 2048):
 
 def _dense_vectors(col, what: str, dim: int):
     """(n, dim) float64 matrix from an Arrow-batch vector column, or a
-    DESCRIPTIVE error. The expression path maps a NULL vector to a
-    NULL cell (which downstream probes silently never search); the
-    Arrow path refuses instead — same fixture-contract violation,
-    named at the point of failure rather than surfaced as an opaque
-    numpy shape error or an unsearchable index row. ``dim`` is the
-    centroid dimension, checked per batch so a wrong-width vector is
-    caught even when batch boundaries hide the raggedness."""
+    DESCRIPTIVE error. Both assignment paths now fail fast on a NULL
+    vector (the expression path via :func:`cell_assign_sql`'s guard,
+    this one here) so the outcome for bad input does not depend on
+    the cell count — r13 the expression path silently assigned a NULL
+    cell that probes never search. Element-level nulls arrive as NaN
+    through Arrow's to_list -> np.asarray, and a NaN row would
+    otherwise keep every distance NaN so the strict `<` argmin update
+    never fires and the row silently lands in the FIRST centroid's
+    cell — hence the isnan refusal (r13 advisor finding). ``dim`` is
+    the centroid dimension, checked per batch so a wrong-width vector
+    is caught even when batch boundaries hide the raggedness."""
     import numpy as np
 
     vals = col.to_list()
     if any(v is None for v in vals):
         raise ValueError(
             f"{what}: null vector in the corpus — filter nulls before "
-            "indexing (the small-cell-count expression path would "
-            "assign them a NULL cell that probes never search)")
+            "indexing (an unassignable vector would otherwise become "
+            "an unsearchable index row)")
     V = np.asarray(vals, dtype=np.float64)
     if V.ndim != 2 or V.shape[1] != dim:
         got = ("ragged" if V.ndim != 2
@@ -504,6 +542,11 @@ def _dense_vectors(col, what: str, dim: int):
         raise ValueError(
             f"{what}: corpus vector {got} != centroid dimension {dim} "
             "— all vectors must share the quantizer's dimension")
+    if np.isnan(V).any():
+        raise ValueError(
+            f"{what}: null/NaN element in a corpus vector — clean or "
+            "filter before indexing (every distance of such a row is "
+            "NaN, which would silently assign the first centroid)")
     return V
 
 
@@ -522,10 +565,44 @@ def _pq_index_arrow(
     by tests/test_pq.py's arrow-parity tests)."""
     import numpy as np
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the expression path passes any id type through; here the
+        # Arrow schema pins `id bigint`, and a silent cast would turn
+        # non-numeric ids into NULLs at >= _ARROW_ASSIGN_MIN_CELLS
+        # while the same corpus indexed fine below the threshold —
+        # fail fast with the module's numeric-id convention named
+        # instead (r13 advisor finding)
+        raise ValueError(
+            f"pq_index: id column {id_col!r} has type {id_type}; the "
+            "index schema requires an integral id (the module's "
+            "numeric-id convention) — cast or map ids to integers "
+            "before indexing")
     cents_mat = np.asarray([v for _, v in centroids], dtype=np.float64)
     cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
     books = ([np.asarray(b, dtype=np.float64) for b in codebooks]
              if with_code else None)
+    sub = None
+    if with_code:
+        # the subvector width comes from the CODEBOOK, mirroring
+        # pq_code_sql's len(codebooks[0][0]) (not dim // m, which
+        # diverges for externally supplied codebooks whose width
+        # doesn't tile the dimension exactly — the expression path
+        # ignores trailing dims; r13 advisor finding)
+        sub = books[0].shape[1]
+        widths = {b.shape[1] for b in books}
+        if len(widths) != 1:
+            raise ValueError(
+                f"pq_index: codebooks have mixed subvector widths "
+                f"{sorted(widths)} — all m codebooks must share one "
+                "width (pq_code_sql slices every subspace at the "
+                "first book's width)")
+        if len(books) * sub > cents_mat.shape[1]:
+            raise ValueError(
+                f"pq_index: m={len(books)} codebooks of width {sub} "
+                f"need {len(books) * sub} dims but vectors have "
+                f"{cents_mat.shape[1]} — codebooks do not fit the "
+                "vector dimension")
     schema = "id bigint, cid int" + (", code array<int>" if with_code else "")
 
     def gen(batches):
@@ -540,9 +617,7 @@ def _pq_index_arrow(
                 "cid": cids[_nearest_rows(V, cents_mat)],
             }
             if with_code:
-                m = len(books)
-                sub = V.shape[1] // m
-                codes = np.empty((len(V), m), dtype=np.int32)
+                codes = np.empty((len(V), len(books)), dtype=np.int32)
                 for j, book in enumerate(books):
                     codes[:, j] = _nearest_rows(
                         V[:, j * sub:(j + 1) * sub], book)
@@ -568,14 +643,24 @@ def with_cells(
     lowest-cid ties) with the same size dispatch as :func:`pq_index`:
     a pure-JVM expression below ``_ARROW_ASSIGN_MIN_CELLS`` cells, an
     Arrow-vectorized passthrough above it (all input columns ride the
-    Arrow batch unchanged). Used by semantic_dedup, whose
+    Arrow batch unchanged, so above the threshold every column must be
+    Arrow-serializable). An existing ``cell_col`` is REPLACED on both
+    sides of the threshold (withColumn semantics; the Arrow branch
+    drops it first rather than appending a duplicate field — r13
+    advisor finding). Used by semantic_dedup, whose
     ``n_cells="auto"`` = ceil(n/occupancy) is data-sized by design."""
+    if cell_col == vec_col:
+        raise ValueError(
+            f"with_cells: cell_col {cell_col!r} is the vector column — "
+            "assigning over it would destroy the input")
     if len(centroids) < _ARROW_ASSIGN_MIN_CELLS:
         vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
         return df.withColumn(cell_col, F.expr(cell_assign_sql(vec, centroids)))
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if cell_col in df.columns:
+        df = df.drop(cell_col)
     cents_mat = np.asarray([v for _, v in centroids], dtype=np.float64)
     cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
     out_schema = StructType(

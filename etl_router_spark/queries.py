@@ -3901,24 +3901,27 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
 _TOUCHED_BOOST: tuple[str, ...] = (
-    # r13: the 6 gates whose EXECUTED PLAN changed this round and are
-    # not already in the r13 window by age — the forced-broadcast
-    # un-hinting (SCALE.md round-13) switched their dimension joins
-    # from hinted to Catalyst/AQE-derived strategies, so their newest
-    # driver rows (r10-r12) predate the plan they now run. All 6 were
-    # value-verified locally post-change this session (individually
-    # AND in the full-registry sweep, scripts/check_correctness.py at
-    # sf0.01); the 6 r8-tier gates they displace rank first in r14
-    # alongside the 2 documented r13 slips. text_tfidf also changed
-    # but already sits in the r13 window by age; the >= 64-cell Arrow
-    # assignment dispatch changes NO gate's plan (all gate fixtures
-    # use 8-45 cells, below the threshold, pinned by parity tests).
+    # r14: the 6 gates whose EXECUTED PLAN changed this round — (a)
+    # cell_assign_sql grew the NULL/NaN fail-fast guard (unifying the
+    # two assignment paths' bad-input semantics, r13 verdict ask #3),
+    # which rewrites the <64-cell assignment expression every IVF-PQ /
+    # semantic-dedup gate runs; (b) the MinHash index probe path's
+    # forced data-dependent broadcasts are un-hinted (r13 verdict ask
+    # #2 — AQE decides; broadcast_side="probes"/"index" remain as
+    # explicit contract overrides), which changes the probe gates'
+    # join strategies. All 6 value-verified locally post-change this
+    # session (scripts/check_correctness.py at sf0.01, 0 failures).
+    # 5 of the 6 are r9-tier and would rank near the window head by
+    # age anyway; boosting pins them there deterministically.
+    # corpus_decontaminate_fuzzy keeps its forced "index" broadcast
+    # (benchmark index, small BY CONTRACT) — plan unchanged, not
+    # boosted.
+    "embedding_ivfpq_topk",
     "embedding_ivfpq_rerank_topk",
-    "corpus_quality_filter",
-    "corpus_perplexity_buckets",
-    "corpus_curation_report",
-    "curate_domain_cap",
-    "curate_domain_cap_threshold",
+    "embedding_ivfpq_index_topk",
+    "dedup_semantic",
+    "dedup_minhash_incremental",
+    "stream_dedup_index_probe",
 )
 
 # Gates REGISTERED this round: rank them after every already-known
@@ -3929,25 +3932,18 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
 _DEFER_NEW: tuple[str, ...] = (
-    # (r13: the 2 gates REGISTERED in r12 — pipeline_shared_prefix_dlq
-    # and stream_shared_prefix_group — are RELEASED per the r12
-    # verdict; they rank first by the never-checked rule, then the 6
-    # _TOUCHED_BOOST plan-changed gates, then the r8 tier — so 8 r8
-    # gates slip to r14 total (the 2 original slips + the 6 the boost
-    # displaced), ranking first there by oldest-evidence. The whole
-    # registry was locally sweep-verified green at r13 HEAD
-    # (scripts/check_correctness.py at sf0.01, 0 failures), so every
-    # slipped gate carries fresh post-change local evidence.
-    # Original r13 plan note: (52 candidates for 50 slots — 2 r8 gates slip to
-    # r14 and rank first there by oldest-evidence). The ONE gate
-    # registered this round is deferred below: the r12 verdict's ask
-    # #4, oracle-gating the stateful-tail fusion guard's contract
-    # (a 2-member group whose stateful-tail member must hash-match
-    # DISTINCT-over-the-whole-stream regardless of fusion). Verified
-    # green against the DuckDB oracle at sf0.01 and sf0.1 this round
-    # (scripts/check_correctness.py). Release it in r14 at the head of
-    # the window, together with the 2 slipped r8 gates.)
-    "stream_group_stateful_tail",
+    # r14: EMPTY — per the r13 verdict ask #1, stream_group_stateful_tail
+    # (registered r13, judge-verified green at sf0.01) is RELEASED and
+    # ranks first by the never-checked rule. Zero new gates are
+    # registered this round, so the window is pure backlog hygiene:
+    # 1 never-checked + 6 _TOUCHED_BOOST (plans changed this round) +
+    # the 8 r8-tier slips, then the r9 tier oldest-evidence-first —
+    # with 5 of the 6 boosted gates drawn FROM the r9 tier, that is
+    # 55 known candidates for ~50 slots, so 6 r9 gates slip to r15
+    # and rank first there by age. The whole registry is locally
+    # sweep-verified at r14 HEAD (scripts/check_correctness.py at
+    # sf0.01) before the round closes, so every slipped gate carries
+    # fresh post-change local evidence.
 )
 
 

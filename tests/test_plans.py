@@ -737,6 +737,47 @@ def test_fuzzy_decon_broadcast_sides_agree(spark, sf_dir):
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, analyzed
 
 
+def test_minhash_probe_auto_is_unhinted(spark, sf_dir):
+    """broadcast_side="auto" (the default) must carry NO forced
+    broadcast hint anywhere in the probe plan — the batch side is
+    small in the common case but data-dependent, and a forced hint of
+    a by-contract-small frame is the exact OOM class the round-13
+    rerank-fetch fix established (no AQE fallback when scale inflates
+    it). AQE broadcasts the measured-small side at runtime; the
+    explicit "probes"/"index" overrides keep their forced hints."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.dedup import (
+        dedup_against_minhash_index,
+        minhash_index,
+        minhash_index_matches,
+    )
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_index(docs.filter(F.col("doc_id") < 300),
+                        num_hashes=8, bands=4)
+    batch = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+    kw = dict(num_hashes=8, bands=4, threshold=0.5)
+    auto = minhash_index_matches(batch, idx, **kw)
+    assert "ResolvedHint" not in \
+        auto._jdf.queryExecution().analyzed().toString()
+    # the full incremental-dedup composition (probe join + the
+    # matched-id anti-join) is hint-free end-to-end
+    kept = dedup_against_minhash_index(batch, idx, **kw)
+    assert "ResolvedHint" not in \
+        kept._jdf.queryExecution().analyzed().toString()
+    # forced overrides still hint exactly one side
+    for side in ("probes", "index"):
+        forced = minhash_index_matches(batch, idx, broadcast_side=side, **kw)
+        analyzed = forced._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, side
+    # transport never changes values
+    assert {r[0] for r in auto.collect()} == \
+        {r[0] for r in minhash_index_matches(
+            batch, idx, broadcast_side="probes", **kw).collect()}
+
+
 def test_hard_negatives_partitions_by_query_only(spark):
     """mine_hard_negatives' exchanges are all (query_id[, doc_id])-
     keyed: per-query groups are top-k-sized, nothing corpus-sized

@@ -835,8 +835,9 @@ def test_arrow_assignment_tie_rule_matches_expression(spark):
 
 def test_arrow_assignment_rejects_null_and_ragged_vectors(spark):
     """The Arrow path names the fixture-contract violation instead of
-    surfacing an opaque numpy shape error (or, as the expression path
-    would, silently assigning a NULL cell that probes never search)."""
+    surfacing an opaque numpy shape error or an unsearchable index
+    row (the expression path raises the same way — see
+    test_null_vector_semantics_uniform_across_threshold)."""
     from etl_router_spark.functions.pq import with_cells
 
     cents = [(i, [float(i)] * 4) for i in range(70)]
@@ -852,3 +853,95 @@ def test_arrow_assignment_rejects_null_and_ragged_vectors(spark):
     # wrong-width vector is caught even when it lands alone in a batch
     with pytest.raises(Exception, match="centroid dimension"):
         with_cells(ragged, "embedding", cents).collect()
+
+
+def test_null_vector_semantics_uniform_across_threshold(spark):
+    """The same bad input must produce the same outcome on BOTH sides
+    of _ARROW_ASSIGN_MIN_CELLS (r13 the expression path silently
+    assigned a NULL vector a NULL cell — an unsearchable index row —
+    while the Arrow path raised; r14 unifies on fail-fast). Three
+    violation classes: whole-NULL vector, NULL element, NaN element —
+    the last two are the r13 advisor finding (a NaN row's distances
+    are all NaN, so the Arrow argmin's strict `<` update never fires
+    and the row would silently land in the FIRST centroid's cell)."""
+    from etl_router_spark.functions.pq import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        with_cells,
+    )
+
+    few = [(i, [float(i)] * 4) for i in range(8)]
+    many = [(i, [float(i)] * 4) for i in range(70)]
+    assert len(few) < _ARROW_ASSIGN_MIN_CELLS <= len(many)
+    cases = [
+        ((1, None), "null vector"),
+        ((1, [1.0, None, 1.0, 1.0]), "element"),
+        ((1, [1.0, float("nan"), 1.0, 1.0]), "element"),
+    ]
+    for bad_row, msg in cases:
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0, 0.0]), bad_row],
+            "vec_id long, embedding array<double>")
+        for cents in (few, many):
+            with pytest.raises(Exception, match=msg):
+                with_cells(df, "embedding", cents).collect()
+    # a clean corpus is untouched by the guard on either side
+    clean = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [5.0, 5.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    for cents in (few, many):
+        got = {r["vec_id"]: r["cid"]
+               for r in with_cells(clean, "embedding", cents).collect()}
+        assert got == {0: 0, 1: 5}
+
+
+def test_arrow_index_id_type_and_codebook_width_fail_fast(spark):
+    """Two r13 advisor findings on the >=64-cell dispatch: (a) a
+    non-integral id must raise with the numeric-id convention named,
+    not silently become NULL through the `id bigint` Arrow schema;
+    (b) the PQ subvector width comes from the CODEBOOK (pq_code_sql's
+    contract), and codebooks that cannot tile the vector dimension
+    raise a descriptive error instead of an opaque numpy broadcast
+    failure."""
+    from etl_router_spark.functions.pq import _pq_index_arrow, pq_index
+
+    cents = [(i, [float(i)] * 8) for i in range(70)]
+    sdf = spark.createDataFrame(
+        [("a", [0.0] * 8), ("b", [1.0] * 8)],
+        "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="numeric-id convention"):
+        _pq_index_arrow(sdf, None, cents, "vec_id", "embedding",
+                        with_code=False)
+    ndf = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)],
+        "vec_id long, embedding array<double>")
+    # width from the codebook: 3 books of width 2 on dim 8 is legal
+    # (trailing dims ignored, mirroring pq_code_sql) ...
+    books_ok = [[[0.0, 0.0], [1.0, 1.0]] for _ in range(3)]
+    assert pq_index(ndf, books_ok, cents).count() == 2
+    # ... 3 books of width 3 (9 > 8 dims) is not
+    books_wide = [[[0.0] * 3, [1.0] * 3] for _ in range(3)]
+    with pytest.raises(ValueError, match="do not fit"):
+        pq_index(ndf, books_wide, cents)
+    books_mixed = [[[0.0, 0.0]], [[0.0, 0.0, 0.0]]]
+    with pytest.raises(ValueError, match="mixed subvector widths"):
+        pq_index(ndf, books_mixed, cents)
+
+
+def test_with_cells_replaces_existing_cell_col_both_paths(spark):
+    """An existing cell_col is REPLACED (withColumn semantics) on both
+    sides of the dispatch threshold — the r13 Arrow branch appended a
+    duplicate field instead, poisoning every downstream reference with
+    ambiguous-column failures. cell_col == vec_col is refused."""
+    from etl_router_spark.functions.pq import with_cells
+
+    few = [(i, [float(i)] * 4) for i in range(8)]
+    many = [(i, [float(i)] * 4) for i in range(70)]
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4, 99), (1, [5.0] * 4, 99)],
+        "vec_id long, embedding array<double>, cid int")
+    for cents in (few, many):
+        out = with_cells(df, "embedding", cents, "cid")
+        assert out.columns.count("cid") == 1
+        assert {r["vec_id"]: r["cid"] for r in out.collect()} == {0: 0, 1: 5}
+    with pytest.raises(ValueError, match="vector column"):
+        with_cells(df, "embedding", few, cell_col="embedding")
