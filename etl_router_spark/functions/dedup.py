@@ -1430,16 +1430,31 @@ def semantic_dedup(
     ``centroids``: (cid, vector) list; defaults to the ``n_cells``
     lowest-id corpus vectors (the ``ivf_topk`` deterministic stand-in;
     production trains them with ``train_ivf_centroids``).
-    ``n_cells="auto"`` sizes cells from one count aggregate —
-    ``ceil(n / target_occupancy)`` — so within-cell pair volume stays
-    cells·C(occupancy, 2) ∝ n as the corpus grows (measured ×9.1 at
-    10× rows with occupancy pinned; SCALE.md), the same self-tuning
-    rule as ``planes="auto"`` on :func:`embedding_lsh_pairs`.
+    ``n_cells="auto"`` sizes cells from one count aggregate, through
+    the SHARED sizing function
+    (:func:`~etl_router_spark.functions.pq.suggest_n_centroids` with
+    ``target_occupancy`` — ``ceil(n / target_occupancy)``), so
+    within-cell pair volume stays cells·C(occupancy, 2) ∝ n as the
+    corpus grows (measured ×9.1 at 10× rows with occupancy pinned;
+    SCALE.md), the same self-tuning rule as ``planes="auto"`` on
+    :func:`embedding_lsh_pairs`. The DIVISOR differs from
+    ``pq_index``'s sqrt(n) default on purpose: dedup is
+    pair-generation-bound (occupancy must be pinned), indexing is
+    probe-bound (sqrt(n) balances scan vs probe) — the rationale
+    lives on ``suggest_n_centroids``.
     """
-    from etl_router_spark.functions.pq import standin_centroids, with_cells
+    from etl_router_spark.functions.pq import (
+        standin_centroids,
+        suggest_n_centroids,
+        with_cells,
+    )
 
     if n_cells == "auto":
-        n_cells = max(1, math.ceil(df.count() / target_occupancy))
+        n = df.count()
+        # n == 0 falls through to standin_centroids' named empty-corpus
+        # error rather than tripping suggest_n_centroids' n > 0 check
+        n_cells = (suggest_n_centroids(n, target_occupancy=target_occupancy)
+                   if n else 1)
     elif not isinstance(n_cells, int):
         raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
     if centroids is None:

@@ -369,9 +369,21 @@ def suggest_n_centroids(n_vectors: int,
     - default: FAISS's ``sqrt(n)`` training heuristic (cells ~
       occupancy ~ sqrt(n)) — balanced scan-vs-probe cost, floor 8.
     - ``target_occupancy``: size cells for a CHOSEN occupancy bound
-      instead (``n / target``) — pick this when the shortlist budget
-      is fixed by fetch-volume limits and the guard must never need
-      to raise it.
+      instead (``ceil(n / target)``, so occupancy never EXCEEDS the
+      target — round could overshoot it by up to 2x for small n) —
+      pick this when the shortlist budget is fixed by fetch-volume
+      limits and the guard must never need to raise it.
+
+    Why the repo carries TWO default rules (r13 verdict ask #5): an
+    IVF-PQ index is PROBE-bound — each query scans nprobe cells plus
+    pays per-cell probe overhead, so sqrt(n) balances cell size
+    against cell count. ``semantic_dedup`` is PAIR-GENERATION-bound —
+    within-cell work is C(occupancy, 2) per cell, so what must be
+    pinned is the occupancy itself: its ``n_cells="auto"`` calls this
+    function WITH ``target_occupancy`` (default 256), giving
+    cells x C(occ, 2) ∝ n total pairs as the corpus grows. Same
+    function, two entry points, one divergence — deliberate, not
+    drift.
 
     r13 update (RETRIEVAL_CHAIN_r13.json / SCALE.md round-13): with
     large-cell assignment Arrow-vectorized, the sized index is cheaper
@@ -387,8 +399,36 @@ def suggest_n_centroids(n_vectors: int,
         if target_occupancy <= 0:
             raise ValueError(
                 f"target_occupancy must be positive, got {target_occupancy}")
-        return max(1, round(n_vectors / target_occupancy))
+        return max(1, math.ceil(n_vectors / target_occupancy))
     return max(8, round(math.sqrt(n_vectors)))
+
+
+def suggest_nprobe(n_cells: int, target_fraction: float = 0.05) -> int:
+    """How many cells a query should probe for a ``n_cells``-cell
+    index — ``suggest_n_centroids``'s companion rule, and the DEFAULT
+    wherever ``nprobe`` is not given explicitly.
+
+    Why it must scale with the cell count (IVFPQ_RECALL_r14.json, the
+    measurement that forced this rule): recall is governed by the
+    PROBED FRACTION nprobe/n_cells, and a fixed nprobe silently
+    shrinks it as the sizing rule grows cells with the corpus — the
+    r13 default composition (sqrt(n) cells, nprobe pinned at 2)
+    probed 2/8 = 25% of an 8-cell index but 2/447 = 0.45% at 200k
+    vectors, and measured recall@10 against exact L2 fell 0.867 ->
+    0.200. Holding the fraction (default 5%, the FAISS-guidance
+    band) keeps recall stable while still probing 5x less corpus
+    than the old fixed-8 layout's 25%; raise ``target_fraction``
+    toward the old 0.25 when recall matters more than probe cost.
+    Floor 2 (the historical small-index default), capped at
+    ``n_cells``."""
+    import math
+
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive, got {n_cells}")
+    if not 0 < target_fraction <= 1:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}")
+    return min(n_cells, max(2, math.ceil(n_cells * target_fraction)))
 
 
 def standin_centroids(
@@ -793,7 +833,7 @@ def ivfpq_topk(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 5,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     n_centroids: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
@@ -865,6 +905,15 @@ def ivfpq_topk(
         if n_centroids is None:
             n_centroids = suggest_n_centroids(corpus.count())
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
+    if nprobe is None:
+        # the companion default (r14): nprobe scales with the cell
+        # count so the probed FRACTION stays ~5% as the sizing rule
+        # grows cells with the corpus — a fixed nprobe=2 silently
+        # probed 0.45% of a 447-cell index and recall@10 fell
+        # 0.867 -> 0.200 (IVFPQ_RECALL_r14.json). Resolves to the
+        # historical 2 for every index under ~41 cells, so explicit
+        # small-cell callers and oracle gates see no change.
+        nprobe = suggest_nprobe(len(centroids))
     m = len(codebooks)
     kc = len(codebooks[0])
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
@@ -942,7 +991,7 @@ def ivfpq_rerank_topk(
     codebooks: list[list[list[float]]],
     k: int = 5,
     shortlist: int = 20,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     n_centroids: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
@@ -1037,6 +1086,15 @@ def ivfpq_rerank_topk(
     guard-auto's shortlist) ~flat as the corpus grows instead of
     linear (RETRIEVAL_CHAIN_r12.json). Explicit ``n_centroids`` pins
     a fixed cell count (oracle twins, historical behavior).
+
+    ``nprobe=None`` (default, r14): probes :func:`suggest_nprobe`'s
+    ~5% of the cells — the sizing rule's REQUIRED companion, because
+    recall rides the probed fraction and a fixed nprobe shrinks it as
+    cells grow with the corpus (measured recall@10 0.867 -> 0.200 at
+    200k under the r13 composition, recovered by the fraction rule —
+    IVFPQ_RECALL_r14.json). Explicit ``nprobe`` pins the historical
+    behavior; under ~41 cells the default resolves to the historical
+    2 anyway.
     """
     if occupancy_guard not in ("warn", "auto", "error", "off"):
         raise ValueError(

@@ -1,0 +1,181 @@
+"""Guard-auto recall of the chain's two sizing arms, vs exact L2.
+
+Closes the r13 verdict's measurement gap: RETRIEVAL_CHAIN_r13.json's
+macro_recall_at_10 is 0.001 at 200k for BOTH arms — an artifact of the
+label-constructed qrels (the fixture has 10 labels, so each query's
+relevant set is ~n/10 docs and recall@10 is bounded by 10/(n/10) ~
+0.0005 by construction, not an engine signal). This script measures
+what the chain cannot: recall@10 against the EXACT-L2 top-10 ground
+truth (the metric PQ approximates), for three arms sharing the chain's
+index recipe (pq_train m=4/k=16, stand-in centroids, write_pq_index
+sidecar feeding ``occupancy_guard="auto"``):
+
+- ``fixed8_np2``: the pre-r13 layout — occupancy grows with the
+  corpus, nprobe=2 probes 25% of the cells (semi-brute-force).
+- ``sized_np2``: the r13 composition — sqrt(n) cells but nprobe still
+  pinned at 2, probing 0.45% of 447 cells at 200k. THIS RUN exposed
+  it as a recall hole: 0.867 -> 0.200 at 200k (m=4 codes).
+- ``sized_np_auto``: the r14 no-config default — sqrt(n) cells plus
+  ``suggest_nprobe``'s ~5%-of-cells companion rule, restoring the
+  probed fraction while still probing 5x less corpus than fixed8.
+
+Each layout runs under two code widths (``_m4`` / ``_m16`` suffixes):
+the chain's oracle-friendly m=4/k=16 books are BELOW quantizer
+resolution (16 bits/vector — the ADC cut is ~noise, so probing more
+cells cannot help and only the shortlist/candidate ratio matters),
+while the production-width m=16/k=32 books carry enough signal for
+the fraction rule's cell-recall gains to survive the cut.
+
+Usage:
+    python scripts/gen_scale_data.py --out /tmp/sf1 --scale 10
+    python scripts/gen_scale_data.py --out /tmp/emb200k --scale 100 \
+        --tables embeddings
+    python scripts/ivfpq_recall_arms.py /tmp/sf1 /tmp/emb200k \
+        --out IVFPQ_RECALL_r14.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import warnings
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+K = 10
+N_QUERIES = 64
+STAGE_ROOT = "/tmp/ivfpq_recall_arms"
+
+
+def exact_truth(emb, queries) -> set:
+    """Exact L2 top-K per query (rounded-argmin tie rule), as a set of
+    (query_id, neighbor_id) — ~N_QUERIES x |corpus| scored rows, the
+    queries broadcast so the corpus never shuffles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qq = queries.selectExpr("vec_id AS query_id",
+                            "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    cc = emb.selectExpr("vec_id AS neighbor_id",
+                        "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+    l2 = ("round(aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), "
+          "0D, (acc,x) -> acc+x), 6)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc())
+    return {(r.query_id, r.neighbor_id) for r in (
+        F.broadcast(qq)
+        .join(cc, F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{l2} AS d")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id")
+        .collect())}
+
+
+def run_dir(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        pq_train,
+        read_pq_index,
+        standin_centroids,
+        suggest_n_centroids,
+        write_pq_index,
+    )
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").persist()
+    n = emb.count()
+    # hash-spaced deterministic query sample (lowest-id queries would
+    # correlate with the stand-in centroid recipe)
+    stride = max(1, n // N_QUERIES)
+    queries = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+    n_q = queries.count()
+
+    t0 = time.perf_counter()
+    truth = exact_truth(emb, queries)
+    t_truth = time.perf_counter() - t0
+
+    from etl_router_spark.functions.pq import suggest_nprobe
+
+    sized = suggest_n_centroids(n)
+    row = {"dir": sf_dir, "n": n, "n_queries": n_q, "k": K,
+           "truth_metric": "exact_l2_top10",
+           "truth_sec": round(t_truth, 1), "arms": {}}
+    # layout arms x code widths: the pre-r13 fixed-8 layout, the r13
+    # composition (sized cells, nprobe still pinned at the old 2 —
+    # the recall hole this file exposed), and the r14 no-config
+    # default (sized cells + suggest_nprobe's matched fraction) —
+    # each under BOTH the chain's oracle-friendly m=4/k=16 codes
+    # (16 bits/vector, BELOW quantizer resolution: the ADC cut is
+    # ~noise, so extra probed cells add nothing) and the
+    # production-width m=16/k=32 recipe (80 bits, the ivfpq_recall.py
+    # sweep width) where the fraction rule's gains actually land.
+    for m, kk in ((4, 16), (16, 32)):
+        books = pq_train(emb, m=m, k=kk)
+        for layout, cells, nprobe in (
+                ("fixed8_np2", 8, 2),
+                ("sized_np2", sized, 2),
+                ("sized_np_auto", sized, suggest_nprobe(sized))):
+            arm = f"{layout}_m{m}"
+            cents = standin_centroids(emb, "vec_id", "embedding", cells)
+            idx_path = os.path.join(STAGE_ROOT, Path(sf_dir).name,
+                                    f"m{m}_c{cells}")
+            if not os.path.exists(os.path.join(idx_path, "_pq_meta.json")):
+                shutil.rmtree(idx_path, ignore_errors=True)
+                write_pq_index(emb, books, cents, idx_path)
+            idx, rbooks, rcents, meta = read_pq_index(spark, idx_path)
+            p95 = (meta.get("cell_occupancy") or {}).get("p95")
+            t0 = time.perf_counter()
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # guard-auto raise
+                got = {(r.query_id, r.neighbor_id)
+                       for r in ivfpq_rerank_topk(
+                           queries, emb, rbooks, k=K, shortlist=50,
+                           nprobe=nprobe, centroids=rcents,
+                           corpus_index=idx, cell_occupancy_p95=p95,
+                           occupancy_guard="auto").collect()}
+            row["arms"][arm] = {
+                "m": m, "k_codebook": kk, "n_centroids": cells,
+                "nprobe": nprobe, "p95_occupancy": p95,
+                "recall_at_10": round(len(got & truth) / len(truth), 3),
+                "rerank_sec": round(time.perf_counter() - t0, 1),
+            }
+            print(f"{sf_dir} {arm}: cells={cells} nprobe={nprobe} "
+                  f"p95={p95} "
+                  f"recall@10={row['arms'][arm]['recall_at_10']}",
+                  flush=True)
+    emb.unpersist()
+    return row
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dirs", nargs="*", default=["/tmp/sf1", "/tmp/emb200k"])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from etl_router_spark.session import get_spark
+
+    spark = get_spark("ivfpq_recall_arms")
+    out = {"chain_recipe": "pq_train(m=4,k=16) + standin centroids + "
+                           "write_pq_index sidecar -> rerank guard=auto "
+                           "shortlist=50 nprobe=2 (RETRIEVAL_CHAIN arms)",
+           "rows": [run_dir(spark, d) for d in args.sf_dirs]}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

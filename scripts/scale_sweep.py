@@ -127,6 +127,12 @@ def _ops():
         "decontaminate_bloomauto_full": lambda s, sf: _decon_bloomauto_full(s, sf),
         # round 10 third pass: the lexical-fuzzy decontamination rung
         "decontaminate_fuzzy_full": lambda s, sf: _decon_fuzzy_full(s, sf),
+        # round 14: the incremental MinHash probe with a LARGE batch
+        # (half the corpus probes an index of the other half) on the
+        # new un-hinted default — the regime where the old forced
+        # probes-side broadcast was the OOM hazard; AQE now picks the
+        # strategy from the batch's measured size
+        "minhash_probe_full": lambda s, sf: _minhash_probe_full(s, sf),
         "dsir_scores_full": lambda s, sf: _dsir_full(s, sf),
         # round 10: the chained scorer->sampler path with the
         # (id,bucket,c) persist now ON by default — its own curve so
@@ -277,6 +283,25 @@ def _decon_fuzzy_full(s, sf):
     corpus, bench = _decon_split(s, sf)
     return decontaminate_fuzzy(corpus, bench, num_hashes=8, bands=4,
                                threshold=0.5).select("doc_id")
+
+
+def _minhash_probe_full(s, sf):
+    """Incremental dedup where the probing batch is NOT small (half
+    the corpus): broadcast_side stays at its "auto" default, so the
+    measured curve is the one a user gets when a backfill batch
+    exceeds the daily-crawl contract the "probes" override assumes."""
+    from etl_router_spark.functions.dedup import (
+        dedup_against_minhash_index,
+        minhash_index,
+    )
+    from etl_router_spark.io import load_table
+
+    docs = load_table(s, sf, "documents")
+    idx = minhash_index(docs.filter("doc_id % 2 = 0"),
+                        num_hashes=8, bands=4)
+    batch = docs.filter("doc_id % 2 = 1")
+    return dedup_against_minhash_index(
+        batch, idx, num_hashes=8, bands=4, threshold=0.5).select("doc_id")
 
 
 def _dsir_full(s, sf):

@@ -365,6 +365,71 @@ spec:
     assert "shared with" not in capsys.readouterr().out
 
 
+def test_cli_graph_marks_streaming_fusion_exclusion(tmp_path, reg, capsys):
+    """`graph` surfaces which members `run --all --streaming` would
+    EXCLUDE from shared-prefix fusion, naming the stateful tail stage
+    (r13 verdict ask #6 — the decision was previously visible only as
+    run_streaming_group's runtime warning; the reference's graph view
+    shows group membership, cli/src/commands/graph.rs:30-35)."""
+    multi = f"""
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: fus-a}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: /data/events, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: {tmp_path}/a}}
+---
+apiVersion: etl.dev/v1
+kind: Pipeline
+metadata: {{name: fus-b}}
+spec:
+  stages:
+    - id: src
+      type: source
+      config: {{source_type: file, path: /data/events, format: parquet}}
+    - id: keep
+      type: transform
+      config:
+        transform_type: filter
+        condition: {{type: field_in, key: event_type, values: [purchase]}}
+    - id: agg
+      type: transform
+      config:
+        transform_type: aggregate
+        group_by: [user_id]
+        aggregations: [{{field: value, function: sum, alias: total}}]
+    - id: out
+      type: sink
+      config: {{sink_type: file, format: parquet, path: {tmp_path}/b}}
+"""
+    f = tmp_path / "fusion.yaml"
+    f.write_text(multi)
+    assert main(["--registry", reg, "graph", "-f", str(f)]) == 0
+    out = capsys.readouterr().out
+    # the stateless-tail member fuses silently; the aggregate-tail
+    # member is annotated with the excluding stage by name
+    a_line = next(line for line in out.splitlines()
+                  if line.startswith("fus-a:"))
+    b_line = next(line for line in out.splitlines()
+                  if line.startswith("fus-b:"))
+    assert "streaming" not in a_line
+    assert "runs individually" in b_line
+    assert "'agg'" in b_line and "aggregate" in b_line
+    # the shared-prefix marks themselves are unchanged
+    assert "keep*" in a_line and "keep*" in b_line
+    assert "shared across 2 pipelines" in out
+
+
 def test_run_all_streaming_default_checkpoint_keyed_by_manifest(
         tmp_path, reg, monkeypatch):
     """r12 advice: the default group checkpoint must be keyed by the

@@ -606,12 +606,46 @@ def test_suggest_n_centroids():
     assert suggest_n_centroids(4) == 8  # floor
     # occupancy-targeted sizing: 20k vectors, shortlist budget 200
     assert suggest_n_centroids(20_000, target_occupancy=200) == 100
+    # ceil, not round: the target is an occupancy BOUND, and rounding
+    # down would let occupancy exceed it (by up to 2x for small n).
+    # This is also semantic_dedup's n_cells="auto" rule (r14 — one
+    # shared sizing function, two entry points: sqrt(n) for
+    # probe-bound indexing, n/occupancy for pair-bound dedup)
+    assert suggest_n_centroids(300, target_occupancy=256) == 2
+    assert suggest_n_centroids(15, target_occupancy=4) == 4
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         suggest_n_centroids(0)
     with _pytest.raises(ValueError):
         suggest_n_centroids(100, target_occupancy=0)
+
+
+def test_suggest_nprobe():
+    """The sizing rule's companion (r14): recall rides the probed
+    FRACTION nprobe/n_cells, so the default nprobe must scale with
+    the cell count — a fixed 2 probed 25% of an 8-cell index but
+    0.45% of the 447 cells the sqrt(n) sizing picks at 200k, and
+    measured recall@10 fell 0.867 -> 0.200 (IVFPQ_RECALL_r14.json).
+    ~5% of cells by default, floor 2 (the historical small-index
+    default — no change below ~41 cells), capped at n_cells."""
+    import pytest as _pytest
+
+    from etl_router_spark.functions.pq import suggest_nprobe
+
+    assert suggest_nprobe(8) == 2       # historical default preserved
+    assert suggest_nprobe(40) == 2      # ceil(2.0) = floor
+    assert suggest_nprobe(41) == 3      # first departure point
+    assert suggest_nprobe(141) == 8     # the 20k sized arm
+    assert suggest_nprobe(447) == 23    # the 200k sized arm
+    assert suggest_nprobe(1) == 1       # capped at n_cells
+    assert suggest_nprobe(447, target_fraction=0.25) == 112
+    with _pytest.raises(ValueError):
+        suggest_nprobe(0)
+    with _pytest.raises(ValueError):
+        suggest_nprobe(8, target_fraction=0.0)
+    with _pytest.raises(ValueError):
+        suggest_nprobe(8, target_fraction=1.5)
 
 
 def test_occupancy_guard_streaming_corpus_compiles(spark):
@@ -692,6 +726,15 @@ def test_ivfpq_default_n_centroids_is_suggested(spark, emb):
                                      nprobe=2)) == \
             key(ivfpq_rerank_topk(q, emb, books, k=3, shortlist=30,
                                   nprobe=2, n_centroids=sized))
+    # r14: the nprobe default is suggest_nprobe(cells), not 2 — the
+    # no-config composition (sized cells + matched probe fraction)
+    # must equal the explicitly spelled-out call bit-for-bit
+    from etl_router_spark.functions.pq import suggest_nprobe
+
+    np_auto = suggest_nprobe(sized)
+    assert key(ivfpq_topk(q, emb, books, k=3)) == \
+        key(ivfpq_topk(q, emb, books, k=3, nprobe=np_auto,
+                       n_centroids=sized))
 
 
 def test_ivfpq_rerank_streaming_corpus_needs_centroids(spark, emb,
