@@ -452,6 +452,55 @@ def standin_centroids(
     return cents
 
 
+def vector_guard_sql(vec_sql: str, passthrough_sql: str) -> str:
+    """``passthrough_sql``, wrapped so a NULL vector or a NULL/NaN
+    ELEMENT in ``vec_sql`` raises the unified bad-vector errors (the
+    same messages :func:`_dense_vectors` raises on the Arrow side) —
+    the r14 fail-fast contract, applied to a CHEAP column.
+
+    The element check is ``array_contains(vec, NaN) IS [NOT] FALSE``
+    rather than an ``exists`` lambda ON PURPOSE: Spark's NaN equality
+    makes array_contains find NaN elements, its three-valued NULL
+    propagation returns NULL (not false) when the array holds a NULL
+    element, and — unlike a higher-order function, whose closure is
+    invoked interpreted per ELEMENT — it is a flat primitive loop,
+    so re-evaluation under predicate pushdown costs O(dim) primitive
+    compares, not an interpreted lambda pass."""
+    return (
+        f"CASE WHEN ({vec_sql}) IS NULL THEN "
+        "raise_error('cell_assign: null vector in the corpus — filter "
+        "nulls before indexing (an unassignable vector would otherwise "
+        "become an unsearchable index row)') "
+        f"WHEN NOT (array_contains({vec_sql}, CAST('NaN' AS DOUBLE)) "
+        "IS FALSE) THEN "
+        "raise_error('cell_assign: null/NaN element in a corpus vector "
+        "— clean or filter before indexing') "
+        f"ELSE {passthrough_sql} END")
+
+
+def cell_assign_raw_sql(vec_sql: str,
+                        cents: list[tuple[int, list[float]]]) -> str:
+    """The UNGUARDED argmin — for plans that put the cell id on a JOIN
+    key and carry :func:`vector_guard_sql` on a cheap column instead
+    (see :func:`cell_assign_sql` for why). Never use this without the
+    guard riding elsewhere in the same projection: on its own it maps
+    a NULL vector to a NULL cell (a silently unsearchable index row)
+    and a NaN element to the FIRST cell (Spark's NaN-equality
+    array_position).
+
+    Kept free of CASE/raise_error wrappers so Catalyst can see through
+    its nullability: with the fixture parquet's non-null vector
+    column, the join-inferred ``isnotnull(cid)`` constraint folds away
+    entirely and the corpus pays assignment ONCE — wrapping the guard
+    around this expression instead re-materialized the O(cells x dims)
+    distance arrays in a Filter node on both join sides (plan-measured;
+    the 8-cell bench gates read +30-40%)."""
+    d_arr = _centroid_dists_sql(vec_sql, cents)
+    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
+    return (f"element_at({cid_arr}, "
+            f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
+
+
 def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
     """SQL for nearest-centroid cell id: rounded-L2 argmin with
     first-occurrence (= lowest cid, the list being cid-sorted) ties —
@@ -466,20 +515,19 @@ def cell_assign_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
     cell count. Both paths now raise the same descriptive errors
     (pinned either side of the threshold by tests/test_pq.py); the
     oracles are unaffected because fixtures carry no null vectors and
-    the DuckDB twins are hand-written SQL, not this string."""
-    d_arr = _centroid_dists_sql(vec_sql, cents)
-    cid_arr = "array(" + ", ".join(str(cid) for cid, _ in cents) + ")"
-    expr = (f"element_at({cid_arr}, "
-            f"CAST(array_position({d_arr}, array_min({d_arr})) AS INT))")
-    return (
-        f"CASE WHEN ({vec_sql}) IS NULL THEN "
-        "raise_error('cell_assign: null vector in the corpus — filter "
-        "nulls before indexing (an unassignable vector would otherwise "
-        "become an unsearchable index row)') "
-        f"WHEN exists({vec_sql}, __x -> __x IS NULL OR isnan(__x)) THEN "
-        "raise_error('cell_assign: null/NaN element in a corpus vector "
-        "— clean or filter before indexing') "
-        f"ELSE {expr} END")
+    the DuckDB twins are hand-written SQL, not this string.
+
+    This guarded form is for PROJECT-only plans (with_cells, the
+    occupancy histogram), where the guard costs nothing. Where the
+    cell id becomes a JOIN key (ivfpq_topk, pq_index), use
+    :func:`cell_assign_raw_sql` for the key and put
+    :func:`vector_guard_sql` on the id column: a CASE with raise_error
+    branches is nullable in Catalyst's eyes, so the join-inferred
+    ``isnotnull(cid)`` filter survives and re-evaluates the full
+    distance computation per row on both join sides — measured
+    +30-40% on the 8-cell bench gates — while the raw argmin's
+    nullability folds the filter away entirely."""
+    return vector_guard_sql(vec_sql, cell_assign_raw_sql(vec_sql, cents))
 
 
 # Cell counts at or above this dispatch to the Arrow-vectorized
@@ -752,9 +800,15 @@ def pq_index(
         return _pq_index_arrow(corpus, codebooks, centroids,
                                id_col, vec_col)
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    # guard on the id, raw argmin on cid: the index's cid becomes a
+    # JOIN key downstream (ivfpq corpus_index probes), and a guarded
+    # CASE there would survive as a join-inferred isnotnull filter
+    # re-evaluating the distance arrays per row (cell_assign_sql
+    # docstring); the guard still fires for every corpus row because
+    # the projection always materializes id
     return corpus.selectExpr(
-        f"{id_col} AS id",
-        f"{cell_assign_sql(vec, centroids)} AS cid",
+        f"{vector_guard_sql(vec, id_col)} AS id",
+        f"{cell_assign_raw_sql(vec, centroids)} AS cid",
         f"{pq_code_sql(vec, codebooks)} AS code",
     )
 
@@ -933,12 +987,15 @@ def ivfpq_topk(
             corpus, codebooks, centroids, id_col, vec_col,
         ).selectExpr("id AS neighbor_id", "cid", "code")
     else:
-        # corpus: nearest cell — shared assignment contract
-        # (cell_assign_sql) + map-side encode, one pass over vectors
-        assign = cell_assign_sql(vec, centroids)
+        # corpus: nearest cell — the raw argmin on cid (the join key:
+        # a guarded CASE would survive as a join-inferred isnotnull
+        # filter re-evaluating the distance arrays per row, measured
+        # +30-40% on the bench gates — cell_assign_sql docstring) with
+        # the bad-vector guard on neighbor_id, which the projection
+        # always materializes, so bad rows still raise, not vanish
         c = corpus.selectExpr(
-            f"{id_col} AS neighbor_id",
-            f"{assign} AS cid",
+            f"{vector_guard_sql(vec, id_col)} AS neighbor_id",
+            f"{cell_assign_raw_sql(vec, centroids)} AS cid",
             f"{pq_code_sql(vec, codebooks)} AS code",
         )
     # queries: nprobe nearest cells via a sorted (dist, cid) struct
