@@ -3901,25 +3901,31 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
 _TOUCHED_BOOST: tuple[str, ...] = (
-    # r14: the 6 gates whose EXECUTED PLAN changed this round — (a)
-    # cell_assign_sql grew the NULL/NaN fail-fast guard (unifying the
-    # two assignment paths' bad-input semantics, r13 verdict ask #3),
-    # which rewrites the <64-cell assignment expression every IVF-PQ /
-    # semantic-dedup gate runs; (b) the MinHash index probe path's
-    # forced data-dependent broadcasts are un-hinted (r13 verdict ask
-    # #2 — AQE decides; broadcast_side="probes"/"index" remain as
-    # explicit contract overrides), which changes the probe gates'
-    # join strategies. All 6 value-verified locally post-change this
-    # session (scripts/check_correctness.py at sf0.01, 0 failures).
-    # 5 of the 6 are r9-tier and would rank near the window head by
-    # age anyway; boosting pins them there deterministically.
-    # corpus_decontaminate_fuzzy keeps its forced "index" broadcast
-    # (benchmark index, small BY CONTRACT) — plan unchanged, not
-    # boosted.
+    # r14: the 8 gates whose EXECUTED PLAN changed this round — (a)
+    # the bad-vector fail-fast guard (r13 verdict ask #3): with_cells
+    # keeps the guarded assignment CASE (project-only plans), while
+    # ivfpq_topk/pq_index carry the guard on the id column with the
+    # raw argmin on the join key (the round's own drift A/B caught
+    # the guard-on-key form re-materializing the distance arrays in a
+    # join-inferred isnotnull filter — SCALE.md round-14); (b) the
+    # MinHash index probe path's forced data-dependent broadcasts are
+    # un-hinted (r13 verdict ask #2 — AQE decides;
+    # broadcast_side="probes"/"index" remain as explicit contract
+    # overrides), which changes the probe gates' join strategies. All
+    # 8 value-verified locally post-change (scripts/
+    # check_correctness.py at sf0.01, 0 failures, re-run AFTER the
+    # guard relocation). 6 of the 8 are r9-tier and would rank near
+    # the window head by age anyway; boosting pins them there
+    # deterministically. corpus_decontaminate_fuzzy keeps its forced
+    # "index" broadcast (benchmark index, small BY CONTRACT) and
+    # similarity_ivf_ann/embedding_pq_* never ran cell_assign_sql —
+    # plans unchanged, not boosted.
     "embedding_ivfpq_topk",
     "embedding_ivfpq_rerank_topk",
     "embedding_ivfpq_index_topk",
     "dedup_semantic",
+    "dedup_semantic_canonical",
+    "corpus_decontaminate_semantic",
     "dedup_minhash_incremental",
     "stream_dedup_index_probe",
 )
@@ -3936,14 +3942,15 @@ _DEFER_NEW: tuple[str, ...] = (
     # (registered r13, judge-verified green at sf0.01) is RELEASED and
     # ranks first by the never-checked rule. Zero new gates are
     # registered this round, so the window is pure backlog hygiene:
-    # 1 never-checked + 6 _TOUCHED_BOOST (plans changed this round) +
+    # 1 never-checked + 8 _TOUCHED_BOOST (plans changed this round) +
     # the 8 r8-tier slips, then the r9 tier oldest-evidence-first —
-    # with 5 of the 6 boosted gates drawn FROM the r9 tier, that is
-    # 55 known candidates for ~50 slots, so 6 r9 gates slip to r15
-    # and rank first there by age. The whole registry is locally
-    # sweep-verified at r14 HEAD (scripts/check_correctness.py at
-    # sf0.01) before the round closes, so every slipped gate carries
-    # fresh post-change local evidence.
+    # with 6 of the 8 boosted gates drawn FROM the r9 tier, that is
+    # 57 known candidates for ~50 slots, so 7 r9 gates slip to r15
+    # and rank first there by age. The whole registry was locally
+    # sweep-verified this round (scripts/check_correctness.py at
+    # sf0.01, 0 failures), with the pq-path gates re-verified a
+    # second time after the guard relocation, so every slipped gate
+    # carries fresh post-change local evidence.
 )
 
 
