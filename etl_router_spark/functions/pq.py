@@ -452,11 +452,20 @@ def standin_centroids(
     return cents
 
 
-def vector_guard_sql(vec_sql: str, passthrough_sql: str) -> str:
+def vector_guard_sql(vec_sql: str, passthrough_sql: str,
+                     what: str = "cell_assign",
+                     side: str = "corpus",
+                     action: str = "indexing",
+                     hint: str = "an unassignable vector would "
+                                 "otherwise become an unsearchable "
+                                 "index row") -> str:
     """``passthrough_sql``, wrapped so a NULL vector or a NULL/NaN
     ELEMENT in ``vec_sql`` raises the unified bad-vector errors (the
-    same messages :func:`_dense_vectors` raises on the Arrow side) —
-    the r14 fail-fast contract, applied to a CHEAP column.
+    same "null vector" / "null/NaN element" phrasing
+    :func:`_dense_vectors` raises on the Arrow side) — the r14
+    fail-fast contract, applied to a CHEAP column. ``what``/``side``/
+    ``hint`` tailor the message to the failing input (query-side
+    probes name the query frame, not the corpus).
 
     The element check is ``array_contains(vec, NaN) IS [NOT] FALSE``
     rather than an ``exists`` lambda ON PURPOSE: Spark's NaN equality
@@ -468,13 +477,12 @@ def vector_guard_sql(vec_sql: str, passthrough_sql: str) -> str:
     compares, not an interpreted lambda pass."""
     return (
         f"CASE WHEN ({vec_sql}) IS NULL THEN "
-        "raise_error('cell_assign: null vector in the corpus — filter "
-        "nulls before indexing (an unassignable vector would otherwise "
-        "become an unsearchable index row)') "
+        f"raise_error('{what}: null vector in the {side} — filter "
+        f"nulls before {action} ({hint})') "
         f"WHEN NOT (array_contains({vec_sql}, CAST('NaN' AS DOUBLE)) "
         "IS FALSE) THEN "
-        "raise_error('cell_assign: null/NaN element in a corpus vector "
-        "— clean or filter before indexing') "
+        f"raise_error('{what}: null/NaN element in a {side} vector "
+        f"— clean or filter before {action}') "
         f"ELSE {passthrough_sql} END")
 
 
@@ -1006,8 +1014,18 @@ def ivfpq_topk(
         "(d, c) -> named_struct('dist', d, 'cid', c))")
     probes = (f"transform(slice(array_sort({probe_structs}), 1, {nprobe}), "
               f"x -> x.cid)")
+    # query-side twin of the corpus guard (same defect class, r14): a
+    # NULL/NaN query vector would otherwise probe arbitrary cells (NaN
+    # distances sort LAST, so array_sort's head is whichever cells tie
+    # at NaN) and return k garbage rows for that query — fail fast on
+    # the id column instead, which the projection always materializes
+    q_guard = vector_guard_sql(
+        vec, id_col, what="ivfpq_topk", side="query frame",
+        action="searching",
+        hint="a NULL/NaN query vector would otherwise probe arbitrary "
+             "cells and rank candidates by NaN distances")
     q = queries.selectExpr(
-        f"{id_col} AS query_id",
+        f"{q_guard} AS query_id",
         f"explode({probes}) AS cid",
         f"{pq_lut_sql(vec, codebooks)} AS lut",
     )

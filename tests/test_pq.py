@@ -937,6 +937,42 @@ def test_null_vector_semantics_uniform_across_threshold(spark):
         assert got == {0: 0, 1: 5}
 
 
+def test_ivfpq_bad_vectors_fail_fast_both_sides(spark):
+    """ivfpq_topk raises the unified bad-vector errors for BOTH frames
+    (r14): a bad CORPUS vector via the pq_index-style id guard (the
+    join key keeps the raw foldable argmin — SCALE.md round-14), and a
+    bad QUERY vector via the query-frame guard — a NaN query's
+    distances all sort LAST, so it would otherwise probe arbitrary
+    cells and return k garbage rows for that query instead of
+    failing."""
+    from etl_router_spark.functions.pq import (
+        deterministic_codebooks,
+        ivfpq_topk,
+    )
+
+    books = deterministic_codebooks(4, m=2, k=4)
+    clean = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    for bad_row, msg in (
+            ((99, None), "null vector"),
+            ((99, [1.0, None, 1.0, 1.0]), "element"),
+            ((99, [1.0, float("nan"), 1.0, 1.0]), "element")):
+        bad = spark.createDataFrame([bad_row],
+                                    "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match=msg):  # corpus side
+            ivfpq_topk(clean.filter("vec_id < 2"),
+                       clean.unionByName(bad), books,
+                       k=2, nprobe=2, n_centroids=4).collect()
+        with pytest.raises(Exception, match=msg):  # query side
+            ivfpq_topk(bad, clean, books,
+                       k=2, nprobe=2, n_centroids=4).collect()
+    # clean frames: untouched by either guard — both queries come back
+    rows = ivfpq_topk(clean.filter("vec_id < 2"), clean, books,
+                      k=2, nprobe=2, n_centroids=4).collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+
+
 def test_arrow_index_id_type_and_codebook_width_fail_fast(spark):
     """Two r13 advisor findings on the >=64-cell dispatch: (a) a
     non-integral id must raise with the numeric-id convention named,
