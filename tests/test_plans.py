@@ -830,3 +830,30 @@ def test_hard_negatives_dedups_duplicate_qrels(spark):
             for r in out}
     assert rows == {("q1", "b"): (2, 1), ("q1", "z"): (None, 1),
                     ("q1", "a"): (1, 0)}
+
+
+def test_ivfpq_guard_stays_off_the_join_key(spark, sf_dir):
+    """Pins the SCALE.md round-14 nullability lesson: the bad-vector
+    guard (a raise_error CASE, nullable in Catalyst's eyes) must never
+    ride the cell-id JOIN KEY — there the join-inferred isnotnull()
+    survives as a Filter that re-evaluates the full O(cells x dims)
+    distance arrays per corpus row (measured +30-40% on these gates).
+    The invariant: no Filter node in the optimized plan contains the
+    argmin's array_min, i.e. distances are computed exactly once, in
+    the projections."""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.pq import ivfpq_topk
+    from etl_router_spark.io import load_table
+    from etl_router_spark.queries_llm import _pq_books
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(emb.filter(F.col("vec_id") < 10), emb, _pq_books(),
+                     k=5, nprobe=2, n_centroids=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip(" +-:").startswith("Filter"):
+            assert "array_min" not in line, line[:200]
+    # the guard itself is still present (corpus id + query id), so bad
+    # vectors raise rather than vanish through the join
+    assert plan.count("raise_error") >= 4, plan.count("raise_error")
