@@ -1266,6 +1266,30 @@ def ivfpq_rerank_topk(
                 shortlist = p95
             else:
                 warnings.warn(msg)
+    if nprobe is None:
+        import math
+        import warnings
+
+        bits = len(codebooks) * math.log2(len(codebooks[0]))
+        if bits < 32:
+            # measured composition hazard (IVFPQ_RECALL_r14.json):
+            # below quantizer resolution the ADC cut is ~noise, so the
+            # auto-nprobe rule's EXTRA probed cells only feed more
+            # indistinguishable candidates into the fixed shortlist
+            # and true neighbors get crowded out by ADC ties — 16-bit
+            # codes at 200k vectors measured recall@10 0.200 (np=2)
+            # -> 0.165 (np=auto=23), while 80-bit codes went 0.257 ->
+            # 0.870 on the same layouts. Probe volume only helps when
+            # the codes can rank what it returns.
+            warnings.warn(
+                f"ivfpq_rerank_topk: nprobe='auto' with "
+                f"{bits:.0f}-bit PQ codes (m={len(codebooks)} x "
+                f"log2(k={len(codebooks[0])})) — below ~32 bits the "
+                "ADC ordering is too coarse for extra probed cells to "
+                "help, and they can DILUTE a fixed shortlist "
+                "(measured recall drop, IVFPQ_RECALL_r14.json / "
+                "SCALE.md round-14). Spend bits (raise m or k) or "
+                "raise `shortlist` together with nprobe.")
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
         n_centroids=n_centroids, centroids=centroids,

@@ -1024,3 +1024,38 @@ def test_with_cells_replaces_existing_cell_col_both_paths(spark):
         assert {r["vec_id"]: r["cid"] for r in out.collect()} == {0: 0, 1: 5}
     with pytest.raises(ValueError, match="vector column"):
         with_cells(df, "embedding", few, cell_col="embedding")
+
+
+def test_rerank_warns_on_auto_nprobe_with_narrow_codes(spark):
+    """nprobe='auto' + sub-resolution PQ codes is a measured
+    composition hazard (IVFPQ_RECALL_r14.json: 16-bit codes at 200k
+    read recall@10 0.200 at np=2 but 0.165 at np=auto — extra probed
+    cells DILUTE the fixed shortlist when the ADC cut is ~noise),
+    so the rerank names it; explicit nprobe and production-width
+    codes stay silent."""
+    import warnings as w
+
+    from etl_router_spark.functions.pq import (
+        deterministic_codebooks,
+        ivfpq_rerank_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2")
+    narrow = deterministic_codebooks(8, m=2, k=4)   # 4 bits/vector
+    wide = deterministic_codebooks(8, m=8, k=16)    # 32 bits/vector
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        ivfpq_rerank_topk(q, emb, narrow, k=2, shortlist=4,
+                          n_centroids=4, occupancy_guard="off")
+    assert any("DILUTE" in str(x.message) for x in caught), \
+        [str(x.message) for x in caught]
+    for books, nprobe in ((narrow, 2), (wide, None)):
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            ivfpq_rerank_topk(q, emb, books, k=2, shortlist=4,
+                              nprobe=nprobe, n_centroids=4,
+                              occupancy_guard="off")
+        assert not any("DILUTE" in str(x.message) for x in caught)
