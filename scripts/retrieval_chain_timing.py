@@ -107,9 +107,16 @@ def run_chain(spark, sf_dir: str, tag: str, rep: int,
     import warnings
 
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # guard-auto shortlist raise
+        # guard-auto shortlist raise + the r14 narrow-codes advisory
+        # (the chain's m=4/k=16 books are the oracle-friendly recipe)
+        warnings.simplefilter("ignore")
+        # nprobe=None = the r14 no-config default (suggest_nprobe's
+        # ~5%-of-cells rule) — this script times the chain exactly as
+        # an unconfigured production service would run it, so the
+        # default's probe-volume cost shows up here, priced, instead
+        # of hiding behind the old pinned 2
         ivfpq_rerank_topk(
-            queries, emb, rbooks, k=10, shortlist=50, nprobe=2,
+            queries, emb, rbooks, k=10, shortlist=50, nprobe=None,
             centroids=rcents, corpus_index=idx,
             cell_occupancy_p95=p95, occupancy_guard="auto",
         ).write.parquet(runs_path)
