@@ -1059,3 +1059,40 @@ def test_rerank_warns_on_auto_nprobe_with_narrow_codes(spark):
                               nprobe=nprobe, n_centroids=4,
                               occupancy_guard="off")
         assert not any("DILUTE" in str(x.message) for x in caught)
+
+
+def test_nearest_rows_property_vs_naive_reference():
+    """Property coverage of the Arrow assignment kernel's determinism
+    contract (seeded-random, hypothesis-style without per-example job
+    overhead): _nearest_rows must equal a naive per-row argmin over
+    6dp-rounded squared L2 with FIRST-OCCURRENCE ties, for any chunk
+    boundaries — including matrices engineered to produce exact ties
+    (duplicate centroids) and near-tie values around the rounding
+    boundary, the regime where the SQL parity contract is most
+    fragile."""
+    import random
+
+    from etl_router_spark.functions.pq import _nearest_rows, _round6_half_up
+
+    rng = random.Random(1404)
+    for trial in range(40):
+        n = rng.randrange(1, 60)
+        c = rng.randrange(1, 40)
+        d = rng.choice([1, 2, 3, 8])
+        V = np.array([[rng.uniform(-2, 2) for _ in range(d)]
+                      for _ in range(n)])
+        C = np.array([[rng.uniform(-2, 2) for _ in range(d)]
+                      for _ in range(c)])
+        if c >= 3 and trial % 3 == 0:
+            C[c - 1] = C[0]          # exact duplicate -> guaranteed tie
+        if trial % 4 == 0:
+            V[0] = C[rng.randrange(c)]  # zero-distance row
+        # naive reference: rounded distances, np.argmin = first occurrence
+        D = _round6_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+        want = D.argmin(1)
+        # exercise chunk boundaries: single-chunk, tiny chunks, defaults
+        for chunk, row_chunk in ((c + 1, n + 1), (1, 1), (2, 3),
+                                 (128, 2048)):
+            got = _nearest_rows(V, C, chunk=chunk, row_chunk=row_chunk)
+            assert (got == want).all(), (trial, chunk, row_chunk,
+                                         got.tolist(), want.tolist())
