@@ -157,7 +157,11 @@ def decontaminate_fuzzy(
 def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
                    hash_family: str) -> list[str]:
     """The k position expressions shared by filter build and probe —
-    ONE definition so the two sides cannot desynchronize.
+    ONE definition so the two sides cannot desynchronize. (Both sides'
+    h60 hot paths actually run the digest-HOISTED equivalent composed
+    from the same :func:`_h60_digests_sql` / :func:`_h60_window_pos_sql`
+    layout — see :func:`_bloom_pos_hoisted_sql`; this per-position form
+    remains the validator and the xxhash64/oracle-documentation source.)
 
     ``h60``: ONE md5 digest yields THREE 40-bit positions (hex windows
     [1,10], [11,20], [21,30] of md5("bf" + (i//3) + "|" + gram)) — an
@@ -197,19 +201,56 @@ def _bloom_pos_sql(gram_expr: str, m_bits: int, k: int,
                 f"{m_bits} exceeds the 2^32 safety bound (modulo bias /"
                 " unreachable bits). Use hash_family='xxhash64' for"
                 " filters this large.")
+        digs = _h60_digests_sql(gram_expr, k)
         out = []
         for i in range(k):
             j, w = divmod(i, 3)
-            digest = f"md5(concat('bf', '{j}', '|', {gram_expr}))"
-            word = (f"CAST(conv(substring({digest}, {1 + 10 * w}, 10), "
-                    f"16, 10) AS BIGINT)")
-            out.append(f"pmod({word}, {m_bits})")
+            out.append(_h60_window_pos_sql(digs[j], w, m_bits))
         return out
     if hash_family == "xxhash64":
         return [f"pmod(xxhash64({gram_expr}, {i}), {m_bits})"
                 for i in range(k)]
     raise ValueError(
         f"hash_family must be h60|xxhash64, got {hash_family!r}")
+
+
+def _h60_digests_sql(gram_expr: str, k: int) -> list[str]:
+    """The ceil(k/3) md5 digests the h60 family draws its k positions
+    from (digest j covers positions 3j..3j+2) — the ONE definition of
+    the digest layout, composed by both the per-position expressions
+    (:func:`_bloom_pos_sql`) and the digest-HOISTED forms below."""
+    return [f"md5(concat('bf', '{j}', '|', {gram_expr}))"
+            for j in range((k + 2) // 3)]
+
+
+def _h60_window_pos_sql(digest_expr: str, w: int, m_bits: int) -> str:
+    """Position = 40-bit hex window ``w`` of an h60 digest, mod m —
+    the ONE definition of the window layout (hex chars [1,10],
+    [11,20], [21,30])."""
+    word = (f"CAST(conv(substring({digest_expr}, {1 + 10 * w}, 10), "
+            f"16, 10) AS BIGINT)")
+    return f"pmod({word}, {m_bits})"
+
+
+def _bloom_pos_hoisted_sql(ds_expr: str, m_bits: int, k: int) -> list[str]:
+    """The k h60 position expressions over a PRE-COMPUTED digest array
+    ``ds_expr`` (element j+1 = digest j of :func:`_h60_digests_sql`).
+
+    Why this exists: the probe evaluates its positions inside
+    exists/forall lambdas, and Spark's higher-order functions are
+    CodegenFallback — interpreted per element, no whole-stage codegen,
+    so no subexpression elimination. The per-position form therefore
+    recomputes the SAME md5 digest for each of its 3 windows (3x at
+    k=3); hoisting the digests into one transform() pays each md5
+    exactly once per gram. Measured on the sf0.1 probe: 4.62 -> 2.87 s
+    (x1.61), flags bit-identical (SCALE.md round-14). The xxhash64
+    family draws one independent hash per position — nothing to hoist."""
+    out = []
+    for i in range(k):
+        j, w = divmod(i, 3)
+        out.append(_h60_window_pos_sql(
+            f"element_at({ds_expr}, {j + 1})", w, m_bits))
+    return out
 
 
 def bloom_bitmap(
@@ -257,7 +298,17 @@ def _bloom_packed_words(benchmark: DataFrame, text_col: str, n: int,
     grams = benchmark.selectExpr(
         f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
     ).distinct()
-    pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
+    if hash_family == "h60":
+        # hoist the digests into their own projection so each md5 is
+        # computed once per gram (the explode's child array is built in
+        # GenerateExec, outside codegen subexpression elimination —
+        # same lesson as the probe, see _bloom_pos_hoisted_sql)
+        _bloom_pos_sql("gram", m_bits, k, hash_family)  # validate size
+        digs = _h60_digests_sql("gram", k)
+        grams = grams.selectExpr(f"array({', '.join(digs)}) AS __ds")
+        pos_exprs = _bloom_pos_hoisted_sql("__ds", m_bits, k)
+    else:
+        pos_exprs = _bloom_pos_sql("gram", m_bits, k, hash_family)
     return grams.selectExpr(
         f"explode(array({', '.join(pos_exprs)})) AS p"
     ).selectExpr(
@@ -451,13 +502,27 @@ def bloom_decontaminate(
         probe = docs.crossJoin(F.broadcast(bf))
     else:
         probe = docs.withColumn("__bf", F.lit(words))
-    pos = _bloom_pos_sql("g", m_bits, k, hash_family)
-    flag_sql = (
-        f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "
-        f"forall(array({', '.join(pos)}), "
-        "p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT) + 1), "
-        "CAST(p % 64 AS INT)) & 1) = 1))"
-    )
+    bit_test = ("p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT)"
+                " + 1), CAST(p % 64 AS INT)) & 1) = 1")
+    if hash_family == "h60":
+        # digest-hoisted probe: exists/forall are interpreted (no
+        # codegen CSE), so compute each gram's md5 digests ONCE in a
+        # transform() instead of once per window — x1.61 on the sf0.1
+        # probe, flags bit-identical (see _bloom_pos_hoisted_sql)
+        _bloom_pos_sql("g", m_bits, k, hash_family)  # validate size
+        digs = _h60_digests_sql("g", k)
+        pos = _bloom_pos_hoisted_sql("ds", m_bits, k)
+        flag_sql = (
+            f"exists(transform({shingles_sql(tokens_sql(text_col), n)}, "
+            f"g -> array({', '.join(digs)})), ds -> "
+            f"forall(array({', '.join(pos)}), {bit_test}))"
+        )
+    else:
+        pos = _bloom_pos_sql("g", m_bits, k, hash_family)
+        flag_sql = (
+            f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "
+            f"forall(array({', '.join(pos)}), {bit_test}))"
+        )
     flagged = probe.withColumn(tag_field, F.expr(flag_sql)).drop("__bf")
     if mode == "drop":
         return flagged.filter(~F.col(tag_field)).drop(tag_field)

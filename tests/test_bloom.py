@@ -147,3 +147,61 @@ def test_xxhash64_flags_leaks(spark):
     assert kept == {2}
     with pytest.raises(ValueError, match="hash_family"):
         bloom_decontaminate(docs, bench, hash_family="fnv")
+
+
+def test_hoisted_probe_matches_per_position_form(spark):
+    """The digest-HOISTED h60 probe (one md5 per gram per digest
+    window group — the hot path, since exists/forall are interpreted
+    with no codegen subexpression elimination) produces bit-identical
+    flags to the canonical per-position _bloom_pos_sql form, at k=3
+    (one digest), k=5 (two digests, second only partially windowed)
+    and k=1, including NULL / empty / too-short text."""
+    from etl_router_spark.functions.corpus import (
+        _bloom_pos_sql,
+        bloom_bitmap,
+    )
+    from etl_router_spark.functions.text import shingles_sql, tokens_sql
+
+    bench = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh ii jj kk")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "zz aa bb cc dd ee ff gg hh ii"),  # shares an 8-gram
+         (2, "xx yy zz ww vv uu tt ss rr qq"),  # disjoint vocabulary
+         (3, "short text"),                     # no 8-gram
+         (4, ""),                               # empty
+         (5, None)],                            # NULL text
+        ["doc_id", "text"])
+    for k in (1, 3, 5):
+        m = 1 << 14
+        words = bloom_bitmap(bench, n=8, m_bits=m, k=k)
+        probe = docs.withColumn("__bf", F.lit(words))
+        pos = _bloom_pos_sql("g", m, k, "h60")
+        bit = ("p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT)"
+               " + 1), CAST(p % 64 AS INT)) & 1) = 1")
+        per_position = (
+            f"exists({shingles_sql(tokens_sql('text'), 8)}, g -> "
+            f"forall(array({', '.join(pos)}), {bit}))")
+        rows = (
+            bloom_decontaminate(docs, bench, n=8, m_bits=m, k=k,
+                                mode="tag")
+            .join(probe.withColumn("__ref", F.expr(per_position))
+                  .select("doc_id", "__ref"), "doc_id")
+            .select("doc_id", "contaminated", "__ref").collect())
+        assert len(rows) == 5
+        for r in rows:
+            assert r["contaminated"] == r["__ref"], (k, r)
+
+
+def test_hoisted_probe_computes_each_digest_once(spark):
+    """Plan-level pin of the hoist itself: the h60 probe expression
+    contains exactly ceil(k/3) md5 calls (one per digest), not k."""
+    bench = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh ii")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(2, "xx yy zz ww vv uu tt ss rr")], ["doc_id", "text"])
+    for k, n_digests in ((1, 1), (3, 1), (4, 2), (6, 2), (7, 3)):
+        tagged = bloom_decontaminate(docs, bench, n=8, m_bits=1 << 14,
+                                     k=k, mode="tag")
+        plan = tagged._jdf.queryExecution().analyzed().toString()
+        # the probe column is the only md5 user in this plan
+        assert plan.count("md5") == n_digests, (k, plan.count("md5"))
