@@ -709,7 +709,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                            text_col=cfg.get("text_field", "text"),
                            buckets=int(cfg.get("buckets", 4096)),
                            smooth=float(cfg.get("smooth", 0.5)),
-                           salt=cfg.get("salt", "dsir"))
+                           salt=cfg.get("salt", "dsir"),
+                           # manifests default to the native-hash
+                           # production family, like bloom_* stages;
+                           # the Python API defaults to oracle-exact h60
+                           hash_family=cfg.get("hash_family",
+                                               "xxhash64"))
     if tt == "weighted_sample":
         from etl_router_spark.functions.selection import weighted_sample
 

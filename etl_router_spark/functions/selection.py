@@ -69,12 +69,32 @@ def _total_grams_sql(text_col: str, alias: str) -> str:
     )
 
 
-def _bucket_counts(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+def _gram_bucket(buckets: int, hash_family: str) -> Column:
+    """``gram -> bucket`` for the DSIR feature hash — the ONE
+    definition shared by the model's marginals and the per-doc scorer
+    (both corpora MUST hash into the same bucket space). ``h60``
+    (default): md5-derived, so the DuckDB oracles reproduce every
+    bucket (and therefore every score) bit-exactly. ``xxhash64``: the
+    JVM-native whole-stage-codegen hash — the 100 TB production
+    setting (md5-per-gram is the scoring pass's dominant term; same
+    boundary as the Bloom family, see corpus.py:_bloom_pos_sql's
+    oracle-coverage note). Scores differ across families only through
+    which bucket a gram lands in — the estimator is the same."""
+    if hash_family == "h60":
+        return F.pmod(h60(F.col("gram")), F.lit(buckets))
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(F.col("gram")), F.lit(buckets))
+    raise ValueError(
+        f"hash_family must be h60|xxhash64, got {hash_family!r}")
+
+
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int,
+                   hash_family: str = "h60") -> DataFrame:
     """(bucket, c) hashed-gram counts — one explode + one groupBy with
     map-side partial aggregation; at most ``buckets`` output rows."""
     grams = df.selectExpr(f"explode({_grams_sql(text_col)}) AS gram")
     return (
-        grams.select(F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        grams.select(_gram_bucket(buckets, hash_family).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -87,6 +107,7 @@ def dsir_logratios(
     text_col: str = "text",
     buckets: int = 4096,
     smooth: float = 0.5,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """The DSIR model itself: per hash bucket b, the rounded
     log-likelihood ratio
@@ -103,8 +124,10 @@ def dsir_logratios(
     """
     if buckets <= 0:
         raise ValueError("buckets must be positive")
-    ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
-    cr = _bucket_counts(raw, text_col, buckets).withColumnRenamed("c", "c_raw")
+    ct = (_bucket_counts(target, text_col, buckets, hash_family)
+          .withColumnRenamed("c", "c_target"))
+    cr = (_bucket_counts(raw, text_col, buckets, hash_family)
+          .withColumnRenamed("c", "c_raw"))
     tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
     tot_r = raw.selectExpr(_total_grams_sql(text_col, "__tr"))
     return _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
@@ -146,6 +169,7 @@ def dsir_scores(
     smooth: float = 0.5,
     score_col: str = "dsir_score_micro",
     cache: bool = False,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Score every raw document with its DSIR log importance weight
     (integer micro-nats): sum over the document's hashed grams of
@@ -176,7 +200,8 @@ def dsir_scores(
 
     out, pinned = _dsir_scores_pinned(
         raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
-        smooth=smooth, score_col=score_col, cache=cache)
+        smooth=smooth, score_col=score_col, cache=cache,
+        hash_family=hash_family)
     return _release_on_gc(out, pinned) if pinned else out
 
 
@@ -190,6 +215,7 @@ def _dsir_scores_pinned(
     smooth: float,
     score_col: str,
     cache: bool,
+    hash_family: str = "h60",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """:func:`dsir_scores` body, returning (result, pinned-persists)
     UNWRAPPED so chained operators (:func:`dsir_sample`) can transfer
@@ -199,7 +225,8 @@ def _dsir_scores_pinned(
     first action."""
     doc_buckets = (
         raw.selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
-        .select(F.col(id_col), F.pmod(h60(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        .select(F.col(id_col),
+                _gram_bucket(buckets, hash_family).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("__c"))
     )
@@ -211,7 +238,8 @@ def _dsir_scores_pinned(
         pinned.append(doc_buckets)
     cr = doc_buckets.groupBy("bucket").agg(F.sum("__c").alias("c_raw"))
     tot_r = doc_buckets.agg(F.sum("__c").alias("__tr"))
-    ct = _bucket_counts(target, text_col, buckets).withColumnRenamed("c", "c_target")
+    ct = (_bucket_counts(target, text_col, buckets, hash_family)
+          .withColumnRenamed("c", "c_target"))
     tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
     lr = F.broadcast(
         _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
@@ -251,6 +279,7 @@ def dsir_sample(
     salt: str = "dsir",
     key_col: str = "dsir_key_micro",
     cache: bool = True,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """DSIR selection: the ``k`` raw documents sampled WITHOUT
     replacement with probability proportional to their importance
@@ -279,7 +308,8 @@ def dsir_sample(
 
     scored, pinned = _dsir_scores_pinned(
         raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
-        smooth=smooth, score_col="dsir_score_micro", cache=cache)
+        smooth=smooth, score_col="dsir_score_micro", cache=cache,
+        hash_family=hash_family)
     keyed = scored.withColumn(
         key_col, F.col("dsir_score_micro") + _gumbel_micro(id_col, salt)
     )

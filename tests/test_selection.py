@@ -244,3 +244,77 @@ def test_dsir_null_text_docs_count_zero_grams_in_both_entry_points(spark):
                                 tgt.filter(F.col("text").isNotNull()),
                                 buckets=64).collect()}
     assert direct == direct_nonnull
+
+
+def test_dsir_hash_family_xxhash64_contract(spark):
+    """The native-hash production family (mirrors the Bloom design:
+    h60 = oracle-exact default, xxhash64 = codegen scale path): same
+    estimator, different bucket assignment — so (a) it must be
+    deterministic across runs, (b) with buckets=1 every gram lands in
+    the single bucket under EITHER family, making scores and selection
+    keys bit-identical to h60's (pins the plumbing end-to-end), and
+    (c) an unknown family is a named error."""
+    import pytest
+
+    raw, tgt = _raw_df(spark), _target_df(spark)
+
+    a = dsir_sample(raw, tgt, 3, buckets=BUCKETS, salt="hf",
+                    hash_family="xxhash64").collect()
+    b = dsir_sample(raw, tgt, 3, buckets=BUCKETS, salt="hf",
+                    hash_family="xxhash64").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 3
+
+    for fn, kw in ((dsir_scores, {}), (dsir_sample, {"salt": "hf"})):
+        args = (raw, tgt, 3) if fn is dsir_sample else (raw, tgt)
+        h = fn(*args, buckets=1, hash_family="h60", **kw).collect()
+        x = fn(*args, buckets=1, hash_family="xxhash64", **kw).collect()
+        key = lambda r: r["doc_id"]
+        assert sorted([r.asDict() for r in h], key=lambda d: d["doc_id"]) == \
+            sorted([r.asDict() for r in x], key=lambda d: d["doc_id"])
+
+    lr1 = dsir_logratios(raw, tgt, buckets=1, hash_family="xxhash64").collect()
+    lr2 = dsir_logratios(raw, tgt, buckets=1, hash_family="h60").collect()
+    assert [r.asDict() for r in lr1] == [r.asDict() for r in lr2]
+
+    with pytest.raises(ValueError, match="hash_family"):
+        dsir_scores(raw, tgt, hash_family="fnv").collect()
+
+
+def test_dsir_manifest_hash_family(spark, tmp_path):
+    """dsir_sample manifests accept hash_family and default to the
+    native xxhash64 family (like bloom_* stages); h60 is opt-in."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    raw_p, tgt_p = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    _raw_df(spark).write.parquet(raw_p)
+    _target_df(spark).write.parquet(tgt_p)
+    out = {}
+    for fam in ("default", "h60"):
+        cfg = {"transform_type": "dsir_sample", "k": 3, "buckets": 64,
+               "salt": "hf",
+               "target": {"source_type": "file", "format": "parquet",
+                          "path": tgt_p}}
+        if fam != "default":
+            cfg["hash_family"] = fam
+        pipeline = parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": f"dsir-hf-{fam}"},
+            "spec": {"stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet",
+                            "path": raw_p}},
+                {"id": "op", "type": "transform", "config": cfg},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / f"o-{fam}")}},
+            ]},
+        })
+        df = compile_pipeline(spark, pipeline).sink_frames["out"]
+        out[fam] = [r["doc_id"] for r in df.collect()]
+    for fam, family in (("default", "xxhash64"), ("h60", "h60")):
+        expect = [r["doc_id"] for r in dsir_sample(
+            _raw_df(spark), _target_df(spark), 3, buckets=64, salt="hf",
+            hash_family=family).collect()]
+        assert out[fam] == expect, fam
