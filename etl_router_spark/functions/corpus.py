@@ -508,7 +508,12 @@ def bloom_decontaminate(
         # digest-hoisted probe: exists/forall are interpreted (no
         # codegen CSE), so compute each gram's md5 digests ONCE in a
         # transform() instead of once per window — x1.61 on the sf0.1
-        # probe, flags bit-identical (see _bloom_pos_hoisted_sql)
+        # probe, flags bit-identical (see _bloom_pos_hoisted_sql).
+        # Tradeoff, chosen deliberately: transform() is eager, so a
+        # FLAGGED doc hashes all its grams where the un-hoisted exists
+        # could exit at the first hit — decontamination corpora are
+        # overwhelmingly clean (that's the point), so paying 1x-per-
+        # gram on every doc beats paying 3x on the clean majority
         _bloom_pos_sql("g", m_bits, k, hash_family)  # validate size
         digs = _h60_digests_sql("g", k)
         pos = _bloom_pos_hoisted_sql("ds", m_bits, k)
