@@ -58,11 +58,22 @@ def _bucket_sql(tok_sql: str, num_features: int) -> str:
 
 
 def quality_score_sql(text_expr: str, weights: list[float], bias: float,
-                      num_features: int) -> str:
+                      num_features: int, *, toks_expr: str | None = None) -> str:
     """Rounded sigmoid score of one text column as generated SQL:
-    z = mean over tokens of weights[h60(token) % F] + bias."""
+    z = mean over tokens of weights[h60(token) % F] + bias.
+
+    ``toks_expr``: an already-materialized token-array expression
+    (e.g. a column name) to score instead of tokenizing ``text_expr``
+    inline. The token array appears three times in the generated SQL
+    (the aggregate's input and two size() guards); measured on 32-way
+    3 KB docs the inline triple-tokenize is a WASH vs projecting the
+    array first (0.65 vs 0.76 s, SCALE.md round-14) — token arrays are
+    big enough that materializing them costs what recomputing saves —
+    so the default stays inline and this hook exists for callers that
+    already HAVE a token column. Scores are bit-identical either way."""
     w_arr = "array(" + ",".join(f"{w!r}D" for w in weights) + ")"
-    toks = f"filter({tokens_sql(f'lower({text_expr})')}, t -> t != '')"
+    toks = (toks_expr or
+            f"filter({tokens_sql(f'lower({text_expr})')}, t -> t != '')")
     s = (f"aggregate({toks}, 0D, (acc, t) -> "
          f"acc + element_at({w_arr}, {_bucket_sql('t', num_features)} + 1))")
     z = (f"(CASE WHEN size({toks}) > 0 "
@@ -110,12 +121,20 @@ def quality_classifier_train(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
+    # materialize the hashed-bucket array ONCE per row: the dense
+    # featurizer's per-bucket lambda is interpreted (no codegen CSE,
+    # the Bloom-probe lesson), so inlining `bks` there re-tokenized
+    # and re-md5'd every token once per feature bucket — O(F * hash *
+    # tokens) instead of the documented O(F * tokens) scan. Measured
+    # x17-50 at F=256 on 3 KB docs (SCALE.md round-14); unlike the
+    # entropy/apply cases the hoisted array is small ints, so
+    # materializing it is cheap and the saved work (md5) is expensive
     toks = f"filter({tokens_sql(f'lower({text_col})')}, t -> t != '')"
     bks = f"transform({toks}, t -> {_bucket_sql('t', num_features)})"
     dense = (f"transform(sequence(0, {num_features - 1}), "
-             f"b -> CAST(size(filter({bks}, x -> x = b)) AS DOUBLE)"
-             f" / greatest(size({bks}), 1))")
-    feats = df.selectExpr(
+             f"b -> CAST(size(filter(__qc_bks, x -> x = b)) AS DOUBLE)"
+             f" / greatest(size(__qc_bks), 1))")
+    feats = df.withColumn("__qc_bks", F.expr(bks)).selectExpr(
         f"CAST({label_col} AS DOUBLE) AS label", f"{dense} AS f"
     ).select("label", array_to_vector(F.col("f")).alias("features"))
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)

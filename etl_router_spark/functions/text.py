@@ -432,6 +432,14 @@ def char_entropy(
     Pure column expressions, zero shuffle, whole-stage codegen: the
     char array and its distinct set stay inside one projection;
     per-doc cost is O(distinct_chars * len), bounded by charset size.
+
+    The inline repetition of ``chars`` inside the per-distinct-char
+    lambda is DELIBERATE (measured, SCALE.md round-14): hoisting the
+    char array into its own projected column re-tested SLOWER-or-equal
+    (1.57 s inlined vs 2.62 s hoisted on 32-way 3 KB docs) — writing a
+    thousands-element single-char string array into the unsafe row
+    costs more than re-splitting; the Bloom-probe hoist won because an
+    md5 is expensive and its result is 32 bytes, the opposite shape.
     """
     chars = f"filter(split({text_col}, ''), c -> c <> '')"
     expr = (
