@@ -318,3 +318,41 @@ def test_dsir_manifest_hash_family(spark, tmp_path):
             _raw_df(spark), _target_df(spark), 3, buckets=64, salt="hf",
             hash_family=family).collect()]
         assert out[fam] == expect, fam
+
+
+def test_targeted_selection_example_manifest(spark, tmp_path):
+    """The shipped examples/manifests/targeted-selection.yaml compiles
+    and runs end-to-end (paths and k swapped for the fixture): DSIR
+    selection with the manifest-default xxhash64 family chained into a
+    per-source weighted cap."""
+    import yaml
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    raw_p, tgt_p = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    docs = spark.createDataFrame(
+        [(i, t, len(t), s) for i, (t, s) in enumerate([
+            ("apple banana cherry apple", "web"),
+            ("dog cat mouse dog cat", "web"),
+            ("apple cherry banana cherry", "books"),
+            ("rocket launch orbit rocket", "books"),
+            ("banana apple apple banana", "web"),
+            ("dog mouse cat", "books")])],
+        ["doc_id", "text", "n_chars", "source"])
+    docs.write.parquet(raw_p)
+    _target_df(spark).write.parquet(tgt_p)
+
+    with open("examples/manifests/targeted-selection.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    stages = doc["spec"]["stages"]
+    stages[0]["config"]["path"] = raw_p
+    stages[1]["config"]["k"] = 4
+    stages[1]["config"]["target"]["path"] = tgt_p
+    stages[2]["config"]["k"] = 1
+    stages[-1]["config"]["path"] = str(tmp_path / "out")
+    frames = compile_pipeline(spark, parse_manifest_dict(doc)).sink_frames
+    rows = frames["selected"].collect()
+    # k=1 per source group, from the 4 DSIR winners
+    assert 1 <= len(rows) <= 2
+    assert {"doc_id", "text", "n_chars", "source"} <= set(rows[0].asDict())
