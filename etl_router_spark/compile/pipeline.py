@@ -171,7 +171,13 @@ def _near_dup_pairs(df: DataFrame, cfg: dict[str, Any], tt: str) -> DataFrame:
                                  num_hashes=int(cfg.get("num_hashes", 128)),
                                  bands=int(cfg.get("bands", 32)),
                                  threshold=float(cfg.get("threshold", 0.8)),
-                                 salt_cap=salt_cap, max_candidates=mc)
+                                 salt_cap=salt_cap, max_candidates=mc,
+                                 # h60 stays the manifest default for the
+                                 # whole MinHash stack (unlike bloom/dsir):
+                                 # signatures feed PERSISTED indexes, and a
+                                 # default flip would silently mis-key
+                                 # every pre-existing index
+                                 hash_family=cfg.get("hash_family", "h60"))
     raise ValueError(f"{tt}: unknown method {method!r}")
 
 
@@ -194,7 +200,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                              text_col=cfg.get("text_field", "text"),
                              num_hashes=int(cfg.get("num_hashes", 16)),
                              bands=int(cfg.get("bands", 4)),
-                             shingle_n=int(cfg.get("shingle_n", 3)))
+                             shingle_n=int(cfg.get("shingle_n", 3)),
+                             hash_family=cfg.get("hash_family", "h60"))
     if tt == "dedup_index_probe":
         # incremental fuzzy dedup: keep input rows with no near-dup in
         # the persisted index at index_path. The index's persisted
@@ -212,22 +219,24 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         nh, bd, sn = (int(cfg.get("num_hashes", 16)),
                       int(cfg.get("bands", 4)),
                       int(cfg.get("shingle_n", 3)))
+        hf = cfg.get("hash_family", "h60")
         built = minhash_index_params(idx)
         if built is not None:
-            for key in ("num_hashes", "bands", "shingle_n"):
-                if key in cfg and int(cfg[key]) != built[key]:
+            for key in ("num_hashes", "bands", "shingle_n", "hash_family"):
+                if key in cfg and str(cfg[key]) != str(built[key]):
                     raise ValueError(
                         f"dedup_index_probe: {key}={cfg[key]!r} conflicts "
                         f"with the persisted index's {built[key]!r} — "
                         "probe params must match the build exactly; drop "
                         "the key to use the index's own")
-            nh, bd, sn = (built["num_hashes"], built["bands"],
-                          built["shingle_n"])
+            nh, bd, sn, hf = (built["num_hashes"], built["bands"],
+                              built["shingle_n"], built["hash_family"])
         return dedup_against_minhash_index(
             df, idx, id_col=cfg.get("id_field", "doc_id"),
             text_col=cfg.get("text_field", "text"),
             num_hashes=nh, bands=bd, shingle_n=sn,
-            threshold=float(cfg.get("threshold", 0.5)))
+            threshold=float(cfg.get("threshold", 0.5)),
+            hash_family=hf)
     # optional pre-flight candidate budget (pair-generation types):
     # fail fast with CandidateBudgetExceeded instead of launching a
     # quadratic pair shuffle on a saturated corpus
@@ -511,6 +520,7 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         nh, bd, sn = (int(cfg.get("num_hashes", 16)),
                       int(cfg.get("bands", 4)),
                       int(cfg.get("shingle_n", 3)))
+        hf = cfg.get("hash_family", "h60")
         if "benchmark_index" in cfg:
             from etl_router_spark.functions.dedup import minhash_index_params
 
@@ -518,8 +528,9 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                 df.sparkSession, cfg["benchmark_index"], streaming=False)
             built = minhash_index_params(bench_index)
             if built is not None:
-                for key in ("num_hashes", "bands", "shingle_n"):
-                    if key in cfg and int(cfg[key]) != built[key]:
+                for key in ("num_hashes", "bands", "shingle_n",
+                            "hash_family"):
+                    if key in cfg and str(cfg[key]) != str(built[key]):
                         raise ValueError(
                             f"decontaminate_fuzzy: {key}={cfg[key]!r} "
                             f"conflicts with the persisted index's "
@@ -528,8 +539,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                             "band-key collisions, i.e. silent "
                             "non-detection); drop the key to use the "
                             "index's own")
-                nh, bd, sn = (built["num_hashes"], built["bands"],
-                              built["shingle_n"])
+                nh, bd, sn, hf = (built["num_hashes"], built["bands"],
+                                  built["shingle_n"], built["hash_family"])
         else:
             bench = read_source(
                 df.sparkSession, cfg["benchmark"], streaming=False)
@@ -542,7 +553,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             shingle_n=sn,
             threshold=float(cfg.get("threshold", 0.5)),
             mode=cfg.get("mode", "drop"),
-            benchmark_index=bench_index)
+            benchmark_index=bench_index,
+            hash_family=hf)
     if tt == "bloom_build":
         # the artifact-build half of build-once decontamination: the
         # input (a benchmark corpus) folds into a ONE-ROW persistable

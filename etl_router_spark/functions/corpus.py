@@ -96,6 +96,7 @@ def decontaminate_fuzzy(
     mode: str = "drop",
     tag_field: str = "contaminated",
     benchmark_index: DataFrame | None = None,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """NEAR-DUPLICATE decontamination — the fuzzy rung of the
     decontamination ladder. :func:`decontaminate` /
@@ -136,11 +137,13 @@ def decontaminate_fuzzy(
     if benchmark_index is None:
         benchmark_index = minhash_index(
             benchmark, id_col=id_col, text_col=text_col,
-            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_family=hash_family)
     bad = minhash_index_matches(
         docs, benchmark_index, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, broadcast_side="index")
+        threshold=threshold, broadcast_side="index",
+        hash_family=hash_family)
     # No broadcast hint on `bad`: unlike the benchmark index (tiny by
     # contract), the matched-id set is the CONTAMINATED SUBSET OF THE
     # CORPUS — unbounded for a heavily contaminated corpus, so forcing

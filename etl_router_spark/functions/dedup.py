@@ -349,26 +349,52 @@ def minhash_affine_consts(num_hashes: int) -> list[tuple[int, int]]:
     return consts
 
 
+def _minhash_base_sql(hash_family: str) -> str:
+    """The per-shingle base hash h(shingle) in [0, P) — the ONE seed of
+    the whole MinHash stack (signatures -> band keys -> indexes), so
+    mixing families across a build and its probes silently zeroes
+    recall; :func:`minhash_index` persists the family and the probes
+    fail fast on a mismatch. ``h60`` (default): md5-derived 32-bit
+    window, DuckDB-oracle-exact (every signature, band key and
+    est_jaccard reproducible in SQL). ``xxhash64``: the JVM-native
+    whole-stage-codegen hash. Measured WALL-PARITY at sf0.1 (1.73 vs
+    1.75 s signature build — the hash sits in a codegen'd post-explode
+    projection and the explode + groupBy shuffle dominates, same
+    finding as DSIR's family, SCALE.md round-14); the option exists
+    for design consistency with the Bloom/DSIR boundary (oracle gates
+    pin h60 only; xxhash64 is property-tested) and for hash-bound
+    regimes (very short docs, very wide shingles)."""
+    if hash_family == "h60":
+        return (f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10)"
+                f" AS BIGINT) % {MINHASH_P}")
+    if hash_family == "xxhash64":
+        return f"pmod(xxhash64(shingle), {MINHASH_P})"
+    raise ValueError(
+        f"hash_family must be h60|xxhash64, got {hash_family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Per-doc MinHash signature over the universal-hash family
-    sig[i] = min over shingles of ``(a_i * h32(shingle) + b_i) mod P``,
-    with one md5-derived 32-bit base hash per shingle (hex chars 1-8).
+    sig[i] = min over shingles of ``(a_i * h(shingle) + b_i) mod P``,
+    with ONE base hash per shingle (:func:`_minhash_base_sql` — h60
+    md5-window default, xxhash64 native scale path).
 
-    ONE md5 per shingle total — the k hash functions are affine
+    ONE base hash per shingle total — the k hash functions are affine
     rehashes of the shared base (classic a*x+b universal hashing), so
     hash cost is O(shingles), not O(k * shingles); measured ~2x off the
     signature aggregation at k=8 vs per-hash md5. All arithmetic stays
     inside signed-64 (h reduced mod P first, so a*h+b < 2^62) — safe
-    under ANSI overflow checking, and exactly reproducible by the
-    DuckDB oracle. One explode + one groupBy shuffle; k mins computed
-    map-side in the partial aggregation, so the shuffle carries k longs
-    per doc, not the shingle stream.
+    under ANSI overflow checking, and (for h60) exactly reproducible by
+    the DuckDB oracle. One explode + one groupBy shuffle; k mins
+    computed map-side in the partial aggregation, so the shuffle
+    carries k longs per doc, not the shingle stream.
     """
     sh = (
         spread_small_scan(df)
@@ -379,8 +405,7 @@ def minhash_signatures(
         )
         .selectExpr(
             "id",
-            f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
-            f" % {MINHASH_P} AS __h",
+            f"{_minhash_base_sql(hash_family)} AS __h",
         )
     )
     mins = [
@@ -419,6 +444,7 @@ def minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """The PERSISTABLE LSH index of a corpus: (id, sig, band_key), one
     row per (doc, band). Write it once, then dedup every future batch
@@ -449,19 +475,24 @@ def minhash_index(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     idx = _banded_buckets(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                           hash_family),
         num_hashes, bands)
     return idx.withMetadata("sig", {"num_hashes": num_hashes,
                                     "bands": bands,
-                                    "shingle_n": shingle_n})
+                                    "shingle_n": shingle_n,
+                                    "hash_family": hash_family})
 
 
 def minhash_index_params(index_df: DataFrame) -> dict | None:
-    """The (num_hashes, bands, shingle_n) a :func:`minhash_index` frame
-    was built with, read back from the ``sig`` column's metadata —
-    driver-side schema inspection, no job. ``None`` for pre-metadata
-    indexes (or frames that never carried it), where callers fall back
-    to trusting their own parameters plus the in-task width guard."""
+    """The (num_hashes, bands, shingle_n, hash_family) a
+    :func:`minhash_index` frame was built with, read back from the
+    ``sig`` column's metadata — driver-side schema inspection, no job.
+    ``hash_family`` defaults to ``"h60"`` for indexes persisted before
+    the family was recorded (the only family that existed). ``None``
+    for pre-metadata indexes (or frames that never carried it), where
+    callers fall back to trusting their own parameters plus the
+    in-task width guard."""
     try:
         md = index_df.schema["sig"].metadata or {}
     except KeyError:
@@ -469,28 +500,31 @@ def minhash_index_params(index_df: DataFrame) -> dict | None:
     keys = ("num_hashes", "bands", "shingle_n")
     if not all(k in md for k in keys):
         return None
-    return {k: int(md[k]) for k in keys}
+    out: dict = {k: int(md[k]) for k in keys}
+    out["hash_family"] = str(md.get("hash_family", "h60"))
+    return out
 
 
 def _check_index_params(index_df: DataFrame, num_hashes: int, bands: int,
-                        shingle_n: int, caller: str) -> None:
+                        shingle_n: int, caller: str,
+                        hash_family: str = "h60") -> None:
     """Fail fast (driver-side, zero I/O) when a probe's parameters
     disagree with what the index frame says it was built with."""
     built = minhash_index_params(index_df)
     if built is None:
         return
     asked = {"num_hashes": num_hashes, "bands": bands,
-             "shingle_n": shingle_n}
+             "shingle_n": shingle_n, "hash_family": hash_family}
     diff = {k: (asked[k], built[k]) for k in asked if asked[k] != built[k]}
     if diff:
         detail = ", ".join(f"{k}={a} but index was built with {b}"
                            for k, (a, b) in diff.items())
         raise ValueError(
             f"{caller}: probe parameters conflict with the index "
-            f"({detail}). Mismatched bands/shingle_n makes band keys "
-            "that never collide — zero matches, silently — so this is "
-            "an error, not a warning. Probe with the index's own "
-            "parameters or rebuild the index.")
+            f"({detail}). Mismatched bands/shingle_n/hash_family makes "
+            "band keys that never collide — zero matches, silently — so "
+            "this is an error, not a warning. Probe with the index's "
+            "own parameters or rebuild the index.")
 
 
 def dedup_against_minhash_index(
@@ -502,6 +536,7 @@ def dedup_against_minhash_index(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Incremental fuzzy dedup: rows of ``new_df`` with NO near-duplicate
     (estimated Jaccard >= ``threshold``) in the corpus behind
@@ -541,7 +576,8 @@ def dedup_against_minhash_index(
     exists).
     """
     hits = minhash_index_matches(new_df, index_df, id_col, text_col,
-                                 num_hashes, bands, shingle_n, threshold)
+                                 num_hashes, bands, shingle_n, threshold,
+                                 hash_family=hash_family)
     return new_df.join(hits, id_col, "left_anti")
 
 
@@ -555,6 +591,7 @@ def minhash_index_matches(
     shingle_n: int = 3,
     threshold: float = 0.5,
     broadcast_side: str = "auto",
+    hash_family: str = "h60",
 ) -> DataFrame:
     """The DISTINCT ``id_col`` values of ``new_df`` that have a
     near-duplicate (estimated Jaccard >= ``threshold``) in the corpus
@@ -585,9 +622,10 @@ def minhash_index_matches(
         raise ValueError(
             f"broadcast_side must be auto|probes|index, got {broadcast_side!r}")
     _check_index_params(index_df, num_hashes, bands, shingle_n,
-                        "minhash_index_matches")
+                        "minhash_index_matches", hash_family)
     probes = _banded_buckets(
-        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n,
+                           hash_family),
         num_hashes, bands,
     ).selectExpr("id AS __new_id", "sig AS __new_sig", "band_key")
     guard = (
@@ -817,6 +855,7 @@ def minhash_lsh_pairs(
     cache: bool = False,
     salt_cap: int | None = 512,
     max_candidates: int | None = None,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
@@ -841,7 +880,8 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                             hash_family)
     if cache:
         # also worth enabling when salting is on at large scale: the
         # hot-bucket pre-agg is a second consumer of the signature
@@ -889,6 +929,7 @@ def minhash_lsh_join(
     threshold: float = 0.5,
     left_signatures: DataFrame | None = None,
     right_signatures: DataFrame | None = None,
+    hash_family: str = "h60",
 ) -> DataFrame:
     """Cross-set LSH candidates: (left, right) pairs sharing a band key
     with estimated Jaccard >= threshold — incremental dedup of a new
@@ -924,7 +965,8 @@ def minhash_lsh_join(
                 )
             sig = precomputed
         else:
-            sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+            sig = minhash_signatures(df, id_col, text_col, num_hashes,
+                                     shingle_n, hash_family)
         return _banded_buckets(sig, num_hashes, bands)
 
     lb = banded(left, left_signatures).selectExpr("id AS id_left", "sig AS sig_l", "band_key")

@@ -1713,3 +1713,113 @@ def test_bloom_filter_save_load_roundtrip_and_conflicts(spark, tmp_path):
                 {"hash_family": "xxhash64"}):
         with pytest.raises(ValueError, match="conflicts"):
             compile_pipeline(spark, parse_manifest_dict(manifest(bad)))
+
+
+def test_minhash_hash_family_contract(spark):
+    """The MinHash stack's dual hash family (mirrors Bloom/DSIR: h60 =
+    oracle-exact default, xxhash64 = native scale path). The family
+    seeds everything downstream, so (a) xxhash64 signatures are
+    deterministic and estimate Jaccard like h60's (exact-dup pair
+    found at est_jaccard 1.0, disjoint-vocab docs unpaired), (b) an
+    index records its family and a probe under the other family fails
+    fast driver-side, and (c) an unknown family is a named error."""
+    import pytest as _pytest
+
+    from etl_router_spark.functions.dedup import (
+        dedup_against_minhash_index,
+        minhash_index,
+        minhash_index_params,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup
+         (3, "one two three four five six seven eight")],        # disjoint
+        "doc_id long, text string")
+
+    a = minhash_signatures(docs, num_hashes=8, hash_family="xxhash64").collect()
+    b = minhash_signatures(docs, num_hashes=8, hash_family="xxhash64").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    h = minhash_signatures(docs, num_hashes=8).collect()
+    assert sorted(map(str, a)) != sorted(map(str, h))  # different family
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                        threshold=0.5,
+                                        hash_family="xxhash64").collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert not any(3 in p for p in pairs)
+
+    idx = minhash_index(docs.filter("doc_id <= 2"), num_hashes=8, bands=4,
+                        hash_family="xxhash64")
+    assert minhash_index_params(idx)["hash_family"] == "xxhash64"
+    with _pytest.raises(ValueError, match="hash_family=h60"):
+        dedup_against_minhash_index(docs, idx, num_hashes=8, bands=4)
+    kept = {r["doc_id"] for r in dedup_against_minhash_index(
+        docs, idx, num_hashes=8, bands=4, hash_family="xxhash64").collect()}
+    assert kept == {3}  # only the disjoint doc survives the matched probe
+
+    with _pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, hash_family="fnv")
+
+    # legacy index (pre-family metadata) reads back as h60
+    legacy = idx.withMetadata("sig", {"num_hashes": 8, "bands": 4,
+                                      "shingle_n": 3})
+    assert minhash_index_params(legacy)["hash_family"] == "h60"
+
+
+def test_minhash_hash_family_manifest_roundtrip(spark, tmp_path):
+    """dedup_index_build with hash_family: xxhash64 -> parquet sink;
+    dedup_index_probe adopts the persisted family (no key needed) and
+    a conflicting explicit key is a compile error. The manifest
+    default for the MinHash stack stays h60 — unlike bloom/dsir —
+    because signatures feed persisted indexes and a default flip
+    would silently mis-key every pre-existing index."""
+    import pytest as _pytest
+
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string").write.parquet(docs_p)
+
+    def run(stages):
+        return compile_pipeline(spark, parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": "mh-hf"},
+            "spec": {"stages": stages},
+        })).sink_frames["out"]
+
+    idx_p = str(tmp_path / "idx")
+    run([
+        {"id": "src", "type": "source",
+         "config": {"source_type": "file", "format": "parquet", "path": docs_p}},
+        {"id": "op", "type": "transform",
+         "config": {"transform_type": "dedup_index_build", "num_hashes": 8,
+                    "bands": 4, "hash_family": "xxhash64"}},
+        {"id": "out", "type": "sink",
+         "config": {"sink_type": "file", "format": "parquet", "path": idx_p}},
+    ]).write.mode("overwrite").parquet(idx_p)
+
+    probe = [
+        {"id": "src", "type": "source",
+         "config": {"source_type": "file", "format": "parquet", "path": docs_p}},
+        {"id": "op", "type": "transform",
+         "config": {"transform_type": "dedup_index_probe",
+                    "index_path": idx_p}},
+        {"id": "out", "type": "sink",
+         "config": {"sink_type": "file", "format": "parquet",
+                    "path": str(tmp_path / "o2")}},
+    ]
+    # family adopted from the persisted footer metadata: both docs are
+    # IN the index, so the family-matched probe drops both
+    assert run(probe).count() == 0
+    # conflicting explicit key -> compile error
+    probe[1]["config"]["hash_family"] = "h60"
+    with _pytest.raises(ValueError, match="hash_family"):
+        run(probe)
