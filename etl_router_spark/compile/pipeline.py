@@ -694,7 +694,11 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
     if tt == "duplicate_spans":
         from etl_router_spark.functions.dedup import duplicate_ngram_spans
 
-        return duplicate_ngram_spans(df, n=int(cfg.get("n", 5)),
+        n_cfg = cfg.get("n", 5)
+        # a YAML list of widths = the several-n-in-one-scan shape
+        n_arg = ([int(k) for k in n_cfg]
+                 if isinstance(n_cfg, (list, tuple)) else int(n_cfg))
+        return duplicate_ngram_spans(df, n=n_arg,
                                      id_col=cfg.get("id_field", "doc_id"),
                                      text_col=cfg.get("text_field", "text"),
                                      min_count=int(cfg.get("min_count", 2)))

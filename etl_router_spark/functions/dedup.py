@@ -1776,7 +1776,7 @@ def _block_cosine_pairs(
 
 def duplicate_ngram_spans(
     df: DataFrame,
-    n: int = 5,
+    n: int | list[int] = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
@@ -1804,9 +1804,40 @@ def duplicate_ngram_spans(
     postings land in one window partition; its work is linear (count +
     filter), not pairwise, so hot grams cost bandwidth, not blowup.
     vs the paper's suffix-array build: fixed-n postings trade
-    maximal-substring precision for a shuffle-native plan; run several
-    n in one pass at scale if needed.
+    maximal-substring precision for a shuffle-native plan. ``n`` also
+    takes a LIST of widths — the "several n in one pass" shape: the
+    corpus is tokenized once, every width's postings come out of ONE
+    flatten+explode, the occurrence count stays a single digest-keyed
+    window (widths can't collide: a w-gram and a v-gram are different
+    strings for w != v), and the interval merge unions coverage across
+    widths. Cost ~ sum of the widths' posting streams, but one corpus
+    scan instead of len(n).
     """
+    ns = sorted(set(n)) if isinstance(n, (list, tuple)) else None
+    if ns is not None:
+        if not ns or any(k < 1 for k in ns) or min_count < 2:
+            raise ValueError(
+                "n list must be non-empty with widths >= 1, min_count >= 2")
+        from etl_router_spark.functions.text import tokens_sql
+
+        empty = "CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, gh: STRING>>)"
+        arrs = [
+            # sequence() with start > stop generates a DESCENDING range
+            # in Spark, so the too-short case needs an explicit guard
+            f"CASE WHEN size(__toks) >= {k} THEN "
+            f"transform(sequence(1, size(__toks) - {k} + 1), "
+            f"i -> struct(CAST(i AS BIGINT) AS s, CAST(i + {k} - 1 AS BIGINT) AS e, "
+            f"md5(concat_ws(' ', slice(__toks, i, {k}))) AS gh)) "
+            f"ELSE {empty} END"
+            for k in ns
+        ]
+        posting = (
+            spread_small_scan(df)
+            .selectExpr(f"{id_col} AS id", f"{tokens_sql(text_col)} AS __toks")
+            .selectExpr("id", f"explode(flatten(array({', '.join(arrs)}))) AS p")
+            .selectExpr("id", "p.s AS start", "p.e AS end", "p.gh AS gh")
+        )
+        return _merge_duplicate_spans(posting, id_col, min_count)
     if n < 1 or min_count < 2:
         raise ValueError("n must be >= 1 and min_count >= 2")
     posting = spread_small_scan(df).select(
@@ -1818,6 +1849,17 @@ def duplicate_ngram_spans(
         (F.col("pos0") + n).alias("end"),
         F.md5(F.col("gram")).alias("gh"),
     )
+    return _merge_duplicate_spans(posting, id_col, min_count)
+
+
+def _merge_duplicate_spans(posting: DataFrame, id_col: str,
+                           min_count: int) -> DataFrame:
+    """The shared tail of :func:`duplicate_ngram_spans`: occurrence
+    count as ONE digest-keyed window -> filter >= min_count -> per-doc
+    gaps-and-islands interval merge. Interval widths may vary (the
+    multi-n path) — the running-max merge is width-agnostic, and
+    equal-start ties are order-independent (a tie's predecessor always
+    has end >= the tied start, so both land in the same island)."""
     gram_w = Window.partitionBy("gh")
     dup = (
         posting.withColumn("__c", F.count("*").over(gram_w))
@@ -1845,7 +1887,7 @@ def duplicate_ngram_spans(
 
 def duplicate_span_stats(
     df: DataFrame,
-    n: int = 5,
+    n: int | list[int] = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,

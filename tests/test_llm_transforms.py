@@ -1823,3 +1823,76 @@ def test_minhash_hash_family_manifest_roundtrip(spark, tmp_path):
     probe[1]["config"]["hash_family"] = "h60"
     with _pytest.raises(ValueError, match="hash_family"):
         run(probe)
+
+
+def test_duplicate_spans_multi_n_one_scan(spark, tmp_path):
+    """n as a LIST of widths — the docstring's 'several n in one pass'
+    shape: (a) the result equals the interval-union of the single-n
+    runs, (b) a one-element list matches the single-int path exactly,
+    (c) the multi-n plan scans the input ONCE, (d) the manifest stage
+    accepts the list form."""
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.functions.dedup import duplicate_ngram_spans
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    boiler5 = "alpha beta gamma delta epsilon"
+    boiler9 = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler5} filler1 {boiler9}"),
+         (2, f"{boiler5} other filler2 pad {boiler9}"),
+         (3, "completely unrelated words here nothing shared at all")],
+        "doc_id long, text string")
+    docs_p = str(tmp_path / "docs")
+    docs.write.parquet(docs_p)
+    pq = spark.read.parquet(docs_p)
+
+    def spans(frame, n):
+        return {(r["doc_id"], r["span_start"], r["span_end"])
+                for r in duplicate_ngram_spans(frame, n=n).collect()}
+
+    def union_merge(*span_sets):
+        by_doc: dict = {}
+        for ss in span_sets:
+            for d, a, b in ss:
+                by_doc.setdefault(d, []).append((a, b))
+        out = set()
+        for d, iv in by_doc.items():
+            iv.sort()
+            cur = list(iv[0])
+            for a, b in iv[1:]:
+                if a <= cur[1] + 1:
+                    cur[1] = max(cur[1], b)
+                else:
+                    out.add((d, cur[0], cur[1]))
+                    cur = [a, b]
+            out.add((d, cur[0], cur[1]))
+        return out
+
+    s5, s9 = spans(pq, 5), spans(pq, 9)
+    assert s5 and s9  # both widths find their planted boilerplate
+    assert spans(pq, [5, 9]) == union_merge(s5, s9)
+    assert spans(pq, [5]) == s5
+    assert spans(pq, [9, 5, 9]) == spans(pq, [5, 9])  # dedup + order-free
+
+    plan = (duplicate_ngram_spans(pq, n=[5, 9])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1  # one corpus scan for all widths
+
+    pipeline = parse_manifest_dict({
+        "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+        "metadata": {"name": "multi-n"},
+        "spec": {"stages": [
+            {"id": "src", "type": "source",
+             "config": {"source_type": "file", "format": "parquet",
+                        "path": docs_p}},
+            {"id": "op", "type": "transform",
+             "config": {"transform_type": "duplicate_spans", "n": [5, 9]}},
+            {"id": "out", "type": "sink",
+             "config": {"sink_type": "file", "format": "parquet",
+                        "path": str(tmp_path / "o")}},
+        ]},
+    })
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in compile_pipeline(spark, pipeline)
+           .sink_frames["out"].collect()}
+    assert got == union_merge(s5, s9)
