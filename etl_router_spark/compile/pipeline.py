@@ -41,6 +41,25 @@ def _mappings(cfg: dict[str, Any]) -> list[FieldMapping]:
     return [FieldMapping.from_dict(m) for m in cfg.get("mappings", [])]
 
 
+def _index_param_norm(key: str, value: Any) -> Any:
+    """Normalize one persisted-index parameter for conflict checks.
+
+    The integer params compare as ints so numerically-equal YAML
+    spellings (``num_hashes: 8.0``, quoted ``' 8'``) don't raise a
+    spurious compile error (r14 ADVICE: the blanket str() compare was
+    a tolerance regression vs the old int() compare); ``hash_family``
+    stays a string — ``'h60'`` vs ``'xxhash64'`` has no numeric form.
+    """
+    if key == "hash_family":
+        return str(value)
+    return int(value)
+
+
+# one-time (per process) reproducibility warning for dsir_sample
+# manifests that omit hash_family — see the stage comment below
+_DSIR_FAMILY_WARNED = False
+
+
 def _with_watermark(df: DataFrame, wm_cfg: dict[str, Any] | None,
                     default_lateness: str | None = None) -> DataFrame:
     """Apply a declared watermark (streaming only; no-op on batch).
@@ -223,7 +242,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         built = minhash_index_params(idx)
         if built is not None:
             for key in ("num_hashes", "bands", "shingle_n", "hash_family"):
-                if key in cfg and str(cfg[key]) != str(built[key]):
+                if key in cfg and (_index_param_norm(key, cfg[key])
+                                   != _index_param_norm(key, built[key])):
                     raise ValueError(
                         f"dedup_index_probe: {key}={cfg[key]!r} conflicts "
                         f"with the persisted index's {built[key]!r} — "
@@ -530,7 +550,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             if built is not None:
                 for key in ("num_hashes", "bands", "shingle_n",
                             "hash_family"):
-                    if key in cfg and str(cfg[key]) != str(built[key]):
+                    if key in cfg and (_index_param_norm(key, cfg[key])
+                                       != _index_param_norm(key, built[key])):
                         raise ValueError(
                             f"decontaminate_fuzzy: {key}={cfg[key]!r} "
                             f"conflicts with the persisted index's "
@@ -720,6 +741,28 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
         from etl_router_spark.functions.selection import dsir_sample
 
         target = read_source(df.sparkSession, cfg["target"], streaming=False)
+        if "hash_family" not in cfg:
+            # BREAKING-CHANGE visibility (r14 ADVICE): the manifest
+            # default flipped h60 -> xxhash64 for bloom_*-consistency,
+            # and — unlike the MinHash index path — dsir_sample has no
+            # persisted artifact to fail fast against, so a pinned-salt
+            # manifest silently selects a DIFFERENT document set after
+            # the upgrade. Warn once per process; pin hash_family to
+            # silence (h60 reproduces pre-change selections exactly).
+            global _DSIR_FAMILY_WARNED
+            if not _DSIR_FAMILY_WARNED:
+                _DSIR_FAMILY_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "dsir_sample: hash_family not set — the manifest "
+                    "default is now 'xxhash64' (native hash, the "
+                    "production family shared with bloom_* stages). "
+                    "Manifests written before this default selected "
+                    "documents with 'h60'; the same salt now yields a "
+                    "DIFFERENT sample. Pin hash_family: h60 to "
+                    "reproduce old selections, or hash_family: "
+                    "xxhash64 to silence this warning.")
         return dsir_sample(df, target, int(cfg.get("k", 1000)),
                            id_col=cfg.get("id_field", "doc_id"),
                            text_col=cfg.get("text_field", "text"),

@@ -412,7 +412,34 @@ def minhash_signatures(
         F.expr(f"min((__h * {a}L + {b}L) % {MINHASH_P})").alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_affine_consts(num_hashes))
     ]
-    return sh.groupBy("id").agg(*mins)
+    # build parameters travel WITH the signature frame as column
+    # metadata (parquet persists it in the footer), exactly like
+    # minhash_index's sig stamp: a precomputed signature table handed
+    # to minhash_lsh_join under a different hash_family would build
+    # band keys that never collide — silent zero recall, the failure
+    # mode the index probes fail fast on (r14 ADVICE). bands is NOT
+    # stamped — signatures are band-agnostic; banding happens at join
+    # time.
+    return sh.groupBy("id").agg(*mins).withMetadata(
+        "mh_0", {"num_hashes": num_hashes, "shingle_n": shingle_n,
+                 "hash_family": hash_family})
+
+
+def minhash_signature_params(sig_df: DataFrame) -> dict | None:
+    """The (num_hashes, shingle_n, hash_family) a
+    :func:`minhash_signatures` frame was built with, read back from
+    the ``mh_0`` column's metadata — driver-side schema inspection,
+    no job. ``None`` for frames persisted before the stamp existed
+    (callers then trust their own parameters, as before)."""
+    try:
+        md = sig_df.schema["mh_0"].metadata or {}
+    except KeyError:
+        return None
+    if not all(k in md for k in ("num_hashes", "shingle_n")):
+        return None
+    return {"num_hashes": int(md["num_hashes"]),
+            "shingle_n": int(md["shingle_n"]),
+            "hash_family": str(md.get("hash_family", "h60"))}
 
 
 def _banded_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -963,6 +990,31 @@ def minhash_lsh_join(
                     f"signature frame is missing columns {missing} — expected "
                     f"minhash_signatures output for num_hashes={num_hashes}"
                 )
+            # fail fast on a family/shingle mismatch recorded in the
+            # frame's own stamp (r14 ADVICE): mixing an h60-built
+            # signature table with hash_family='xxhash64' (or a
+            # different shingle_n) yields band keys that never collide
+            # — zero matches, silently. Width mismatches already fail
+            # via the column check above; unstamped legacy frames pass
+            # through on the caller's word, as before.
+            built = minhash_signature_params(precomputed)
+            if built is not None:
+                asked = {"num_hashes": num_hashes, "shingle_n": shingle_n,
+                         "hash_family": hash_family}
+                diff = {k: (asked[k], built[k]) for k in asked
+                        if asked[k] != built[k]}
+                if diff:
+                    detail = ", ".join(
+                        f"{k}={a} but the signature frame was built "
+                        f"with {b}" for k, (a, b) in diff.items())
+                    raise ValueError(
+                        f"minhash_lsh_join: parameters conflict with a "
+                        f"precomputed signature frame ({detail}). A "
+                        "mismatched hash_family/shingle_n makes band "
+                        "keys that never collide — zero candidates, "
+                        "silently — so this is an error, not a "
+                        "warning. Pass the frame's own parameters or "
+                        "recompute the signatures.")
             sig = precomputed
         else:
             sig = minhash_signatures(df, id_col, text_col, num_hashes,

@@ -203,5 +203,11 @@ def test_hoisted_probe_computes_each_digest_once(spark):
         tagged = bloom_decontaminate(docs, bench, n=8, m_bits=1 << 14,
                                      k=k, mode="tag")
         plan = tagged._jdf.queryExecution().analyzed().toString()
-        # the probe column is the only md5 user in this plan
-        assert plan.count("md5") == n_digests, (k, plan.count("md5"))
+        # count the FULL digest form md5(concat(bf, <j>, |, ...)) — a
+        # bare "md5" substring count would break (or silently weaken)
+        # on any unrelated md5 in the plan: a column name, another
+        # expression, a plan-rendering change (r14 ADVICE)
+        import re
+
+        hits = re.findall(r"md5\((?:cast\()?concat\(bf, \d+, \|", plan)
+        assert len(hits) == n_digests, (k, hits, plan)

@@ -499,6 +499,30 @@ def test_minhash_lsh_join_stored_signature_table(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="missing columns"):
         minhash_lsh_join(new, seen, right_signatures=stored.drop("mh_7"), **kw)
 
+    # the frame carries its build stamp through the parquet round-trip
+    from etl_router_spark.functions.dedup import minhash_signature_params
+
+    assert minhash_signature_params(stored) == {
+        "num_hashes": 8, "shingle_n": 3, "hash_family": "h60"}
+    # mixing an h60-built signature table with a different family (or
+    # shingle width) would band-key to zero collisions — fail fast
+    # instead of silent zero recall (r14 ADVICE)
+    with pytest.raises(ValueError, match="hash_family='xxhash64'.*h60"
+                                         "|conflict"):
+        minhash_lsh_join(new, seen, right_signatures=stored,
+                         hash_family="xxhash64", **kw)
+    with pytest.raises(ValueError, match="conflict"):
+        minhash_lsh_join(new, seen, right_signatures=stored,
+                         shingle_n=5, **kw)
+    # a pre-stamp legacy frame (metadata stripped) passes on the
+    # caller's word, as before
+    legacy = stored.withMetadata("mh_0", {})
+    assert minhash_signature_params(legacy) is None
+    legacy_pairs = {tuple(r) for r in
+                    minhash_lsh_join(new, seen, right_signatures=legacy,
+                                     **kw).collect()}
+    assert legacy_pairs == from_table
+
 
 def test_incremental_dedup_invariant_any_batching(spark, sf_dir, tmp_path):
     """Incremental dedup over id-ordered batches must equal the global
@@ -1822,6 +1846,16 @@ def test_minhash_hash_family_manifest_roundtrip(spark, tmp_path):
     # conflicting explicit key -> compile error
     probe[1]["config"]["hash_family"] = "h60"
     with _pytest.raises(ValueError, match="hash_family"):
+        run(probe)
+    # numerically-equal YAML spellings are NOT conflicts (r14 ADVICE:
+    # the blanket str() compare spuriously rejected 8.0 / quoted ' 8')
+    probe[1]["config"] = {"transform_type": "dedup_index_probe",
+                          "index_path": idx_p, "num_hashes": 8.0,
+                          "bands": " 4"}
+    assert run(probe).count() == 0
+    # while a genuinely different value still is one
+    probe[1]["config"]["num_hashes"] = 16.0
+    with _pytest.raises(ValueError, match="num_hashes"):
         run(probe)
 
 

@@ -215,6 +215,59 @@ def test_selection_stage_manifests(spark, sf_dir, tmp_path):
     assert per_group and all(r["count"] <= 2 for r in per_group)
 
 
+def test_dsir_manifest_family_default_warns_once(spark, sf_dir, tmp_path):
+    """The manifest default flipped h60 -> xxhash64 (bloom_*
+    consistency) with NO persisted artifact to fail fast against, so a
+    pre-existing manifest with a pinned salt silently selects a
+    different sample — a dsir_sample stage that omits hash_family must
+    warn (once per process), and pinning either family silences it
+    (r14 ADVICE, the round's one medium)."""
+    import warnings
+
+    from etl_router_spark.compile import pipeline as P
+    from etl_router_spark.compile.pipeline import compile_pipeline
+    from etl_router_spark.model.parser import parse_manifest_dict
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def run(cfg, out_name):
+        return compile_pipeline(spark, parse_manifest_dict({
+            "apiVersion": "etl.dev/v1", "kind": "Pipeline",
+            "metadata": {"name": out_name},
+            "spec": {"stages": [
+                {"id": "src", "type": "source",
+                 "config": {"source_type": "file", "format": "parquet",
+                            "path": docs_path}},
+                {"id": "op", "type": "transform", "config": cfg},
+                {"id": "out", "type": "sink",
+                 "config": {"sink_type": "file", "format": "parquet",
+                            "path": str(tmp_path / out_name)}},
+            ]},
+        })).sink_frames["out"]
+
+    base = {"transform_type": "dsir_sample", "k": 5, "buckets": 64,
+            "salt": "release-2026-08",
+            "target": {"source_type": "file", "format": "parquet",
+                       "path": docs_path}}
+    P._DSIR_FAMILY_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run(dict(base), "d1")
+        hits = [x for x in w if "hash_family" in str(x.message)]
+    assert len(hits) == 1 and "xxhash64" in str(hits[0].message)
+    # once per process: a second omission does not warn again
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run(dict(base), "d2")
+    assert not [x for x in w if "hash_family" in str(x.message)]
+    # an explicit family never warns
+    P._DSIR_FAMILY_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run({**base, "hash_family": "h60"}, "d3")
+    assert not [x for x in w if "hash_family" in str(x.message)]
+
+
 def test_dsir_null_text_docs_count_zero_grams_in_both_entry_points(spark):
     """The r10 fix for the advisor finding: dsir_logratios' sum(size(
     grams)) totals treated null-text docs as -1 gram under legacy
