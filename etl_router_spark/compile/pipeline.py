@@ -383,32 +383,46 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             if isinstance(qcond, dict):
                 qcond = Condition.from_dict(qcond)
             queries = df.filter(compile_condition(qcond))
-        if cfg.get("nprobe") is not None:
+        if cfg.get("nprobe") is not None or cfg.get("index_path"):
             # IVF-PQ: coarse cells prune candidates before ADC ranking;
             # shortlist: N declares the two-stage recipe (exact-L2
             # re-rank of the top-N ADC candidates — raises the PQ
             # recall ceiling that nprobe cannot move); index_path
             # serves the probe from a persisted self-describing
             # write_pq_index artifact (codes + sidecar codebooks/
-            # centroids — no re-encoding, no duplicated parameters)
+            # centroids — no re-encoding, no duplicated parameters).
+            # index_path alone implies IVF (the artifact IS
+            # cell-partitioned and carries centroids): before r15 an
+            # index_path stage without nprobe fell through to plain
+            # ADC with books=None and crashed; now it runs the same
+            # nprobe="auto" default the Python API resolves for
+            # nprobe=None (size-aware probed fraction via the
+            # sidecar's n_vectors).
             corpus_index = None
             centroids = None
             occ_p95 = None
+            corpus_n = None
             if cfg.get("index_path"):
                 from etl_router_spark.functions.pq import read_pq_index
 
                 corpus_index, books, centroids, idx_meta = read_pq_index(
                     df.sparkSession, cfg["index_path"])
-                occ_p95 = (idx_meta.get("cell_occupancy") or {}).get("p95")
+                occ = idx_meta.get("cell_occupancy") or {}
+                occ_p95 = occ.get("p95")
+                # the corpus size rides the sidecar too (r15): it
+                # feeds the size-aware auto-nprobe fraction at zero
+                # cost (absent from pre-r15 sidecars -> None, flat 5%)
+                corpus_n = occ.get("n_vectors")
             if cfg.get("shortlist") is not None:
                 from etl_router_spark.functions.pq import ivfpq_rerank_topk
 
                 return ivfpq_rerank_topk(
                     queries, df, books, k=int(cfg.get("k", 5)),
                     shortlist=int(cfg["shortlist"]),
-                    # "auto" -> suggest_nprobe's ~5%-of-cells rule
-                    # (the sizing default's companion, r14)
-                    nprobe=(None if cfg["nprobe"] == "auto"
+                    # "auto" (the default when index_path implies the
+                    # branch) -> suggest_nprobe's size-aware probed
+                    # fraction (the sizing default's companion, r14/r15)
+                    nprobe=(None if cfg.get("nprobe", "auto") == "auto"
                             else int(cfg["nprobe"])),
                     # no n_centroids key -> suggest_n_centroids sizing
                     # (sqrt(corpus) cells, one count() at build — the
@@ -421,11 +435,13 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                     vec_col=cfg.get("vec_field", "embedding"),
                     corpus_index=corpus_index,
                     cell_occupancy_p95=occ_p95,
-                    occupancy_guard=cfg.get("occupancy_guard", "warn"))
+                    occupancy_guard=cfg.get("occupancy_guard", "warn"),
+                    corpus_n=corpus_n)
             from etl_router_spark.functions.pq import ivfpq_topk
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
-                              nprobe=(None if cfg["nprobe"] == "auto"
+                              nprobe=(None if cfg.get("nprobe", "auto")
+                                      == "auto"
                                       else int(cfg["nprobe"])),
                               n_centroids=(int(cfg["n_centroids"])
                                            if "n_centroids" in cfg
@@ -433,7 +449,8 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                               centroids=centroids,
                               id_col=cfg.get("id_field", "vec_id"),
                               vec_col=cfg.get("vec_field", "embedding"),
-                              corpus_index=corpus_index)
+                              corpus_index=corpus_index,
+                              corpus_n=corpus_n)
         id_col = cfg.get("id_field", "vec_id")
         method = cfg.get("method")
         if method is None:

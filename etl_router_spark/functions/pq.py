@@ -403,7 +403,29 @@ def suggest_n_centroids(n_vectors: int,
     return max(8, round(math.sqrt(n_vectors)))
 
 
-def suggest_nprobe(n_cells: int, target_fraction: float = 0.05) -> int:
+
+# auto-nprobe probed-fraction anchors (suggest_nprobe): both ends are
+# MEASURED against exact-L2 ground truth (IVFPQ_RECALL_r14/r15.json) —
+# at <= ~2k vectors the sqrt(n) layout needs the old fixed-8 layout's
+# ~25% probed fraction to match its recall (the SCALE.md round-14
+# "under ~10k vectors, prune less" operating note, now a default);
+# at >= ~20k the 5% FAISS-guidance band already holds recall while
+# probing 5x less corpus. Log-linear between the anchors — a hard
+# threshold would make the rerank fetch volume jump 5x across one
+# added vector.
+_PROBE_FRACTION_FLOOR = 0.05
+_PROBE_FRACTION_SMALL = 0.25
+_PROBE_SMALL_N = 2_000
+_PROBE_LARGE_N = 20_000
+
+# below this many PQ code bits (m * log2 k) the ADC ordering is too
+# coarse to rank what extra probes return — see ivfpq_rerank_topk's
+# auto-remediation and ivfpq_topk's clamp (IVFPQ_RECALL_r14/r15.json)
+_SUB_RESOLUTION_BITS = 32
+
+
+def suggest_nprobe(n_cells: int, target_fraction: float | None = None,
+                   n_vectors: int | None = None) -> int:
     """How many cells a query should probe for a ``n_cells``-cell
     index — ``suggest_n_centroids``'s companion rule, and the DEFAULT
     wherever ``nprobe`` is not given explicitly.
@@ -415,16 +437,36 @@ def suggest_nprobe(n_cells: int, target_fraction: float = 0.05) -> int:
     r13 default composition (sqrt(n) cells, nprobe pinned at 2)
     probed 2/8 = 25% of an 8-cell index but 2/447 = 0.45% at 200k
     vectors, and measured recall@10 against exact L2 fell 0.867 ->
-    0.200. Holding the fraction (default 5%, the FAISS-guidance
-    band) keeps recall stable while still probing 5x less corpus
-    than the old fixed-8 layout's 25%; raise ``target_fraction``
-    toward the old 0.25 when recall matters more than probe cost.
+    0.200. Holding the fraction keeps recall stable while still
+    probing far less corpus than the old fixed-8 layout's 25%.
+
+    The default fraction is SIZE-AWARE when ``n_vectors`` is supplied
+    (r15, from the r14 measurement that a 2k-vector sized index at 5%
+    trailed fixed-8 0.274 vs 0.442): 25% at <= 2k vectors, 5% at >=
+    20k, log-linear between — small corpora must prune less because
+    sqrt(n) cells are then so few that 5% of them is barely past the
+    2-cell floor. With ``n_vectors`` unknown the fraction stays the
+    flat 5% (exactly the r14 rule), so explicit-centroid callers see
+    no change unless they pass the corpus size (the persisted-index
+    path gets it free from the ``write_pq_index`` sidecar's
+    ``n_vectors``). An explicit ``target_fraction`` overrides both.
     Floor 2 (the historical small-index default), capped at
     ``n_cells``."""
     import math
 
     if n_cells <= 0:
         raise ValueError(f"n_cells must be positive, got {n_cells}")
+    if target_fraction is None:
+        if n_vectors is None or n_vectors >= _PROBE_LARGE_N:
+            target_fraction = _PROBE_FRACTION_FLOOR
+        elif n_vectors <= _PROBE_SMALL_N:
+            target_fraction = _PROBE_FRACTION_SMALL
+        else:
+            t = (math.log(n_vectors / _PROBE_SMALL_N)
+                 / math.log(_PROBE_LARGE_N / _PROBE_SMALL_N))
+            target_fraction = (_PROBE_FRACTION_SMALL
+                               + (_PROBE_FRACTION_FLOOR
+                                  - _PROBE_FRACTION_SMALL) * t)
     if not 0 < target_fraction <= 1:
         raise ValueError(
             f"target_fraction must be in (0, 1], got {target_fraction}")
@@ -853,10 +895,15 @@ def write_pq_index(
                .groupBy("cid").count()
                .agg(F.expr("percentile_approx(count, 0.95)").alias("p95"),
                     F.max("count").alias("max"),
-                    F.count("*").alias("n_cells")).collect()[0])
+                    F.count("*").alias("n_cells"),
+                    F.sum("count").alias("n_vectors")).collect()[0])
         occupancy = {"p95": int(occ["p95"] or 0),
                      "max": int(occ["max"] or 0),
-                     "n_cells": int(occ["n_cells"])}
+                     "n_cells": int(occ["n_cells"]),
+                     # the corpus size, free from the same histogram —
+                     # feeds the size-aware auto-nprobe fraction via
+                     # corpus_n= (absent from pre-r15 sidecars)
+                     "n_vectors": int(occ["n_vectors"] or 0)}
     except Exception:
         # an EMPTY corpus writes a parquet dir with no schema files,
         # which Spark cannot re-read (and read_pq_index never could —
@@ -901,6 +948,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_index: DataFrame | None = None,
+    corpus_n: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition — an IVF coarse quantizer
     prunes the corpus to the query's ``nprobe`` nearest cells, PQ ADC
@@ -965,7 +1013,9 @@ def ivfpq_topk(
                 "default sqrt(n) cell sizing both require a batch "
                 "corpus scan")
         if n_centroids is None:
-            n_centroids = suggest_n_centroids(corpus.count())
+            if corpus_n is None:
+                corpus_n = corpus.count()
+            n_centroids = suggest_n_centroids(corpus_n)
         centroids = standin_centroids(corpus, id_col, vec_col, n_centroids)
     if nprobe is None:
         # the companion default (r14): nprobe scales with the cell
@@ -974,8 +1024,39 @@ def ivfpq_topk(
         # probed 0.45% of a 447-cell index and recall@10 fell
         # 0.867 -> 0.200 (IVFPQ_RECALL_r14.json). Resolves to the
         # historical 2 for every index under ~41 cells, so explicit
-        # small-cell callers and oracle gates see no change.
-        nprobe = suggest_nprobe(len(centroids))
+        # small-cell callers and oracle gates see no change. The
+        # fraction is size-aware when the corpus size is known
+        # (suggest_nprobe docstring; corpus_n= supplies it on the
+        # explicit-centroid path, e.g. from the write_pq_index
+        # sidecar's n_vectors).
+        import math
+        import warnings
+
+        nprobe = suggest_nprobe(len(centroids), n_vectors=corpus_n)
+        bits = len(codebooks) * math.log2(len(codebooks[0]))
+        if bits < _SUB_RESOLUTION_BITS and nprobe > 2:
+            # below quantizer resolution the ADC ordering cannot rank
+            # what extra probes return: plain top-k has NO exact
+            # correction stage, so more candidates only crowd the cut
+            # with indistinguishable rows (measured on the rerank
+            # shape: recall@10 0.200 -> 0.165 when np=2 -> 23 at a
+            # fixed shortlist, 16-bit codes, 200k vectors —
+            # IVFPQ_RECALL_r14.json). Clamp auto back to the
+            # historical np=2-equivalent; exact-rerank
+            # (ivfpq_rerank_topk) is the path that can convert probe
+            # volume into recall at this code width.
+            warnings.warn(
+                f"ivfpq_topk: nprobe='auto' with {bits:.0f}-bit PQ "
+                f"codes (m={len(codebooks)} x "
+                f"log2(k={len(codebooks[0])})) — below "
+                f"{_SUB_RESOLUTION_BITS} bits the ADC ordering is too "
+                "coarse for extra probed cells to help plain top-k, "
+                f"so auto-nprobe is clamped {nprobe} -> 2. Spend bits "
+                "(raise m or k), or use ivfpq_rerank_topk, whose "
+                "exact refine converts probe volume into recall "
+                "(its auto path scales the shortlist instead — "
+                "IVFPQ_RECALL_r15.json).")
+            nprobe = 2
     m = len(codebooks)
     kc = len(codebooks[0])
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
@@ -1074,6 +1155,7 @@ def ivfpq_rerank_topk(
     corpus_index: DataFrame | None = None,
     cell_occupancy_p95: int | None = None,
     occupancy_guard: str = "warn",
+    corpus_n: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN — IVF-PQ shortlist, exact-L2 refine: the standard
     production recipe (FAISS ``search`` + refine; also ScaNN's final
@@ -1163,13 +1245,24 @@ def ivfpq_rerank_topk(
     a fixed cell count (oracle twins, historical behavior).
 
     ``nprobe=None`` (default, r14): probes :func:`suggest_nprobe`'s
-    ~5% of the cells — the sizing rule's REQUIRED companion, because
-    recall rides the probed fraction and a fixed nprobe shrinks it as
-    cells grow with the corpus (measured recall@10 0.867 -> 0.200 at
-    200k under the r13 composition, recovered by the fraction rule —
-    IVFPQ_RECALL_r14.json). Explicit ``nprobe`` pins the historical
-    behavior; under ~41 cells the default resolves to the historical
-    2 anyway.
+    fraction of the cells — the sizing rule's REQUIRED companion,
+    because recall rides the probed fraction and a fixed nprobe
+    shrinks it as cells grow with the corpus (measured recall@10
+    0.867 -> 0.200 at 200k under the r13 composition, recovered by
+    the fraction rule — IVFPQ_RECALL_r14.json). Explicit ``nprobe``
+    pins the historical behavior; under ~41 cells the default
+    resolves to the historical 2 anyway. Two r15 refinements, both
+    measured in IVFPQ_RECALL_r15.json: the fraction is SIZE-AWARE
+    when the corpus size is known (25% under ~2k vectors sliding to
+    5% at 20k+ — small sqrt(n) layouts must prune less), and below
+    quantizer resolution (m*log2(k) < 32 bits) the auto path scales
+    ``shortlist`` with the probed volume so the extra cells feed the
+    exact refine instead of diluting a fixed ADC cut.
+
+    ``corpus_n``: the corpus row count, if the caller already knows it
+    (the :func:`write_pq_index` sidecar records it as ``n_vectors``) —
+    consulted ONLY by the auto-nprobe fraction; never triggers a job.
+    The no-config path counts once for cell sizing and reuses that.
     """
     if occupancy_guard not in ("warn", "auto", "error", "off"):
         raise ValueError(
@@ -1188,7 +1281,23 @@ def ivfpq_rerank_topk(
                 "centroids= (or a persisted corpus_index) — the "
                 "stand-in centroid derivation and the default sqrt(n) "
                 "cell sizing both require a batch corpus scan")
-        n_centroids = suggest_n_centroids(corpus.count())
+        if corpus_n is None:
+            corpus_n = corpus.count()
+        n_centroids = suggest_n_centroids(corpus_n)
+    auto_nprobe = nprobe is None
+    if auto_nprobe:
+        # auto-nprobe (r14) + its r15 size-aware fraction, resolved
+        # HERE (not in stage 1) so the sub-resolution remediation
+        # below can see the resolved probe count: the fraction uses
+        # the corpus size when known (suggest_nprobe; free on the
+        # no-config path, which counts for cell sizing anyway, and on
+        # the persisted-index path via corpus_n= from the sidecar's
+        # n_vectors).
+        cells = len(centroids) if centroids is not None else n_centroids
+        if cells is not None:
+            # (cells is None only for corpus_index without centroids,
+            # where stage 1 raises its own descriptive error)
+            nprobe = suggest_nprobe(cells, n_vectors=corpus_n)
     if occupancy_guard != "off":
         import warnings
 
@@ -1266,34 +1375,47 @@ def ivfpq_rerank_topk(
                 shortlist = p95
             else:
                 warnings.warn(msg)
-    if nprobe is None:
+    if auto_nprobe and nprobe is not None and nprobe > 2:
         import math
         import warnings
 
         bits = len(codebooks) * math.log2(len(codebooks[0]))
-        if bits < 32:
-            # measured composition hazard (IVFPQ_RECALL_r14.json):
+        if bits < _SUB_RESOLUTION_BITS:
+            # sub-resolution remediation (r15, the r14 verdict ask #2):
             # below quantizer resolution the ADC cut is ~noise, so the
-            # auto-nprobe rule's EXTRA probed cells only feed more
-            # indistinguishable candidates into the fixed shortlist
-            # and true neighbors get crowded out by ADC ties — 16-bit
-            # codes at 200k vectors measured recall@10 0.200 (np=2)
-            # -> 0.165 (np=auto=23), while 80-bit codes went 0.257 ->
-            # 0.870 on the same layouts. Probe volume only helps when
-            # the codes can rank what it returns.
+            # auto rule's extra probed cells DILUTE a fixed shortlist
+            # (measured recall@10 0.200 -> 0.165 at np 2 -> 23, 16-bit
+            # codes, 200k — IVFPQ_RECALL_r14.json). Scale the shortlist
+            # with the probed volume so the COVERAGE of the probed
+            # candidates stays at the np=2 level and the exact refine
+            # converts the probe volume into recall (0.165 -> 0.935
+            # at 200k/m=4 — beating BOTH the np=2 clamp candidate's
+            # 0.200 and fixed-8's semi-brute-force 0.867 at 2.5x less
+            # fetch — IVFPQ_RECALL_r15.json). Deliberately AFTER the
+            # occupancy guard: the guard's p95 raise is the np=2
+            # baseline the coverage ratio is defined against — scaling
+            # the pre-guard shortlist gets swallowed whenever the
+            # guard raises past it (the first r15 attempt measured
+            # exactly that: 575 < p95=1377, recall stuck at 0.165).
+            scaled = math.ceil(shortlist * nprobe / 2)
             warnings.warn(
                 f"ivfpq_rerank_topk: nprobe='auto' with "
                 f"{bits:.0f}-bit PQ codes (m={len(codebooks)} x "
-                f"log2(k={len(codebooks[0])})) — below ~32 bits the "
-                "ADC ordering is too coarse for extra probed cells to "
-                "help, and they can DILUTE a fixed shortlist "
-                "(measured recall drop, IVFPQ_RECALL_r14.json / "
-                "SCALE.md round-14). Spend bits (raise m or k) or "
-                "raise `shortlist` together with nprobe.")
+                f"log2(k={len(codebooks[0])})) — below "
+                f"{_SUB_RESOLUTION_BITS} bits extra probed cells "
+                "dilute a fixed shortlist, so the shortlist is "
+                f"scaled with the probed volume ({shortlist} -> "
+                f"{scaled} for nprobe={nprobe}) and the exact refine "
+                "repairs the ADC ordering over it "
+                "(IVFPQ_RECALL_r15.json). Spend bits (raise m or k) "
+                "to avoid the larger fetch, or pin nprobe/shortlist "
+                "explicitly.")
+            shortlist = scaled
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
         n_centroids=n_centroids, centroids=centroids,
         id_col=id_col, vec_col=vec_col, corpus_index=corpus_index,
+        corpus_n=corpus_n,
     ).select("query_id", "neighbor_id")
     vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     qv = queries.selectExpr(f"{id_col} AS query_id", f"{vec} AS qv")

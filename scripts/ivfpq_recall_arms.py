@@ -13,18 +13,27 @@ sidecar feeding ``occupancy_guard="auto"``):
 - ``fixed8_np2``: the pre-r13 layout — occupancy grows with the
   corpus, nprobe=2 probes 25% of the cells (semi-brute-force).
 - ``sized_np2``: the r13 composition — sqrt(n) cells but nprobe still
-  pinned at 2, probing 0.45% of 447 cells at 200k. THIS RUN exposed
-  it as a recall hole: 0.867 -> 0.200 at 200k (m=4 codes).
-- ``sized_np_auto``: the r14 no-config default — sqrt(n) cells plus
-  ``suggest_nprobe``'s ~5%-of-cells companion rule, restoring the
-  probed fraction while still probing 5x less corpus than fixed8.
+  pinned at 2, probing 0.45% of 447 cells at 200k. The r14 run
+  exposed it as a recall hole (0.867 -> 0.200 at 200k, m=4 codes);
+  it is ALSO the "clamp auto back to 2" remediation candidate the
+  r14 verdict asked to measure against — its numbers ARE that arm's.
+- ``sized_np_auto``: the ENGINE no-config default, invoked as such —
+  ``nprobe=None`` with ``corpus_n`` from the sidecar's ``n_vectors``
+  (r15): sqrt(n) cells, ``suggest_nprobe``'s size-aware probed
+  fraction (25% under ~2k vectors sliding to 5% at 20k+), and —
+  under sub-resolution codes — the shortlist scaled with the probed
+  volume so the exact refine absorbs the extra candidates instead of
+  a fixed ADC cut diluting on them.
 
 Each layout runs under two code widths (``_m4`` / ``_m16`` suffixes):
 the chain's oracle-friendly m=4/k=16 books are BELOW quantizer
-resolution (16 bits/vector — the ADC cut is ~noise, so probing more
-cells cannot help and only the shortlist/candidate ratio matters),
+resolution (16 bits/vector — the ADC cut is ~noise, so the r14
+flat-shortlist auto arm measured BELOW np=2 at 200k: 0.165 vs 0.200),
 while the production-width m=16/k=32 books carry enough signal for
-the fraction rule's cell-recall gains to survive the cut.
+the fraction rule's cell-recall gains to survive the cut. The r15
+acceptance bars (verdict asks #2/#4): the auto default must not read
+below sized_np2 at ANY (n, m) point, must hold the m=16/200k 0.870,
+and at 2k/m=16 must land within noise of fixed8's 0.442.
 
 Usage:
     python scripts/gen_scale_data.py --out /tmp/sf1 --scale 10
@@ -49,7 +58,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 K = 10
 N_QUERIES = 64
-STAGE_ROOT = "/tmp/ivfpq_recall_arms"
+# r15: new stage root — pre-r15 sidecars lack n_vectors, and the auto
+# arm now feeds corpus_n from the sidecar, so stale indexes would
+# silently measure the flat-fraction rule instead of the default
+STAGE_ROOT = "/tmp/ivfpq_recall_arms_r15"
 
 
 def exact_truth(emb, queries) -> set:
@@ -119,12 +131,19 @@ def run_dir(spark, sf_dir: str) -> dict:
     # ~noise, so extra probed cells add nothing) and the
     # production-width m=16/k=32 recipe (80 bits, the ivfpq_recall.py
     # sweep width) where the fraction rule's gains actually land.
+    import math
+
+    from etl_router_spark.functions.pq import _SUB_RESOLUTION_BITS
+
     for m, kk in ((4, 16), (16, 32)):
         books = pq_train(emb, m=m, k=kk)
+        # nprobe None = the engine no-config default (size-aware
+        # fraction + sub-resolution shortlist scaling, resolved
+        # in-engine); the explicit arms pin the historical layouts
         for layout, cells, nprobe in (
                 ("fixed8_np2", 8, 2),
                 ("sized_np2", sized, 2),
-                ("sized_np_auto", sized, suggest_nprobe(sized))):
+                ("sized_np_auto", sized, None)):
             arm = f"{layout}_m{m}"
             cents = standin_centroids(emb, "vec_id", "embedding", cells)
             idx_path = os.path.join(STAGE_ROOT, Path(sf_dir).name,
@@ -133,24 +152,40 @@ def run_dir(spark, sf_dir: str) -> dict:
                 shutil.rmtree(idx_path, ignore_errors=True)
                 write_pq_index(emb, books, cents, idx_path)
             idx, rbooks, rcents, meta = read_pq_index(spark, idx_path)
-            p95 = (meta.get("cell_occupancy") or {}).get("p95")
+            occ = meta.get("cell_occupancy") or {}
+            p95 = occ.get("p95")
+            sidecar_n = occ.get("n_vectors")
             t0 = time.perf_counter()
             with warnings.catch_warnings():
-                warnings.simplefilter("ignore")  # guard-auto raise
+                warnings.simplefilter("ignore")  # guard/remediation
                 got = {(r.query_id, r.neighbor_id)
                        for r in ivfpq_rerank_topk(
                            queries, emb, rbooks, k=K, shortlist=50,
                            nprobe=nprobe, centroids=rcents,
                            corpus_index=idx, cell_occupancy_p95=p95,
-                           occupancy_guard="auto").collect()}
+                           occupancy_guard="auto",
+                           corpus_n=sidecar_n).collect()}
+            # record what the engine resolved (mirrors the in-engine
+            # arithmetic so the JSON is self-describing)
+            np_eff = nprobe if nprobe is not None else \
+                suggest_nprobe(cells, n_vectors=sidecar_n)
+            bits = m * math.log2(kk)
+            sl_eff = max(50, p95 or 0)  # guard-auto raise first
+            if nprobe is None and bits < _SUB_RESOLUTION_BITS \
+                    and np_eff > 2:
+                # then the sub-resolution scaling — ON the post-guard
+                # value (the guard's raise is the np=2 coverage
+                # baseline the scaling preserves; see pq.py)
+                sl_eff = math.ceil(sl_eff * np_eff / 2)
             row["arms"][arm] = {
                 "m": m, "k_codebook": kk, "n_centroids": cells,
-                "nprobe": nprobe, "p95_occupancy": p95,
+                "nprobe": np_eff, "auto": nprobe is None,
+                "shortlist_effective": sl_eff, "p95_occupancy": p95,
                 "recall_at_10": round(len(got & truth) / len(truth), 3),
                 "rerank_sec": round(time.perf_counter() - t0, 1),
             }
-            print(f"{sf_dir} {arm}: cells={cells} nprobe={nprobe} "
-                  f"p95={p95} "
+            print(f"{sf_dir} {arm}: cells={cells} nprobe={np_eff} "
+                  f"shortlist={sl_eff} p95={p95} "
                   f"recall@10={row['arms'][arm]['recall_at_10']}",
                   flush=True)
     emb.unpersist()
@@ -166,9 +201,11 @@ def main() -> None:
     from etl_router_spark.session import get_spark
 
     spark = get_spark("ivfpq_recall_arms")
-    out = {"chain_recipe": "pq_train(m=4,k=16) + standin centroids + "
+    out = {"chain_recipe": "pq_train + standin centroids + "
                            "write_pq_index sidecar -> rerank guard=auto "
-                           "shortlist=50 nprobe=2 (RETRIEVAL_CHAIN arms)",
+                           "shortlist=50; sized_np_auto arm = the "
+                           "engine no-config default (nprobe=None, "
+                           "corpus_n from the sidecar n_vectors)",
            "rows": [run_dir(spark, d) for d in args.sf_dirs]}
     print(json.dumps(out))
     if args.out:

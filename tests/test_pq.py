@@ -446,6 +446,26 @@ def test_pq_topk_manifest_index_probe(spark, sf_dir, tmp_path):
         centroids=cents).collect())
     assert sorted(tuple(r) for r in out.collect()) == direct
 
+    # index_path WITHOUT nprobe implies IVF with the auto default
+    # (r15): the artifact is cell-partitioned and carries centroids,
+    # so falling through to plain ADC — which crashed on books=None
+    # before the fix — was never a meaningful reading of the stage.
+    # Must equal the spelled-out auto call (nprobe=None + sidecar
+    # corpus_n), bit-for-bit.
+    from etl_router_spark.functions.pq import read_pq_index
+
+    doc["spec"]["stages"][1]["config"].pop("nprobe")
+    doc["spec"]["stages"][2]["config"]["path"] = str(tmp_path / "out2")
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out2 = spark.read.parquet(str(tmp_path / "out2"))
+    idx, rbooks, rcents, meta = read_pq_index(spark, idx_path)
+    auto = sorted(tuple(r) for r in ivfpq_topk(
+        emb.filter("vec_id < 4"), emb, rbooks, k=3, nprobe=None,
+        centroids=rcents, corpus_index=idx,
+        corpus_n=(meta.get("cell_occupancy") or {}).get("n_vectors"),
+    ).collect())
+    assert sorted(tuple(r) for r in out2.collect()) == auto
+
 
 def _grouped_vecs(spark, n, groups, spread=10.0, jitter=0.01):
     """n vectors in `groups` well-separated one-hot clusters, ids
@@ -646,6 +666,20 @@ def test_suggest_nprobe():
         suggest_nprobe(8, target_fraction=0.0)
     with _pytest.raises(ValueError):
         suggest_nprobe(8, target_fraction=1.5)
+    # r15: the fraction is SIZE-AWARE when the corpus size is known —
+    # 25% at <= 2k vectors (the r14 measurement: a 2k sized index at
+    # 5% trailed fixed-8 0.274 vs 0.442), 5% at >= 20k (unchanged
+    # from r14: the 20k/200k arms hold recall at 5%), log-linear
+    # between so the fetch volume never jumps across one added vector
+    assert suggest_nprobe(45, n_vectors=2_000) == 12     # 2k arm
+    assert suggest_nprobe(45, n_vectors=500) == 12       # floor of band
+    assert suggest_nprobe(141, n_vectors=20_000) == 8    # 20k unchanged
+    assert suggest_nprobe(447, n_vectors=200_000) == 23  # 200k unchanged
+    assert suggest_nprobe(100, n_vectors=10_000) == 12   # log-interp mid
+    # n_vectors unknown -> exactly the r14 flat-5% rule
+    assert suggest_nprobe(45) == suggest_nprobe(45, n_vectors=None) == 3
+    # explicit target_fraction overrides the size-aware default
+    assert suggest_nprobe(45, target_fraction=0.05, n_vectors=2_000) == 3
 
 
 def test_occupancy_guard_streaming_corpus_compiles(spark):
@@ -726,15 +760,81 @@ def test_ivfpq_default_n_centroids_is_suggested(spark, emb):
                                      nprobe=2)) == \
             key(ivfpq_rerank_topk(q, emb, books, k=3, shortlist=30,
                                   nprobe=2, n_centroids=sized))
-    # r14: the nprobe default is suggest_nprobe(cells), not 2 — the
-    # no-config composition (sized cells + matched probe fraction)
-    # must equal the explicitly spelled-out call bit-for-bit
+    # r14/r15: the nprobe default is suggest_nprobe(cells, n_vectors=
+    # corpus count) — the no-config composition (sized cells +
+    # size-aware probe fraction) must equal the explicitly
+    # spelled-out call bit-for-bit. 32-bit books here so the
+    # sub-resolution clamp (its own test below) stays out of the way.
     from etl_router_spark.functions.pq import suggest_nprobe
 
-    np_auto = suggest_nprobe(sized)
-    assert key(ivfpq_topk(q, emb, books, k=3)) == \
-        key(ivfpq_topk(q, emb, books, k=3, nprobe=np_auto,
+    wide_books = deterministic_codebooks(64, m=8, k=16)
+    np_auto = suggest_nprobe(sized, n_vectors=emb.count())
+    assert np_auto > suggest_nprobe(sized)  # size-aware: small corpus
+    assert key(ivfpq_topk(q, emb, wide_books, k=3)) == \
+        key(ivfpq_topk(q, emb, wide_books, k=3, nprobe=np_auto,
                        n_centroids=sized))
+
+
+def test_ivfpq_sub_resolution_auto_remediation(spark, emb):
+    """Below quantizer resolution (m*log2(k) < 32 bits) the ADC cut
+    cannot rank what extra probes return (measured recall@10 0.200 ->
+    0.165 at np 2 -> 23, 16-bit codes, 200k — IVFPQ_RECALL_r14.json),
+    so the auto-nprobe path remediates instead of warn-and-proceed
+    (r14 verdict ask #2): plain ivfpq_topk CLAMPS auto back to the
+    historical 2 (no exact correction exists there), while
+    ivfpq_rerank_topk keeps the probes and SCALES the shortlist with
+    the probed volume — the candidate-to-shortlist ratio stays at the
+    np=2 level and the exact refine converts probe volume into recall
+    (the arm that measured best at 200k/m=4, IVFPQ_RECALL_r15.json).
+    Explicit nprobe pins either behavior off."""
+    import math
+    import warnings
+
+    from etl_router_spark.functions.pq import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        suggest_n_centroids,
+        suggest_nprobe,
+    )
+
+    narrow = deterministic_codebooks(64, m=4, k=8)  # 12 bits
+    q = emb.filter("vec_id < 4")
+    n = emb.count()
+    sized = suggest_n_centroids(n)
+    np_auto = suggest_nprobe(sized, n_vectors=n)
+    assert np_auto > 2  # the remediations must actually engage
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # plain top-k: auto clamps to 2, with the warning naming the fix
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto = key(ivfpq_topk(q, emb, narrow, k=3))
+    assert any("clamped" in str(x.message) for x in w)
+    assert auto == key(ivfpq_topk(q, emb, narrow, k=3, nprobe=2,
+                                  n_centroids=sized))
+
+    # rerank: auto keeps nprobe and scales the shortlist instead
+    scaled = math.ceil(20 * np_auto / 2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto_rr = key(ivfpq_rerank_topk(q, emb, narrow, k=3,
+                                        shortlist=20))
+    assert any("scaled with the probed volume" in str(x.message)
+               for x in w)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # occupancy-unknown hint
+        assert auto_rr == key(ivfpq_rerank_topk(
+            q, emb, narrow, k=3, shortlist=scaled, nprobe=np_auto,
+            n_centroids=sized))
+        # explicit nprobe: no scaling, no clamp, no remediation warn
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            ivfpq_rerank_topk(q, emb, narrow, k=3, shortlist=20,
+                              nprobe=2).collect()
+        assert not any("scaled with the probed volume" in str(x.message)
+                       for x in w2)
 
 
 def test_ivfpq_rerank_streaming_corpus_needs_centroids(spark, emb,
@@ -1026,13 +1126,14 @@ def test_with_cells_replaces_existing_cell_col_both_paths(spark):
         with_cells(df, "embedding", few, cell_col="embedding")
 
 
-def test_rerank_warns_on_auto_nprobe_with_narrow_codes(spark):
-    """nprobe='auto' + sub-resolution PQ codes is a measured
-    composition hazard (IVFPQ_RECALL_r14.json: 16-bit codes at 200k
-    read recall@10 0.200 at np=2 but 0.165 at np=auto — extra probed
-    cells DILUTE the fixed shortlist when the ADC cut is ~noise),
-    so the rerank names it; explicit nprobe and production-width
-    codes stay silent."""
+def test_rerank_auto_nprobe_narrow_codes_silence_cases(spark):
+    """The sub-resolution auto path REMEDIATES (scales the shortlist —
+    test_ivfpq_sub_resolution_auto_remediation) instead of the r14
+    warn-and-proceed, so the warning fires ONLY when the remediation
+    actually engages: an auto resolve landing on the historical 2
+    probes exactly what np=2 always probed (nothing to dilute, nothing
+    to remediate), explicit nprobe pins the behavior off, and
+    production-width codes never scale."""
     import warnings as w
 
     from etl_router_spark.functions.pq import (
@@ -1046,19 +1147,24 @@ def test_rerank_warns_on_auto_nprobe_with_narrow_codes(spark):
     q = emb.filter("vec_id < 2")
     narrow = deterministic_codebooks(8, m=2, k=4)   # 4 bits/vector
     wide = deterministic_codebooks(8, m=8, k=16)    # 32 bits/vector
-    with w.catch_warnings(record=True) as caught:
-        w.simplefilter("always")
-        ivfpq_rerank_topk(q, emb, narrow, k=2, shortlist=4,
-                          n_centroids=4, occupancy_guard="off")
-    assert any("DILUTE" in str(x.message) for x in caught), \
-        [str(x.message) for x in caught]
-    for books, nprobe in ((narrow, 2), (wide, None)):
+    # n_centroids=4 -> auto resolves to the floor 2 even under the
+    # small-corpus fraction (ceil(4 * 0.25) = 1 -> floor 2): silent
+    for books, nprobe in ((narrow, None), (narrow, 2), (wide, None)):
         with w.catch_warnings(record=True) as caught:
             w.simplefilter("always")
             ivfpq_rerank_topk(q, emb, books, k=2, shortlist=4,
                               nprobe=nprobe, n_centroids=4,
                               occupancy_guard="off")
-        assert not any("DILUTE" in str(x.message) for x in caught)
+        assert not any("probed volume" in str(x.message)
+                       for x in caught), [str(x.message) for x in caught]
+    # explicit nprobe > 2 with narrow codes: pinned behavior, still no
+    # remediation warn (the caller chose the probe count)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        ivfpq_rerank_topk(q, emb, narrow, k=2, shortlist=4,
+                          nprobe=3, n_centroids=6,
+                          occupancy_guard="off")
+    assert not any("probed volume" in str(x.message) for x in caught)
 
 
 def test_nearest_rows_property_vs_naive_reference():
