@@ -3901,44 +3901,20 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
 _TOUCHED_BOOST: tuple[str, ...] = (
-    # r14: the 8 gates whose EXECUTED PLAN changed this round — (a)
-    # the bad-vector fail-fast guard (r13 verdict ask #3): with_cells
-    # keeps the guarded assignment CASE (project-only plans), while
-    # ivfpq_topk/pq_index carry the guard on the id column with the
-    # raw argmin on the join key (the round's own drift A/B caught
-    # the guard-on-key form re-materializing the distance arrays in a
-    # join-inferred isnotnull filter — SCALE.md round-14); (b) the
-    # MinHash index probe path's forced data-dependent broadcasts are
-    # un-hinted (r13 verdict ask #2 — AQE decides;
-    # broadcast_side="probes"/"index" remain as explicit contract
-    # overrides), which changes the probe gates' join strategies. All
-    # 8 value-verified locally post-change (scripts/
-    # check_correctness.py at sf0.01, 0 failures, re-run AFTER the
-    # guard relocation). 6 of the 8 are r9-tier and would rank near
-    # the window head by age anyway; boosting pins them there
-    # deterministically. corpus_decontaminate_fuzzy keeps its forced
-    # "index" broadcast (benchmark index, small BY CONTRACT) and
-    # similarity_ivf_ann/embedding_pq_* never ran cell_assign_sql —
-    # plans unchanged, not boosted.
-    "embedding_ivfpq_topk",
-    "embedding_ivfpq_rerank_topk",
-    "embedding_ivfpq_index_topk",
-    "dedup_semantic",
-    "dedup_semantic_canonical",
-    "corpus_decontaminate_semantic",
-    "dedup_minhash_incremental",
-    "stream_dedup_index_probe",
-    # r14 second pass: the h60 Bloom build+probe moved to the
-    # digest-HOISTED expressions (corpus.py:_bloom_pos_hoisted_sql —
-    # exists/forall are interpreted, so the per-position form paid
-    # each md5 3x; x1.61 on the sf0.1 probe, flags bit-identical by
-    # construction and by tests/test_bloom.py::
-    # test_hoisted_probe_matches_per_position_form). All 3 gates
-    # value-verified locally post-change (check_correctness.py at
-    # sf0.01, 0 failures).
-    "corpus_bloom_decontaminate",
-    "corpus_bloom_decontaminate_bcast",
-    "stream_bloom_probe",
+    # r15: EMPTY — every r14-boosted gate got its green r14 driver row,
+    # and none of this round's code changes moves a gate's EXECUTED
+    # plan: (a) the auto-nprobe/shortlist remediation and the
+    # size-aware probe fraction live behind nprobe=None/n_centroids=
+    # None defaults, and every ivfpq/pq gate pins nprobe=2 /
+    # n_centroids=8 explicitly (queries_llm.py:1688-1750); (b) the
+    # minhash_signatures build stamp is COLUMN METADATA (an alias
+    # annotation the optimizer's project-collapse erases from the
+    # executed plan) — dedup_minhash_incremental and select_dsir_topk
+    # re-verified value-exact against the DuckDB oracle at sf0.01
+    # after the change, and the full registry swept green this round
+    # (scripts/check_correctness.py). The window is therefore pure
+    # age rotation, exactly as the r14 verdict ordered: the 9 r9-tier
+    # gates rank first, then the r10 tier oldest-first.
 )
 
 # Gates REGISTERED this round: rank them after every already-known
@@ -3949,21 +3925,15 @@ _TOUCHED_BOOST: tuple[str, ...] = (
 # classifier/SemDeDup gates now rank first by the never-checked rule,
 # exactly as the r8 verdict ordered).
 _DEFER_NEW: tuple[str, ...] = (
-    # r14: EMPTY — per the r13 verdict ask #1, stream_group_stateful_tail
-    # (registered r13, judge-verified green at sf0.01) is RELEASED and
-    # ranks first by the never-checked rule. Zero new gates are
-    # registered this round, so the window is pure backlog hygiene:
-    # 1 never-checked + 11 _TOUCHED_BOOST (plans changed this round) +
-    # the 8 r8-tier slips, then the r9 tier oldest-evidence-first —
-    # with 7 of the 11 boosted gates drawn FROM the r9 tier (6 pq/
-    # minhash + corpus_bloom_decontaminate) and the 2 other Bloom
-    # gates from the r11 tier, that is ~58 known candidates for ~50
-    # slots, so ~8 r9 gates slip to r15 and rank first there by age. The whole registry was locally sweep-verified this
-    # round (scripts/check_correctness.py at sf0.01, 0 failures),
-    # with the pq-path gates re-verified a second time after the
-    # guard relocation and the Bloom gates re-verified after the
-    # digest hoist, so every slipped gate carries fresh post-change
-    # local evidence.
+    # r15: corpus_bloom_family_agreement (the r14 verdict ask #5 —
+    # decision-level driver evidence for the xxhash64 Bloom family,
+    # h60 side oracle-exact + agreement verdict) is REGISTERED this
+    # round and, per protocol, ranks after every already-known gate so
+    # the ~50-slot window burns the r9/r10 evidence backlog first
+    # (verdict ask #1). Verified locally at sf0.01 AND sf0.001
+    # (scripts/check_correctness.py: rows/schema/hash all match) until
+    # its driver slot comes up.
+    "corpus_bloom_family_agreement",
 )
 
 
