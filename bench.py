@@ -126,6 +126,38 @@ EXTRA_RUNS = {
 _EDGE_PARQUET: dict[str, str] = {}
 
 
+def _latest_prior_bench() -> dict | None:
+    """The newest BENCH_r*.json at the repo root (the driver's record
+    of the prior round), for the >1.5x-mover self-adjudication.
+    Returns None when there is no prior artifact (or it is
+    unreadable), in which case no re-runs happen."""
+    import glob
+    import re
+
+    root = Path(__file__).resolve().parent
+    best_rnd, best = -1, None
+    for p in glob.glob(str(root / "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd > best_rnd:
+            best_rnd, best = rnd, p
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            prior = json.load(fh)
+        # the driver wraps bench stdout under "parsed" (plus run
+        # metadata); a raw bench.py artifact is the dict itself
+        if isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
+        prior["__path__"] = os.path.basename(best)
+        return prior
+    except Exception:
+        return None
+
+
 def _graph_degrees_op(spark, sf_dir: str):
     """degree_stats over a pre-materialized edge parquet: the first
     call per SF pays the one-time fixture write (excluded by min-of-N),
@@ -234,8 +266,41 @@ def main() -> None:
     cal_samples = [round(s, 3) for s in cal_samples]
     cal_best = sorted(cal_samples)[len(cal_samples) // 2]
 
+    # self-adjudication (r14 verdict ask #3): BENCH_r14.json shipped a
+    # 3.4x phantom on an untouched module that the drift file's noise
+    # note didn't cover per-query. Any query whose CALIBRATION-
+    # NORMALIZED time moved >1.5x in either direction vs the newest
+    # BENCH_r*.json gets an automatic isolated re-run (min-of-2, after
+    # the rest of the run has quiesced) appended under "requeried" —
+    # the artifact then carries its own box-noise adjudication instead
+    # of deferring it to a human re-measurement next round.
+    requeried: dict[str, dict] = {}
+    prior = _latest_prior_bench()
+    if prior and prior.get("calibration"):
+        p_cal = prior["calibration"]
+        p_q = prior.get("queries", {})
+        for name, sec in timings.items():
+            if name not in p_q or not p_q[name]:
+                continue
+            ratio = (sec / cal_best) / (p_q[name] / p_cal)
+            if not (ratio > 1.5 or ratio < 1 / 1.5):
+                continue
+            fn = queries[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            requeried[name] = {
+                "normalized_ratio_vs_prior": round(ratio, 2),
+                "rerun_sec": round(best, 3),
+                "rerun_normalized_ratio": round(
+                    (best / cal_best) / (p_q[name] / p_cal), 2),
+            }
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -243,7 +308,11 @@ def main() -> None:
         "calibration": round(cal_best, 3),
         "calibration_samples": cal_samples,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-    }))
+    }
+    if requeried:
+        out["requeried"] = requeried
+        out["requeried_vs"] = prior.get("__path__")
+    print(json.dumps(out))
     # Human summary on stderr (stdout stays the one-JSON-line contract):
     # the calibration-normalized total is the cross-round comparable
     # number — divide two rounds' normalized totals and machine drift
