@@ -112,8 +112,18 @@ def run_dir(spark, sf_dir: str) -> dict:
         F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
     n_q = queries.count()
 
+    # truth is the run's dominant fixed cost at large n (~25 min at
+    # 2M) — cache it under the stage root so a crashed run resumes
+    truth_path = os.path.join(STAGE_ROOT, f"truth_{Path(sf_dir).name}_{n}.json")
     t0 = time.perf_counter()
-    truth = exact_truth(emb, queries)
+    if os.path.exists(truth_path):
+        with open(truth_path) as fh:
+            truth = {tuple(p) for p in json.load(fh)}
+    else:
+        truth = exact_truth(emb, queries)
+        os.makedirs(STAGE_ROOT, exist_ok=True)
+        with open(truth_path, "w") as fh:
+            json.dump(sorted(truth), fh)
     t_truth = time.perf_counter() - t0
 
     from etl_router_spark.functions.pq import suggest_nprobe
