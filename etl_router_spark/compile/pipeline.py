@@ -420,9 +420,11 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
                     queries, df, books, k=int(cfg.get("k", 5)),
                     shortlist=int(cfg["shortlist"]),
                     # "auto" (the default when index_path implies the
-                    # branch) -> suggest_nprobe's size-aware probed
+                    # branch; a blank `nprobe:` YAML null means the
+                    # same) -> suggest_nprobe's size-aware probed
                     # fraction (the sizing default's companion, r14/r15)
-                    nprobe=(None if cfg.get("nprobe", "auto") == "auto"
+                    nprobe=(None if cfg.get("nprobe", "auto")
+                            in ("auto", None)
                             else int(cfg["nprobe"])),
                     # no n_centroids key -> suggest_n_centroids sizing
                     # (sqrt(corpus) cells, one count() at build — the
@@ -441,7 +443,7 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
 
             return ivfpq_topk(queries, df, books, k=int(cfg.get("k", 5)),
                               nprobe=(None if cfg.get("nprobe", "auto")
-                                      == "auto"
+                                      in ("auto", None)
                                       else int(cfg["nprobe"])),
                               n_centroids=(int(cfg["n_centroids"])
                                            if "n_centroids" in cfg

@@ -466,6 +466,14 @@ def test_pq_topk_manifest_index_probe(spark, sf_dir, tmp_path):
     ).collect())
     assert sorted(tuple(r) for r in out2.collect()) == auto
 
+    # a blank `nprobe:` (YAML null) means the same auto default —
+    # before the r15 hardening it fell through to int(None)
+    doc["spec"]["stages"][1]["config"]["nprobe"] = None
+    doc["spec"]["stages"][2]["config"]["path"] = str(tmp_path / "out3")
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out3 = spark.read.parquet(str(tmp_path / "out3"))
+    assert sorted(tuple(r) for r in out3.collect()) == auto
+
 
 def _grouped_vecs(spark, n, groups, spread=10.0, jitter=0.01):
     """n vectors in `groups` well-separated one-hot clusters, ids
