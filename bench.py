@@ -276,6 +276,13 @@ def main() -> None:
     # of deferring it to a human re-measurement next round.
     requeried: dict[str, dict] = {}
     prior = _latest_prior_bench()
+    if prior and str(prior.get("sf")) != sf_dir.rstrip("/").rsplit(
+            "sf", 1)[-1]:
+        # cross-scale "adjudication" is meaningless — query cost does
+        # not scale like the calibration scan, so comparing against a
+        # different-SF artifact would re-run nearly the whole suite
+        # and label the scale gap a box-noise verdict
+        prior = None
     if prior and prior.get("calibration"):
         p_cal = prior["calibration"]
         p_q = prior.get("queries", {})

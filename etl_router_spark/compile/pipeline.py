@@ -383,7 +383,12 @@ def _apply_llm_transform(df: DataFrame, tt: str, cfg: dict[str, Any]) -> DataFra
             if isinstance(qcond, dict):
                 qcond = Condition.from_dict(qcond)
             queries = df.filter(compile_condition(qcond))
-        if cfg.get("nprobe") is not None or cfg.get("index_path"):
+        if "nprobe" in cfg or cfg.get("index_path"):
+            # the nprobe KEY (any value, including a blank YAML null
+            # meaning auto) or a persisted index declares the IVF
+            # branch — a blank nprobe without index_path previously
+            # fell through to the brute-force ADC scan below, a
+            # silently different algorithm from `nprobe: auto`
             # IVF-PQ: coarse cells prune candidates before ADC ranking;
             # shortlist: N declares the two-stage recipe (exact-L2
             # re-rank of the top-N ADC candidates — raises the PQ

@@ -994,15 +994,23 @@ def minhash_lsh_join(
             # frame's own stamp (r14 ADVICE): mixing an h60-built
             # signature table with hash_family='xxhash64' (or a
             # different shingle_n) yields band keys that never collide
-            # — zero matches, silently. Width mismatches already fail
-            # via the column check above; unstamped legacy frames pass
-            # through on the caller's word, as before.
+            # — zero matches, silently. num_hashes is DELIBERATELY
+            # exempt when the frame is WIDER than asked: the affine
+            # consts are index-deterministic (minhash_affine_consts),
+            # so mh_0..mh_{n-1} of a wider frame ARE the num_hashes=n
+            # signatures and banding a prefix is statistically sound
+            # (a narrower frame than asked already fails the column
+            # check above). Unstamped legacy frames pass through on
+            # the caller's word, as before.
             built = minhash_signature_params(precomputed)
             if built is not None:
-                asked = {"num_hashes": num_hashes, "shingle_n": shingle_n,
+                asked = {"shingle_n": shingle_n,
                          "hash_family": hash_family}
                 diff = {k: (asked[k], built[k]) for k in asked
                         if asked[k] != built[k]}
+                if built["num_hashes"] < num_hashes:
+                    diff["num_hashes"] = (num_hashes,
+                                          built["num_hashes"])
                 if diff:
                     detail = ", ".join(
                         f"{k}={a} but the signature frame was built "

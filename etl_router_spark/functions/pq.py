@@ -1156,6 +1156,7 @@ def ivfpq_rerank_topk(
     cell_occupancy_p95: int | None = None,
     occupancy_guard: str = "warn",
     corpus_n: int | None = None,
+    resolved_params: dict | None = None,
 ) -> DataFrame:
     """Two-stage ANN — IVF-PQ shortlist, exact-L2 refine: the standard
     production recipe (FAISS ``search`` + refine; also ScaNN's final
@@ -1263,6 +1264,12 @@ def ivfpq_rerank_topk(
     (the :func:`write_pq_index` sidecar records it as ``n_vectors``) —
     consulted ONLY by the auto-nprobe fraction; never triggers a job.
     The no-config path counts once for cell sizing and reuses that.
+
+    ``resolved_params``: pass a dict and the call fills in what it
+    ACTUALLY ran after all defaults resolve (nprobe, shortlist,
+    n_centroids, auto_nprobe, sub_resolution_scaled) — the single
+    source for measurement harnesses to publish, instead of mirroring
+    the default arithmetic and silently desyncing when it changes.
     """
     if occupancy_guard not in ("warn", "auto", "error", "off"):
         raise ValueError(
@@ -1293,11 +1300,12 @@ def ivfpq_rerank_topk(
         # no-config path, which counts for cell sizing anyway, and on
         # the persisted-index path via corpus_n= from the sidecar's
         # n_vectors).
-        cells = len(centroids) if centroids is not None else n_centroids
-        if cells is not None:
-            # (cells is None only for corpus_index without centroids,
-            # where stage 1 raises its own descriptive error)
-            nprobe = suggest_nprobe(cells, n_vectors=corpus_n)
+        n_cells_resolved = (len(centroids) if centroids is not None
+                            else n_centroids)
+        if n_cells_resolved is not None:
+            # (None only for corpus_index without centroids, where
+            # stage 1 raises its own descriptive error)
+            nprobe = suggest_nprobe(n_cells_resolved, n_vectors=corpus_n)
     if occupancy_guard != "off":
         import warnings
 
@@ -1375,6 +1383,7 @@ def ivfpq_rerank_topk(
                 shortlist = p95
             else:
                 warnings.warn(msg)
+    _subres_scaled = False
     if auto_nprobe and nprobe is not None and nprobe > 2:
         import math
         import warnings
@@ -1411,6 +1420,20 @@ def ivfpq_rerank_topk(
                 "to avoid the larger fetch, or pin nprobe/shortlist "
                 "explicitly.")
             shortlist = scaled
+            _subres_scaled = True
+    if resolved_params is not None:
+        # what this call ACTUALLY runs, engine-resolved — for
+        # measurement harnesses (scripts/ivfpq_recall_arms.py) to
+        # publish instead of mirroring the default arithmetic, which
+        # silently desyncs when these defaults change
+        resolved_params.update({
+            "nprobe": nprobe,
+            "shortlist": shortlist,
+            "n_centroids": (len(centroids) if centroids is not None
+                            else n_centroids),
+            "auto_nprobe": auto_nprobe,
+            "sub_resolution_scaled": _subres_scaled,
+        })
     cand = ivfpq_topk(
         queries, corpus, codebooks, k=shortlist, nprobe=nprobe,
         n_centroids=n_centroids, centroids=centroids,

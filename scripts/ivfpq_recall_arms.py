@@ -55,6 +55,7 @@ import warnings
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 K = 10
 N_QUERIES = 64
@@ -64,29 +65,26 @@ N_QUERIES = 64
 STAGE_ROOT = "/tmp/ivfpq_recall_arms_r15"
 
 
-def exact_truth(emb, queries) -> set:
-    """Exact L2 top-K per query (rounded-argmin tie rule), as a set of
-    (query_id, neighbor_id) — ~N_QUERIES x |corpus| scored rows, the
-    queries broadcast so the corpus never shuffles."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of the embeddings fixture (file
+    sizes + mtimes) — keys the truth cache so a regenerated
+    same-size fixture can't silently reuse stale ground truth."""
+    import hashlib
 
-    qq = queries.selectExpr("vec_id AS query_id",
-                            "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
-    cc = emb.selectExpr("vec_id AS neighbor_id",
-                        "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
-    l2 = ("round(aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), "
-          "0D, (acc,x) -> acc+x), 6)")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d").asc(), F.col("neighbor_id").asc())
-    return {(r.query_id, r.neighbor_id) for r in (
-        F.broadcast(qq)
-        .join(cc, F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id", f"{l2} AS d")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= K)
-        .select("query_id", "neighbor_id")
-        .collect())}
+    root = Path(sf_dir) / "embeddings.parquet"
+    paths = ([root] if root.is_file()
+             else sorted(root.rglob("*")) if root.exists() else [])
+    h = hashlib.sha256()
+    for p in paths:
+        if p.is_file():
+            st = p.stat()
+            h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+# ONE truth definition, shared with retrieval_chain_timing.py —
+# SCALE.md compares recall across the two artifacts
+from _truth import exact_l2_topk, hash_spaced_sample  # noqa: E402
 
 
 def run_dir(spark, sf_dir: str) -> dict:
@@ -105,28 +103,27 @@ def run_dir(spark, sf_dir: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding").persist()
     n = emb.count()
-    # hash-spaced deterministic query sample (lowest-id queries would
-    # correlate with the stand-in centroid recipe)
-    stride = max(1, n // N_QUERIES)
-    queries = emb.filter(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+    queries = hash_spaced_sample(emb, N_QUERIES)
     n_q = queries.count()
 
     # truth is the run's dominant fixed cost at large n (~25 min at
-    # 2M) — cache it under the stage root so a crashed run resumes
-    truth_path = os.path.join(STAGE_ROOT, f"truth_{Path(sf_dir).name}_{n}.json")
+    # 2M) — cache it under the stage root so a crashed run resumes.
+    # The key carries a fixture content fingerprint (file sizes +
+    # mtimes), not just dir name + row count: a re-generated fixture
+    # with a different seed but the same n must NOT reuse stale truth.
+    truth_path = os.path.join(
+        STAGE_ROOT,
+        f"truth_{Path(sf_dir).name}_{n}_{_fixture_fingerprint(sf_dir)}.json")
     t0 = time.perf_counter()
     if os.path.exists(truth_path):
         with open(truth_path) as fh:
             truth = {tuple(p) for p in json.load(fh)}
     else:
-        truth = exact_truth(emb, queries)
+        truth = exact_l2_topk(emb, queries, K)
         os.makedirs(STAGE_ROOT, exist_ok=True)
         with open(truth_path, "w") as fh:
             json.dump(sorted(truth), fh)
     t_truth = time.perf_counter() - t0
-
-    from etl_router_spark.functions.pq import suggest_nprobe
 
     sized = suggest_n_centroids(n)
     row = {"dir": sf_dir, "n": n, "n_queries": n_q, "k": K,
@@ -141,10 +138,6 @@ def run_dir(spark, sf_dir: str) -> dict:
     # ~noise, so extra probed cells add nothing) and the
     # production-width m=16/k=32 recipe (80 bits, the ivfpq_recall.py
     # sweep width) where the fraction rule's gains actually land.
-    import math
-
-    from etl_router_spark.functions.pq import _SUB_RESOLUTION_BITS
-
     for m, kk in ((4, 16), (16, 32)):
         books = pq_train(emb, m=m, k=kk)
         # nprobe None = the engine no-config default (size-aware
@@ -166,6 +159,7 @@ def run_dir(spark, sf_dir: str) -> dict:
             p95 = occ.get("p95")
             sidecar_n = occ.get("n_vectors")
             t0 = time.perf_counter()
+            resolved: dict = {}
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")  # guard/remediation
                 got = {(r.query_id, r.neighbor_id)
@@ -174,28 +168,24 @@ def run_dir(spark, sf_dir: str) -> dict:
                            nprobe=nprobe, centroids=rcents,
                            corpus_index=idx, cell_occupancy_p95=p95,
                            occupancy_guard="auto",
-                           corpus_n=sidecar_n).collect()}
-            # record what the engine resolved (mirrors the in-engine
-            # arithmetic so the JSON is self-describing)
-            np_eff = nprobe if nprobe is not None else \
-                suggest_nprobe(cells, n_vectors=sidecar_n)
-            bits = m * math.log2(kk)
-            sl_eff = max(50, p95 or 0)  # guard-auto raise first
-            if nprobe is None and bits < _SUB_RESOLUTION_BITS \
-                    and np_eff > 2:
-                # then the sub-resolution scaling — ON the post-guard
-                # value (the guard's raise is the np=2 coverage
-                # baseline the scaling preserves; see pq.py)
-                sl_eff = math.ceil(sl_eff * np_eff / 2)
+                           corpus_n=sidecar_n,
+                           resolved_params=resolved).collect()}
+            # ENGINE-reported resolution (resolved_params) — the JSON
+            # publishes what the call actually ran, not a script-side
+            # mirror of the default arithmetic that would silently
+            # desync when the defaults change
             row["arms"][arm] = {
                 "m": m, "k_codebook": kk, "n_centroids": cells,
-                "nprobe": np_eff, "auto": nprobe is None,
-                "shortlist_effective": sl_eff, "p95_occupancy": p95,
+                "nprobe": resolved["nprobe"],
+                "auto": resolved["auto_nprobe"],
+                "shortlist_effective": resolved["shortlist"],
+                "p95_occupancy": p95,
                 "recall_at_10": round(len(got & truth) / len(truth), 3),
                 "rerank_sec": round(time.perf_counter() - t0, 1),
             }
-            print(f"{sf_dir} {arm}: cells={cells} nprobe={np_eff} "
-                  f"shortlist={sl_eff} p95={p95} "
+            print(f"{sf_dir} {arm}: cells={cells} "
+                  f"nprobe={resolved['nprobe']} "
+                  f"shortlist={resolved['shortlist']} p95={p95} "
                   f"recall@10={row['arms'][arm]['recall_at_10']}",
                   flush=True)
     emb.unpersist()

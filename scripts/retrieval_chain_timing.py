@@ -42,15 +42,19 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 STAGE_ROOT = "/tmp/retrieval_chain"
 
 
 def _exact_truth_sample(emb, queries, k: int = 10, max_queries: int = 64):
     """Exact-L2 top-k ground truth for a hash-spaced sample of the
-    chain's queries (the ivfpq_recall_arms.py truth, bounded to
-    ~``max_queries`` so the 200k point costs minutes, not hours —
-    the chain's full query set is n/100 = 2000 queries there).
+    chain's queries (bounded to ~``max_queries`` so the 200k point
+    costs minutes, not hours — the chain's full query set is n/100 =
+    2000 queries there). The sampling rule and the truth definition
+    (L2 rounding, tie rule, self-exclusion) are the SHARED ``_truth``
+    helpers, so this number is directly comparable to
+    ``ivfpq_recall_arms.py``'s ``recall_at_10``.
 
     This replaces the retired ``macro_recall_at_10`` field (r14
     verdict ask #6): that number came from label-derived qrels whose
@@ -58,29 +62,10 @@ def _exact_truth_sample(emb, queries, k: int = 10, max_queries: int = 64):
     CONSTRUCTION (0.001 at 200k for every arm) — an artifact, not an
     engine signal. Recall against the exact-L2 top-10 measures what
     the ANN chain actually approximates."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from _truth import exact_l2_topk, hash_spaced_sample
 
-    n_q = queries.count()
-    stride = max(1, n_q // max_queries)
-    sample = queries.filter(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
-    qq = sample.selectExpr("vec_id AS query_id",
-                           "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
-    cc = emb.selectExpr("vec_id AS neighbor_id",
-                        "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
-    l2 = ("round(aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), "
-          "0D, (acc,x) -> acc+x), 6)")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d").asc(), F.col("neighbor_id").asc())
-    truth = {(r.query_id, r.neighbor_id) for r in (
-        F.broadcast(qq)
-        .join(cc, F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id", f"{l2} AS d")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-        .collect())}
+    sample = hash_spaced_sample(queries, max_queries)
+    truth = exact_l2_topk(emb, sample, k)
     qids = {q for q, _ in truth}
     return truth, qids
 

@@ -514,6 +514,22 @@ def test_minhash_lsh_join_stored_signature_table(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="conflict"):
         minhash_lsh_join(new, seen, right_signatures=stored,
                          shingle_n=5, **kw)
+    # a WIDER stored frame banded at a narrower num_hashes is allowed
+    # (prefix reuse): the affine consts are index-deterministic, so
+    # mh_0..mh_3 of a 8-wide frame ARE the num_hashes=4 signatures —
+    # results byte-identical to signatures built at 4
+    kw4 = dict(num_hashes=4, bands=2, threshold=0.5)
+    prefix_pairs = {tuple(r) for r in
+                    minhash_lsh_join(new, seen, right_signatures=stored,
+                                     **kw4).collect()}
+    native4 = {tuple(r) for r in
+               minhash_lsh_join(new, seen, **kw4).collect()}
+    assert prefix_pairs == native4 and len(native4) > 0
+    # ... but a NARROWER stored frame than asked still fails (the
+    # column check catches an unstamped one; the stamp names it too)
+    with pytest.raises(ValueError, match="missing columns|conflict"):
+        minhash_lsh_join(new, seen, right_signatures=stored,
+                         num_hashes=16, bands=4, threshold=0.5)
     # a pre-stamp legacy frame (metadata stripped) passes on the
     # caller's word, as before
     legacy = stored.withMetadata("mh_0", {})

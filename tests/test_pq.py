@@ -212,6 +212,29 @@ def test_pq_topk_manifest_ivfpq(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
     assert out.count() == 4 * 3
 
+    # a blank `nprobe:` (YAML null) WITHOUT index_path selects the
+    # IVF branch with the auto default too — before the r15 hardening
+    # the nprobe-presence check used `is not None`, so a blank value
+    # silently fell through to the brute-force ADC scan, a different
+    # algorithm from `nprobe: auto`
+    doc["spec"]["stages"][1]["config"]["nprobe"] = None
+    doc["spec"]["stages"][2]["config"]["path"] = str(tmp_path / "out_auto")
+    compile_pipeline(spark, parse_manifest_dict(doc)).run()
+    out_auto = spark.read.parquet(str(tmp_path / "out_auto"))
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.pq import (
+        deterministic_codebooks as det_books,
+        ivfpq_topk,
+    )
+    from etl_router_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct = sorted(tuple(r) for r in ivfpq_topk(
+        emb.filter("vec_id < 4"), emb, det_books(64, m=4, k=8), k=3,
+        nprobe=None, n_centroids=8).collect())
+    assert sorted(tuple(r) for r in out_auto.collect()) == direct
+
 
 def test_pq_train_sampling_string_ids_and_empty_sample(spark):
     """The sample filter hashes (id, seed) via xxhash64 — id-type
