@@ -152,6 +152,11 @@ def _ops():
         "histogram_sketch_full": lambda s, sf: _hist_sketch_full(s, sf),
         "sample_sketch_full": lambda s, sf: _sample_sketch_full(s, sf),
         "strip_lines_full": lambda s, sf: _strip_lines_full(s, sf),
+        # round 15: the new family-agreement plan (BOTH Bloom families
+        # probe the same corpus in one scan, zero pre-agg joins) — the
+        # gate already runs the full documents table, so gate == op
+        "bloom_family_agreement_full":
+            QUERIES["corpus_bloom_family_agreement"],
         # calibration: the SAME pinned scan+agg bench.py emits as its
         # "calibration" field — one shared definition by construction
         "calibration_scan_agg": calibration_query,
