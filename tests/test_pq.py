@@ -711,6 +711,19 @@ def test_suggest_nprobe():
     assert suggest_nprobe(45) == suggest_nprobe(45, n_vectors=None) == 3
     # explicit target_fraction overrides the size-aware default
     assert suggest_nprobe(45, target_fraction=0.05, n_vectors=2_000) == 3
+    # property: across the interpolation band the resolved nprobe is
+    # monotonically non-increasing in n_vectors, and never moves by
+    # more than 1 across one added vector at the anchors — the
+    # "no hard threshold, fetch volume never jumps" design claim,
+    # pinned as a sweep rather than as spot values
+    prev = None
+    for nv in range(500, 25_001, 250):
+        cur = suggest_nprobe(1_000, n_vectors=nv)
+        assert prev is None or cur <= prev
+        prev = cur
+    for nv in (1_999, 2_000, 2_001, 19_999, 20_000, 20_001):
+        assert abs(suggest_nprobe(1_000, n_vectors=nv)
+                   - suggest_nprobe(1_000, n_vectors=nv + 1)) <= 1
 
 
 def test_occupancy_guard_streaming_corpus_compiles(spark):
