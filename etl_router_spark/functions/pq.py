@@ -409,14 +409,21 @@ def suggest_n_centroids(n_vectors: int,
 # at <= ~2k vectors the sqrt(n) layout needs the old fixed-8 layout's
 # ~25% probed fraction to match its recall (the SCALE.md round-14
 # "under ~10k vectors, prune less" operating note, now a default);
-# at >= ~20k the 5% FAISS-guidance band already holds recall while
-# probing 5x less corpus. Log-linear between the anchors — a hard
-# threshold would make the rerank fetch volume jump 5x across one
-# added vector.
+# at >= ~200k the 5% FAISS-guidance band already holds recall (0.870
+# at 200k, 0.865 at 2M) while probing 5x less corpus. Log-linear
+# between the anchors — a hard threshold would make the rerank fetch
+# volume jump across one added vector. The large anchor moved
+# 20k -> 200k in the r15 second pass on the measured 20k
+# fraction-vs-recall curve (IVFPQ_FRAC20K_r15.json): at 20k the 5%
+# fraction read 0.852 while ~11%+ reads 0.96 at FLAT rerank cost
+# (the recall saturates at 0.964 — the residual vs fixed-8's 0.978
+# is the 50-row shortlist, not the probes), so mid-range corpora now
+# keep a higher fraction and only slide to 5% where the sqrt(n)
+# asymptote actually pays for it.
 _PROBE_FRACTION_FLOOR = 0.05
 _PROBE_FRACTION_SMALL = 0.25
 _PROBE_SMALL_N = 2_000
-_PROBE_LARGE_N = 20_000
+_PROBE_LARGE_N = 200_000
 
 # below this many PQ code bits (m * log2 k) the ADC ordering is too
 # coarse to rank what extra probes return — see ivfpq_rerank_topk's
@@ -443,9 +450,12 @@ def suggest_nprobe(n_cells: int, target_fraction: float | None = None,
     The default fraction is SIZE-AWARE when ``n_vectors`` is supplied
     (r15, from the r14 measurement that a 2k-vector sized index at 5%
     trailed fixed-8 0.274 vs 0.442): 25% at <= 2k vectors, 5% at >=
-    20k, log-linear between — small corpora must prune less because
+    200k, log-linear between — small corpora must prune less because
     sqrt(n) cells are then so few that 5% of them is barely past the
-    2-cell floor. With ``n_vectors`` unknown the fraction stays the
+    2-cell floor, and the measured 20k fraction-vs-recall curve
+    (IVFPQ_FRAC20K_r15.json) shows mid-range corpora want ~11-15%
+    (recall 0.852 at 5% vs 0.96+ at 11%+, flat rerank cost). With
+    ``n_vectors`` unknown the fraction stays the
     flat 5% (exactly the r14 rule), so explicit-centroid callers see
     no change unless they pass the corpus size (the persisted-index
     path gets it free from the ``write_pq_index`` sidecar's
@@ -1255,7 +1265,8 @@ def ivfpq_rerank_topk(
     resolves to the historical 2 anyway. Two r15 refinements, both
     measured in IVFPQ_RECALL_r15.json: the fraction is SIZE-AWARE
     when the corpus size is known (25% under ~2k vectors sliding to
-    5% at 20k+ — small sqrt(n) layouts must prune less), and below
+    5% at 200k+ — small and mid-range sqrt(n) layouts must prune
+    less), and below
     quantizer resolution (m*log2(k) < 32 bits) the auto path scales
     ``shortlist`` with the probed volume so the extra cells feed the
     exact refine instead of diluting a fixed ADC cut.

@@ -699,14 +699,18 @@ def test_suggest_nprobe():
         suggest_nprobe(8, target_fraction=1.5)
     # r15: the fraction is SIZE-AWARE when the corpus size is known —
     # 25% at <= 2k vectors (the r14 measurement: a 2k sized index at
-    # 5% trailed fixed-8 0.274 vs 0.442), 5% at >= 20k (unchanged
-    # from r14: the 20k/200k arms hold recall at 5%), log-linear
+    # 5% trailed fixed-8 0.274 vs 0.442), 5% at >= 200k (the 200k/2M
+    # arms hold recall at 5%; the large anchor moved 20k -> 200k in
+    # the r15 second pass on the measured 20k fraction-vs-recall
+    # curve, IVFPQ_FRAC20K_r15.json: 5% read 0.852 there while the
+    # interpolated 15% reads ~0.964 at flat rerank cost), log-linear
     # between so the fetch volume never jumps across one added vector
     assert suggest_nprobe(45, n_vectors=2_000) == 12     # 2k arm
     assert suggest_nprobe(45, n_vectors=500) == 12       # floor of band
-    assert suggest_nprobe(141, n_vectors=20_000) == 8    # 20k unchanged
+    assert suggest_nprobe(141, n_vectors=20_000) == 22   # 20k: 15%
     assert suggest_nprobe(447, n_vectors=200_000) == 23  # 200k unchanged
-    assert suggest_nprobe(100, n_vectors=10_000) == 12   # log-interp mid
+    assert suggest_nprobe(1414, n_vectors=2_000_000) == 71  # 2M unchanged
+    assert suggest_nprobe(100, n_vectors=10_000) == 19   # log-interp mid
     # n_vectors unknown -> exactly the r14 flat-5% rule
     assert suggest_nprobe(45) == suggest_nprobe(45, n_vectors=None) == 3
     # explicit target_fraction overrides the size-aware default
