@@ -297,8 +297,12 @@ def _bloom_packed_words(benchmark: DataFrame, text_col: str, n: int,
     NON-ZERO 64-bit words (w, bits), folded distributedly (bit_or of
     shifted bits grouped by word index) so at most m/64 rows exist."""
     from etl_router_spark.functions.text import shingles_sql, tokens_sql
+    from etl_router_spark.io import spread_small_scan
 
-    grams = benchmark.selectExpr(
+    # shingling+explode happens map-side BEFORE the distinct's exchange,
+    # so an under-partitioned benchmark scan runs it on one core; spread
+    # first (no-op at real scale — see spread_small_scan)
+    grams = spread_small_scan(benchmark).selectExpr(
         f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
     ).distinct()
     if hash_family == "h60":
@@ -494,6 +498,17 @@ def bloom_decontaminate(
             f"broadcast must be True|False|'auto', got {broadcast!r}")
     use_bcast = (broadcast if isinstance(broadcast, bool)
                  else m_bits > broadcast_threshold_bits)
+    # The probe is the engine's heaviest per-row map (md5-per-gram under
+    # interpreted exists/forall), so an under-partitioned corpus scan
+    # (single-row-group parquet = ONE task) serializes it onto one core.
+    # spread_small_scan repartitions UP to session parallelism only in
+    # that case — a no-op at real scale where splits >> cores (guide
+    # §2.5 input skew; measured r15: 4.48 s -> see OPTIMIZATION_r15.md).
+    from etl_router_spark.io import spread_small_scan
+
+    spread = spread_small_scan(docs)
+    spread_fired = spread is not docs
+    docs = spread
     if use_bcast:
         from pyspark.sql import types as T
 
@@ -533,7 +548,26 @@ def bloom_decontaminate(
         )
     flagged = probe.withColumn(tag_field, F.expr(flag_sql)).drop("__bf")
     if mode == "drop":
-        return flagged.filter(~F.col(tag_field)).drop(tag_field)
+        keep = ~F.col(tag_field)
+        if spread_fired and not use_bcast:
+            # The literal-transport probe collapses into ONE Filter whose
+            # deterministic condition the optimizer pushes BELOW the
+            # spread repartition (PushPredicateThroughNonJoin treats
+            # Repartition as transparent), putting the md5-per-gram probe
+            # back on the under-partitioned scan — measured r15: the
+            # spread bought nothing while the bcast arm (whose condition
+            # cannot cross its broadcast join) got 2.3x. A value-
+            # preserving non-deterministic term (`spark_partition_id()`
+            # is never < 0, so OR keeps the flag exact) pins the filter
+            # above the exchange: OR-ed conditions are not split into
+            # pushable conjuncts (an AND-ed guard gets split and the
+            # deterministic half pushed anyway; rand()-based guards get
+            # interval-folded by Spark 4's optimizer). Applied ONLY when
+            # the spread actually fired, so at real scale (no
+            # repartition) the condition stays deterministic and fully
+            # pushable.
+            keep = keep | F.expr("spark_partition_id() < 0")
+        return flagged.filter(keep).drop(tag_field)
     if mode == "tag":
         return flagged
     raise ValueError(f"mode must be drop|tag, got {mode!r}")

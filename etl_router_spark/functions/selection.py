@@ -54,21 +54,6 @@ def _grams_sql(text_col: str) -> str:
     return f"concat({toks}, {shingles_sql(toks, 2)})"
 
 
-def _total_grams_sql(text_col: str, alias: str) -> str:
-    """Corpus-total gram count, null-text-safe: a null-text document
-    contributes ZERO grams under either ``spark.sql.legacy.sizeOfNull``
-    setting (legacy ``size(NULL) = -1``, ANSI ``NULL`` — ``greatest``
-    clamps the first and skips the second), matching the exploded
-    (id, bucket) aggregate in :func:`dsir_scores`, which simply emits
-    no rows for such documents. Keeps the 'identical integers by
-    construction' contract between the two entry points on corpora
-    containing null text."""
-    return (
-        f"sum(coalesce(greatest(size({_grams_sql(text_col)}), 0), 0))"
-        f" AS {alias}"
-    )
-
-
 def _gram_bucket(buckets: int, hash_family: str) -> Column:
     """``gram -> bucket`` for the DSIR feature hash — the ONE
     definition shared by the model's marginals and the per-doc scorer
@@ -92,7 +77,14 @@ def _bucket_counts(df: DataFrame, text_col: str, buckets: int,
                    hash_family: str = "h60") -> DataFrame:
     """(bucket, c) hashed-gram counts — one explode + one groupBy with
     map-side partial aggregation; at most ``buckets`` output rows."""
-    grams = df.selectExpr(f"explode({_grams_sql(text_col)}) AS gram")
+    from etl_router_spark.io import spread_small_scan
+
+    # tokenize+shingle+explode+md5 all run map-side BEFORE the groupBy's
+    # partial aggregation, so an under-partitioned scan (single-row-group
+    # parquet = ONE task) serializes the dominant per-gram cost onto one
+    # core; spread first (no-op at real scale — guide §2.5 input skew)
+    grams = spread_small_scan(df).selectExpr(
+        f"explode({_grams_sql(text_col)}) AS gram")
     return (
         grams.select(_gram_bucket(buckets, hash_family).alias("bucket"))
         .groupBy("bucket")
@@ -128,22 +120,36 @@ def dsir_logratios(
           .withColumnRenamed("c", "c_target"))
     cr = (_bucket_counts(raw, text_col, buckets, hash_family)
           .withColumnRenamed("c", "c_raw"))
-    tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
-    tot_r = raw.selectExpr(_total_grams_sql(text_col, "__tr"))
-    return _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
+    return _lr_table(ct, cr, buckets, smooth)
 
 
-def _lr_table(ct: DataFrame, cr: DataFrame, tot_t: DataFrame,
-              tot_r: DataFrame, buckets: int, smooth: float) -> DataFrame:
+def _lr_table(ct: DataFrame, cr: DataFrame,
+              buckets: int, smooth: float) -> DataFrame:
     """The smoothed log-ratio formula over already-computed bucket
     counts — ONE definition shared by :func:`dsir_logratios` (counts
     from independent passes) and :func:`dsir_scores` (raw counts
-    DERIVED from the per-doc aggregate so the corpus explodes once)."""
+    DERIVED from the per-doc aggregate so the corpus explodes once).
+
+    Corpus-total grams are the COLUMN SUMS of the joined count table
+    (every gram lands in exactly one bucket), computed as global-window
+    sums over its <=B rows — r15: this replaced two more full corpus
+    text passes (sum(size(grams)) scans) and their broadcast crossJoins
+    with one tiny single-partition window; integers identical by
+    construction (a window SUM skips the full-outer join's nulls
+    exactly like summing each side's own count table; ``coalesce(0)``
+    keeps the zero-gram-corpus total at 0, so null/whitespace-text
+    documents still contribute zero grams to either total — the r10
+    null-text identity between the two entry points)."""
     s, b = repr(float(smooth)), buckets
     return (
         ct.join(cr, "bucket", "full_outer")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+        .selectExpr(
+            "bucket",
+            "c_target",
+            "c_raw",
+            "coalesce(sum(c_target) OVER (), CAST(0 AS BIGINT)) AS __tt",
+            "coalesce(sum(c_raw) OVER (), CAST(0 AS BIGINT)) AS __tr",
+        )
         .selectExpr(
             "bucket",
             # integer micro-nats: the ONLY place a transcendental is
@@ -198,7 +204,7 @@ def dsir_scores(
     """
     from etl_router_spark.functions.dedup import _release_on_gc
 
-    out, pinned = _dsir_scores_pinned(
+    out, _scores, pinned = _dsir_scores_pinned(
         raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
         smooth=smooth, score_col=score_col, cache=cache,
         hash_family=hash_family)
@@ -216,15 +222,23 @@ def _dsir_scores_pinned(
     score_col: str,
     cache: bool,
     hash_family: str = "h60",
-) -> tuple[DataFrame, list[DataFrame]]:
-    """:func:`dsir_scores` body, returning (result, pinned-persists)
-    UNWRAPPED so chained operators (:func:`dsir_sample`) can transfer
-    the release-on-gc pin to THEIR final frame — the fix for the
-    chained-caller limitation: a finalize tied to an intermediate
-    would fire at function exit, unpersisting before the caller's
-    first action."""
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """:func:`dsir_scores` body, returning (result, slim-scores,
+    pinned-persists) UNWRAPPED so chained operators
+    (:func:`dsir_sample`) can transfer the release-on-gc pin to THEIR
+    final frame — the fix for the chained-caller limitation: a
+    finalize tied to an intermediate would fire at function exit,
+    unpersisting before the caller's first action. The slim scores
+    frame ((id, score), gram-bearing docs only) lets the top-k path
+    rank WITHOUT dragging the full input columns through a corpus-wide
+    join first (r15)."""
+    from etl_router_spark.io import spread_small_scan
+
+    # same map-side-parallelism rationale as _bucket_counts: the per-gram
+    # h60 hashing dominates this pass and runs before any exchange
     doc_buckets = (
-        raw.selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
+        spread_small_scan(raw)
+        .selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
         .select(F.col(id_col),
                 _gram_bucket(buckets, hash_family).alias("bucket"))
         .groupBy(id_col, "bucket")
@@ -237,12 +251,10 @@ def _dsir_scores_pinned(
         doc_buckets = doc_buckets.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(doc_buckets)
     cr = doc_buckets.groupBy("bucket").agg(F.sum("__c").alias("c_raw"))
-    tot_r = doc_buckets.agg(F.sum("__c").alias("__tr"))
     ct = (_bucket_counts(target, text_col, buckets, hash_family)
           .withColumnRenamed("c", "c_target"))
-    tot_t = target.selectExpr(_total_grams_sql(text_col, "__tt"))
     lr = F.broadcast(
-        _lr_table(ct, cr, tot_t, tot_r, buckets, smooth)
+        _lr_table(ct, cr, buckets, smooth)
         .select("bucket", "lr_micro"))
     scores = (
         doc_buckets.join(lr, "bucket")  # doc buckets are raw buckets: inner is lossless
@@ -253,7 +265,7 @@ def _dsir_scores_pinned(
         raw.join(scores, id_col, "left")
         .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0).cast("bigint")))
     )
-    return out, pinned
+    return out, scores, pinned
 
 
 def _gumbel_micro(id_col: str, salt: str) -> Column:
@@ -292,7 +304,17 @@ def dsir_sample(
     The top-k is ``orderBy(...).limit(k)`` — Spark's TakeOrdered
     computes per-partition partial top-k then merges k*partitions
     rows, never a global sort or single-partition window. Ties break
-    by ascending id. Output: input columns + score + selection key.
+    by ascending id. Output: input columns + score + selection key,
+    ordered by descending key.
+
+    The ranking runs over a SLIM (id, score, key) frame — the id
+    column of the corpus left-joined to the gram-bearing scores — and
+    only the ``k`` winners are then broadcast-joined back onto the
+    full input columns (r15): the corpus text/payload columns never
+    cross a shuffle for the sake of the ranking, and the winner attach
+    is a k-row broadcast build side by construction (guide §8: decide
+    with small rows, move big rows once). Assumes ``id_col`` is unique
+    (the documented contract of every id-keyed operator here).
 
     ``cache=True`` (default HERE, opt-in on :func:`dsir_scores`):
     persist the slim (id, bucket, c) aggregate so the model's raw
@@ -306,14 +328,29 @@ def dsir_sample(
     """
     from etl_router_spark.functions.dedup import _release_on_gc
 
-    scored, pinned = _dsir_scores_pinned(
+    _scored, scores, pinned = _dsir_scores_pinned(
         raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
         smooth=smooth, score_col="dsir_score_micro", cache=cache,
         hash_family=hash_family)
-    keyed = scored.withColumn(
-        key_col, F.col("dsir_score_micro") + _gumbel_micro(id_col, salt)
+    # rank on the slim frame: ids (for the zero-gram score-0 docs) left-
+    # joined to scores, plus the content-hash Gumbel key — three narrow
+    # columns through TakeOrdered instead of the whole corpus row
+    keyed = (
+        raw.select(id_col).join(scores, id_col, "left")
+        .withColumn("dsir_score_micro",
+                    F.coalesce(F.col("dsir_score_micro"),
+                               F.lit(0).cast("bigint")))
+        .withColumn(key_col,
+                    F.col("dsir_score_micro") + _gumbel_micro(id_col, salt))
     )
-    out = keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+    winners = keyed.orderBy(
+        F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+    # attach the k winners back onto the full input columns: a k-row
+    # broadcast build side, so the corpus payload moves zero times
+    out = (
+        raw.join(F.broadcast(winners), id_col, "inner")
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+    )
     return _release_on_gc(out, pinned) if pinned else out
 
 

@@ -3858,9 +3858,18 @@ def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.filter(F.col("doc_id") % 10 != 0)
     tgt = docs.filter(F.col("doc_id") % 10 == 0)
-    return dsir_sample(raw, tgt, 50, buckets=512, salt="dsir1").select(
+    picked = dsir_sample(raw, tgt, 50, buckets=512, salt="dsir1")
+    out = picked.select(
         "doc_id", "source", "dsir_score_micro", "dsir_key_micro"
     )
+    # hold the operator's budget-pin through the caller's action: a bare
+    # .select() chain drops the returned frame and fires the release-on-gc
+    # unpersist BEFORE the query runs, so the (id, bucket) aggregate the
+    # cache exists to share re-executed its corpus explode 3x (measured
+    # r15, see OPTIMIZATION_r15.md) — the documented chained-caller
+    # protocol of dedup._release_on_gc
+    out._dsir_pin = picked
+    return out
 
 
 @query(
