@@ -75,24 +75,28 @@ def degree_stats(
     """Per-node degree statistics over the distinct directed edge set.
 
     Returns ``id, out_degree, in_degree, degree`` (degree = out + in;
-    a node linked in both directions counts each direction). Plan: the
-    two endpoint projections aggregate independently then full-outer
-    merge on id — two narrow shuffles of (id, count) pairs, no row
-    wider than a node id ever moves.
+    a node linked in both directions counts each direction). Plan (r15):
+    each edge explodes into its two endpoint rows ``(id, is_out)`` and
+    ONE stacked aggregation counts both directions — one pass over the
+    edge set, one narrow (id, flag) shuffle with map-side partial
+    aggregation, no join. (The previous shape — two independent
+    per-direction aggregates full-outer sort-merge-merged on id —
+    computed the whole edge subtree twice and paid two exchanges, two
+    sorts and a join for the same integers.)
     """
     e = _canonical_edges(edges, src, dst, assume_simple)
-    out_d = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
-    in_d = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
-    return (
-        out_d.join(in_d, "id", "full")
-        .select(
-            "id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
-                "degree"
-            ),
-        )
+    stacked = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("id"), F.lit(1).alias("o")),
+                F.struct(F.col("dst").alias("id"), F.lit(0).alias("o")),
+            )
+        ).alias("end")
+    ).select("end.id", "end.o")
+    return stacked.groupBy("id").agg(
+        F.sum("o").alias("out_degree"),
+        (F.count("*") - F.sum("o")).alias("in_degree"),
+        F.count("*").alias("degree"),
     )
 
 

@@ -202,14 +202,21 @@ def pq_encode(
     out_col: str = "pq_code",
     keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, pq_code array<int>) per row — pure map-side column
-    expression over literal codebooks: no shuffle, no Python, the
-    encoded corpus is ``m`` ints per vector (persist/write THIS at
-    scale, not the raw vectors)."""
+    """(id, pq_code array<int>) per row — map-side column expression
+    over literal codebooks: no keyed shuffle, no Python, the encoded
+    corpus is ``m`` ints per vector (persist/write THIS at scale, not
+    the raw vectors). The assignment argmin runs under interpreted
+    higher-order lambdas (CodegenFallback), so an under-partitioned
+    scan serializes the dominant per-row cost onto one core —
+    ``spread_small_scan`` round-robins it UP to session parallelism
+    first (a no-op at real scale where splits >= cores; r15, measured
+    ×0.6 on the encode gate)."""
+    from etl_router_spark.io import spread_small_scan
+
     cols = [id_col, f"{pq_code_sql(f'CAST({vec_col} AS ARRAY<DOUBLE>)', codebooks)} AS {out_col}"]
     if keep_vec:
         cols.insert(1, vec_col)
-    return df.selectExpr(*cols)
+    return spread_small_scan(df).selectExpr(*cols)
 
 
 def pq_adc_topk(
@@ -772,11 +779,18 @@ def _pq_index_arrow(
                 out["code"] = list(codes)
             yield pd.DataFrame(out)
 
+    from etl_router_spark.io import spread_small_scan
+
+    # the numpy assign/encode parallelism equals the INPUT partition
+    # count (one mapInPandas worker per task) — spread an
+    # under-partitioned scan first so the batch work uses the session's
+    # cores; the projection stays BELOW the exchange so only (id, vec)
+    # crosses it (no-op at real scale — guide §2.5/§4.1)
     return (
-        corpus.select(
+        spread_small_scan(corpus.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
-        ).mapInPandas(gen, schema=schema)
+        )).mapInPandas(gen, schema=schema)
     )
 
 
@@ -1091,8 +1105,13 @@ def ivfpq_topk(
         # filter re-evaluating the distance arrays per row, measured
         # +30-40% on the bench gates — cell_assign_sql docstring) with
         # the bad-vector guard on neighbor_id, which the projection
-        # always materializes, so bad rows still raise, not vanish
-        c = corpus.selectExpr(
+        # always materializes, so bad rows still raise, not vanish.
+        # The assignment+encode lambdas are interpreted (CodegenFallback)
+        # and run map-side before the broadcast probe — spread an
+        # under-partitioned scan first (no-op at real scale; r15)
+        from etl_router_spark.io import spread_small_scan
+
+        c = spread_small_scan(corpus).selectExpr(
             f"{vector_guard_sql(vec, id_col)} AS neighbor_id",
             f"{cell_assign_raw_sql(vec, centroids)} AS cid",
             f"{pq_code_sql(vec, codebooks)} AS code",

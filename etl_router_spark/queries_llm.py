@@ -2482,6 +2482,11 @@ _GRAPH_EDGES_SQL = """
 
 def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # NOT spread: the probe+partial-distinct here are codegen'd and cheap
+    # per row — an r15 A/B measured the round-robin exchange costing more
+    # than the single-task map it parallelizes (0.95 -> 1.26 s); the
+    # spread only pays where interpreted per-row work dominates (Bloom
+    # md5 probe, DSIR gram hashing)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # pre-distinct the (custkey, suppkey) LONG pairs before stringifying:
     # the operators' own edge dedup then shuffles ~50k short strings

@@ -313,15 +313,20 @@ def test_bm25_broadcast_is_query_sized(plans):
 
 
 def test_pq_encode_is_map_side_only(spark, sf_dir):
-    """PQ encoding must not shuffle: literal-codebook assignment is a
-    pure column expression over the scan."""
+    """PQ encoding must not shuffle BY KEY: literal-codebook assignment
+    is a pure column expression over the scan. The one exchange
+    permitted is the r15 round-robin `spread_small_scan` (fires only on
+    under-partitioned inputs like the single-row-group fixtures; a
+    no-op at real scale) — nothing may hash-partition or sort."""
     from etl_router_spark.functions.pq import deterministic_codebooks, pq_encode
     from etl_router_spark.io import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     plan = (pq_encode(emb, deterministic_codebooks(64, m=4, k=8))
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"), plan
+    assert "Join" not in plan, plan
 
 
 def test_ivfpq_candidates_join_broadcast_no_cartesian(spark, sf_dir):
