@@ -148,7 +148,21 @@ def decontaminate_fuzzy(
     # contract), the matched-id set is the CONTAMINATED SUBSET OF THE
     # CORPUS — unbounded for a heavily contaminated corpus, so forcing
     # it driver-side risks broadcast-size/driver OOM. AQE picks
-    # broadcast at runtime when the hit set is actually small.
+    # broadcast at runtime when the hit set is actually small — but
+    # ONLY if the hit set is its own query stage: the match pipeline's
+    # last exchange is the minhash groupBy(id), whose partitioning the
+    # id-distinct reuses, so the anti-join's build side reached the
+    # join stage unmaterialized and AQE kept the corpus-shuffling
+    # SortMergeJoin no matter how few ids matched (r15 final-plan
+    # audit). A round-robin repartition of the id-only hit set adds
+    # the missing boundary (a BY-KEY repartition gets elided here —
+    # the subtree is already hash-partitioned on id, so
+    # REPARTITION_BY_COL satisfies-and-skips): when AQE then measures
+    # a small hit set it converts the join to broadcast, the corpus
+    # side's exchange downgrades to a local shuffle read (no fetch, no
+    # sort); a genuinely huge hit set keeps SMJ and only this tiny
+    # 8-byte-id exchange is extra.
+    bad = bad.repartition(bad.sparkSession.sparkContext.defaultParallelism)
     if mode == "drop":
         return docs.join(bad, id_col, "left_anti")
     if mode == "tag":

@@ -787,6 +787,45 @@ def test_minhash_probe_auto_is_unhinted(spark, sf_dir):
             batch, idx, broadcast_side="probes", **kw).collect()}
 
 
+def test_fuzzy_decontaminate_anti_join_converts_to_broadcast(spark, sf_dir):
+    """The drop-mode anti-join must let AQE convert to a broadcast
+    join when the matched-id set measures small — which requires the
+    hit set to be its OWN query stage. Before r15 the match pipeline's
+    id-distinct reused the minhash groupBy(id) partitioning, the build
+    side reached the join unmaterialized, and the runtime-FINAL plan
+    kept a corpus-shuffling SortMergeJoin regardless of hit count; the
+    round-robin boundary in decontaminate_fuzzy restores the
+    documented adaptive behavior (corpus side: local shuffle read, no
+    fetch, no sort). The anti-join itself stays hint-free (a huge hit
+    set must keep the sort-merge fallback): the initial plan's
+    LeftAnti is a SortMergeJoin — proof the conversion is AQE's
+    runtime decision, not a static hint. (The ONE ResolvedHint in the
+    analyzed plan belongs to the contract-bounded benchmark-INDEX
+    broadcast inside minhash_index_matches, not to the anti-join.)"""
+    from pyspark.sql import functions as F
+
+    from etl_router_spark.functions.corpus import decontaminate_fuzzy
+    from etl_router_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = decontaminate_fuzzy(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
+    assert kept._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint") == 1  # the index side only — none on the anti
+    kept.collect()  # finalize THIS QueryExecution's adaptive plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    final, _, initial = plan.split("== Final Plan ==", 1)[-1].partition(
+        "== Initial Plan ==")
+    anti_initial = [ln for ln in initial.splitlines() if "LeftAnti" in ln]
+    assert anti_initial and all(
+        "SortMergeJoin" in ln for ln in anti_initial), initial
+    anti_lines = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, final
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), final
+
+
 def test_hard_negatives_partitions_by_query_only(spark):
     """mine_hard_negatives' exchanges are all (query_id[, doc_id])-
     keyed: per-query groups are top-k-sized, nothing corpus-sized
