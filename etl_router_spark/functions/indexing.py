@@ -203,23 +203,60 @@ def bm25_topk(
     Lucene-standard positive idf variant ln(1 + (N - df + 0.5) /
     (df + 0.5))) — the lexical half of hybrid retrieval.
 
-    Plan: postings (doc-term tf) and doc lengths aggregate once; the
-    query term set (distinct per query — tiny) first collects its
-    per-term document frequencies from the df table (map-side, qterms
-    broadcast), and that filtered frame BROADCASTS into the postings
-    join — so the corpus shuffles only for the (query, doc) score
-    aggregation; avgdl/N ride as a broadcast 1-row scalar. Rank
-    orders by the ROUNDED score (6 digits) with id tie-break so top-k
-    membership is FP-deterministic across engines.
+    Plan (r15: ONE corpus tokenize — the prior shape derived the
+    doc-term tf aggregate THREE times, once each for tf / dl / dfreq,
+    then paid a corpus-sized sort-merge join to attach dl back by id):
+    the doc length rides THROUGH the tf aggregation (it is just the
+    doc's non-empty token count, computed map-side before the explode,
+    constant within the group), so no dl subtree and no dl join exist;
+    the query term set (distinct per query — tiny) BROADCASTS into the
+    token stream BEFORE any shuffle, so the per-term document
+    frequencies aggregate only query-term (term, id) pairs —
+    ``countDistinct(id)`` over those rows equals the corpus df exactly
+    because every containing doc contributes its occurrences — never
+    the whole vocabulary (broadcasting a full vocabulary df table
+    would OOM at web-corpus sizes; shuffling one costs a corpus-wide
+    exchange); avgdl/N ride as a broadcast 1-row scalar computed
+    map-side from the docs scan (no explode, no shuffle). The corpus
+    shuffles ONCE: the (id, term) tf aggregation feeding the score.
+    Rank orders by the ROUNDED score (6 digits) with id tie-break so
+    top-k membership is FP-deterministic across engines.
 
     Returns ``query_id, rank, doc_id, score``.
     """
-    terms = _doc_terms(df, id_col, text_col)
-    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    toks = tokens_col(text_col)
+    nonempty = F.size(F.array_remove(toks, ""))
+    # __dl and __toks MUST materialize in their own select BELOW the
+    # explode-select: putting size(array_remove(split(...))) in the
+    # same select as the explode lets ExtractGenerator rebuild it
+    # ABOVE the Generate from the passthrough text column — i.e.
+    # re-tokenize once per TOKEN row, O(doc_len^2) per doc (measured
+    # 4.3x on the tf aggregate at sf0.1). As attributes they ride the
+    # Generate untouched; the branch that doesn't need __dl prunes it.
+    # (No spread_small_scan here: regex tokenize is light map work —
+    # measured, the round-robin exchange costs more than the
+    # single-core scan it parallelizes, unlike the md5-heavy Bloom/
+    # DSIR probes.)
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        nonempty.alias("__dl"),
+        toks.alias("__toks"),
+    )
+    terms = tokd.select(
+        "id", "__dl", F.explode("__toks").alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(
+        F.count("*").alias("tf"),
+        F.first("__dl").cast("double").alias("dl"),
+    )
+    # avgdl over docs with >= 1 token (split(null) has size -1, the
+    # when() excludes it too) — identical to the average of the old dl
+    # table, which only held docs that produced tf rows; tokenizes
+    # map-side, no explode, no shuffle, one-row result
     stats = df.select(F.count("*").cast("double").alias("__n")).crossJoin(
-        dl.select(F.avg("dl").alias("__avgdl"))
+        df.select(
+            F.avg(F.when(nonempty > 0, nonempty.cast("double"))).alias("__avgdl")
+        )
     )
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -227,14 +264,22 @@ def bm25_topk(
             F.array_distinct(F.split(F.trim(F.col(query_text_col)), r"\s+"))
         ).alias("term"),
     ).filter(F.col("term") != "")
-    # qterms broadcasts into the full per-term df table (map-side), so
-    # only the query terms' document frequencies survive — broadcasting
-    # dfreq itself (one row per distinct corpus term) would OOM at
-    # web-corpus vocabulary sizes
-    qstats = dfreq.join(F.broadcast(qterms), "term")
+    # df branch: the broadcast term filter lands map-side UNDER the
+    # aggregation, so only query-term (term, id) pairs reach its
+    # exchange — a hits-sized shuffle at any corpus size. (Deliberate
+    # duplicate of the tokenize+explode map work with the tf branch:
+    # deduplicating it would need a persist of corpus-scale postings
+    # or extra corpus-wide exchanges through window tricks; the
+    # SHUFFLE is what must not repeat, the map pass is embarrassingly
+    # parallel.)
+    dft_tbl = (
+        terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("id").cast("double").alias("dft"))
+    )
+    qstats = dft_tbl.join(F.broadcast(qterms), "term")
     scored = (
         tf.join(F.broadcast(qstats), "term")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__s",

@@ -298,18 +298,22 @@ def test_pca_project_is_pure_jvm_and_shuffle_free(plans):
 
 
 def test_bm25_broadcast_is_query_sized(plans):
-    # the df-frequency table must never broadcast whole: the broadcast
-    # feeding the postings join must be qstats = dfreq JOIN
-    # bcast(qterms), i.e. the FIRST BroadcastExchange subtree in the
-    # printed plan contains BOTH the query-term explode AND the dfreq
-    # count aggregate. The pre-fix plan (tf ⋈ bcast(qterms) ⋈
-    # bcast(dfreq)) prints the bare qterms exchange first — no count
-    # aggregate inside — so a regression fails this assertion.
+    # the df-frequency table must never broadcast OR aggregate whole:
+    # since r15 it is built query-filtered — the broadcast feeding the
+    # postings join is qstats = dft JOIN bcast(qterms) where the dft
+    # count(distinct id) aggregate has the broadcast term filter
+    # BELOW it (only query-term (term, id) pairs reach its exchange).
+    # The FIRST BroadcastExchange subtree in the printed plan must
+    # therefore contain the distinct-doc count AND a BroadcastHashJoin
+    # under it; a regression to a vocabulary-wide df aggregate (no
+    # join below the count) or to broadcasting a corpus-derived table
+    # fails this assertion.
     plan = plans("text_bm25_topk")
     assert "BroadcastHashJoin" in plan
     first_bcast = plan.split("BroadcastExchange")[1]
     assert "Generate explode" in first_bcast, first_bcast
-    assert "count(1)" in first_bcast, first_bcast
+    assert "count(distinct" in first_bcast, first_bcast
+    assert "BroadcastHashJoin" in first_bcast, first_bcast
 
 
 def test_pq_encode_is_map_side_only(spark, sf_dir):
