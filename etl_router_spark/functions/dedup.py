@@ -1873,41 +1873,35 @@ def duplicate_ngram_spans(
     widths. Cost ~ sum of the widths' posting streams, but one corpus
     scan instead of len(n).
     """
-    ns = sorted(set(n)) if isinstance(n, (list, tuple)) else None
-    if ns is not None:
-        if not ns or any(k < 1 for k in ns) or min_count < 2:
-            raise ValueError(
-                "n list must be non-empty with widths >= 1, min_count >= 2")
-        from etl_router_spark.functions.text import tokens_sql
+    # the scalar-n path routes through the list machinery (r15): the
+    # scalar form's posexplode(shingles(text, n)) inlined the tokenize
+    # INSIDE the transform lambda, and ExtractGenerator's rebuild plus
+    # the interpreted lambda re-ran split(text) once per GRAM position
+    # — O(len^2) re-tokenize per doc. The list path materializes
+    # __toks once per doc in its own select; gram text, positions and
+    # digests are identical by construction.
+    ns = sorted(set(n)) if isinstance(n, (list, tuple)) else [n]
+    if not ns or any(k < 1 for k in ns) or min_count < 2:
+        raise ValueError(
+            "n widths must be >= 1 (non-empty list), min_count >= 2")
+    from etl_router_spark.functions.text import tokens_sql
 
-        empty = "CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, gh: STRING>>)"
-        arrs = [
-            # sequence() with start > stop generates a DESCENDING range
-            # in Spark, so the too-short case needs an explicit guard
-            f"CASE WHEN size(__toks) >= {k} THEN "
-            f"transform(sequence(1, size(__toks) - {k} + 1), "
-            f"i -> struct(CAST(i AS BIGINT) AS s, CAST(i + {k} - 1 AS BIGINT) AS e, "
-            f"md5(concat_ws(' ', slice(__toks, i, {k}))) AS gh)) "
-            f"ELSE {empty} END"
-            for k in ns
-        ]
-        posting = (
-            spread_small_scan(df)
-            .selectExpr(f"{id_col} AS id", f"{tokens_sql(text_col)} AS __toks")
-            .selectExpr("id", f"explode(flatten(array({', '.join(arrs)}))) AS p")
-            .selectExpr("id", "p.s AS start", "p.e AS end", "p.gh AS gh")
-        )
-        return _merge_duplicate_spans(posting, id_col, min_count)
-    if n < 1 or min_count < 2:
-        raise ValueError("n must be >= 1 and min_count >= 2")
-    posting = spread_small_scan(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(shingles(F.col(text_col), n)).alias("pos0", "gram"),
-    ).select(
-        "id",
-        (F.col("pos0") + 1).alias("start"),
-        (F.col("pos0") + n).alias("end"),
-        F.md5(F.col("gram")).alias("gh"),
+    empty = "CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, gh: STRING>>)"
+    arrs = [
+        # sequence() with start > stop generates a DESCENDING range
+        # in Spark, so the too-short case needs an explicit guard
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k} + 1), "
+        f"i -> struct(CAST(i AS BIGINT) AS s, CAST(i + {k} - 1 AS BIGINT) AS e, "
+        f"md5(concat_ws(' ', slice(__toks, i, {k}))) AS gh)) "
+        f"ELSE {empty} END"
+        for k in ns
+    ]
+    posting = (
+        spread_small_scan(df)
+        .selectExpr(f"{id_col} AS id", f"{tokens_sql(text_col)} AS __toks")
+        .selectExpr("id", f"explode(flatten(array({', '.join(arrs)}))) AS p")
+        .selectExpr("id", "p.s AS start", "p.e AS end", "p.gh AS gh")
     )
     return _merge_duplicate_spans(posting, id_col, min_count)
 
