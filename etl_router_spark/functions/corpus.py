@@ -884,12 +884,20 @@ def segment_lines(
     if tokens_per_line is not None:
         if tokens_per_line <= 0:
             raise ValueError("tokens_per_line must be positive")
+        # tokens bound once per row (r15, the shingles() trap): a
+        # captured split EXPRESSION in the per-window lambda would
+        # re-tokenize once per LINE segment — O(len^2/window) per doc
         toks = tokens_col(text_col)
-        n_lines = F.ceil(F.size(toks) / F.lit(float(tokens_per_line))).cast("int")
-        segs = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * tokens_per_line + 1, tokens_per_line)),
-        )
+
+        def _windows(t: Column) -> Column:
+            n_lines = F.ceil(F.size(t) / F.lit(float(tokens_per_line))).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i * tokens_per_line + 1, tokens_per_line)),
+            )
+
+        segs = F.transform(F.array(toks), _windows)[0]
     else:
         segs = F.split(F.col(text_col), F.lit(delimiter).cast("string"), -1)
     return (

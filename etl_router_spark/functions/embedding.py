@@ -69,9 +69,16 @@ def quantize_int8(
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = max_abs / F.lit(127.0)
-    q = F.when(scale == 0.0, F.transform(vec, lambda x: F.lit(0))).otherwise(
-        F.transform(vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
-    )
+
+    # scale bound once per row (r15, the shingles() trap): captured as
+    # an EXPRESSION in the per-element lambda, the interpreter re-ran
+    # the max|x| aggregate once per component — O(dim^2) per vector
+    def _q(s: Column) -> Column:
+        return F.when(s == F.lit(0.0), F.transform(vec, lambda x: F.lit(0))).otherwise(
+            F.transform(vec, lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("int"))
+        )
+
+    q = F.transform(F.array(scale), _q)[0]
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
 
 
@@ -236,15 +243,23 @@ def pca_project(
     left-to-right fold order is IEEE-reproducible cross-engine (same
     discipline as ``l2_normalize``)."""
     vec = F.col(vec_col)
-    outs = []
-    for comp in components:
-        carr = F.array(*[F.lit(float(c)) for c in comp])
-        if mean is not None:
-            marr = F.array(*[F.lit(float(m)) for m in mean])
-            centered = F.zip_with(vec, marr,
-                                  lambda x, m: x.cast("double") - m)
-            prod = F.zip_with(centered, carr, lambda x, c: x * c)
-        else:
-            prod = F.zip_with(vec, carr, lambda x, c: x.cast("double") * c)
-        outs.append(F.aggregate(prod, F.lit(0.0), lambda a, x: a + x))
-    return df.withColumn(out_col, F.array(*outs))
+    if mean is not None:
+        marr = F.array(*[F.lit(float(m)) for m in mean])
+        src = F.zip_with(vec, marr, lambda x, m: x.cast("double") - m)
+    else:
+        src = F.transform(vec, lambda x: x.cast("double"))
+
+    # the (centered) double vector is bound once per row (r15): as a
+    # captured expression each of the k component dots re-centered the
+    # whole vector — k*d extra subtractions/casts per row; per-element
+    # arithmetic and fold order are unchanged, so values are identical
+    def _outs(v: Column) -> Column:
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(c)) for c in comp]),
+                           lambda x, c: x * c),
+                F.lit(0.0), lambda a, x: a + x)
+            for comp in components
+        ])
+
+    return df.withColumn(out_col, F.transform(F.array(src), _outs)[0])

@@ -196,9 +196,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             n > 0, F.round(1.0 - F.size(F.array_distinct(arr)) / n, 6)
         ).otherwise(F.lit(0.0))
 
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d)))
-    )
+    # tokens bound once per row (r15, same trap as shingles): with the
+    # split EXPRESSION captured in the lambda, the interpreter re-ran
+    # the tokenize once per DISTINCT TOKEN — measured ×4 on this
+    # column at sf0.1 (values identical)
+    top_cnt = F.transform(F.array(toks), lambda ts: F.array_max(
+        F.transform(F.array_distinct(ts),
+                    lambda d: F.size(F.filter(ts, lambda t: t == d)))
+    ))[0]
     # blank text splits to [''] (size 1) — treat as zero tokens
     n_toks = F.when(F.trim(F.col(text_col)) != "", F.size(toks)).otherwise(F.lit(0))
     return (
