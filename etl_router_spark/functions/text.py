@@ -298,7 +298,14 @@ def unigram_logprob(
     lm_src = lm_df if lm_df is not None else df
     lm_toks = lm_src.selectExpr(f"explode({tokens_sql(text_col)}) AS tok")
     freqs = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = lm_toks.select(F.count("*").alias("__total"))
+    # total tokens = Σc over the count table (r15): derived from freqs
+    # — not a second tokenize+explode pass over the corpus — and the
+    # aggregate below the exchange is byte-identical to freqs' own, so
+    # runtime ReusedExchange shares ONE execution of the token
+    # pipeline between the model and its normalizer. coalesce keeps
+    # the empty-corpus total at 0 like the old count(*).
+    total = freqs.select(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__total"))
     lm = freqs.crossJoin(F.broadcast(total)).selectExpr(
         "tok", "ln(CAST(c AS DOUBLE) / CAST(__total AS DOUBLE)) AS logp"
     )
@@ -368,9 +375,13 @@ def bigram_logprob(
     )
     lm_toks = lm_src.selectExpr(f"explode({toks}) AS tok")
     uni = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
-    stats = lm_toks.agg(
-        F.count("*").alias("__t"),
-        F.count_distinct("tok").alias("__v"),
+    # T = Σc, V = |vocab| — read off the unigram count table (r15)
+    # instead of a third tokenize+explode+count_distinct corpus pass;
+    # the aggregate under the exchange is byte-identical to uni's, so
+    # runtime ReusedExchange shares one token pipeline execution
+    stats = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__t"),
+        F.count("*").alias("__v"),
     )
     bi = (
         lm_src.selectExpr(f"explode({pair_sql}) AS p")
