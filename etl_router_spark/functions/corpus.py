@@ -310,14 +310,14 @@ def _bloom_packed_words(benchmark: DataFrame, text_col: str, n: int,
     :func:`bloom_filter_frame`: benchmark n-grams -> k positions ->
     NON-ZERO 64-bit words (w, bits), folded distributedly (bit_or of
     shifted bits grouped by word index) so at most m/64 rows exist."""
-    from etl_router_spark.functions.text import shingles_sql, tokens_sql
+    from etl_router_spark.functions.text import bound_shingles_sql
     from etl_router_spark.io import spread_small_scan
 
     # shingling+explode happens map-side BEFORE the distinct's exchange,
     # so an under-partitioned benchmark scan runs it on one core; spread
     # first (no-op at real scale — see spread_small_scan)
     grams = spread_small_scan(benchmark).selectExpr(
-        f"explode(array_distinct({shingles_sql(tokens_sql(text_col), n)})) AS gram"
+        f"explode(array_distinct({bound_shingles_sql(text_col, n)})) AS gram"
     ).distinct()
     if hash_family == "h60":
         # hoist the digests into their own projection so each md5 is
@@ -494,7 +494,7 @@ def bloom_decontaminate(
     array; with a prebuilt filter each micro-batch costs exactly one
     map-side probe pass (``stream_bloom_probe`` gate).
     """
-    from etl_router_spark.functions.text import shingles_sql, tokens_sql
+    from etl_router_spark.functions.text import bound_shingles_sql
 
     if prebuilt_words is not None:
         if m_bits != 64 * len(prebuilt_words):
@@ -550,14 +550,14 @@ def bloom_decontaminate(
         digs = _h60_digests_sql("g", k)
         pos = _bloom_pos_hoisted_sql("ds", m_bits, k)
         flag_sql = (
-            f"exists(transform({shingles_sql(tokens_sql(text_col), n)}, "
+            f"exists(transform({bound_shingles_sql(text_col, n)}, "
             f"g -> array({', '.join(digs)})), ds -> "
             f"forall(array({', '.join(pos)}), {bit_test}))"
         )
     else:
         pos = _bloom_pos_sql("g", m_bits, k, hash_family)
         flag_sql = (
-            f"exists({shingles_sql(tokens_sql(text_col), n)}, g -> "
+            f"exists({bound_shingles_sql(text_col, n)}, g -> "
             f"forall(array({', '.join(pos)}), {bit_test}))"
         )
     flagged = probe.withColumn(tag_field, F.expr(flag_sql)).drop("__bf")

@@ -49,9 +49,16 @@ __all__ = [
 
 def _grams_sql(text_col: str) -> str:
     """Unigrams + word bigrams of a text column as one array — the
-    DSIR paper's hashed n-gram feature set."""
-    toks = tokens_sql(text_col)
-    return f"concat({toks}, {shingles_sql(toks, 2)})"
+    DSIR paper's hashed n-gram feature set.
+
+    Token array lambda-BOUND (r15): inlining the split expression into
+    shingles_sql's per-index lambda re-tokenized once per BIGRAM
+    position (interpreted lambdas, no CSE) and once more for the
+    concat — one split per row now, values identical."""
+    return (
+        f"transform(array({tokens_sql(text_col)}), "
+        f"__tk -> concat(__tk, {shingles_sql('__tk', 2)}))[0]"
+    )
 
 
 def _gram_bucket(buckets: int, hash_family: str) -> Column:

@@ -43,6 +43,21 @@ def shingles_sql(toks_expr: str, n: int, sep: str = " ") -> str:
     )
 
 
+def bound_shingles_sql(text_expr: str, n: int, sep: str = " ") -> str:
+    """:func:`shingles_sql` over RAW TEXT with the token array
+    lambda-BOUND (r15): composing ``shingles_sql(tokens_sql(text))``
+    directly embeds the split expression inside the per-index lambda,
+    and interpreted higher-order lambdas re-evaluate it once per GRAM
+    position — O(len^2) re-tokenize per row (the shingles()/Column
+    trap, SQL-text form). The single-element outer transform binds the
+    tokens once per row; `[0]` cannot be folded through the transform,
+    so the binding survives optimization."""
+    return (
+        f"transform(array({tokens_sql(text_expr)}), "
+        f"__tk -> {shingles_sql('__tk', n, sep)})[0]"
+    )
+
+
 WORD_SPLIT_PATTERN = r"\s+"
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic.
