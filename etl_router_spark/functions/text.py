@@ -380,15 +380,17 @@ def bigram_logprob(
     one id-keyed groupBy with partial aggregation.
     """
     lm_src = lm_df if lm_df is not None else df
-    toks = tokens_sql(text_col)
+    # token array lambda-bound (r15): the unbound form evaluated the
+    # split expression ~5x per row (zip_with args + the size() refs)
     pair_sql = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
-        f"slice({toks}, 2, size({toks}) - 1), "
+        f"transform(array({tokens_sql(text_col)}), __tk -> "
+        "CASE WHEN size(__tk) >= 2 THEN "
+        "zip_with(slice(__tk, 1, size(__tk) - 1), "
+        "slice(__tk, 2, size(__tk) - 1), "
         "(a, b) -> named_struct('prev', a, 'cur', b)) "
-        "ELSE array() END"
+        "ELSE array() END)[0]"
     )
-    lm_toks = lm_src.selectExpr(f"explode({toks}) AS tok")
+    lm_toks = lm_src.selectExpr(f"explode({tokens_sql(text_col)}) AS tok")
     uni = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
     # T = Σc, V = |vocab| — read off the unigram count table (r15)
     # instead of a third tokenize+explode+count_distinct corpus pass;
