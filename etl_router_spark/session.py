@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default-false for compat only: with it off, AQE may not touch
+        # the output partitioning of a cached subtree, so every persist()
+        # in the engine (DSIR's pinned bucket counts, the minhash index,
+        # the connected-components and pagerank loop frames, shared-scan
+        # fan-out) keeps shuffle.partitions-many reduce tasks no matter
+        # how few bytes it holds. Letting AQE size cached output from
+        # measured bytes is the same adaptivity the uncached paths
+        # already get (interleaved A/B on select_dsir_topk: ~x0.6)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
