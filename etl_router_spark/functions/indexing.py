@@ -203,22 +203,22 @@ def bm25_topk(
     Lucene-standard positive idf variant ln(1 + (N - df + 0.5) /
     (df + 0.5))) — the lexical half of hybrid retrieval.
 
-    Plan (r15: ONE corpus tokenize — the prior shape derived the
-    doc-term tf aggregate THREE times, once each for tf / dl / dfreq,
-    then paid a corpus-sized sort-merge join to attach dl back by id):
-    the doc length rides THROUGH the tf aggregation (it is just the
-    doc's non-empty token count, computed map-side before the explode,
+    Plan (r16: every corpus exchange hits-sized — r15 had collapsed
+    three corpus aggregations into one but still shuffled the FULL
+    (id, term) vocabulary through the tf aggregation): the doc
+    length rides THROUGH the tf aggregation (it is just the doc's
+    non-empty token count, computed map-side before the explode,
     constant within the group), so no dl subtree and no dl join exist;
     the query term set (distinct per query — tiny) BROADCASTS into the
-    token stream BEFORE any shuffle, so the per-term document
-    frequencies aggregate only query-term (term, id) pairs —
-    ``countDistinct(id)`` over those rows equals the corpus df exactly
-    because every containing doc contributes its occurrences — never
-    the whole vocabulary (broadcasting a full vocabulary df table
-    would OOM at web-corpus sizes; shuffling one costs a corpus-wide
-    exchange); avgdl/N ride as a broadcast 1-row scalar computed
-    map-side from the docs scan (no explode, no shuffle). The corpus
-    shuffles ONCE: the (id, term) tf aggregation feeding the score.
+    token stream BELOW the tf aggregation, so the one corpus exchange
+    carries only query-term (id, term) pairs — hits-sized at any
+    corpus size — and the per-term document frequency derives from the
+    tf table itself (one row per containing doc, so ``count(*)`` per
+    term equals the corpus df exactly). Never a
+    vocabulary-wide table anywhere (broadcasting a full vocabulary df
+    table would OOM at web-corpus sizes; shuffling one costs a
+    corpus-wide exchange); avgdl/N ride as a broadcast 1-row scalar
+    computed map-side from the docs scan (no explode, no shuffle).
     Rank orders by the ROUNDED score (6 digits) with id tie-break so
     top-k membership is FP-deterministic across engines.
 
@@ -245,10 +245,6 @@ def bm25_topk(
     terms = tokd.select(
         "id", "__dl", F.explode("__toks").alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("id", "term").agg(
-        F.count("*").alias("tf"),
-        F.first("__dl").cast("double").alias("dl"),
-    )
     # avgdl over docs with >= 1 token (split(null) has size -1, the
     # when() excludes it too) — identical to the average of the old dl
     # table, which only held docs that produced tf rows; tokenizes
@@ -264,18 +260,35 @@ def bm25_topk(
             F.array_distinct(F.split(F.trim(F.col(query_text_col)), r"\s+"))
         ).alias("term"),
     ).filter(F.col("term") != "")
-    # df branch: the broadcast term filter lands map-side UNDER the
-    # aggregation, so only query-term (term, id) pairs reach its
-    # exchange — a hits-sized shuffle at any corpus size. (Deliberate
-    # duplicate of the tokenize+explode map work with the tf branch:
-    # deduplicating it would need a persist of corpus-scale postings
-    # or extra corpus-wide exchanges through window tricks; the
-    # SHUFFLE is what must not repeat, the map pass is embarrassingly
-    # parallel.)
-    dft_tbl = (
-        terms.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct("id").cast("double").alias("dft"))
+    # The broadcast query-term filter lands map-side UNDER the tf
+    # aggregation (r16): only query-term (id, term) token rows reach
+    # the ONE corpus exchange, so its shuffle is hits-sized at any
+    # corpus size (a doc with no query term contributes nothing and
+    # could never have scored; a doc with query terms keeps its exact
+    # per-term counts — dropping other terms cannot change a
+    # (id, term) group). The per-term document frequency then derives
+    # from the tf table itself — one row per containing doc, so
+    # count(*) per term IS countDistinct(id) over the token stream —
+    # which removes the r15 shape's duplicated tokenize+explode map
+    # pass outright: the dft branch re-reads the tf aggregation
+    # (runtime ReusedExchange) instead of re-scanning the corpus.
+    terms = terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = terms.groupBy("id", "term").agg(
+        F.count("*").alias("tf"),
+        F.first("__dl").cast("double").alias("dl"),
+    )
+    # The df branch prunes tf to its `term` column, which makes its
+    # physical aggregate differ from the probe side's — exchange reuse
+    # never fires and the (filtered) tokenize+explode map pass runs
+    # twice. That duplication is DELIBERATE: a persist() of the
+    # hits-sized tf table would share the one corpus pass, but the
+    # cache materialization barrier measured ~15% SLOWER on
+    # search_retrieval_eval at sf0.1 (interleaved persist/no-persist
+    # A/B, r16 — see OPTIMIZATION_r16.md) while the map pass is
+    # embarrassingly parallel; the SHUFFLE is what must not repeat,
+    # and both branches' exchanges are hits-sized.
+    dft_tbl = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("dft")
     )
     qstats = dft_tbl.join(F.broadcast(qterms), "term")
     scored = (

@@ -301,22 +301,29 @@ def test_pca_project_is_pure_jvm_and_shuffle_free(plans):
 
 
 def test_bm25_broadcast_is_query_sized(plans):
-    # the df-frequency table must never broadcast OR aggregate whole:
-    # since r15 it is built query-filtered — the broadcast feeding the
-    # postings join is qstats = dft JOIN bcast(qterms) where the dft
-    # count(distinct id) aggregate has the broadcast term filter
-    # BELOW it (only query-term (term, id) pairs reach its exchange).
-    # The FIRST BroadcastExchange subtree in the printed plan must
-    # therefore contain the distinct-doc count AND a BroadcastHashJoin
-    # under it; a regression to a vocabulary-wide df aggregate (no
-    # join below the count) or to broadcasting a corpus-derived table
-    # fails this assertion.
+    # BM25's 100 TB contract (r16 shape): ONE corpus tokenize, ONE
+    # hits-sized corpus exchange. The (id, term) tf aggregate is
+    # persisted and shared by the probe side and the df branch; the
+    # broadcast query-term filter sits BELOW the tf aggregate so only
+    # query-term token rows reach its exchange; the per-term document
+    # frequency is a count over the CACHED tf (one row per containing
+    # doc), never a vocabulary-wide aggregate or a second corpus scan.
     plan = plans("text_bm25_topk")
     assert "BroadcastHashJoin" in plan
-    first_bcast = plan.split("BroadcastExchange")[1]
-    assert "Generate explode" in first_bcast, first_bcast
-    assert "count(distinct" in first_bcast, first_bcast
-    assert "BroadcastHashJoin" in first_bcast, first_bcast
+    # every corpus tokenize site (Generate over __toks) must sit BELOW
+    # the qterm BroadcastHashJoin, i.e. the chain between the exchange
+    # above it and the Generate itself contains the broadcast term
+    # filter — so no corpus-wide (id, term) rows ever reach a shuffle
+    # (the tree prints top-down: ... Exchange -> partial agg -> BHJ ->
+    # Filter -> Generate)
+    parts = plan.split("Generate explode(__toks")
+    assert len(parts) >= 2, plan
+    for seg in parts[:-1]:
+        tail = seg.rsplit("Exchange hashpartitioning", 1)[-1]
+        assert "BroadcastHashJoin" in tail, tail
+    # df derived from the filtered tf table: the old token-stream
+    # distinct-doc recount (vocabulary-df hazard) is gone
+    assert "count(distinct" not in plan, plan
 
 
 def test_pq_encode_is_map_side_only(spark, sf_dir):
