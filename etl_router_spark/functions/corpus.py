@@ -533,7 +533,18 @@ def bloom_decontaminate(
                 "__bf", T.ArrayType(T.LongType(), False), False)]))
         probe = docs.crossJoin(F.broadcast(bf))
     else:
-        probe = docs.withColumn("__bf", F.lit(words))
+        # ONE parsed array literal (r16): ``F.lit(list)`` expands
+        # Python-side into len(list) py4j ``lit()`` round trips plus a
+        # len-ary ``array()`` — measured 3.3 s of pure DRIVER time at
+        # the gate's m=2^18 (4096 words), which was the entire cost gap
+        # between the literal and broadcast transports (the probe job
+        # itself is ~0.5 s). A single SQL-text parse builds the same
+        # ArrayType(LongType, false) literal in ~5 ms; values are
+        # bit-identical (the L suffix pins LongType; LONG_MIN parses —
+        # verified) and the per-task literal serialization the
+        # transport A/B measured (docstring) is unchanged.
+        probe = docs.withColumn("__bf", F.expr(
+            "array(" + ",".join(f"{w}L" for w in words) + ")"))
     bit_test = ("p -> (shiftright(element_at(__bf, CAST(p DIV 64 AS INT)"
                 " + 1), CAST(p % 64 AS INT)) & 1) = 1")
     if hash_family == "h60":
