@@ -679,10 +679,21 @@ def pack_sequences(
     are broadcast back as additive offsets. No single-partition sort of
     the corpus anywhere.
     """
-    num_shards = num_shards or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_shards, F.col(id_col)).withColumn(
-        "__part", F.spark_partition_id()
-    )
+    # no explicit shard count unless the caller pins one (r16): an
+    # explicit N parses as REPARTITION_BY_NUM, which AQE may not touch
+    # — at 32 local cores that froze 32 near-empty range partitions of
+    # the fixture (the 8-core bench inversion), and at 100 TB it would
+    # freeze defaultParallelism-many oversized ones. The bare BY_COL
+    # form lets AQE size the range partitions from measured bytes at
+    # ANY scale. Values are partitioning-independent either way: the
+    # prefix-sum decomposition only needs partition-id order == id
+    # order, which range partitioning guarantees and AQE's
+    # adjacent-partition coalescing preserves.
+    if num_shards:
+        ranged = df.repartitionByRange(num_shards, F.col(id_col))
+    else:
+        ranged = df.repartitionByRange(F.col(id_col))
+    ranged = ranged.withColumn("__part", F.spark_partition_id())
     w_local = (
         Window.partitionBy("__part")
         .orderBy(id_col)
@@ -692,11 +703,13 @@ def pack_sequences(
     local = local.persist()  # feeds both the totals agg and the final join
 
     # per-partition totals -> absolute start offset of each partition.
-    # Range partitioning makes partition id order == id order.
-    totals = (
+    # Range partitioning makes partition id order == id order. Sorted
+    # DRIVER-side: an .orderBy before the collect costs a range
+    # exchange + sampling job for <= #partitions rows (r16).
+    totals = sorted(
         local.groupBy("__part").agg(F.max("__local_cum").alias("__total"))
-        .orderBy("__part")
-        .collect()
+        .collect(),
+        key=lambda r: r["__part"],
     )
     offsets: dict[int, int] = {}
     running = 0
@@ -765,20 +778,23 @@ def global_shuffle(
     metadata-sized collect, #partitions rows) become broadcast additive
     offsets. No single-partition sort of the corpus anywhere.
     """
-    num_shards = num_shards or df.sparkSession.sparkContext.defaultParallelism
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
-    ranged = (
-        df.withColumn("__h", h)
-        .repartitionByRange(num_shards, F.col("__h"), F.col(id_col))
-        .withColumn("__part", F.spark_partition_id())
-    )
+    hashed = df.withColumn("__h", h)
+    # bare BY_COL range partition unless the caller pins a count —
+    # same rationale and value argument as pack_sequences (r16): AQE
+    # sizes the partitions from bytes; rank offsets only need
+    # partition order == (__h, id) order, preserved by coalescing
+    if num_shards:
+        ranged = hashed.repartitionByRange(num_shards, F.col("__h"), F.col(id_col))
+    else:
+        ranged = hashed.repartitionByRange(F.col("__h"), F.col(id_col))
+    ranged = ranged.withColumn("__part", F.spark_partition_id())
     w_local = Window.partitionBy("__part").orderBy("__h", id_col)
     local = ranged.withColumn("__local_rank", F.row_number().over(w_local))
     local = local.persist()  # feeds both the counts agg and the final rank
-    counts = (
-        local.groupBy("__part").agg(F.count("*").alias("__n"))
-        .orderBy("__part")
-        .collect()
+    counts = sorted(
+        local.groupBy("__part").agg(F.count("*").alias("__n")).collect(),
+        key=lambda r: r["__part"],
     )
     offsets: dict[int, int] = {}
     running = 0
