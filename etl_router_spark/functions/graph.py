@@ -171,17 +171,28 @@ def pagerank(
     out_d = e.groupBy(F.col("src").alias("id")).agg(
         F.sum("__w").alias("__outdeg")
     )
+    small = n <= broadcast_nodes
     # per-edge out-weight resolved once, reused by every iteration
     edges_deg = (
         e.join(out_d.withColumnsRenamed({"id": "src"}), "src")
         .select("src", "dst", "__w", "__outdeg")
-        .persist()
     )
+    if small:
+        # broadcast-rank mode: the ONLY per-iteration row shuffle left
+        # is the contribution groupBy(dst). Cluster the cached edge set
+        # by dst ONCE (BY_COL — AQE sizes the partition count from
+        # measured bytes) so every round's aggregation reuses the
+        # cached clustering instead of re-exchanging the edge set:
+        # iterations-many edge-sized shuffles become one (guide §2.4 —
+        # operations keyed the same way share one exchange). In shuffle
+        # mode the rank join re-partitions by src each round anyway, so
+        # dst clustering would buy nothing there (pre-bucket both by id
+        # at 10^9+ nodes instead, per the docstring).
+        edges_deg = edges_deg.repartition(F.col("dst"))
+    edges_deg = edges_deg.persist()
     dangling_ids = nodes.join(
         out_d, "id", "left_anti"
     ).persist()  # nodes with no out-edges
-
-    small = n <= broadcast_nodes
     ranks = materialize(
         nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("pr")),
         checkpoint_dir,
