@@ -47,6 +47,13 @@ def wrap(
     Payload = all columns serialized to JSON; ``metadata_fields`` are
     additionally copied into the string map (predicate surface);
     sequence_number is per-partition monotonic (RecordId semantics).
+
+    ``partition`` / ``sequence_number`` derive from the PHYSICAL
+    layout at wrap time: the per-partition-monotonic contract always
+    holds, but the concrete values are not stable across runs or
+    session configs (AQE partition coalescing — including on cached
+    upstream frames — re-draws the layout). Key rows by
+    ``idempotency_key`` / ``key``, never by these two fields.
     """
     data_cols = list(df.columns)
     meta = metadata_fields or []

@@ -76,5 +76,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() silently reuses a live session WITHOUT the builder
+    # confs above; re-apply the runtime-settable SQLConfs so a reused
+    # session still gets engine semantics (r15 ADVICE). Static confs
+    # (master, memory, UI) can't change on a live session — skipped.
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        **(extra_conf or {}),
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on a reused session: builder value rules
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -919,3 +919,43 @@ def test_ivfpq_guard_stays_off_the_join_key(spark, sf_dir):
     # the guard itself is still present (corpus id + query id), so bad
     # vectors raise rather than vanish through the join
     assert plan.count("raise_error") >= 4, plan.count("raise_error")
+
+
+def test_tokenizer_binding_not_reinlined(plans):
+    """Static tripwire for the r15 lambda-binding idiom
+    (``bound_shingles_sql``/``transform(array(tokens), ...)[0]``): the
+    token array is bound ONCE per row, so the ``split(`` tokenizer
+    appears a small fixed number of times in the executed-plan text. A
+    future optimizer that inlines single-element transforms would
+    re-embed the split expression at every reference site inside the
+    per-gram lambdas (O(len^2) re-tokenize per row, the r15
+    captured-expression trap) and multiply the textual occurrences —
+    caught here as a test failure instead of a silent slowdown.
+    Bounds = measured r16 counts + 1 slack for benign plan churn."""
+    for name, bound in [
+        ("corpus_duplicate_spans", 2),
+        ("text_bigram_logprob", 6),
+        ("select_dsir_topk", 4),
+        ("corpus_bloom_decontaminate", 2),
+    ]:
+        n = plans(name).count("split(")
+        assert n <= bound, f"{name}: {n} split( sites (bound {bound})"
+
+
+def test_bloom_literal_probe_filter_stays_above_spread(plans):
+    """The literal-transport Bloom probe relies on an OR-ed
+    always-false non-deterministic guard (``spark_partition_id() < 0``)
+    to keep the md5-per-gram probe Filter ABOVE the round-robin spread
+    exchange — a future optimizer that splits OR-ed conditions into
+    pushable conjuncts would push the probe back onto the
+    under-partitioned scan and serialize it onto one core (r15
+    measurement: the spread bought nothing without the guard). Tree
+    prints top-down, so the probe filter must appear BEFORE the
+    round-robin exchange, and no md5 condition may appear after it."""
+    plan = plans("corpus_bloom_decontaminate")
+    rr = plan.find("Exchange RoundRobinPartitioning")
+    assert rr != -1, plan[:1500]
+    head, tail = plan[:rr], plan[rr:]
+    probe = head.find("SPARK_PARTITION_ID")
+    assert probe != -1, head[:2000]
+    assert "md5(" not in tail.split("FileScan", 1)[0], tail[:2000]
