@@ -3901,20 +3901,35 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-number staleness, since a gate whose code moved is the one
 # whose old green row proves the least.
 _TOUCHED_BOOST: tuple[str, ...] = (
-    # r15: EMPTY — every r14-boosted gate got its green r14 driver row,
-    # and none of this round's code changes moves a gate's EXECUTED
-    # plan: (a) the auto-nprobe/shortlist remediation and the
-    # size-aware probe fraction live behind nprobe=None/n_centroids=
-    # None defaults, and every ivfpq/pq gate pins nprobe=2 /
-    # n_centroids=8 explicitly (queries_llm.py:1688-1750); (b) the
-    # minhash_signatures build stamp is COLUMN METADATA (an alias
-    # annotation the optimizer's project-collapse erases from the
-    # executed plan) — dedup_minhash_incremental and select_dsir_topk
-    # re-verified value-exact against the DuckDB oracle at sf0.01
-    # after the change, and the full registry swept green this round
-    # (scripts/check_correctness.py). The window is therefore pure
-    # age rotation, exactly as the r14 verdict ordered: the 9 r9-tier
-    # gates rank first, then the r10 tier oldest-first.
+    # r16 (optimization 2/2): two cohorts, every one verified locally
+    # against the DuckDB oracle at sf0.01 AND sf0.001 before listing
+    # (scripts/check_correctness.py).
+    # (a) Gates whose EXECUTED PLAN moved THIS round: the bm25 family
+    # (query-term filter pushed below the tf aggregation, df derived
+    # from tf — indexing.py), the Bloom literal transport (one parsed
+    # array literal — corpus.py), the prefix-sum pair (BY_COL range
+    # partition + driver-side totals sort — corpus.py), and the
+    # pagerank pair (dst-clustered edge cache — graph.py).
+    "text_bm25_topk",
+    "search_retrieval_eval",
+    "search_rrf_fusion",
+    "search_hard_negatives",
+    "corpus_bloom_decontaminate",
+    "corpus_bloom_decontaminate_bcast",
+    "corpus_pack_sequences",
+    "corpus_pack_boundaries",
+    "corpus_global_shuffle",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    # (b) Gates REWRITTEN in r15 that rotated OUT of the r15 driver
+    # sample (r15 verdict ask #6: their newest green driver row
+    # predates the rewrite, so it proves the least): degree stacking,
+    # DSIR restructure, logprob normalizer derivation.
+    "graph_degrees",
+    "select_dsir_topk",
+    "select_dsir_model",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
 )
 
 # Gates REGISTERED this round: rank them after every already-known
