@@ -224,8 +224,14 @@ def bm25_topk(
 
     Returns ``query_id, rank, doc_id, score``.
     """
-    toks = tokens_col(text_col)
-    nonempty = F.size(F.array_remove(toks, ""))
+    # Column expressions are SQL TEXT end-to-end (r16): the Column-by-
+    # Column form cost ~900 py4j round trips (~0.5 s of pure driver
+    # time) PER PLAN BUILD — the dedup-pipeline lesson applied here
+    # (see _shingle_hashes). The parsed plans are identical.
+    from etl_router_spark.functions.text import tokens_sql
+
+    toks_sql = tokens_sql(text_col)
+    nonempty_sql = f"size(array_remove({toks_sql}, ''))"
     # __dl and __toks MUST materialize in their own select BELOW the
     # explode-select: putting size(array_remove(split(...))) in the
     # same select as the explode lets ExtractGenerator rebuild it
@@ -237,29 +243,29 @@ def bm25_topk(
     # measured, the round-robin exchange costs more than the
     # single-core scan it parallelizes, unlike the md5-heavy Bloom/
     # DSIR probes.)
-    tokd = df.select(
-        F.col(id_col).alias("id"),
-        nonempty.alias("__dl"),
-        toks.alias("__toks"),
+    tokd = df.selectExpr(
+        f"{id_col} AS id",
+        f"{nonempty_sql} AS __dl",
+        f"{toks_sql} AS __toks",
     )
-    terms = tokd.select(
-        "id", "__dl", F.explode("__toks").alias("term")
-    ).filter(F.col("term") != "")
+    terms = tokd.selectExpr(
+        "id", "__dl", "explode(__toks) AS term"
+    ).filter("term != ''")
     # avgdl over docs with >= 1 token (split(null) has size -1, the
     # when() excludes it too) — identical to the average of the old dl
     # table, which only held docs that produced tf rows; tokenizes
     # map-side, no explode, no shuffle, one-row result
-    stats = df.select(F.count("*").cast("double").alias("__n")).crossJoin(
-        df.select(
-            F.avg(F.when(nonempty > 0, nonempty.cast("double"))).alias("__avgdl")
+    stats = df.selectExpr("CAST(count(*) AS DOUBLE) AS __n").crossJoin(
+        df.selectExpr(
+            f"avg(CASE WHEN {nonempty_sql} > 0 "
+            f"THEN CAST({nonempty_sql} AS DOUBLE) END) AS __avgdl"
         )
     )
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(query_text_col)), r"\s+"))
-        ).alias("term"),
-    ).filter(F.col("term") != "")
+    qterms = queries.selectExpr(
+        f"{query_id_col} AS query_id",
+        f"explode(array_distinct(split(trim({query_text_col}), '\\\\s+')))"
+        " AS term",
+    ).filter("term != ''")
     # The broadcast query-term filter lands map-side UNDER the tf
     # aggregation (r16): only query-term (id, term) token rows reach
     # the ONE corpus exchange, so its shuffle is hits-sized at any
@@ -274,8 +280,8 @@ def bm25_topk(
     # (runtime ReusedExchange) instead of re-scanning the corpus.
     terms = terms.join(F.broadcast(qterms.select("term").distinct()), "term")
     tf = terms.groupBy("id", "term").agg(
-        F.count("*").alias("tf"),
-        F.first("__dl").cast("double").alias("dl"),
+        F.expr("count(*) AS tf"),
+        F.expr("CAST(first(__dl) AS DOUBLE) AS dl"),
     )
     # The df branch prunes tf to its `term` column, which makes its
     # physical aggregate differ from the probe side's — exchange reuse
@@ -288,33 +294,30 @@ def bm25_topk(
     # embarrassingly parallel; the SHUFFLE is what must not repeat,
     # and both branches' exchanges are hits-sized.
     dft_tbl = tf.groupBy("term").agg(
-        F.count("*").cast("double").alias("dft")
+        F.expr("CAST(count(*) AS DOUBLE) AS dft")
     )
     qstats = dft_tbl.join(F.broadcast(qterms), "term")
+    # FP constants embedded via repr() so the parsed literals are
+    # bit-identical to the former F.lit(python float) form
     scored = (
         tf.join(F.broadcast(qstats), "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__s",
-            F.log(
-                1 + (F.col("__n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
-            )
-            * F.col("tf") * F.lit(k1 + 1)
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
-            ),
+        .selectExpr(
+            "query_id", "id",
+            f"ln(1 + (__n - dft + 0.5D) / (dft + 0.5D))"
+            f" * tf * {k1 + 1!r}D"
+            f" / (tf + {k1!r}D * ({1 - b!r}D + {b!r}D * dl / __avgdl))"
+            " AS __s",
         )
         .groupBy("query_id", "id")
-        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .agg(F.expr("round(sum(__s), 6) AS score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"),
-                F.col("id").alias("doc_id"), "score")
+        .selectExpr("query_id", "CAST(rank AS INT) AS rank",
+                    "id AS doc_id", "score")
     )
 
 
@@ -358,15 +361,19 @@ def retrieval_eval(
     map-side partial aggregation; no broadcast of either side is
     required and nothing is corpus-sized (runs are already top-k).
     """
+    # Column expressions are SQL TEXT (r16, same rationale as
+    # bm25_topk: the Column-by-Column form cost ~0.4 s of py4j round
+    # trips per plan build; parsed plans identical — FP literals carry
+    # the D suffix so nothing re-types to DECIMAL)
     qid, did = "query_id", "doc_id"
-    runs_k = runs.select(
-        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
-        F.col(rank_col).cast("int").alias("rank"),
-    ).filter(F.col("rank") <= k)
-    qr = qrels.select(
-        F.col(query_id_col).alias(qid), F.col(doc_id_col).alias(did),
-        F.col(rel_col).cast("double").alias("rel"),
-    ).filter(F.col("rel") > 0)
+    runs_k = runs.selectExpr(
+        f"{query_id_col} AS {qid}", f"{doc_id_col} AS {did}",
+        f"CAST({rank_col} AS INT) AS rank",
+    ).filter(f"rank <= {k}")
+    qr = qrels.selectExpr(
+        f"{query_id_col} AS {qid}", f"{doc_id_col} AS {did}",
+        f"CAST({rel_col} AS DOUBLE) AS rel",
+    ).filter("rel > 0")
 
     # ideal side: n_rel and IDCG@k from the judgments alone
     wq = Window.partitionBy(qid).orderBy(F.desc("rel"), F.asc(did))
@@ -374,57 +381,43 @@ def retrieval_eval(
         qr.withColumn("irank", F.row_number().over(wq))
         .groupBy(qid)
         .agg(
-            F.count("*").alias("n_rel"),
-            F.sum(
-                F.when(
-                    F.col("irank") <= k,
-                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
-                    / F.log2(F.col("irank") + 1),
-                ).otherwise(0.0)
-            ).alias("idcg"),
+            F.expr("count(*) AS n_rel"),
+            F.expr(
+                f"sum(CASE WHEN irank <= {k} THEN "
+                "(pow(2.0D, rel) - 1) / log2(irank + 1) "
+                "ELSE 0.0D END) AS idcg"
+            ),
         )
     )
 
     wr = Window.partitionBy(qid).orderBy("rank")
-    hit = F.when(F.col("rel") > 0, 1).otherwise(0)
+    hit_sql = "CASE WHEN rel > 0 THEN 1 ELSE 0 END"
     scored = (
         runs_k.join(qr, [qid, did], "left")
-        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
-        .withColumn("cum_hits", F.sum(hit).over(wr))
+        .withColumn("rel", F.expr("coalesce(rel, 0.0D)"))
+        .withColumn("cum_hits", F.expr(f"sum({hit_sql})").over(wr))
         .groupBy(qid)
         .agg(
-            F.sum(hit).alias("hits"),
-            F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
-            F.sum(
-                (F.pow(F.lit(2.0), F.col("rel")) - 1)
-                / F.log2(F.col("rank") + 1)
-            ).alias("dcg"),
-            F.sum(
-                F.when(
-                    F.col("rel") > 0,
-                    F.col("cum_hits").cast("double") / F.col("rank"),
-                ).otherwise(0.0)
-            ).alias("ap_num"),
+            F.expr(f"sum({hit_sql}) AS hits"),
+            F.expr("min(CASE WHEN rel > 0 THEN rank END) AS first_rel"),
+            F.expr("sum((pow(2.0D, rel) - 1) / log2(rank + 1)) AS dcg"),
+            F.expr(
+                "sum(CASE WHEN rel > 0 THEN "
+                "CAST(cum_hits AS DOUBLE) / rank ELSE 0.0D END) AS ap_num"
+            ),
         )
     )
 
     out = ideal.join(scored, qid, "left")
-    z = F.lit(0.0)
-    return out.select(
-        F.col(qid).alias(query_id_col),
-        F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
-        F.col("n_rel").cast("int").alias("n_rel"),
-        F.round(F.coalesce(F.col("hits") / F.col("n_rel"), z), 6)
-         .alias("recall"),
-        F.round(F.coalesce(F.col("hits") / F.lit(float(k)), z), 6)
-         .alias("precision"),
-        F.round(F.coalesce(1.0 / F.col("first_rel"), z), 6).alias("mrr"),
-        F.round(
-            F.coalesce(F.col("ap_num"), z)
-            / F.least(F.col("n_rel"), F.lit(k)), 6,
-        ).alias("ap"),
-        F.round(F.coalesce(F.col("dcg") / F.col("idcg"), z), 6)
-         .alias("ndcg"),
+    return out.selectExpr(
+        f"{qid} AS {query_id_col}",
+        "CAST(coalesce(hits, 0) AS INT) AS hits",
+        "CAST(n_rel AS INT) AS n_rel",
+        "round(coalesce(hits / n_rel, 0.0D), 6) AS recall",
+        f"round(coalesce(hits / {float(k)!r}D, 0.0D), 6) AS precision",
+        "round(coalesce(1.0D / first_rel, 0.0D), 6) AS mrr",
+        f"round(coalesce(ap_num, 0.0D) / least(n_rel, {k}), 6) AS ap",
+        "round(coalesce(dcg / idcg, 0.0D), 6) AS ndcg",
     )
 
 

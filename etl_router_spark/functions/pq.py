@@ -178,8 +178,18 @@ def pq_code_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     for i in range(m):
         s = _slice_sql(vec_sql, i, sub)
         dists = _book_dists_sql(s, codebooks[i])
+        # bind the distance array once (r16): writing it into both
+        # array_position and array_min doubles the embedded codebook
+        # TEXT — at a trained m=16/k=32 book that is the difference
+        # between parsing the codebook 2m times and m times per plan.
+        # Runtime is unchanged (codegen CSE already deduplicated the
+        # twin subtrees — interleaved A/B was a wash, values
+        # identical); unlike cell_assign_raw_sql this is safe to bind
+        # because the code array is a payload, never a join key, so
+        # the element_at nullability cannot resurrect a join filter.
         codes.append(
-            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+            f"transform(array({dists}), __d -> "
+            "CAST(array_position(__d, array_min(__d)) - 1 AS INT))[0]")
     return "array(" + ", ".join(codes) + ")"
 
 
