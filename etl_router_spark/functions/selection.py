@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_router_spark.functions.text import h60, shingles_sql, tokens_sql
+from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
 
 __all__ = [
     "dsir_logratios",
@@ -61,7 +61,7 @@ def _grams_sql(text_col: str) -> str:
     )
 
 
-def _gram_bucket(buckets: int, hash_family: str) -> Column:
+def _gram_bucket_sql(buckets: int, hash_family: str) -> str:
     """``gram -> bucket`` for the DSIR feature hash — the ONE
     definition shared by the model's marginals and the per-doc scorer
     (both corpora MUST hash into the same bucket space). ``h60``
@@ -71,11 +71,13 @@ def _gram_bucket(buckets: int, hash_family: str) -> Column:
     setting (md5-per-gram is the scoring pass's dominant term; same
     boundary as the Bloom family, see corpus.py:_bloom_pos_sql's
     oracle-coverage note). Scores differ across families only through
-    which bucket a gram lands in — the estimator is the same."""
+    which bucket a gram lands in — the estimator is the same.
+    SQL-text form (r16): the Column composition cost py4j round trips
+    per plan build; the parsed plan is identical."""
     if hash_family == "h60":
-        return F.pmod(h60(F.col("gram")), F.lit(buckets))
+        return f"pmod({h60_sql('gram')}, {buckets})"
     if hash_family == "xxhash64":
-        return F.pmod(F.xxhash64(F.col("gram")), F.lit(buckets))
+        return f"pmod(xxhash64(gram), {buckets})"
     raise ValueError(
         f"hash_family must be h60|xxhash64, got {hash_family!r}")
 
@@ -93,9 +95,9 @@ def _bucket_counts(df: DataFrame, text_col: str, buckets: int,
     grams = spread_small_scan(df).selectExpr(
         f"explode({_grams_sql(text_col)}) AS gram")
     return (
-        grams.select(_gram_bucket(buckets, hash_family).alias("bucket"))
+        grams.selectExpr(f"{_gram_bucket_sql(buckets, hash_family)} AS bucket")
         .groupBy("bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.expr("count(*) AS c"))
     )
 
 
@@ -246,10 +248,10 @@ def _dsir_scores_pinned(
     doc_buckets = (
         spread_small_scan(raw)
         .selectExpr(id_col, f"explode({_grams_sql(text_col)}) AS gram")
-        .select(F.col(id_col),
-                _gram_bucket(buckets, hash_family).alias("bucket"))
+        .selectExpr(id_col,
+                    f"{_gram_bucket_sql(buckets, hash_family)} AS bucket")
         .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("__c"))
+        .agg(F.expr("count(*) AS __c"))
     )
     pinned: list[DataFrame] = []
     if cache:
@@ -257,7 +259,7 @@ def _dsir_scores_pinned(
 
         doc_buckets = doc_buckets.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(doc_buckets)
-    cr = doc_buckets.groupBy("bucket").agg(F.sum("__c").alias("c_raw"))
+    cr = doc_buckets.groupBy("bucket").agg(F.expr("sum(__c) AS c_raw"))
     ct = (_bucket_counts(target, text_col, buckets, hash_family)
           .withColumnRenamed("c", "c_target"))
     lr = F.broadcast(
@@ -266,24 +268,30 @@ def _dsir_scores_pinned(
     scores = (
         doc_buckets.join(lr, "bucket")  # doc buckets are raw buckets: inner is lossless
         .groupBy(id_col)
-        .agg(F.sum(F.col("__c") * F.col("lr_micro")).alias(score_col))
+        .agg(F.expr(f"sum(__c * lr_micro) AS {score_col}"))
     )
     out = (
         raw.join(scores, id_col, "left")
-        .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0).cast("bigint")))
+        .withColumn(score_col,
+                    F.expr(f"coalesce({score_col}, CAST(0 AS BIGINT))"))
     )
     return out, scores, pinned
 
 
-def _gumbel_micro(id_col: str, salt: str) -> Column:
+def _u_micro_sql(id_col: str, salt: str) -> str:
+    """u = (h60(salt|id) % 1e6 + 0.5)/1e6 in (0, 1) as SQL text —
+    the shared uniform draw of the Gumbel and exponential-clock keys
+    (D-suffixed literals parse to the same doubles the former
+    F.lit(python float) form produced)."""
+    h = h60_sql(f"concat('{salt}|', CAST({id_col} AS STRING))")
+    return f"(CAST(pmod({h}, 1000000) AS DOUBLE) + 0.5D) / 1000000.0D"
+
+
+def _gumbel_micro_sql(id_col: str, salt: str) -> str:
     """Deterministic standard-Gumbel noise in integer micro-nats,
-    derived from the content hash: u = (h60(salt|id) % 1e6 + 0.5)/1e6
-    in (0, 1), g = -ln(-ln(u))."""
-    u = (
-        F.pmod(h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
-               F.lit(1_000_000)).cast("double") + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
-    return F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
+    derived from the content hash: g = -ln(-ln(u))."""
+    return (f"CAST(round(-ln(-ln({_u_micro_sql(id_col, salt)}))"
+            " * 1000000.0D) AS BIGINT)")
 
 
 def dsir_sample(
@@ -342,13 +350,14 @@ def dsir_sample(
     # rank on the slim frame: ids (for the zero-gram score-0 docs) left-
     # joined to scores, plus the content-hash Gumbel key — three narrow
     # columns through TakeOrdered instead of the whole corpus row
+    score0 = "coalesce(dsir_score_micro, CAST(0 AS BIGINT))"
     keyed = (
         raw.select(id_col).join(scores, id_col, "left")
-        .withColumn("dsir_score_micro",
-                    F.coalesce(F.col("dsir_score_micro"),
-                               F.lit(0).cast("bigint")))
-        .withColumn(key_col,
-                    F.col("dsir_score_micro") + _gumbel_micro(id_col, salt))
+        .selectExpr(
+            id_col,
+            f"{score0} AS dsir_score_micro",
+            f"{score0} + {_gumbel_micro_sql(id_col, salt)} AS {key_col}",
+        )
     )
     winners = keyed.orderBy(
         F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
@@ -385,12 +394,9 @@ def weighted_sample(
     grouped sampling is one group-keyed window — k rows of state per
     group, the same shape as ``corpus_group_topk``.
     """
-    u = (
-        F.pmod(h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
-               F.lit(1_000_000)).cast("double") + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
-    key = F.round(-F.log(u) / F.col(weight_col).cast("double")
-                  * F.lit(1_000_000.0)).cast("bigint")
+    key = F.expr(
+        f"CAST(round(-ln({_u_micro_sql(id_col, salt)})"
+        f" / CAST({weight_col} AS DOUBLE) * 1000000.0D) AS BIGINT)")
     keyed = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)) \
               .withColumn(key_col, key)
     if group_col is None:
