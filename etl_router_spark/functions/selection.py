@@ -34,7 +34,7 @@ scope) alongside functions/corpus.py mix_sample/decontaminate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_router_spark.functions.text import h60_sql, shingles_sql, tokens_sql
